@@ -1,0 +1,258 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (100 TB corpus of documents):
+
+- exact:    one hash-shuffle on the digest — the cheapest possible dedup.
+- jaccard:  exact pairwise similarity via an inverted shingle index
+            (explode→self-join→count); quadratic in the worst case, so it
+            is the *verifier*, not the candidate generator, at scale.
+- minhash:  64-permutation signatures computed as 64 JVM-side min-aggs
+            over xxhash64(seed, shingle) — no Python, no UDF; banded LSH
+            turns all-pairs into per-bucket micro-joins. This is the
+            scalable candidate generator; candidates are then verified
+            with exact Jaccard on the (tiny) candidate set.
+- simhash:  64-bit signature via bit-vote aggregation, Hamming-banded
+            join for near-dup candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_NUM_PERM = 64
+DEFAULT_BANDS = 16  # 16 bands × 4 rows — S-curve threshold ≈ 0.5 Jaccard
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep one representative (min id) per exact key; count copies.
+
+    One shuffle on the key hash. For wide text keys, dedupe on
+    sha2(text) instead of the raw text to shrink shuffle width:
+    use ``df.withColumn('digest', F.sha2('text', 256))``.
+    """
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("keep_" + id_col), F.count("*").alias("n_copies")
+    )
+
+
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document, exploded to
+    (id, shingle) rows — the inverted-index layout every similarity
+    operator here builds on. Pure higher-order functions: split →
+    sliding-window transform → array_distinct → explode, all JVM-side."""
+    toks = F.split(F.col(text_col), " ")
+    shingle_arr = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return (
+        df.where(F.size(toks) >= n)
+        .select(F.col(id_col), F.explode(F.array_distinct(shingle_arr)).alias("shingle"))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    Inverted-index self-join: pairs that share no shingle (Jaccard 0) are
+    never materialized. Output: (id_a, id_b, n_common, jaccard) with
+    id_a < id_b. At corpus scale, run this only on LSH candidates —
+    see :func:`minhash_lsh_candidates`.
+    """
+    sh = word_shingles(df, id_col, text_col, n).cache()
+    counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = DEFAULT_NUM_PERM,
+) -> DataFrame:
+    """MinHash signature per document: sig[i] = min over shingles of
+    xxhash64(i, shingle). 64 min-aggregates in one HashAggregate pass —
+    JVM-side, no UDF, order-independent, cluster-deterministic."""
+    sh = word_shingles(df, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(
+        id_col, F.array(*[f"h{i}" for i in range(num_perm)]).alias("signature")
+    )
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    id_col: str,
+    bands: int = DEFAULT_BANDS,
+    num_perm: int = DEFAULT_NUM_PERM,
+) -> DataFrame:
+    """Banded LSH: hash each band of the signature; docs colliding in any
+    band become candidate pairs. One explode (docs × bands rows) + one
+    shuffle on (band, band_hash) — per-bucket joins replace all-pairs."""
+    rows_per_band = num_perm // bands
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("bucket"),
+        ),
+    )
+    banded = sigs.select(F.col(id_col), F.explode(band_arr).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Candidate generation via MinHash LSH, then exact-Jaccard
+    verification restricted to the candidate set — the standard
+    two-stage near-dedup at corpus scale."""
+    sigs = minhash_signatures(df, id_col, text_col, n, num_perm)
+    cand = minhash_lsh_candidates(sigs, id_col, bands, num_perm)
+    # Verify candidates only: semi-join the shingle index down to candidate
+    # docs before computing exact Jaccard.
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select("id_b"))
+        .dropDuplicates()
+    )
+    verified = jaccard_pairs(
+        df.join(cand_ids, id_col, "left_semi"), id_col, text_col, n, threshold
+    )
+    return verified.join(cand, ["id_a", "id_b"], "left_semi")
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """64-bit SimHash per document, fully JVM-side: token → xxhash64 →
+    per-bit vote sum via explode + 64 conditional aggregates; bit i set
+    when votes are positive. shiftright+bitwise-and extracts bits inside
+    codegen."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    # shiftleft instead of a lit(1 << i): bit 63 overflows a Java long literal
+    # but lands correctly on the sign bit via shift.
+    bit_terms = [
+        F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(64)
+    ]
+    sig = votes.select(
+        id_col,
+        sum(bit_terms[1:], bit_terms[0]).alias("simhash"),
+    )
+    return sig
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup candidates by SimHash: band the 64-bit signature into 4
+    16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at least one identical
+    chunk), join on chunk equality, verify Hamming distance ≤ k via
+    bit_count(xor). Avoids all-pairs entirely."""
+    sigs = simhash_signatures(df, id_col, text_col)
+    chunks = sigs.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash", F.col("c.chunk_idx"), F.col("c.chunk"))
+    a = chunks.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "chunk_idx", "chunk"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "chunk_idx", "chunk"
+    )
+    return (
+        a.join(b, ["chunk_idx", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,145 @@
+"""Text-analysis operators for the training-data pipeline surface.
+
+All hot-path operators are built-in Column expressions (JVM, codegen) —
+tokenization, counting, ratios never leave the executor or enter Python.
+Only the rolling-hash fingerprint uses a Pandas UDF (Arrow-batched), since
+a character-level positional fold has no built-in equivalent.
+
+Scale: every function here is embarrassingly parallel per row — no
+shuffle, no skew concern; they pipeline into the same stage as the scan.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+
+# Distinctive-token profiles for the n-gram/stopword language heuristic.
+# Real deployments would ship char-trigram frequency profiles; the method
+# (score = weighted evidence count per language, argmax) is the same.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "that", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit"),
+    "es": ("el", "la", "los", "las", "que", "es", "una"),
+    "fr": ("le", "la", "les", "est", "une", "dans", "pour"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和"),
+}
+
+
+def tokens(col: Column | str, sep: str = " ") -> Column:
+    """Whitespace tokenization as an array column (JVM-side split)."""
+    return F.split(col if isinstance(col, Column) else F.col(col), sep)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count: splits on word/number/punct boundaries,
+    the usual cheap proxy for BPE token counts at corpus scale."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.size(
+        F.filter(
+            F.split(c, r"(?<=\W)|(?=\W)"),
+            lambda t: (t != "") & (t != " "),
+        )
+    )
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    """Fraction of tokens that are stopwords — a standard quality signal."""
+    toks = tokens(col)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return n_stop / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = col if isinstance(col, Column) else F.col(col)
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return n_punct / F.greatest(F.length(c), F.lit(1))
+
+
+def mean_token_length(col: Column | str) -> Column:
+    toks = F.filter(tokens(col), lambda t: t != "")
+    total = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite document-quality score in [0,1]: length band, stopword
+    presence, low punctuation density. Mirrors the usual pretraining-data
+    heuristics (C4/Gopher-style rules) as one codegen'd expression."""
+    c = col if isinstance(col, Column) else F.col(col)
+    length_ok = F.when((F.length(c) >= 50) & (F.length(c) <= 100_000), 1.0).otherwise(0.0)
+    stop_ok = F.when(stopword_ratio(c) >= 0.05, 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(c) <= 0.2, 1.0).otherwise(0.0)
+    word_len = mean_token_length(c)
+    word_ok = F.when((word_len >= 2) & (word_len <= 12), 1.0).otherwise(0.0)
+    return (length_ok + stop_ok + punct_ok + word_ok) / F.lit(4.0)
+
+
+def language_id(col: Column | str) -> Column:
+    """Heuristic language ID: argmax over per-language evidence counts
+    (profile-token hits per language). Pure Column expressions — builds a
+    map of scores and picks the best, deterministically tie-broken by
+    language code. 'und' (undetermined) when nothing scores."""
+    toks = tokens(col)
+
+    def hits(words: tuple[str, ...]):
+        # closure (not a default arg): a 2-arg lambda would be treated as
+        # the (element, index) higher-order-function form
+        return lambda t: t.isin(*words)
+
+    scores = [
+        (lang, F.size(F.filter(toks, hits(words))))
+        for lang, words in sorted(LANG_PROFILES.items())
+    ]
+    # struct(score, lang) array → array_max picks (max score, max lang);
+    # negative lang ordering would need custom compare, so tie-break is
+    # lexicographically-last language with the top score.
+    best = F.array_max(
+        F.array(*[F.struct(s.alias("score"), F.lit(lang).alias("lang")) for lang, s in scores])
+    )
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+@pandas_udf(LongType())  # DataType instance: string DDL would need a live context at import
+def rolling_fingerprint(texts: pd.Series) -> pd.Series:
+    """Polynomial rolling hash over UTF-8 bytes, mod 2^61-1 (Arrow-batched
+    Pandas UDF — character-positional fold isn't expressible as a built-in).
+    Deterministic across runs/partitions, suitable as a shard-stable
+    document fingerprint."""
+    MOD = (1 << 61) - 1
+    BASE = 257
+
+    def fp(s: str) -> int:
+        h = 0
+        for b in s.encode("utf-8"):
+            h = (h * BASE + b) % MOD
+        return h
+
+    return texts.map(lambda s: fp(s) if s is not None else None)
+
+
+def doc_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-analysis profile to a documents frame."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(c).alias("n_tokens"),
+        bpe_ish_token_count(c).alias("n_subword_tokens"),
+        F.round(stopword_ratio(c), 4).alias("stop_ratio"),
+        F.round(punct_ratio(c), 4).alias("punct_ratio"),
+        F.round(mean_token_length(c), 4).alias("mean_token_len"),
+        F.round(quality_score(c), 2).alias("quality"),
+        language_id(c).alias("lang_pred"),
+        rolling_fingerprint(c).alias("fingerprint"),
+    )

@@ -1,0 +1,328 @@
+"""North-star LLM-data-pipeline queries (BASELINE.json): dedup, similarity
+search, text analysis over the documents/embeddings tables.
+
+Oracle notes:
+- All cosine oracles spell out double-precision math (list_zip +
+  list_transform) instead of DuckDB's float32 list_cosine_similarity, so
+  both engines fold the same doubles in the same order.
+- MinHash/SimHash/ANN-LSH queries are registered rows-only (no oracle):
+  their hash families (xxhash64 seeds) are engine-specific by design;
+  pytest verifies them against exact Jaccard/cosine ground truth instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_data_data_pipeline_spark.functions.dedup import (
+    jaccard_pairs,
+    minhash_dedup_pairs,
+    simhash_near_dup_pairs,
+)
+from weather_data_data_pipeline_spark.functions.similarity import (
+    brute_force_topk,
+    cosine_near_dup_pairs,
+    lsh_topk,
+)
+from weather_data_data_pipeline_spark.functions.text import (
+    STOPWORDS,
+    language_id,
+    mean_token_length,
+    punct_ratio,
+    quality_score,
+    rolling_fingerprint,
+    stopword_ratio,
+    token_count,
+)
+from weather_data_data_pipeline_spark.registry import register
+from weather_data_data_pipeline_spark.sources.tables import load
+
+# Shared double-precision cosine fragment for DuckDB oracles.
+_DCOS = (
+    "(list_sum(list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"
+)
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS digest,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY digest
+    """,
+    doc="Exact dedup via content digest: group on sha256(text), keep the "
+    "min doc_id. Hashing first keeps the shuffle narrow (32-byte keys "
+    "instead of full documents) — the 100 TB-safe layout.",
+    tags=("llm", "dedup", "bench"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.sha2("text", 256).alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@register(
+    "doc_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           round(CAST(len(list_filter(string_split(text, ' '), t -> t IN {STOPWORDS!r})) AS DOUBLE)
+                 / greatest(len(string_split(text, ' ')), 1), 4) AS stop_ratio,
+           round(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1), 4) AS punct_ratio,
+           round(CAST(list_sum(list_transform(list_filter(string_split(text, ' '), t -> t <> ''), t -> length(t))) AS DOUBLE)
+                 / greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1), 4) AS mean_token_len
+    FROM documents
+    """,
+    doc="Per-document token statistics (token count, stopword ratio, "
+    "punctuation density, mean token length) — all codegen'd Column "
+    "expressions, one scan, no shuffle.",
+    tags=("llm", "text", "bench"),
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.round(stopword_ratio("text"), 4).alias("stop_ratio"),
+        F.round(punct_ratio("text"), 4).alias("punct_ratio"),
+        F.round(mean_token_length("text"), 4).alias("mean_token_len"),
+    )
+
+
+@register(
+    "doc_quality_by_lang",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang,
+             (CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END
+              + CASE WHEN CAST(len(list_filter(string_split(text, ' '), t -> t IN {STOPWORDS!r})) AS DOUBLE)
+                     / greatest(len(string_split(text, ' ')), 1) >= 0.05 THEN 1.0 ELSE 0.0 END
+              + CASE WHEN CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                     / greatest(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.0 END
+              + CASE WHEN CAST(list_sum(list_transform(list_filter(string_split(text, ' '), t -> t <> ''), t -> length(t))) AS DOUBLE)
+                     / greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1) BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END
+             ) / 4.0 AS q
+      FROM documents)
+    SELECT lang,
+           round(avg(q), 4) AS avg_quality,
+           count(*) FILTER (q >= 0.75) AS n_high_quality,
+           count(*) AS n_docs
+    FROM scored GROUP BY lang
+    """,
+    doc="Gopher/C4-style quality scoring (length band, stopword presence, "
+    "punctuation density, mean word length) rolled up per language — the "
+    "filter stage of a pretraining-data pipeline.",
+    tags=("llm", "text"),
+)
+def doc_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", quality_score("text").alias("q"))
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+            F.count(F.when(F.col("q") >= 0.75, 1)).alias("n_high_quality"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+@register(
+    "lang_source_rollup",
+    oracle="""
+    SELECT lang, source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 2) AS avg_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+    doc="Corpus composition rollup: documents and characters per "
+    "(language, source) — the partition-planning query of a corpus build.",
+    tags=("llm", "text"),
+)
+def lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.sum("n_chars").cast("double") / F.count("*"), 2).alias("avg_chars"),
+    )
+
+
+@register(
+    "language_id_pred",
+    oracle="""
+    WITH profiles(lang, words) AS (VALUES
+      ('de', ['der','die','das','und','ist','nicht','mit']),
+      ('en', ['the','and','of','to','is','that','with']),
+      ('es', ['el','la','los','las','que','es','una']),
+      ('fr', ['le','la','les','est','une','dans','pour']),
+      ('zh', ['的','是','了','在','我','有','和'])),
+    scored AS (
+      SELECT d.doc_id, d.lang AS lang_actual,
+             max(struct_pack(
+               score := CAST(len(list_filter(string_split(d.text, ' '), t -> list_contains(p.words, t))) AS INTEGER),
+               lang := p.lang)) AS best
+      FROM documents d CROSS JOIN profiles p
+      GROUP BY d.doc_id, d.lang)
+    SELECT doc_id, lang_actual,
+           CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred
+    FROM scored
+    """,
+    doc="Heuristic language ID: per-language profile-token evidence "
+    "counts, argmax with deterministic tie-break — executed as pure "
+    "Column expressions (no UDF).",
+    tags=("llm", "text"),
+)
+def language_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        language_id("text").alias("lang_pred"),
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+           FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) _l(i)
+           WHERE len(t) >= 3),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+    SELECT id_a, id_b, n_common,
+           round(CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common), 4) AS jaccard
+    FROM pair
+    JOIN cnt ca ON ca.doc_id = id_a
+    JOIN cnt cb ON cb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.05
+    """,
+    doc="Exact word-3-gram Jaccard near-dup pairs via inverted shingle "
+    "index (explode → self-join → count). The exact verifier of the "
+    "two-stage near-dedup; at corpus scale it runs only on LSH "
+    "candidates (see minhash_dedup_pairs).",
+    tags=("llm", "dedup", "bench"),
+)
+def ngram_jaccard_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.05)
+
+
+@register(
+    "minhash_dedup_pairs",
+    oracle=None,  # hash-family specific; verified against exact Jaccard in tests
+    doc="Two-stage near-dedup at scale: 64-perm MinHash signatures (64 "
+    "JVM min-aggs over xxhash64 — no UDF), 16-band LSH candidate "
+    "generation, exact-Jaccard verification on candidates only.",
+    tags=("llm", "dedup", "rows-only", "bench"),
+)
+def minhash_dedup_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, "doc_id", "text", n=3, threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "simhash_near_dup",
+    oracle=None,
+    doc="SimHash near-dup: 64-bit token-vote signature, 4×16-bit banded "
+    "join (pigeonhole guarantees recall for hamming ≤ 3), bit_count(xor) "
+    "verification.",
+    tags=("llm", "dedup", "rows-only"),
+)
+def simhash_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=None,  # positional byte-fold has no portable SQL twin
+    doc="Deterministic rolling-hash document fingerprint (Arrow-batched "
+    "Pandas UDF) joined with exact-dup grouping: fingerprint collisions "
+    "== exact text matches on this corpus.",
+    tags=("llm", "text", "rows-only"),
+)
+def doc_fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rolling_fingerprint(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+@register(
+    "embedding_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_DCOS.format(a="q.embedding", b="c.embedding")} AS cosine_raw
+      FROM q, embeddings c
+      WHERE c.vec_id <> q.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine_raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine_raw DESC, neighbor_id) AS rn
+      FROM scored)
+    SELECT query_id, neighbor_id, round(cosine_raw, 4) AS cosine,
+           CAST(rn AS INTEGER) AS rn
+    FROM ranked WHERE rn <= 10
+    """,
+    doc="Brute-force cosine top-k ANN baseline: broadcast the query set, "
+    "score with JVM higher-order functions in double precision, window-"
+    "rank per query. Corpus is scanned once and never shuffled in full.",
+    tags=("llm", "similarity", "bench"),
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=10)
+
+
+@register(
+    "embedding_near_dup",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_DCOS.format(a="a.embedding", b="b.embedding")}, 4) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_DCOS.format(a="a.embedding", b="b.embedding")} >= 0.35
+    """,
+    doc="Embedding-cosine near-duplicate pairs (threshold 0.35 on this "
+    "corpus). Brute-force correctness baseline for the LSH path.",
+    tags=("llm", "similarity"),
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, threshold=0.35)
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=None,  # approximate by construction; recall measured in tests
+    doc="ANN top-k via random-hyperplane LSH bucketing: corpus and queries "
+    "hashed to sign-pattern buckets (deterministic hash-derived planes), "
+    "exact re-rank within bucket. The 100 TB path — shuffle on bucket id "
+    "replaces the cross product.",
+    tags=("llm", "similarity", "rows-only"),
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=10, n_planes=8).orderBy(
+        "query_id", "rn"
+    )

@@ -1,0 +1,444 @@
+"""Relational engine surface: the full join family, sorts/top-k, window
+functions, set operations, distinct/rollup/cube aggregates.
+
+The reference only ships one join (left-anti, J1) and two hash aggregates
+(SURVEY.md §2.3-2.4); a complete engine must provide the standard family
+— and the north-star dedup/similarity operators are built on semi/anti
+joins and windows. TPC-H-shaped queries double as the benchmark suite.
+
+Float determinism: all money sums go through dsum/davg (exact DECIMAL
+accumulation, rounded double out) so results hash-match the oracle no
+matter how partial aggregation orders the additions — mandatory at
+cluster scale where partition order is nondeterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from weather_data_data_pipeline_spark.operators.aggregates import davg, dsum
+from weather_data_data_pipeline_spark.registry import register
+from weather_data_data_pipeline_spark.sources.tables import load
+
+# Exact decimal revenue term: l_extendedprice * (1 - l_discount), computed in
+# DECIMAL so sums are order-independent (see module docstring).
+def _revenue():
+    # Built lazily: Column construction needs an active SparkContext.
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+_REVENUE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) "
+    "* (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+)
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum({_REVENUE_SQL}), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum({_REVENUE_SQL} * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity), 2) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice), 2) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape — the flagship scan-heavy aggregate: 1 pass over "
+    "lineitem, 8 aggregates, partial+final HashAggregate, filter pushed to "
+    "the parquet scan. The plan at 100 TB: scan parallelism = file splits, "
+    "one shuffle of ~6 grouped rows per partition.",
+    tags=("relational", "aggregate", "bench"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.round(F.sum(_revenue()), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(_revenue() * (one + dec("l_tax"))), 2)
+            .cast("double")
+            .alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount", out_scale=4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_top_revenue_orders",
+    oracle=f"""
+    SELECT o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS o_orderdate,
+           o.o_orderpriority,
+           CAST(round(sum({_REVENUE_SQL}), 2) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o.o_orderkey, o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: selective dim filter → 3-way join → agg → "
+    "deterministic top-k (revenue DESC, key ASC tie-break). customer is "
+    "broadcast (small after the segment filter); orders⋈lineitem shuffles "
+    "on orderkey. TakeOrderedAndProject avoids a global sort.",
+    tags=("relational", "join", "topk", "bench"),
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    l = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_revenue()), 2).cast("double").alias("revenue"))
+        .withColumn("o_orderdate", F.col("o_orderdate").cast("date"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_nation_revenue",
+    oracle=f"""
+    SELECT n.n_name,
+           CAST(round(sum({_REVENUE_SQL}), 2) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+    doc="TPC-H Q5 shape: 6-table star join. supplier/nation/region are "
+    "broadcast dims; only customer⋈orders⋈lineitem shuffle. The "
+    "c_nationkey = s_nationkey 'local supplier' predicate rides the "
+    "supplier broadcast.",
+    tags=("relational", "join", "bench"),
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_revenue()), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@register(
+    "left_join_segment_rollup",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(DISTINCT c.c_custkey) AS n_customers,
+           count(o.o_orderkey) AS n_orders,
+           CAST(round(sum(coalesce(CAST(o.o_totalprice AS DECIMAL(18,2)), 0)), 2) AS DOUBLE) AS total_spend
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="LEFT OUTER join + null-aware aggregation (customers with no "
+    "orders still count). Distinct-count + conditional count + exact sum "
+    "in one HashAggregate pass.",
+    tags=("relational", "join"),
+)
+def left_join_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(
+                F.sum(F.coalesce(F.col("o_totalprice").cast("decimal(18,2)"), F.lit(0).cast("decimal(18,2)"))), 2
+            )
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "semi_join_active_customers",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    """,
+    doc="LEFT SEMI join (EXISTS): customers having at least one big order. "
+    "Semi joins never duplicate the probe side — the dedup family's "
+    "building block.",
+    tags=("relational", "join"),
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "full_outer_nation_supplier",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, s.s_suppkey, s.s_name
+    FROM nation n
+    FULL OUTER JOIN supplier s ON n.n_nationkey = s.s_nationkey
+    """,
+    doc="FULL OUTER join: null-extending both sides (nations without "
+    "suppliers and vice versa).",
+    tags=("relational", "join"),
+)
+def full_outer_nation_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+    return n.join(s, n.n_nationkey == s.s_nationkey, "full_outer").select(
+        "n_nationkey", "n_name", "s_suppkey", "s_name"
+    )
+
+
+@register(
+    "cross_join_region_nation",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+    doc="Cartesian product of two fixed-size dims (125 rows at any SF) — "
+    "BroadcastNestedLoopJoin; the only safe cross-join shape at scale.",
+    tags=("relational", "join"),
+)
+def cross_join_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(F.broadcast(n)).select("r_name", "n_name")
+
+
+@register(
+    "window_top_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+           CAST(rn AS INTEGER) AS rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    """,
+    doc="Window function top-k-per-group: row_number over "
+    "(partition by customer, order by price desc). One shuffle on "
+    "o_custkey; rank predicate applied before any further join.",
+    tags=("relational", "window"),
+)
+def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_running_user_total",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER w, 2) AS running_total,
+           round(value - lag(value) OVER w, 2) AS delta_prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="Running aggregate + lag in one window pass: per-user cumulative "
+    "value and delta vs previous event. Frame order is fully "
+    "deterministic (ts, event_id tie-break) so float results reproduce.",
+    tags=("relational", "window"),
+)
+def window_running_user_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("running_total"),
+        F.round(F.col("value") - F.lag("value").over(wl), 2).alias("delta_prev"),
+    )
+
+
+@register(
+    "distinct_parts_per_flag",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS distinct_parts,
+           count(DISTINCT l_suppkey) AS distinct_suppliers,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Multi distinct-aggregate: Catalyst expands to a two-phase "
+    "Expand+Aggregate plan; no driver-side distinct.",
+    tags=("relational", "aggregate"),
+)
+def distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_suppliers"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "rollup_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP grouping sets: (flag,status), (flag), () subtotals in one "
+    "Expand+Aggregate pass.",
+    tags=("relational", "aggregate"),
+)
+def rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n_rows")
+    )
+
+
+@register(
+    "cube_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE grouping sets: all 4 grouping combinations in one pass.",
+    tags=("relational", "aggregate"),
+)
+def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n_rows")
+    )
+
+
+@register(
+    "set_ops_nationkeys",
+    oracle="""
+    SELECT 'customer_only' AS side, nationkey FROM (
+      SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+      EXCEPT
+      SELECT CAST(s_nationkey AS INTEGER) FROM supplier
+    )
+    UNION ALL
+    SELECT 'both' AS side, nationkey FROM (
+      SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+      INTERSECT
+      SELECT CAST(s_nationkey AS INTEGER) FROM supplier
+    )
+    """,
+    doc="Set operations (EXCEPT / INTERSECT / UNION ALL) over nationkey "
+    "domains — Catalyst rewrites to anti/semi joins.",
+    tags=("relational", "setop"),
+)
+def set_ops_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nationkey")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nationkey")
+    )
+    only = c.subtract(s)  # EXCEPT (distinct) — rewritten to a left-anti join
+    both = c.intersect(s)  # INTERSECT (distinct) — rewritten to a left-semi join
+    return only.withColumn("side", F.lit("customer_only")).unionByName(
+        both.withColumn("side", F.lit("both"))
+    ).select("side", "nationkey")
+
+
+@register(
+    "order_priority_count",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: correlated EXISTS → left-semi join on orderkey, "
+    "then count by priority.",
+    tags=("relational", "join", "bench"),
+)
+def order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    late = o.join(
+        l, (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate), "left_semi"
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )

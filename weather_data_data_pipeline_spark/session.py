@@ -1,0 +1,72 @@
+"""SparkSession factory tuned for the engine.
+
+Scale posture: these configs are the local[*] analogues of what we would set
+on a 1000-executor cluster — AQE for runtime re-planning and skew joins,
+sane shuffle partitioning, Arrow for any pandas interop, UTC everywhere so
+timestamp semantics are deployment-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "weather_data_data_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    On a real cluster ``master`` comes from the environment; locally we
+    default to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
+    )
+    conf = {
+        # Runtime adaptivity: coalesce post-shuffle partitions, split skewed
+        # ones, convert to broadcast joins when runtime stats allow.
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": str(
+            shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+        ),
+        # Arrow for every pandas/Pandas-UDF boundary crossing.
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Deterministic, deployment-independent timestamp semantics.
+        "spark.sql.session.timeZone": "UTC",
+        # The driver-generated events table stores TIMESTAMP(NANOS) which
+        # vanilla Spark rejects; read as long and normalize in tables.py.
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # Local-mode memory headroom; harmless on a cluster submit.
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        "spark.ui.enabled": "false",
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def apply_runtime_conf(spark: SparkSession) -> None:
+    """Set the runtime-mutable engine confs on an externally-created session.
+
+    The correctness driver hands us its own SparkSession; queries must not
+    depend on that session having been built by :func:`get_spark`. Only
+    runtime-settable confs belong here.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Needed before any read of the nanos-timestamp events table.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # static in some builds; tables.py has a fallback
