@@ -1,0 +1,168 @@
+"""End-to-end tests of the weather pipeline on canned OpenWeatherMap
+payloads (FIXTURES.md A4) — no network. Covers reference parity
+(column names, conversions, rounding, aggregates) and the core
+contract: double-run idempotency of the anti-join append."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from weather_data_data_pipeline_spark.pipeline import weather as W
+
+
+def _payload(city: str, country: str, lat: float, lon: float, start_epoch: int,
+             n: int = 40, temp0: float = 290.0):
+    return {
+        "list": [
+            {
+                "dt": start_epoch + i * 3 * 3600,  # 3-hourly steps
+                "main": {"temp": temp0 + (i % 7), "humidity": 40 + (i % 50)},
+                "wind": {"speed": 1.5 + (i % 10)},
+                "weather": [{"description": f"desc{i % 5}"}],
+            }
+            for i in range(n)
+        ],
+        "city": {"name": city, "country": country, "coord": {"lat": lat, "lon": lon}},
+    }
+
+
+# 2023-12-28 00:00:00 UTC — spans the ISO year boundary (week 52 → week 1)
+YEAR_BOUNDARY_EPOCH = 1703721600
+
+
+@pytest.fixture(scope="module")
+def payloads():
+    return [
+        _payload("Houston", "US", 29.76, -95.37, YEAR_BOUNDARY_EPOCH),
+        _payload("Berlin", "DE", 52.52, 13.40, YEAR_BOUNDARY_EPOCH, temp0=270.0),
+    ]
+
+
+@pytest.fixture(scope="module")
+def fact(spark, payloads):
+    raw = W.payloads_to_df(spark, payloads)
+    return W.transform_weather(
+        W.flatten_forecast(raw), job_ts=F.lit("2024-01-02 00:00:00").cast("timestamp")
+    ).cache()
+
+
+def test_flatten_shape_and_types(spark, payloads):
+    flat = W.flatten_forecast(W.payloads_to_df(spark, payloads))
+    assert flat.count() == 80  # 40 forecasts × 2 cities
+    types = dict(flat.dtypes)
+    assert types["weatherDate"] == "timestamp"
+    assert types["Temperature"] == "double"
+    assert types["Humidity"] == "int"
+    first = flat.where(
+        (F.col("city") == "Houston")
+        & (F.col("weatherDate") == dt.datetime(2023, 12, 28, 0, 0))
+    ).collect()
+    assert len(first) == 1
+    assert first[0]["WeatherDescription"] == "desc0"
+    assert first[0]["country"] == "US"
+
+
+def test_transform_matches_reference_semantics(fact):
+    assert list(fact.columns) == list(W.FACT_COLUMNS)
+    row = fact.where(
+        (F.col("city") == "Houston")
+        & (F.col("weatherDate") == dt.datetime(2023, 12, 28, 0, 0))
+    ).collect()[0]
+    # K→°C rounded 2dp (full:67,72): 290.0 - 273.15 = 16.85
+    assert row["Temperature_in_Celsius"] == 16.85
+    # m/s→km/h rounded 2dp (full:67-68,73): 1.5 * 3.6 = 5.4
+    assert row["WindSpeed_km_per_hour"] == 5.4
+
+
+def test_weekly_avg_temperature_iso_week_boundary(fact):
+    out = W.calculate_avg_temperature(fact)
+    weeks = {r["week"] for r in out.where(F.col("city") == "Houston").collect()}
+    # 2023-12-28 is ISO week 52; 2024-01-01+ is ISO week 1
+    assert weeks == {52, 1}
+    hou52 = out.where((F.col("city") == "Houston") & (F.col("week") == 52)).collect()[0]
+    # week 52 = Dec 25-31 → i in 0..31 (32 three-hourly rows from Dec 28):
+    # avg(16.85 + i%7) = 16.85 + 90/32 = 19.6625 → 19.66
+    assert hou52["average_temperature"] == pytest.approx(19.66, abs=0.005)
+    assert set(out.columns) == {"country", "city", "week", "average_temperature"}
+
+
+def test_avg_humidity_range_inclusive(fact):
+    out = W.calculate_avg_humidity(fact, "2023-12-28", "2023-12-29")
+    rows = {r["city"]: r for r in out.collect()}
+    assert set(rows) == {"Houston", "Berlin"}
+    # inclusive both ends: 16 rows of 3-hourly steps over the 2 days
+    sub = fact.where(
+        (F.to_date("weatherDate") >= "2023-12-28")
+        & (F.to_date("weatherDate") <= "2023-12-29")
+        & (F.col("city") == "Houston")
+    )
+    expected = round(
+        sum(r["Humidity"] for r in sub.collect()) / sub.count(), 2
+    )
+    assert rows["Houston"]["average_humidity"] == pytest.approx(expected, abs=0.01)
+    assert rows["Houston"]["start_date"] == dt.date(2023, 12, 28)
+
+
+def test_append_is_idempotent(spark, fact, tmp_path_factory):
+    dest = str(tmp_path_factory.mktemp("weather") / "weather_report_data")
+    W.append_idempotent(fact, dest, spark)
+    n1 = spark.read.parquet(dest).count()
+    # Second run with the same batch: anti-join must keep everything out.
+    W.append_idempotent(fact, dest, spark)
+    n2 = spark.read.parquet(dest).count()
+    assert n1 == fact.count()
+    assert n2 == n1, "double-run appended duplicates — idempotency broken"
+    # A genuinely new batch still lands.
+    extra = W.transform_weather(
+        W.flatten_forecast(
+            W.payloads_to_df(
+                spark,
+                [_payload("Paris", "FR", 48.85, 2.35, YEAR_BOUNDARY_EPOCH, n=5)],
+            )
+        ),
+        job_ts=F.lit("2024-01-02 01:00:00").cast("timestamp"),
+    )
+    W.append_idempotent(extra, dest, spark)
+    assert spark.read.parquet(dest).count() == n1 + 5
+
+
+def test_anti_join_no_destination_keys_survive(spark, fact):
+    dest = fact.limit(30)
+    out = W.rows_to_append(fact, dest)
+    # property: appended keys ∩ destination keys = ∅
+    inter = out.join(dest, on=W.DEDUP_KEYS, how="inner")
+    assert inter.count() == 0
+    assert out.count() == fact.count() - 30
+
+
+def test_incremental_filter_trailing_window(spark, payloads):
+    raw = W.flatten_forecast(W.payloads_to_df(spark, payloads))
+    old = W.transform_weather(raw, job_ts=F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    new = W.transform_weather(raw, job_ts=F.lit("2024-01-01 10:30:00").cast("timestamp"))
+    both = old.unionByName(new)
+    kept = W.incremental_filter(
+        both, hours=1, now=F.lit("2024-01-01 11:00:00").cast("timestamp")
+    )
+    assert kept.count() == new.count()
+    assert kept.select(F.min("jobdate")).collect()[0][0] == dt.datetime(2024, 1, 1, 10, 30)
+
+
+def test_full_load_runs_end_to_end(spark, payloads, tmp_path_factory):
+    dest = str(tmp_path_factory.mktemp("weather_e2e"))
+    W.run_full_load(
+        spark, payloads, dest, "2023-12-28", "2023-12-29",
+        job_ts=F.lit("2024-01-02 00:00:00").cast("timestamp"),
+    )
+    assert spark.read.parquet(f"{dest}/weather_report_data").count() == 80
+    assert spark.read.parquet(f"{dest}/weekly_avg_temp_report_data").count() == 4
+    hum = spark.read.parquet(f"{dest}/weather_avg_humidity_report_data")
+    assert hum.count() == 2
+    # re-run: reports append (by design, audit-stamped), fact does not duplicate
+    W.run_full_load(
+        spark, payloads, dest, "2023-12-28", "2023-12-29",
+        job_ts=F.lit("2024-01-02 02:00:00").cast("timestamp"),
+    )
+    assert spark.read.parquet(f"{dest}/weather_report_data").count() == 80
