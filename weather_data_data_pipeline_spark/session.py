@@ -9,10 +9,23 @@ timestamp semantics are deployment-independent.
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+# Parent dir of this package — Python workers unpickle UDF closures by
+# re-importing the module, so executors need it on PYTHONPATH even when
+# the driver process was launched from elsewhere. (Cluster deploys ship
+# the package via --py-files / pip instead.)
+_PKG_PARENT = str(Path(__file__).resolve().parent.parent)
+
+
+def _ensure_worker_pythonpath() -> None:
+    pp = os.environ.get("PYTHONPATH", "")
+    if _PKG_PARENT not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (pp + os.pathsep if pp else "") + _PKG_PARENT
 
 
 def get_spark(
@@ -26,6 +39,7 @@ def get_spark(
     On a real cluster ``master`` comes from the environment; locally we
     default to ``local[$SPARK_GRAFT_CPUS]``.
     """
+    _ensure_worker_pythonpath()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     builder = SparkSession.builder.appName(app_name).master(
         master or f"local[{cpus}]"
@@ -64,6 +78,7 @@ def apply_runtime_conf(spark: SparkSession) -> None:
     depend on that session having been built by :func:`get_spark`. Only
     runtime-settable confs belong here.
     """
+    _ensure_worker_pythonpath()  # before the first python worker spawns
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # Needed before any read of the nanos-timestamp events table.
     try:

@@ -1,0 +1,130 @@
+"""Structured Streaming: the scale-up path for the reference's
+incremental pattern (SURVEY.md §2.6, §7 phase 3).
+
+The reference approximates streaming with an @hourly Airflow re-run +
+last-hour filter + anti-join dedup (inc_load:86-95, 179-183,
+inc_dag:101). Structured Streaming generalizes exactly that micro-batch
+loop natively:
+
+- readStream (file source here; Kafka at deployment) = the re-run
+- withWatermark + window = the recency filter, with correct late-data
+  semantics instead of a wall-clock heuristic
+- dropDuplicates within the watermark = the anti-join for in-stream dups
+- foreachBatch anti-join append = cross-batch idempotency against the
+  destination table
+
+State store size is bounded by the watermark horizon — the property that
+makes this run forever on a cluster where "re-read the whole destination"
+(the reference's approach, full:160) cannot.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+from weather_data_data_pipeline_spark.operators.joins import anti_join_dedup
+from weather_data_data_pipeline_spark.sources.tables import load
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (schema declared from a
+    batch read — streaming sources require explicit schemas). The nanos
+    ts normalization matches sources/tables.py."""
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # The streaming file source requires a directory; filter to the one
+    # table file inside sf_dir.
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if dict(batch.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    window: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of the tumbling_window_daily batch query: watermarked
+    tumbling-window count/avg per event_type. Append-mode compatible —
+    a window finalizes when the watermark passes its end."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.avg("value"), 2).alias("avg_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def dedup_stream(
+    stream: DataFrame, keys: Sequence[str], watermark: str = "1 hour", ts_col: str = "ts"
+) -> DataFrame:
+    """In-stream exact dedup: dropDuplicates on the composite key, state
+    bounded by the watermark — the streaming analogue of the reference's
+    anti-join for duplicates arriving within the horizon."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(list(keys))
+
+
+def idempotent_stream_append(
+    stream: DataFrame,
+    dest_path: str,
+    keys: Sequence[str],
+    checkpoint: str,
+) -> DataStreamWriter:
+    """foreachBatch sink reproducing the reference's cross-run
+    idempotency (full:160-171) per micro-batch: anti-join each batch
+    against the destination, append survivors. Combined with
+    exactly-once checkpointing this gives idempotent delivery even
+    across restarts."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            dest = spark.read.parquet(dest_path)
+        except Exception:
+            dest = None
+        out = batch_df if dest is None else anti_join_dedup(batch_df, dest, keys)
+        out.write.mode("append").parquet(dest_path)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+
+
+def run_available_now(writer: DataStreamWriter) -> None:
+    """Drain everything currently available and stop — the batch-like
+    trigger used in tests and backfills."""
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
+def streaming_twin_matches_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convenience: run the windowed count over the stream with
+    availableNow into an in-memory sink and return the result frame —
+    used by tests to assert stream == batch."""
+    out = windowed_event_counts(read_events_stream(spark, sf_dir), watermark="0 seconds")
+    name = "stream_twin_result"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
