@@ -218,7 +218,12 @@ def language_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "bench"),
 )
 def ngram_jaccard_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    # The documents scan is a single small file → 1 task; fan out before
+    # the CPU-heavy shingle explode so all cores work. (At 100 TB the
+    # scan itself has thousands of splits and this repartition is moot.)
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.05)
 
 
@@ -231,7 +236,11 @@ def ngram_jaccard_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "rows-only", "bench"),
 )
 def minhash_dedup_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    # single-file scan → fan out before the 64-perm hashing (see
+    # ngram_jaccard_pairs_query)
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return minhash_dedup_pairs(docs, "doc_id", "text", n=3, threshold=0.5).orderBy(
         "id_a", "id_b"
     )
