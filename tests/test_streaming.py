@@ -45,6 +45,43 @@ def test_dedup_stream_removes_duplicate_keys(spark, tmp_path):
     assert got.select("event_id").distinct().count() == ev.count()
 
 
+def test_running_user_totals_keeps_state_across_microbatches(spark, tmp_path):
+    ev = load(spark, SF_DIR, "events").select("user_id", "value").limit(200)
+    src = str(tmp_path / "src")
+    # two files → with maxFilesPerTrigger=1, two micro-batches; state must
+    # carry the first batch's totals into the second
+    ev.limit(100).write.parquet(src)
+    ev.exceptAll(ev.limit(100)).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    out = S.running_user_totals(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("running_totals")
+    # the LAST emission per user must equal the batch aggregate
+    final = (
+        got.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    expected = (
+        spark.read.parquet(src)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    assert _rows(final) == _rows(expected)
+
+
 def test_idempotent_stream_append(spark, tmp_path):
     ev = load(spark, SF_DIR, "events").limit(100)
     src = str(tmp_path / "src")

@@ -1,0 +1,104 @@
+"""Edge-case unit tests for the time-series operators (tiny frames):
+as-of tie/no-match semantics, range-join boundary inclusivity,
+session gap boundaries."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from weather_data_data_pipeline_spark.operators.timeseries import (
+    asof_join,
+    range_join_bucketed,
+    session_stats,
+    sessionize,
+)
+
+
+def _ts(minute: int, second: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def test_asof_matches_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10)), (1, _ts(30)), (2, _ts(5))], "k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(10), 100.0), (1, _ts(20), 200.0)],
+        "k long, ts timestamp, v double",
+    )
+    got = {
+        (r["k"], r["ts"]): (r["matched_ts"], r["v"])
+        for r in asof_join(left, right, ["k"], right_cols=["v"]).collect()
+    }
+    # tie: right at exactly left.ts matches (inclusive)
+    assert got[(1, _ts(10))] == (_ts(10), 100.0)
+    # later left picks the latest preceding right, not the first
+    assert got[(1, _ts(30))] == (_ts(20), 200.0)
+    # no right row for the key → left row kept with nulls
+    assert got[(2, _ts(5))] == (None, None)
+
+
+def test_asof_no_future_match(spark):
+    left = spark.createDataFrame([(1, _ts(1))], "k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(2), 9.0)], "k long, ts timestamp, v double"
+    )
+    rows = asof_join(left, right, ["k"], right_cols=["v"]).collect()
+    assert rows[0]["v"] is None, "matched a right row from the future"
+
+
+def test_range_join_boundaries_half_open(spark):
+    points = spark.createDataFrame(
+        [(_ts(10),), (_ts(15),), (_ts(20),), (_ts(9, 59),)], "ts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [("i1", _ts(10), _ts(20))], "iid string, start_ts timestamp, end_ts timestamp"
+    )
+    got = sorted(
+        r["ts"]
+        for r in range_join_bucketed(
+            points, intervals, "ts", "start_ts", "end_ts", bucket_seconds=300
+        ).collect()
+    )
+    # start inclusive, end exclusive; 09:59 outside
+    assert got == [_ts(10), _ts(15)]
+
+
+def test_range_join_interval_spanning_many_buckets(spark):
+    # interval 10× the bucket width must still catch a point mid-way
+    points = spark.createDataFrame([(_ts(25),)], "ts timestamp")
+    intervals = spark.createDataFrame(
+        [("i1", _ts(0), _ts(50))], "iid string, start_ts timestamp, end_ts timestamp"
+    )
+    got = range_join_bucketed(
+        points, intervals, "ts", "start_ts", "end_ts", bucket_seconds=300
+    ).collect()
+    assert len(got) == 1
+
+
+def test_sessionize_gap_boundary(spark):
+    # gaps: 1800s exactly (same session) and 1801s (new session)
+    df = spark.createDataFrame(
+        [(1, _ts(0)), (1, dt.datetime(2024, 1, 1, 0, 30)),
+         (1, dt.datetime(2024, 1, 1, 1, 0, 1))],
+        "user_id long, ts timestamp",
+    )
+    seqs = [
+        r["session_seq"]
+        for r in sessionize(df, ["user_id"], "ts", 1800)
+        .orderBy("ts")
+        .collect()
+    ]
+    assert seqs == [1, 1, 2]
+
+
+def test_session_stats_rollup(spark):
+    df = spark.createDataFrame(
+        [(1, _ts(0)), (1, _ts(10)), (1, dt.datetime(2024, 1, 1, 2, 0))],
+        "user_id long, ts timestamp",
+    )
+    rows = {
+        r["session_seq"]: (r["n_events"], r["duration_s"])
+        for r in session_stats(df, ["user_id"], "ts", 1800).collect()
+    }
+    assert rows == {1: (2, 600), 2: (1, 0)}

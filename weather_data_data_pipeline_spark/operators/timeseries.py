@@ -1,0 +1,164 @@
+"""Time-series operators the reference lacks but an engine needs:
+as-of join, interval (range) join, sessionization.
+
+The reference (`/root/reference/src/weather_report_pipeline/`) only ever
+joins on exact keys (anti-join, full_load:163-167) and windows time with
+a recency filter (inc_load:86-95). Real time-series workloads over the
+same data model need point-in-time semantics. Each operator here is a
+composition of built-in DataFrame ops — no UDFs, no per-key driver
+loops — chosen for its shuffle shape at 100 TB:
+
+- as-of join:   union + one window sort per key. NO range explosion and
+                NO per-row binary search; cost = one shuffle+sort of
+                (left ∪ right), the same as a sort-merge join.
+- range join:   bucketize the time axis so the interval predicate
+                becomes an equi-join on bucket id + a residual filter.
+                Without this, Spark plans a broadcast-nested-loop join —
+                quadratic, dead at scale.
+- sessionize:   lag + cumulative-sum windows, one shuffle on the key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the most recent
+    right row of the same key with ``right.ts <= left.ts`` (inclusive).
+
+    Implementation: tag the sides, union, and run `last(..., ignorenulls)`
+    over a window ordered by (ts, side) — right rows sort before left
+    rows at equal timestamps so ties match. One shuffle+sort on the key,
+    independent of how many right rows precede each left row; this is
+    the merge-scan formulation of as-of, not a range join.
+
+    ``right`` should hold at most one row per (keys, right_ts) — pre-
+    aggregate if necessary — so the match is deterministic.
+    Right columns surface under their own names; the matched right
+    timestamp surfaces as ``matched_{right_ts}``.
+    """
+    right_cols = right_cols or [
+        c for c in right.columns if c not in keys and c != right_ts
+    ]
+    matched_ts = f"matched_{right_ts}"
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias(left_ts),
+        F.col(right_ts).alias(matched_ts),
+        *right_cols,
+        F.lit(0).alias("_side"),
+    )
+    l = left.withColumn("_side", F.lit(1))
+    merged = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(left_ts).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = merged.select(
+        "*",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(f"_m_{c}")
+            for c in [matched_ts, *right_cols]
+        ],
+    )
+    out_cols = [c for c in left.columns] + [
+        F.col(f"_m_{c}").alias(c) for c in [matched_ts, *right_cols]
+    ]
+    return filled.where(F.col("_side") == 1).select(*out_cols)
+
+
+def range_join_bucketed(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Join points to intervals containing them (``start <= ts < end``)
+    via time-bucketing: both sides map to epoch//bucket_seconds bucket
+    ids (intervals explode to every bucket they overlap), the join runs
+    as a hash equi-join on bucket id, and the exact interval predicate
+    filters the residue.
+
+    Pick ``bucket_seconds`` near the typical interval length: each
+    interval then lands in ~2 buckets and the candidate set stays linear.
+    Catalyst alone would execute the inequality-only join as a
+    broadcast-nested-loop — this rewrite is what makes range joins
+    feasible at scale.
+    """
+    pb = points.withColumn(
+        "_bucket", F.floor(F.unix_timestamp(F.col(point_ts)) / bucket_seconds)
+    )
+    ib = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / bucket_seconds),
+                F.floor(F.unix_timestamp(F.col(end_col)) / bucket_seconds),
+            )
+        ),
+    )
+    return (
+        pb.join(ib, "_bucket")
+        .where(
+            (F.col(point_ts) >= F.col(start_col))
+            & (F.col(point_ts) < F.col(end_col))
+        )
+        .drop("_bucket")
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Assign gap-based session ids: a new session starts when the gap
+    since the key's previous event exceeds ``gap_seconds``.
+
+    lag → boundary flag → running sum, all on one window (single shuffle
+    on the key). Emits the input rows plus ``session_seq`` (1-based per
+    key). Aggregate downstream for session-level rollups.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).asc())
+    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(
+        F.lag(ts_col).over(w)
+    )
+    is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return df.withColumn(
+        "session_seq",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Session-level rollup over :func:`sessionize`: start, end, event
+    count and duration per (key, session)."""
+    s = sessionize(df, key_cols, ts_col, gap_seconds)
+    return s.groupBy(*key_cols, "session_seq").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count("*").alias("n_events"),
+        (
+            F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
+        ).alias("duration_s"),
+    )

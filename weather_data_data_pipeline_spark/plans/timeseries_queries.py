@@ -1,0 +1,139 @@
+"""Time-series queries: as-of join, bucketed range join, sessionization.
+
+Point-in-time operators over the ``events`` table — the capabilities the
+reference's recency-filter/anti-join incremental pattern (inc_load:86-95,
+full_load:163-167) grows into on real time-series workloads. DuckDB
+oracles use its native ASOF JOIN / window SQL, so these are fully
+hash-checked, not rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_data_data_pipeline_spark.operators.aggregates import dsum
+from weather_data_data_pipeline_spark.operators.timeseries import (
+    asof_join,
+    range_join_bucketed,
+    session_stats,
+)
+from weather_data_data_pipeline_spark.registry import register
+from weather_data_data_pipeline_spark.sources.tables import load
+
+
+@register(
+    "asof_click_view",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    views AS (
+      SELECT user_id, ts, round(max(value), 2) AS view_value
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id, c.ts,
+           v.ts AS matched_ts, v.view_value
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+    doc="Backward as-of join: each click picks up the user's most recent "
+    "view at-or-before it. Spark side is the union+window merge-scan "
+    "formulation (operators/timeseries.py): one shuffle+sort on user_id, "
+    "no range explosion — the shape that survives 100 TB. Oracle is "
+    "DuckDB's native ASOF JOIN.",
+    tags=("timeseries", "join"),
+)
+def asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    # one row per (user_id, ts) so the as-of match is deterministic
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("view_value"))
+    )
+    return asof_join(clicks, views, ["user_id"], right_cols=["view_value"])
+
+
+@register(
+    "range_join_incidents",
+    oracle="""
+    WITH incidents AS (
+      SELECT event_id AS incident_id,
+             ts AS start_ts,
+             ts + INTERVAL 10 MINUTE AS end_ts
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT i.incident_id,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(e.value AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS sum_value
+    FROM incidents i JOIN events e
+      ON e.ts >= i.start_ts AND e.ts < i.end_ts
+    GROUP BY i.incident_id
+    """,
+    doc="Interval containment join with NO equi-key: every event landing "
+    "inside an error's 10-minute incident window. Spark side bucketizes "
+    "the time axis (operators/timeseries.py:range_join_bucketed) so the "
+    "inequality join runs as a hash equi-join on bucket id — Catalyst "
+    "alone would pick a broadcast-nested-loop here, which is quadratic "
+    "and dead at scale.",
+    tags=("timeseries", "join", "bench"),
+)
+def range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    incidents = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end_ts"),
+    )
+    points = ev.select("ts", "value")
+    joined = range_join_bucketed(
+        points, incidents, "ts", "start_ts", "end_ts", bucket_seconds=600
+    )
+    return joined.groupBy("incident_id").agg(
+        F.count("*").alias("n_events"), dsum("value").alias("sum_value")
+    )
+
+
+@register(
+    "user_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           count(*) AS n_events,
+           CAST(floor(epoch(max(ts))) AS BIGINT)
+             - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+    doc="Gap-based sessionization (30-min inactivity): lag -> boundary "
+    "flag -> running sum on one window (single shuffle on user_id), then "
+    "a session-level rollup. The standard event-stream primitive the "
+    "reference's hourly-batch model cannot express.",
+    tags=("timeseries", "window", "bench"),
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return session_stats(ev, ["user_id"], "ts", gap_seconds=1800)

@@ -36,6 +36,7 @@ _QUERY_MODULES = (
     "weather_data_data_pipeline_spark.plans.reference_queries",
     "weather_data_data_pipeline_spark.plans.relational_queries",
     "weather_data_data_pipeline_spark.plans.llm_queries",
+    "weather_data_data_pipeline_spark.plans.timeseries_queries",
 )
 
 _loaded = False

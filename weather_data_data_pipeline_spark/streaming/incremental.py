@@ -106,6 +106,46 @@ def idempotent_stream_append(
     )
 
 
+def running_user_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running event count and value
+    sum maintained ACROSS micro-batches with ``applyInPandasWithState``.
+
+    This is the operator class Structured Streaming's built-ins don't
+    cover (windowed aggs reset per window; this state never resets):
+    arbitrary per-key accumulators — think per-user quotas, running
+    feature aggregates, online token budgets for a training-data feed.
+
+    State is one (count, total) pair per user: O(distinct keys) in the
+    state store, partitioned by key hash across executors, checkpointed
+    exactly-once. Arrow moves each key-group batch to Python in one
+    block — vectorized, not per-row.
+    """
+    import pandas as pd  # local: executors import lazily
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, float(total)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(writer: DataStreamWriter) -> None:
     """Drain everything currently available and stop — the batch-like
     trigger used in tests and backfills."""
