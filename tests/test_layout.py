@@ -1,0 +1,112 @@
+"""Plan-shape tests for the physical layout module: bucketed joins must
+not shuffle, partitioned reads must prune, salted joins must match the
+plain join's results."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from weather_data_data_pipeline_spark.sources.layout import (
+    executed_plan,
+    salted_join,
+    write_bucketed,
+    write_partitioned,
+)
+from weather_data_data_pipeline_spark.sources.tables import load
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    spark.sql("CREATE DATABASE IF NOT EXISTS layout_test")
+    yield
+    spark.sql("DROP DATABASE IF EXISTS layout_test CASCADE")
+
+
+def test_bucketed_join_has_no_shuffle(spark, warehouse):
+    orders = load(spark, SF_DIR, "orders")
+    lineitem = load(spark, SF_DIR, "lineitem")
+    write_bucketed(orders, "layout_test.orders_b", ["o_orderkey"], 8)
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "layout_test.lineitem_b",
+        ["o_orderkey"],
+        8,
+    )
+    # force a non-broadcast join so the bucket layout is what avoids the
+    # exchange, then confirm the executed plan is shuffle-free
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("layout_test.orders_b").join(
+            spark.table("layout_test.lineitem_b"), "o_orderkey"
+        )
+        n = joined.count()
+        plan = executed_plan(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert n == lineitem.count()
+    assert "Exchange" not in plan, f"bucketed join shuffled:\n{plan}"
+
+
+def test_unbucketed_same_join_does_shuffle(spark):
+    # control: the identical join on raw parquet must contain an Exchange
+    orders = load(spark, SF_DIR, "orders")
+    lineitem = load(spark, SF_DIR, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = orders.join(lineitem, "o_orderkey")
+        joined.count()
+        plan = executed_plan(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Exchange" in plan
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    ev = load(spark, SF_DIR, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_day")
+    write_partitioned(ev, path, ["day"])
+    pruned = spark.read.parquet(path).where(F.col("day") == "2024-01-02")
+    plan = pruned._jdf.queryExecution().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan, plan
+    # pruned read returns exactly the partition's rows
+    expected = ev.where(F.to_date("ts") == "2024-01-02").count()
+    assert pruned.count() == expected
+
+
+def test_salted_join_matches_plain_join(spark):
+    ev = load(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    dim = (
+        load(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("user_events"))
+    )
+    plain = ev.join(dim, "user_id")
+    salted = salted_join(ev, dim, ["user_id"], salt=4)
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.select(salted.columns).collect())
+    )
+
+
+def test_salted_join_spreads_rows(spark):
+    # a pathologically hot key must land on several salt sub-keys
+    hot = spark.range(0, 4000).select(
+        F.lit(7).alias("k"), F.col("id").alias("payload")
+    )
+    dim = spark.createDataFrame([(7, "x")], "k long, v string")
+    salts = (
+        hot.withColumn("_salt", F.pmod(F.xxhash64(*hot.columns), F.lit(16)).cast("int"))
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert salts == 16
+    joined = salted_join(hot, dim, ["k"], salt=16)
+    assert joined.count() == 4000
