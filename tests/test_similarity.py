@@ -1,0 +1,44 @@
+"""ANN quality tests: the approximate paths (IVF, OR-amplified LSH) must
+recover most of the exact brute-force top-k — recall is the contract an
+ANN operator is sold on, so it is regression-tested, not eyeballed."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from weather_data_data_pipeline_spark.functions.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+)
+from weather_data_data_pipeline_spark.sources.tables import load
+
+
+def _pairs(df):
+    return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+
+def test_ann_recall_vs_brute_force(spark):
+    emb = load(spark, SF_DIR, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = _pairs(brute_force_topk(emb, q, k=10))
+    assert len(exact) == 100  # 10 queries × k=10
+
+    ivf = _pairs(ivf_topk(emb, q, k=10, n_centroids=16, n_probe=4))
+    ivf_recall = len(exact & ivf) / len(exact)
+    assert ivf_recall >= 0.7, f"IVF recall@10 collapsed: {ivf_recall}"
+
+    lsh = _pairs(lsh_topk(emb, q, k=10))
+    lsh_recall = len(exact & lsh) / len(exact)
+    assert lsh_recall >= 0.6, f"LSH recall@10 collapsed: {lsh_recall}"
+
+
+def test_ivf_full_probe_equals_exact(spark):
+    # probing every cell degrades IVF to exact brute force — a structural
+    # sanity check on the index (no candidates lost by the plumbing)
+    emb = load(spark, SF_DIR, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    exact = _pairs(brute_force_topk(emb, q, k=5))
+    full = _pairs(ivf_topk(emb, q, k=5, n_centroids=8, n_probe=8))
+    assert full == exact

@@ -150,27 +150,145 @@ def rhp_signature(
     return df.withColumn("bucket", acc.cast("long"))
 
 
-def lsh_topk(
+def rhp_table_buckets(
+    df: DataFrame,
+    id_out: str,
+    vec_col: str,
+    n_planes: int,
+    n_tables: int,
+    dim: int,
+) -> DataFrame:
+    """(id, table, bucket) rows for OR-amplified LSH: ``n_tables``
+    independent hash tables of ``n_planes`` hyperplanes each (planes for
+    table t are hash-derived with ids t*n_planes+p, so tables are
+    independent and fully deterministic). Only 3 small columns explode —
+    vectors are re-joined by id after candidate generation, so the
+    n_tables× row inflation never carries the embedding payload."""
+    tables = []
+    for t in range(n_tables):
+        bits = [
+            _hyperplane_sign(F.col(vec_col), t * n_planes + p, dim) * F.lit(1 << p)
+            for p in range(n_planes)
+        ]
+        acc = bits[0]
+        for b in bits[1:]:
+            acc = acc + b
+        tables.append(
+            F.struct(F.lit(t).alias("table"), acc.cast("long").alias("bucket"))
+        )
+    return df.select(
+        F.col(id_out), F.explode(F.array(*tables)).alias("tb")
+    ).select(id_out, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    sample_size: int = 2048,
+    iters: int = 8,
+):
+    """Coarse quantizer for IVF: spherical k-means on a BOUNDED sample.
+
+    The sample (``sample_size`` rows, deterministic: lowest ids) is the
+    only data that ever reaches the driver — O(sample × dim) floats, a
+    few MB regardless of corpus size. Lloyd iterations run in numpy;
+    init is the first ``n_centroids`` sample vectors, so training is
+    fully deterministic. Returns a list of unit-norm centroid lists,
+    small enough to broadcast as a literal DataFrame.
+    """
+    import numpy as np
+
+    sample = np.array(
+        [
+            r["v"]
+            for r in corpus.select(F.col(vec_col).alias("v"), F.col(id_col).alias("i"))
+            .orderBy("i")
+            .limit(sample_size)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    cents = sample[:n_centroids].copy()
+    for _ in range(iters):
+        sims = sample @ cents.T  # cosine == dot on unit vectors
+        assign = sims.argmax(axis=1)
+        for c in range(n_centroids):
+            members = sample[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                cents[c] = m / np.linalg.norm(m)
+    return [[float(x) for x in c] for c in cents]
+
+
+def _nearest_cells(
+    df: DataFrame,
+    centroids_df: DataFrame,
+    vec_col: str,
+    n_probe: int,
+    out_vec: str,
+    out_id: str,
+) -> DataFrame:
+    """Attach the ``n_probe`` nearest centroid ids to every vector:
+    broadcast the centroid table (tiny), score each (vector, centroid)
+    pair JVM-side, keep the top-n_probe per vector. Linear in
+    corpus × n_centroids — the IVF assignment scan."""
+    scored = df.select(
+        F.col(out_id), F.col(vec_col).alias(out_vec)
+    ).join(F.broadcast(centroids_df)).select(
+        out_id,
+        out_vec,
+        "cell",
+        (_dot(F.col(out_vec), F.col("centroid")) / _norm(F.col(out_vec))).alias("csim"),
+    )
+    w = Window.partitionBy(out_id).orderBy(F.desc("csim"), F.asc("cell"))
+    return (
+        scored.withColumn("_cr", F.row_number().over(w))
+        .where(F.col("_cr") <= n_probe)
+        .select(out_id, out_vec, "cell")
+    )
+
+
+def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    n_planes: int = 8,
-    dim: int = 64,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 2048,
 ) -> DataFrame:
-    """ANN top-k: bucket corpus and queries by random-hyperplane signature,
-    rank exactly within the shared bucket. One shuffle on the bucket id
-    instead of a full cross product; recall is tuned by n_planes (fewer
-    planes → bigger buckets → higher recall, more compute)."""
-    cb = rhp_signature(corpus, vec_col, n_planes, dim).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "bucket"
+    """IVF (inverted-file) ANN top-k: assign the corpus to its nearest
+    coarse-quantizer cell, probe each query's ``n_probe`` nearest cells,
+    re-rank exactly inside the probed cells.
+
+    The scale shape: corpus partitions by cell (one shuffle, reused by
+    every query batch against the same index at deployment), the
+    centroid table broadcasts, and the candidate set per query is
+    corpus/n_centroids × n_probe instead of the whole corpus. Recall is
+    tuned by n_probe; n_probe = n_centroids degrades gracefully to
+    exact brute force.
+    """
+    spark = corpus.sparkSession
+    cents = train_ivf_centroids(
+        corpus, id_col, vec_col, n_centroids, sample_size
     )
-    qb = rhp_signature(queries, vec_col, n_planes, dim).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
+    centroids_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cell int, centroid array<double>"
+    )
+    c_cells = _nearest_cells(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+        centroids_df, vec_col, 1, "c_vec", "neighbor_id",
+    )
+    q_cells = _nearest_cells(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+        centroids_df, vec_col, n_probe, "q_vec", "query_id",
     )
     scored = (
-        cb.join(qb, "bucket")
+        c_cells.join(q_cells, "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -178,6 +296,69 @@ def lsh_topk(
             (_dot(F.col("q_vec"), F.col("c_vec"))
              / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))).alias("cosine_raw"),
         )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine_raw", 4).alias("cosine"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """ANN top-k via OR-amplified random-hyperplane LSH: ``n_tables``
+    independent tables of ``n_planes`` planes each; a corpus vector is a
+    candidate if it shares a bucket with the query in ANY table, then
+    candidates are re-ranked with exact cosine.
+
+    Recall for neighbors at angle θ is 1-(1-p^b)^L with p = 1-θ/π,
+    b = n_planes, L = n_tables — the AND/OR construction every LSH paper
+    uses. A single table (L=1) at b=8 has ~2% recall at cosine ≈ 0.4;
+    the b=4, L=16 default measures ~0.9 on the test embeddings. Cost
+    shape: the bucket join shuffles only (id, table, bucket) rows;
+    embeddings are joined back by id for the exact re-rank, so the L×
+    inflation never carries the vector payload.
+    """
+    cb = rhp_table_buckets(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+        "neighbor_id", vec_col, n_planes, n_tables, dim,
+    )
+    qb = rhp_table_buckets(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+        "query_id", vec_col, n_planes, n_tables, dim,
+    )
+    cand = (
+        cb.join(qb, ["table", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates()
+    )
+    c_vec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    q_vec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = cand.join(c_vec, "neighbor_id").join(F.broadcast(q_vec), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("q_vec"), F.col("c_vec"))
+         / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))).alias("cosine_raw"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_raw"), F.asc("neighbor_id"))
     return (

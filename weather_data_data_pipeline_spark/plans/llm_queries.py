@@ -12,7 +12,7 @@ Oracle notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from weather_data_data_pipeline_spark.functions.dedup import (
@@ -23,6 +23,7 @@ from weather_data_data_pipeline_spark.functions.dedup import (
 from weather_data_data_pipeline_spark.functions.similarity import (
     brute_force_topk,
     cosine_near_dup_pairs,
+    ivf_topk,
     lsh_topk,
 )
 from weather_data_data_pipeline_spark.functions.text import (
@@ -322,6 +323,69 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_topk",
+    oracle=None,  # approximate by construction; recall measured in tests
+    doc="ANN top-k via an IVF (inverted-file) index: spherical-k-means "
+    "coarse quantizer trained on a bounded sample (the only driver-side "
+    "data, O(sample x dim)), corpus assigned to cells JVM-side via a "
+    "broadcast centroid table, queries probe their 4 nearest cells, "
+    "exact re-rank inside probed cells. The candidate set per query is "
+    "corpus/n_centroids x n_probe instead of the whole corpus.",
+    tags=("llm", "similarity", "rows-only"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=10, n_centroids=16, n_probe=4
+    ).orderBy("query_id", "rn")
+
+
+@register(
+    "vocab_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT lang,
+             unnest(string_split(
+               lower(regexp_replace(text, '[^a-zA-Z ]', '', 'g')), ' ')) AS tok
+      FROM documents
+    ),
+    counted AS (
+      SELECT lang, tok, count(*) AS n
+      FROM toks WHERE tok <> ''
+      GROUP BY lang, tok
+    ),
+    ranked AS (
+      SELECT lang, tok, n,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n DESC, tok) AS rn
+      FROM counted
+    )
+    SELECT lang, tok, n, CAST(rn AS INTEGER) AS rn
+    FROM ranked WHERE rn <= 20
+    """,
+    doc="Vocabulary building: normalize (lowercase, strip non-alpha) -> "
+    "tokenize -> per-language term counts -> top-20 terms per language. "
+    "Shape at scale: explode + partial/final count aggregate, then a "
+    "window over the (tiny) per-language vocabulary.",
+    tags=("llm", "text"),
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.split(F.lower(F.regexp_replace("text", "[^a-zA-Z ]", "")), " ")
+        ).alias("tok"),
+    ).where(F.col("tok") != "")
+    counted = toks.groupBy("lang", "tok").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tok"))
+    return (
+        counted.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= 20)
+    )
+
+
+@register(
     "ann_lsh_topk",
     oracle=None,  # approximate by construction; recall measured in tests
     doc="ANN top-k via random-hyperplane LSH bucketing: corpus and queries "
@@ -332,6 +396,6 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=10, n_planes=8).orderBy(
+    return lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=10).orderBy(
         "query_id", "rn"
     )
