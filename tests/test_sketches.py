@@ -1,0 +1,53 @@
+"""Sketch accuracy contracts: HLL++ cardinalities within the configured
+rsd of exact, quantile sketches within rank-error bounds of exact."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from weather_data_data_pipeline_spark.operators.sketches import (
+    cardinality_report,
+    value_distribution,
+)
+from weather_data_data_pipeline_spark.sources.tables import load
+
+
+def test_hll_within_rsd_of_exact(spark):
+    ev = load(spark, SF_DIR, "events")
+    got = {
+        r["event_type"]: r["approx_n_user_id"]
+        for r in cardinality_report(ev, ["event_type"], "user_id", rsd=0.02).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got.keys() == exact.keys()
+    for k, e in exact.items():
+        # 2% rsd → 5σ bound of 10%; generous but catches real breakage
+        assert abs(got[k] - e) <= max(2, 0.10 * e), (k, got[k], e)
+
+
+def test_quantile_sketch_bounds(spark):
+    ev = load(spark, SF_DIR, "events")
+    got = value_distribution(ev, ["event_type"], "value").collect()
+    for r in got:
+        vals = [
+            x["value"]
+            for x in ev.where(F.col("event_type") == r["event_type"])
+            .select("value")
+            .collect()
+        ]
+        vals.sort()
+        n = len(vals)
+        for p, col in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+            # rank error ≤ n/accuracy + 1 positions
+            target = int(p * n)
+            tol = max(2, n // 1000)
+            lo = vals[max(0, target - tol)]
+            hi = vals[min(n - 1, target + tol)]
+            assert lo - 1e-9 <= r[col] <= hi + 1e-9, (r["event_type"], col, r[col], lo, hi)
+        assert r["n_rows"] == n

@@ -1,0 +1,69 @@
+"""Sketch aggregates: the sub-linear-memory answers at 100 TB.
+
+Exact count-distinct of a high-cardinality key shuffles every distinct
+value; exact percentiles sort the world. At scale both are answered with
+bounded-error sketches instead: HyperLogLog++ for cardinality (Spark's
+``approx_count_distinct``, mergeable across partitions, fixed KB of
+state per group) and a Greenwald-Khanna/KLL-style quantile sketch
+(``percentile_approx``). Error bounds are part of the operator contract
+and regression-tested against exact answers in tests/test_sketches.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hll_count_distinct(col: Column | str, rsd: float = 0.02) -> Column:
+    """HyperLogLog++ distinct count with relative standard deviation
+    ``rsd`` (default 2%). State is O(1/rsd²) bytes per group regardless
+    of input size — the only count-distinct that survives a 100 TB
+    groupBy. Partial sketches merge associatively, so the aggregation
+    stays map-side-partial like any sum."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.approx_count_distinct(c, rsd)
+
+
+def quantile_sketch(
+    col: Column | str, probabilities: Sequence[float], accuracy: int = 10000
+) -> Column:
+    """Approximate quantiles at the given probabilities; rank error is
+    ≤ 1/accuracy of the row count. Mergeable per-partition state —
+    no global sort, no full shuffle of the measure."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.percentile_approx(c, list(probabilities), accuracy)
+
+
+def cardinality_report(
+    df: DataFrame, group_cols: Sequence[str], key_col: str, rsd: float = 0.02
+) -> DataFrame:
+    """Distinct-``key_col`` cardinality per group via HLL++, alongside
+    the exact row count. The canonical 'distinct users per day' shape."""
+    return df.groupBy(*group_cols).agg(
+        hll_count_distinct(key_col, rsd).alias(f"approx_n_{key_col}"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def value_distribution(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    probabilities: Sequence[float] = (0.5, 0.9, 0.99),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-group quantile profile of a measure (p50/p90/p99 by default),
+    one sketch pass, no sort."""
+    qs = quantile_sketch(value_col, probabilities, accuracy)
+    out = df.groupBy(*group_cols).agg(qs.alias("_qs"), F.count("*").alias("n_rows"))
+    return out.select(
+        *group_cols,
+        *[
+            F.round(F.col("_qs")[i], 2).alias(f"p{int(p * 100)}")
+            for i, p in enumerate(probabilities)
+        ],
+        "n_rows",
+    )

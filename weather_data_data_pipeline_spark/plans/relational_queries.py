@@ -442,3 +442,47 @@ def order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             / 7.0 AS avg_yearly,
+           count(*) AS n_rows
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN per_part a ON a.l_partkey = l.l_partkey
+    WHERE p.p_size <= 5
+      AND l.l_quantity < a.half_avg_qty
+    """,
+    doc="TPC-H Q17 shape — correlated scalar aggregate subquery "
+    "(quantity below half the part's average) decorrelated into a "
+    "per-part aggregate + join. The small dimension filter (p_size) "
+    "broadcasts; the per-part average is a partial+final agg reused "
+    "via one join instead of re-evaluating the subquery per row.",
+    tags=("relational", "join", "subquery", "bench"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(F.col("p_size") <= 5).select("p_partkey")
+    per_part = l.groupBy("l_partkey").agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    joined = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(per_part, "l_partkey")
+        .where(F.col("l_quantity") < F.col("half_avg_qty"))
+    )
+    return joined.agg(
+        (
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            / 7.0
+        ).alias("avg_yearly"),
+        F.count("*").alias("n_rows"),
+    )

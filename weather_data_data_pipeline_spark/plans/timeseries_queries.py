@@ -13,6 +13,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from weather_data_data_pipeline_spark.operators.aggregates import dsum
+from weather_data_data_pipeline_spark.operators.sketches import (
+    cardinality_report,
+    value_distribution,
+)
 from weather_data_data_pipeline_spark.operators.timeseries import (
     asof_join,
     range_join_bucketed,
@@ -137,3 +141,30 @@ def range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return session_stats(ev, ["user_id"], "ts", gap_seconds=1800)
+
+
+@register(
+    "daily_distinct_users_hll",
+    oracle=None,  # sketch estimate by design; accuracy contract in tests
+    doc="HyperLogLog++ distinct-user cardinality per day: O(KB) of "
+    "mergeable state per group instead of shuffling every distinct key — "
+    "the only count-distinct shape that survives a 100 TB groupBy. "
+    "Accuracy (2% rsd) is regression-tested against exact counts.",
+    tags=("timeseries", "sketch", "rows-only"),
+)
+def daily_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    return cardinality_report(ev, ["day"], "user_id")
+
+
+@register(
+    "event_value_quantiles",
+    oracle=None,  # sketch estimate by design; rank-error contract in tests
+    doc="p50/p90/p99 of event value per event type via a mergeable "
+    "quantile sketch (percentile_approx): one pass, no global sort. "
+    "Rank-error bound is regression-tested against exact quantiles.",
+    tags=("timeseries", "sketch", "rows-only"),
+)
+def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return value_distribution(ev, ["event_type"], "value")
