@@ -45,6 +45,41 @@ def test_dedup_stream_removes_duplicate_keys(spark, tmp_path):
     assert got.select("event_id").distinct().count() == ev.count()
 
 
+def test_stream_stream_join_matches_batch_range_join(spark):
+    stream = S.read_events_stream(spark, SF_DIR)
+    clicks = stream.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = stream.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    joined = S.stream_stream_join(clicks, views, horizon_minutes=30)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("ss_join")
+
+    ev = load(spark, SF_DIR, "events")
+    bc = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    bv = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("matched_ts"),
+        "value",
+    )
+    expected = bc.join(
+        bv,
+        (bc.user_id == bv.v_user)
+        & (F.col("matched_ts") <= bc.ts)
+        & (F.col("matched_ts") >= bc.ts - F.expr("INTERVAL 30 MINUTES")),
+    ).select("event_id", "user_id", "ts", "matched_ts", "value")
+    assert _rows(got.select(expected.columns)) == _rows(expected)
+
+
 def test_running_user_totals_keeps_state_across_microbatches(spark, tmp_path):
     ev = load(spark, SF_DIR, "events").select("user_id", "value").limit(200)
     src = str(tmp_path / "src")

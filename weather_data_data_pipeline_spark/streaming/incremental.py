@@ -106,6 +106,41 @@ def idempotent_stream_append(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    horizon_minutes: int = 30,
+) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: each left event
+    joins right events of the same key from the preceding
+    ``horizon_minutes``. Both sides carry watermarks, so join state
+    expires once the watermark passes the bound — O(events within
+    horizon) state, the property that lets two unbounded streams join
+    forever. Without the time bound Spark would (correctly) refuse:
+    unbounded state.
+
+    Output columns: left columns + ``matched_{right_ts}`` + right
+    non-key columns.
+    """
+    horizon = f"{horizon_minutes} minutes"
+    r = right.select(
+        F.col(key).alias("_rkey"),
+        F.col(right_ts).alias("_rts"),
+        *[c for c in right.columns if c not in (key, right_ts)],
+    ).withWatermark("_rts", horizon)
+    l = left.withWatermark(left_ts, horizon)
+    cond = F.expr(
+        f"{key} = _rkey AND _rts BETWEEN {left_ts} - INTERVAL {horizon_minutes} "
+        f"MINUTES AND {left_ts}"
+    )
+    return l.join(r, cond).drop("_rkey").withColumnRenamed(
+        "_rts", f"matched_{right_ts}"
+    )
+
+
 def running_user_totals(stream: DataFrame) -> DataFrame:
     """Custom stateful operator: per-user running event count and value
     sum maintained ACROSS micro-batches with ``applyInPandasWithState``.
