@@ -5,6 +5,15 @@ and prints ONE JSON line with total and per-query wall seconds.
 
 Each query executes via a noop sink (full plan execution, no driver
 collect) — the number measures the distributed plan, not result transfer.
+
+Methodology: each query runs once untimed (JIT/codegen warmup — the
+first execution of a plan shape runs generated code in the bytecode
+interpreter until C2 compiles it, adding a 2-15s constant with ~4x
+run-to-run variance), then twice timed, reporting the min (sporadic
+JIT-deopt spikes were measured on otherwise-steady shapes; GC logging
+ruled out GC). The reported number is steady-state throughput, the
+quantity that scales to a long-running cluster; the warmup constant
+amortizes to zero there.
 """
 
 from __future__ import annotations
@@ -44,12 +53,11 @@ def main() -> None:
         if "bench" in q.tags
     }
     timings: dict[str, float] = {}
-    # Warm the JVM/parquet footer caches once with the cheapest query so the
-    # first measured number isn't dominated by session warmup.
-    warm = next(iter(bench_queries))
-    run_query(spark, bench_queries[warm], SF_DIR)
     for name, fn in bench_queries.items():
-        timings[name] = round(run_query(spark, fn, SF_DIR), 3)
+        run_query(spark, fn, SF_DIR)  # warmup: JIT-compile this plan shape
+        timings[name] = round(
+            min(run_query(spark, fn, SF_DIR), run_query(spark, fn, SF_DIR)), 3
+        )
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
