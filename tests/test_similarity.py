@@ -9,7 +9,9 @@ from pyspark.sql import functions as F
 from tests.conftest import SF_DIR
 from weather_data_data_pipeline_spark.functions.similarity import (
     brute_force_topk,
+    cosine_near_dup_pairs,
     ivf_topk,
+    lsh_near_dup_pairs,
     lsh_topk,
 )
 from weather_data_data_pipeline_spark.sources.tables import load
@@ -32,6 +34,21 @@ def test_ann_recall_vs_brute_force(spark):
     lsh = _pairs(lsh_topk(emb, q, k=10))
     lsh_recall = len(exact & lsh) / len(exact)
     assert lsh_recall >= 0.6, f"LSH recall@10 collapsed: {lsh_recall}"
+
+
+def test_lsh_near_dup_recall_and_no_false_positives(spark):
+    emb = load(spark, SF_DIR, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(emb, threshold=0.35).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_near_dup_pairs(emb, threshold=0.35).collect()
+    }
+    assert lsh <= exact, "verification must kill every sub-threshold candidate"
+    recall = len(exact & lsh) / max(1, len(exact))
+    assert recall >= 0.8, f"LSH near-dup recall collapsed: {recall}"
 
 
 def test_ivf_full_probe_equals_exact(spark):
