@@ -1,0 +1,62 @@
+"""Null/empty-input robustness: at 100 TB every pathological value
+exists somewhere in the corpus. Text and dedup operators must degrade
+per-row (skip / neutral score), never throw or poison a partition."""
+
+from __future__ import annotations
+
+from weather_data_data_pipeline_spark.functions import dedup as D
+from weather_data_data_pipeline_spark.functions.text import (
+    language_id,
+    quality_score,
+    token_count,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, None), (3, ""), (4, "short"),
+         (5, "the cat sat on the mat")],
+        "doc_id long, text string",
+    )
+
+
+def test_dedup_operators_skip_null_and_short_texts(spark):
+    df = _docs(spark)
+    # only docs 1 and 5 have >= 3 tokens; they are identical
+    sh = D.word_shingles(df, "doc_id", "text")
+    assert {r["doc_id"] for r in sh.select("doc_id").distinct().collect()} == {1, 5}
+    jp = D.jaccard_pairs(df, "doc_id", "text").collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in jp] == [(1, 5, 1.0)]
+    mh = D.minhash_dedup_pairs(df, "doc_id", "text").collect()
+    assert [(r["id_a"], r["id_b"]) for r in mh] == [(1, 5)]
+
+
+def test_text_functions_neutral_on_null_and_empty(spark):
+    rows = {
+        r["doc_id"]: r
+        for r in _docs(spark)
+        .select(
+            "doc_id",
+            token_count("text").alias("tc"),
+            quality_score("text").alias("q"),
+            language_id("text").alias("lang"),
+        )
+        .collect()
+    }
+    assert rows[2]["tc"] is None and rows[2]["q"] == 0.0 and rows[2]["lang"] == "und"
+    assert rows[3]["lang"] == "und"
+    assert rows[1]["lang"] == "en" and rows[1]["q"] > 0.5
+
+
+def test_exact_dedup_counts_null_digests_together(spark):
+    df = _docs(spark)
+    from pyspark.sql import functions as F
+
+    out = D.exact_dedup(
+        df.select(F.sha2("text", 256).alias("digest"), "doc_id"),
+        ["digest"],
+        "doc_id",
+    )
+    by_keep = {r["keep_doc_id"]: r["n_copies"] for r in out.collect()}
+    assert by_keep[1] == 2  # docs 1 and 5 identical
+    assert by_keep[2] == 1  # null text is its own (null-digest) group
