@@ -45,6 +45,33 @@ def test_dedup_stream_removes_duplicate_keys(spark, tmp_path):
     assert got.select("event_id").distinct().count() == ev.count()
 
 
+def test_session_window_stream_matches_batch_sessionize(spark):
+    stream = S.read_events_stream(spark, SF_DIR)
+    out = S.session_window_counts(stream, watermark="0 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("session_windows")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("session_windows")
+
+    # batch twin via the window-function sessionizer: same session count
+    # and same per-session event counts (session_window's end = last
+    # event + gap, so compare on start + n_events)
+    from weather_data_data_pipeline_spark.operators.timeseries import session_stats
+
+    ev = load(spark, SF_DIR, "events")
+    expected = session_stats(ev, ["user_id"], "ts", gap_seconds=1800).select(
+        "user_id", F.col("session_start"), "n_events"
+    )
+    assert _rows(got.select("user_id", "session_start", "n_events")) == _rows(
+        expected
+    )
+
+
 def test_stream_stream_join_matches_batch_range_join(spark):
     stream = S.read_events_stream(spark, SF_DIR)
     clicks = stream.where(F.col("event_type") == "click").select(

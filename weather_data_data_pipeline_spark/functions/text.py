@@ -41,15 +41,12 @@ def token_count(col: Column | str) -> Column:
 
 
 def bpe_ish_token_count(col: Column | str) -> Column:
-    """Sub-word-ish token count: splits on word/number/punct boundaries,
-    the usual cheap proxy for BPE token counts at corpus scale."""
+    """Sub-word-ish token count — word runs plus individual punctuation
+    marks (``\\w+|[^\\w\\s]``), the usual cheap proxy for BPE token
+    counts at corpus scale. Expressed as regexp_extract_all (RE2-safe,
+    no lookarounds) so engine and oracle count identically."""
     c = col if isinstance(col, Column) else F.col(col)
-    return F.size(
-        F.filter(
-            F.split(c, r"(?<=\W)|(?=\W)"),
-            lambda t: (t != "") & (t != " "),
-        )
-    )
+    return F.size(F.regexp_extract_all(c, F.lit(r"\w+|[^\w\s]"), 0))
 
 
 def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:

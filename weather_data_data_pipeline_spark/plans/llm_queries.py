@@ -29,6 +29,7 @@ from weather_data_data_pipeline_spark.functions.similarity import (
 )
 from weather_data_data_pipeline_spark.functions.text import (
     STOPWORDS,
+    bpe_ish_token_count,
     language_id,
     mean_token_length,
     punct_ratio,
@@ -97,6 +98,34 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(stopword_ratio("text"), 4).alias("stop_ratio"),
         F.round(punct_ratio("text"), 4).alias("punct_ratio"),
         F.round(mean_token_length("text"), 4).alias("mean_token_len"),
+    )
+
+
+@register(
+    "corpus_token_budget",
+    oracle="""
+    SELECT lang,
+           CAST(sum(len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))) AS BIGINT)
+             AS bpe_ish_tokens,
+           CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT)
+             AS ws_tokens,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="Token accounting per language: BPE-ish sub-word counts "
+    "(word runs + punctuation marks) next to whitespace token counts — "
+    "the budgeting query behind every pretraining data mix. One scan, "
+    "partial+final aggregate.",
+    tags=("llm", "text"),
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    return docs.groupBy("lang").agg(
+        F.sum(bpe_ish_token_count("text").cast("long")).alias("bpe_ish_tokens"),
+        F.sum(ws.cast("long")).alias("ws_tokens"),
+        F.count("*").alias("n_docs"),
     )
 
 

@@ -69,6 +69,31 @@ def windowed_event_counts(
     )
 
 
+def session_window_counts(
+    stream: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Native session windows on a stream: Spark merges events into
+    variable-length sessions that close after ``gap`` of inactivity —
+    the streaming form of operators/timeseries.py:sessionize. Session
+    state finalizes (and is emitted/evicted) once the watermark passes
+    the session end, so state stays bounded by the activity horizon."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), key)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(key),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def dedup_stream(
     stream: DataFrame, keys: Sequence[str], watermark: str = "1 hour", ts_col: str = "ts"
 ) -> DataFrame:
