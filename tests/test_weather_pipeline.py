@@ -150,6 +150,20 @@ def test_incremental_filter_trailing_window(spark, payloads):
     assert kept.select(F.min("jobdate")).collect()[0][0] == dt.datetime(2024, 1, 1, 10, 30)
 
 
+def test_flatten_survives_corrupt_payloads(spark, payloads):
+    import json
+
+    rows = [(json.dumps(payloads[0]),), ("{not valid json",), (None,),
+            ('{"city": {"name": "X"}}',)]
+    raw = spark.createDataFrame(rows, "payload string")
+    out = W.flatten_forecast(raw)
+    # corrupt/null/list-less payloads contribute zero rows (from_json →
+    # NULL → explode drops), valid ones flatten fully — a bad document
+    # never poisons the batch
+    assert out.count() == 40
+    assert out.where(F.col("city") == "Houston").count() == 40
+
+
 def test_full_load_runs_end_to_end(spark, payloads, tmp_path_factory):
     dest = str(tmp_path_factory.mktemp("weather_e2e"))
     W.run_full_load(
