@@ -1,0 +1,88 @@
+"""Property tests for chunking (coverage, overlap, tails) and
+deterministic sampling (stability, monotonicity, proportions)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from weather_data_data_pipeline_spark.functions.text import (
+    chunk_documents,
+    deterministic_sample,
+)
+from weather_data_data_pipeline_spark.sources.tables import load
+
+
+def test_chunks_cover_text_exactly(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10)))], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    )
+    # stride 3: starts at 0,3,6 cover t0..t9; tail chunk keeps 4 remaining
+    assert [r[0] for r in rows] == [0, 1, 2]
+    assert rows[0][1] == "t0 t1 t2 t3"
+    assert rows[1][1] == "t3 t4 t5 t6"
+    assert rows[2][1] == "t6 t7 t8 t9"
+    assert [r[2] for r in rows] == [4, 4, 4]
+    # consecutive chunks share exactly `overlap` tokens
+    assert rows[0][1].split()[-1] == rows[1][1].split()[0]
+
+
+def test_short_doc_is_single_whole_chunk(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    rows = chunk_documents(df, chunk_tokens=128, overlap=32).collect()
+    assert len(rows) == 1
+    assert rows[0]["chunk_text"] == "a b" and rows[0]["n_tokens"] == 2
+
+
+def test_chunks_reconstruct_corpus_tokens(spark):
+    docs = load(spark, SF_DIR, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap=0)
+    # zero overlap → chunk token counts sum back to each doc's token count
+    got = (
+        chunks.groupBy("doc_id")
+        .agg(F.sum("n_tokens").alias("n"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    want = (
+        docs.select(
+            "doc_id",
+            F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias("n"),
+        )
+        .where(F.col("n") > 0)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [(r["doc_id"], r["n"]) for r in got] == [
+        (r["doc_id"], r["n"]) for r in want
+    ]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load(spark, SF_DIR, "documents")
+
+
+def test_sample_is_deterministic_and_monotone(spark, docs):
+    small = deterministic_sample(docs, {"en": 0.2})
+    big = deterministic_sample(docs, {"en": 0.6})
+    ids_small = {r["doc_id"] for r in small.select("doc_id").collect()}
+    ids_small2 = {r["doc_id"] for r in small.select("doc_id").collect()}
+    ids_big = {r["doc_id"] for r in big.select("doc_id").collect()}
+    assert ids_small == ids_small2  # re-run stable
+    assert ids_small <= ids_big  # growing the fraction only adds rows
+
+
+def test_sample_proportions_and_strata(spark, docs):
+    out = deterministic_sample(docs, {"en": 0.5, "fr": 0.25})
+    by_lang = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(by_lang) <= {"en", "fr"}  # unlisted strata dropped
+    for lang, frac in [("en", 0.5), ("fr", 0.25)]:
+        got = by_lang.get(lang, 0) / totals[lang]
+        assert abs(got - frac) < 0.15, (lang, got, frac)

@@ -140,3 +140,78 @@ def doc_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         language_id(c).alias("lang_pred"),
         rolling_fingerprint(c).alias("fingerprint"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    passage/window stage of a training-data pipeline (context-length
+    packing, retrieval corpus building).
+
+    Chunk c covers tokens [c*stride, c*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the last chunk keeps the tail.
+    Executed entirely JVM-side: split -> sequence over chunk starts ->
+    slice/concat per chunk -> explode. One scan, no shuffle, no Python;
+    output rows are (id, chunk_idx, chunk_text, n_tokens).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    n = F.size(toks)
+    # number of chunks: ceil(max(n - overlap, 1) / stride), at least 1
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / F.lit(stride)).cast("int"),
+        F.lit(1),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda c: F.struct(
+            c.cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(toks, c * stride + 1, chunk_tokens)).alias(
+                "chunk_text"
+            ),
+            F.least(n - c * stride, F.lit(chunk_tokens)).cast("int").alias(
+                "n_tokens"
+            ),
+        ),
+    )
+    return (
+        df.where(n > 0)
+        .select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(id_col, "c.chunk_idx", "c.chunk_text", "c.n_tokens")
+    )
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction_by_stratum: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "v1",
+) -> DataFrame:
+    """Reproducible stratified sampling for data mixing: a row is kept
+    when xxhash64(salt, id) lands below its stratum's fraction of the
+    hash space. Properties that matter at 100 TB:
+
+    - deterministic and cluster-invariant (pure function of id+salt —
+      re-runs, retries, and different partitionings keep the same rows);
+    - a row's fate is stable under fraction increases (raising 0.1→0.2
+      only ADDS rows — the kept set is a prefix of the hash order), so
+      data mixes can be grown without resampling everything;
+    - no shuffle, no sort, no count: one scan with a codegen'd filter.
+
+    Strata missing from the dict are dropped (fraction 0).
+    """
+    bucket = F.pmod(F.xxhash64(F.lit(salt), F.col(id_col)), F.lit(1_000_000))
+    frac = None
+    for stratum, f in fraction_by_stratum.items():
+        cond = (F.col(stratum_col) == stratum, F.lit(int(f * 1_000_000)))
+        frac = F.when(*cond) if frac is None else frac.when(*cond)
+    frac = frac.otherwise(F.lit(0)) if frac is not None else F.lit(0)
+    return df.where(bucket < frac)

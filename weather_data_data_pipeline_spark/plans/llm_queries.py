@@ -30,6 +30,8 @@ from weather_data_data_pipeline_spark.functions.similarity import (
 from weather_data_data_pipeline_spark.functions.text import (
     STOPWORDS,
     bpe_ish_token_count,
+    chunk_documents,
+    deterministic_sample,
     language_id,
     mean_token_length,
     punct_ratio,
@@ -443,3 +445,51 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=10).orderBy(
         "query_id", "rn"
     )
+
+
+@register(
+    "doc_chunks",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      FROM documents
+    ),
+    sized AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+    exploded AS (
+      SELECT doc_id, tk, n,
+             CAST(unnest(range(0, CAST(greatest(ceil((n - 8) / 24.0), 1) AS BIGINT)))
+                  AS INTEGER) AS chunk_idx
+      FROM sized
+    )
+    SELECT doc_id, chunk_idx,
+           array_to_string(list_slice(tk, chunk_idx*24 + 1, chunk_idx*24 + 32), ' ')
+             AS chunk_text,
+           CAST(least(n - chunk_idx*24, 32) AS INTEGER) AS n_tokens
+    FROM exploded
+    """,
+    doc="Document chunking: overlapping 32-token windows with stride 24 "
+    "(8-token overlap) — the passage/context-window stage of a training "
+    "pipeline. All JVM-side (split -> sequence -> slice -> explode), one "
+    "scan, no shuffle, no Python.",
+    tags=("llm", "text", "bench"),
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+@register(
+    "training_mix_sample",
+    oracle=None,  # hash-family-specific by design; properties in tests
+    doc="Deterministic stratified sampling for data mixing: keep a row "
+    "when xxhash64(salt, doc_id) falls below its language's share of "
+    "the hash space. Cluster-invariant, re-run-stable, and monotone "
+    "under fraction growth (raising a fraction only adds rows) — no "
+    "shuffle, no count, one codegen'd filter.",
+    tags=("llm", "text", "rows-only"),
+)
+def training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return deterministic_sample(
+        docs, {"en": 0.5, "fr": 0.25, "de": 0.25, "es": 0.1, "zh": 0.05}
+    ).select("doc_id", "lang", "source")
