@@ -48,6 +48,19 @@ def test_text_functions_neutral_on_null_and_empty(spark):
     assert rows[1]["lang"] == "en" and rows[1]["q"] > 0.5
 
 
+def test_connected_components_chain_and_clique(spark):
+    # chain 1-2-3-4 (diameter 3) + separate clique {10,11,12}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
 def test_exact_dedup_counts_null_digests_together(spark):
     df = _docs(spark)
     from pyspark.sql import functions as F

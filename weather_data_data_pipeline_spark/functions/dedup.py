@@ -241,6 +241,61 @@ def minhash_dedup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph → dedup
+    clusters: every document gets the MIN doc id of its component as
+    ``cluster_id`` (the cluster representative to keep).
+
+    Iterative min-label propagation: each round, every vertex takes the
+    minimum label among itself and its neighbors; converged when a round
+    changes nothing. Rounds needed = graph diameter — near-dup graphs
+    are overwhelmingly tiny cliques/chains, so this converges in a
+    handful of rounds. Each round is one join + one min-aggregate
+    (shuffle on vertex id); the driver only sees a per-round changed-row
+    COUNT, never data. For pathological diameters (> max_iter), raise
+    max_iter or switch to the large-star/small-star variant — the
+    per-round plan here is the same building block.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .dropDuplicates()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .dropDuplicates()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iter):
+        # neighbor labels: for each edge (src→dst), dst's label offered to src
+        offered = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(offered, labels.id == offered.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("_changed"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
+        n_changed = new_labels.where(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
+        if n_changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

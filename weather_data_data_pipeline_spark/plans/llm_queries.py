@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from weather_data_data_pipeline_spark.functions.dedup import (
+    connected_components,
     jaccard_pairs,
     minhash_dedup_pairs,
     simhash_near_dup_pairs,
@@ -493,3 +494,44 @@ def training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_sample(
         docs, {"en": 0.5, "fr": 0.25, "de": 0.25, "es": 0.1, "zh": 0.05}
     ).select("doc_id", "lang", "source")
+
+
+@register(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+           FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) _l(i)
+           WHERE len(t) >= 3),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+    dup AS (SELECT id_a, id_b FROM pair
+            JOIN cnt ca ON ca.doc_id = id_a
+            JOIN cnt cb ON cb.doc_id = id_b
+            WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+              UNION SELECT id_b, id_a FROM dup),
+    walk(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src
+    )
+    SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+    FROM walk GROUP BY src
+    """,
+    doc="Dedup clustering: connected components over the exact-Jaccard "
+    "(>= 0.5) near-dup graph; every document labeled with its "
+    "component's min id (the representative to keep). Spark side is "
+    "iterative min-label propagation — one join + min-aggregate per "
+    "round, converged when a round changes nothing; the oracle computes "
+    "the same components with a recursive transitive-closure CTE.",
+    tags=("llm", "dedup"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return connected_components(pairs)
