@@ -81,6 +81,43 @@ def test_partitioned_write_prunes(spark, tmp_path):
     assert pruned.count() == expected
 
 
+def test_aqe_splits_skewed_join_partitions(spark):
+    # one key carries 200k rows (vs 1 row for others) — AQE's skew-join
+    # handling must split that partition; the executed plan marks the
+    # sort-merge join with skew=true
+    left = spark.range(0, 200_000).select(
+        F.when(F.col("id") < 199_000, 7).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.range(0, 2000).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB"
+        )
+        # NOTE: no aggregate on top — AQE skips skew splitting when a
+        # downstream operator requires the join's hash partitioning
+        # (split partitions would break the ENSURE_REQUIREMENTS guarantee)
+        joined = left.join(right, "k")
+        joined.collect()  # execute THIS df so its AQE plan finalizes
+        from weather_data_data_pipeline_spark.sources.layout import executed_plan
+
+        plan = executed_plan(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+        spark.conf.unset(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        )
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    assert "skew=true" in plan, f"AQE did not split the skewed partition:\n{plan}"
+
+
 def test_salted_join_matches_plain_join(spark):
     ev = load(spark, SF_DIR, "events").select("event_id", "user_id", "value")
     dim = (

@@ -166,3 +166,8 @@ def test_idempotent_stream_append(spark, tmp_path):
     n2 = spark.read.parquet(dest).count()
     assert n1 == 100
     assert n2 == 100, "replayed batch appended duplicates"
+    # SAME checkpoint → exactly-once resume: the source offset log knows
+    # everything was processed, so nothing is re-emitted at all
+    run_once(str(tmp_path / "ckpt1"))
+    n3 = spark.read.parquet(dest).count()
+    assert n3 == 100, "checkpoint resume reprocessed committed offsets"
