@@ -635,3 +635,89 @@ def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("promo_revenue_pct")
     )
+
+
+@register(
+    "q10_top_returning_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))), 2)
+                AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape — returned-item revenue per customer, top 20: "
+    "three joins (nation broadcasts), filter pushed to both scans, "
+    "aggregate, then a global top-k which Spark executes as "
+    "TakeOrderedAndProject — per-partition heaps, no full sort.",
+    tags=("relational", "join", "topk"),
+)
+def q10_top_returning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    oracle="""
+    SELECT CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))), 2)
+                AS DOUBLE) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_type = 'PROMO'    AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity >= 25)
+       OR (p.p_type = 'STANDARD' AND p.p_size BETWEEN 5 AND 25 AND l.l_quantity < 15)
+       OR (p.p_type = 'ECONOMY'  AND p.p_size BETWEEN 20 AND 40 AND l.l_quantity BETWEEN 10 AND 30)
+    """,
+    doc="TPC-H Q19 shape — disjunctive multi-column join predicates: "
+    "three OR'd (type, size, quantity) bands. Catalyst keeps the "
+    "partkey equi-join (broadcast for the dimension) and evaluates the "
+    "disjunction as a post-join filter with the common partkey "
+    "conjunct extracted — the classic OR-predicate join test.",
+    tags=("relational", "join", "filter"),
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type", "p_size")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    band = (
+        ((F.col("p_type") == "PROMO") & F.col("p_size").between(1, 10) & (F.col("l_quantity") >= 25))
+        | ((F.col("p_type") == "STANDARD") & F.col("p_size").between(5, 25) & (F.col("l_quantity") < 15))
+        | ((F.col("p_type") == "ECONOMY") & F.col("p_size").between(20, 40) & F.col("l_quantity").between(10, 30))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .where(band)
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
