@@ -51,3 +51,26 @@ def test_quantile_sketch_bounds(spark):
             hi = vals[min(n - 1, target + tol)]
             assert lo - 1e-9 <= r[col] <= hi + 1e-9, (r["event_type"], col, r[col], lo, hi)
         assert r["n_rows"] == n
+
+
+def test_constraint_report_counts_planted_defects(spark):
+    from pyspark.sql import functions as F
+
+    from weather_data_data_pipeline_spark.operators.quality import (
+        constraint_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 1, 10.0), (2, 1, None), (3, 1, -5.0), (4, 2, 0.5)],
+        "k long, sub long, price double",
+    )
+    r = constraint_report(
+        df,
+        not_null=["price"],
+        violations={"price_positive": F.col("price") <= 0},
+        unique_key=["k", "sub"],
+    ).collect()[0]
+    assert r["n_rows"] == 5
+    assert r["nulls_price"] == 1
+    assert r["bad_price_positive"] == 1  # -5.0 (NULL doesn't match <= 0)
+    assert r["rows_in_duplicate_keys"] == 2  # the two (1,1) rows

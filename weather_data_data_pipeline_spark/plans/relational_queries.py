@@ -721,3 +721,46 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
         )
     )
+
+
+@register(
+    "lineitem_quality_report",
+    oracle="""
+    WITH base AS (
+      SELECT count(*) AS n_rows,
+             count(*) FILTER (l_quantity IS NULL) AS nulls_l_quantity,
+             count(*) FILTER (l_shipdate IS NULL) AS nulls_l_shipdate,
+             count(*) FILTER (l_extendedprice <= 0) AS bad_price_positive,
+             count(*) FILTER (l_discount < 0 OR l_discount > 1)
+               AS bad_discount_unit_range,
+             count(*) FILTER (l_tax < 0) AS bad_tax_nonnegative
+      FROM lineitem
+    ),
+    dup AS (
+      SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS rows_in_duplicate_keys
+      FROM (SELECT count(*) AS n FROM lineitem
+            GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+    )
+    SELECT * FROM base CROSS JOIN dup
+    """,
+    doc="Data-quality gate over lineitem: null counts, range violations "
+    "(positive price, discount in [0,1], non-negative tax), and "
+    "duplicate-(orderkey, linenumber) row count — every metric from ONE "
+    "scan (plus the uniqueness shuffle), not one job per check.",
+    tags=("relational", "quality"),
+)
+def lineitem_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.operators.quality import constraint_report
+
+    li = load(spark, sf_dir, "lineitem")
+    return constraint_report(
+        li,
+        not_null=["l_quantity", "l_shipdate"],
+        violations={
+            "price_positive": F.col("l_extendedprice") <= 0,
+            "discount_unit_range": (F.col("l_discount") < 0)
+            | (F.col("l_discount") > 1),
+            "tax_nonnegative": F.col("l_tax") < 0,
+        },
+        unique_key=["l_orderkey", "l_linenumber"],
+    )
