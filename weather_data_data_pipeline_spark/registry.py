@@ -35,6 +35,7 @@ _REGISTRY: dict[str, Query] = {}
 _QUERY_MODULES = (
     "weather_data_data_pipeline_spark.plans.reference_queries",
     "weather_data_data_pipeline_spark.plans.relational_queries",
+    "weather_data_data_pipeline_spark.plans.tpch_remaining",
     "weather_data_data_pipeline_spark.plans.llm_queries",
     "weather_data_data_pipeline_spark.plans.timeseries_queries",
     "weather_data_data_pipeline_spark.plans.weather_queries",
