@@ -215,3 +215,43 @@ def deterministic_sample(
         frac = F.when(*cond) if frac is None else frac.when(*cond)
     frac = frac.otherwise(F.lit(0)) if frac is not None else F.lit(0)
     return df.where(bucket < frac)
+
+
+def md5_threshold(fraction: float) -> str:
+    """32-hex-char threshold such that md5(x) < threshold keeps ~fraction
+    of a uniform hash space. Comparing lowercase hex strings
+    lexicographically == comparing the 128-bit values numerically, and
+    every engine renders md5 identically — so the same literal threshold
+    reproduces the same sample anywhere (Spark, DuckDB, MySQL, ...).
+    Quantized to 8 hex digits (error < 2^-32)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return format(int(fraction * (1 << 32)), "08x") + "0" * 24
+
+
+def deterministic_sample_portable(
+    df: DataFrame,
+    fraction_by_stratum: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "v1",
+) -> DataFrame:
+    """Engine-portable twin of :func:`deterministic_sample`: keeps a row
+    when md5(salt || id) — compared as a hex string — falls below the
+    stratum's threshold. Same scale properties (deterministic,
+    partition-invariant, monotone under fraction growth, single codegen'd
+    filter), but the keep/drop decision is reproducible on ANY engine
+    with an md5 builtin, which is what lets the DuckDB oracle hash-check
+    it. Prefer the xxhash64 variant in production (no cryptographic hash
+    in the hot path); use this one when the sample must be re-derivable
+    outside Spark."""
+    digest = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    keep = None
+    for stratum, frac in fraction_by_stratum.items():
+        cond = (
+            F.col(stratum_col) == stratum,
+            digest < F.lit(md5_threshold(frac)),
+        )
+        keep = F.when(*cond) if keep is None else keep.when(*cond)
+    keep = keep.otherwise(F.lit(False)) if keep is not None else F.lit(False)
+    return df.where(keep)

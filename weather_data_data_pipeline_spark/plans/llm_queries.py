@@ -33,7 +33,9 @@ from weather_data_data_pipeline_spark.functions.text import (
     bpe_ish_token_count,
     chunk_documents,
     deterministic_sample,
+    deterministic_sample_portable,
     language_id,
+    md5_threshold,
     mean_token_length,
     punct_ratio,
     quality_score,
@@ -494,6 +496,32 @@ def training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_sample(
         docs, {"en": 0.5, "fr": 0.25, "de": 0.25, "es": 0.1, "zh": 0.05}
     ).select("doc_id", "lang", "source")
+
+
+_MIX_FRACTIONS = {"en": 0.5, "fr": 0.25, "de": 0.25, "es": 0.1, "zh": 0.05}
+
+
+@register(
+    "training_mix_sample_portable",
+    oracle="SELECT doc_id, lang, source FROM documents WHERE "
+    + " OR ".join(
+        f"(lang = '{s}' AND md5('v1' || CAST(doc_id AS VARCHAR)) < '{md5_threshold(f)}')"
+        for s, f in _MIX_FRACTIONS.items()
+    ),
+    doc="Engine-portable deterministic stratified sample: keep a doc when "
+    "md5('v1' || doc_id) compared as a hex string falls below its "
+    "language's threshold. Identical keep/drop decisions on any engine "
+    "with an md5 builtin — this is the oracle-checkable twin of "
+    "training_mix_sample (whose xxhash64 is Spark-specific). Same 100 TB "
+    "properties: one scan, codegen'd filter, no shuffle, monotone under "
+    "fraction growth.",
+    tags=("llm", "text"),
+)
+def training_mix_sample_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return deterministic_sample_portable(docs, _MIX_FRACTIONS).select(
+        "doc_id", "lang", "source"
+    )
 
 
 @register(
