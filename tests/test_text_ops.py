@@ -86,3 +86,51 @@ def test_sample_proportions_and_strata(spark, docs):
     for lang, frac in [("en", 0.5), ("fr", 0.25)]:
         got = by_lang.get(lang, 0) / totals[lang]
         assert abs(got - frac) < 0.15, (lang, got, frac)
+
+
+def test_portable_sample_monotone_and_engine_free(spark, docs):
+    from weather_data_data_pipeline_spark.functions.text import (
+        deterministic_sample_portable,
+        md5_threshold,
+    )
+    import hashlib
+
+    small = deterministic_sample_portable(docs, {"en": 0.2})
+    big = deterministic_sample_portable(docs, {"en": 0.6})
+    ids_small = {r["doc_id"] for r in small.select("doc_id").collect()}
+    ids_big = {r["doc_id"] for r in big.select("doc_id").collect()}
+    assert ids_small <= ids_big  # monotone under fraction growth
+    # the keep decision is re-derivable with nothing but python hashlib
+    want = {
+        r["doc_id"]
+        for r in docs.where(F.col("lang") == "en").select("doc_id").collect()
+        if hashlib.md5(f"v1{r['doc_id']}".encode()).hexdigest()
+        < md5_threshold(0.2)
+    }
+    assert ids_small == want
+
+
+def test_tfidf_top_terms_small_frame(spark):
+    from weather_data_data_pipeline_spark.functions.text import tf_idf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+            (4, None),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tf_idf_top_terms(df, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["rnk"], r["term"], r["tf"]))
+    # null/empty docs contribute no rows; every other doc gets <= k terms
+    assert set(by_doc) == {1, 2, 3}
+    assert sorted(by_doc[1]) == [(1, "apple", 2), (2, "banana", 1)]
+    # doc 2 tie on tf=1: rarer term (df asc) ranks first — durian df=1 not in doc2;
+    # banana df=2 == cherry df=2, alphabetical tie-break
+    assert sorted(by_doc[2]) == [(1, "banana", 1), (2, "cherry", 1)]
+    assert by_doc[3][0][1] == "cherry" and by_doc[3][0][2] == 3

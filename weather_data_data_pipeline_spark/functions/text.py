@@ -12,7 +12,7 @@ shuffle, no skew concern; they pipeline into the same stage as the scan.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
@@ -215,6 +215,51 @@ def deterministic_sample(
         frac = F.when(*cond) if frac is None else frac.when(*cond)
     frac = frac.otherwise(F.lit(0)) if frac is not None else F.lit(0)
     return df.where(bucket < frac)
+
+
+def tf_idf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the keyword/feature-extraction
+    stage of a corpus pipeline.
+
+    Plan shape (the part that matters at 100 TB): one tokenize+explode
+    scan feeds BOTH the term-frequency aggregate (shuffle on (doc, term))
+    and the document-frequency aggregate (shuffle on term); the df/idf
+    table is vocabulary-sized — orders of magnitude smaller than the
+    corpus — so it joins back as a broadcast, and the corpus-sized tf
+    relation is shuffled exactly once more for the per-doc top-k window.
+
+    Ranking is integer-deterministic: (tf DESC, df ASC, term ASC) —
+    locally frequent, globally rare, alphabetical tie-break — so row
+    selection never depends on float comparison; the tfidf score
+    (tf * ln(n_docs/df), rounded 4) is carried as a value, not used to
+    rank.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    tok = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.count_distinct(id_col).alias("df"))
+    n_docs = tok.agg(F.count_distinct(id_col).alias("n_docs"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rnk")
+    )
 
 
 def md5_threshold(fraction: float) -> str:

@@ -36,6 +36,7 @@ from weather_data_data_pipeline_spark.functions.text import (
     deterministic_sample_portable,
     language_id,
     md5_threshold,
+    tf_idf_top_terms,
     mean_token_length,
     punct_ratio,
     quality_score,
@@ -496,6 +497,40 @@ def training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_sample(
         docs, {"en": 0.5, "fr": 0.25, "de": 0.25, "es": 0.1, "zh": 0.05}
     ).select("doc_id", "lang", "source")
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 4) AS tfidf,
+               row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC
+               ) AS rnk
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf, rnk FROM scored WHERE rnk <= 3
+    """,
+    doc="Per-document top-3 TF-IDF terms: one tokenize scan feeding both "
+    "the (doc, term) frequency aggregate and the vocabulary-sized "
+    "document-frequency aggregate; idf joins back as a broadcast and the "
+    "top-k window ranks integer-deterministically (tf DESC, df ASC, term) "
+    "so no float comparison decides row membership.",
+    tags=("llm", "text"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return tf_idf_top_terms(docs, k=3)
 
 
 _MIX_FRACTIONS = {"en": 0.5, "fr": 0.25, "de": 0.25, "es": 0.1, "zh": 0.05}
