@@ -300,11 +300,28 @@ def simhash_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_fingerprint",
-    oracle=None,  # positional byte-fold has no portable SQL twin
+    # The positional byte-fold IS SQL-expressible: fold (h*257+b) mod
+    # 2^61-1 over the characters with list_reduce in 128-bit HUGEINT.
+    # unicode(c) == the UTF-8 byte only for ASCII — exactly this corpus;
+    # the CASE mirrors Spark's NULL -> NULL and '' -> 0.
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN text IS NULL THEN NULL
+                WHEN text = '' THEN 0
+                ELSE CAST(list_reduce(
+                       list_prepend(CAST(0 AS HUGEINT),
+                         list_transform(regexp_split_to_array(text, ''),
+                                        c -> CAST(unicode(c) AS HUGEINT))),
+                       (h, b) -> (h * 257 + b) % 2305843009213693951
+                     ) AS BIGINT)
+           END AS fingerprint
+    FROM documents
+    """,
     doc="Deterministic rolling-hash document fingerprint (Arrow-batched "
     "Pandas UDF) joined with exact-dup grouping: fingerprint collisions "
-    "== exact text matches on this corpus.",
-    tags=("llm", "text", "rows-only"),
+    "== exact text matches on this corpus. Oracle folds the same "
+    "polynomial in DuckDB HUGEINT arithmetic.",
+    tags=("llm", "text"),
 )
 def doc_fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")

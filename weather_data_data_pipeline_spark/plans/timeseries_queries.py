@@ -158,6 +158,30 @@ def daily_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "daily_distinct_users_exact",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY day
+    """,
+    doc="Exact distinct-user count per day — the ground-truth twin of "
+    "daily_distinct_users_hll. Expand-distinct aggregation: Spark "
+    "rewrites to a two-stage shuffle (partial distinct on (day, user), "
+    "final count). Correct at any scale but shuffles every distinct key; "
+    "the HLL variant is the 100 TB path, and its 2% rsd contract is "
+    "regression-tested against this query's results.",
+    tags=("timeseries", "aggregate"),
+)
+def daily_distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@register(
     "event_value_quantiles",
     oracle=None,  # sketch estimate by design; rank-error contract in tests
     doc="p50/p90/p99 of event value per event type via a mergeable "
