@@ -764,3 +764,67 @@ def lineitem_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         unique_key=["l_orderkey", "l_linenumber"],
     )
+
+
+@register(
+    "grouping_sets_flag_priority",
+    oracle="""
+    SELECT l.l_returnflag, o.o_orderpriority,
+           CAST(round(sum(CAST(l.l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY GROUPING SETS ((l_returnflag, o_orderpriority),
+                            (l_returnflag), (o_orderpriority))
+    """,
+    doc="Arbitrary GROUPING SETS (neither rollup nor cube: both 1-d "
+    "margins plus the 2-d cell, no grand total) via the SQL surface — "
+    "one Expand + single HashAggregate pass over the join, not three "
+    "separate aggregation jobs. Exercises spark.sql parity with the "
+    "DataFrame registry.",
+    tags=("relational", "aggregate", "sql"),
+)
+def grouping_sets_flag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT l.l_returnflag, o.o_orderpriority,
+               CAST(round(sum(CAST(l.l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+               count(*) AS n_rows
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY GROUPING SETS ((l_returnflag, o_orderpriority),
+                                (l_returnflag), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "daily_event_type_pivot",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(round(sum(CASE WHEN event_type = 'click'    THEN CAST(value AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS click,
+           CAST(round(sum(CASE WHEN event_type = 'error'    THEN CAST(value AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS error,
+           CAST(round(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS purchase,
+           CAST(round(sum(CASE WHEN event_type = 'signup'   THEN CAST(value AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS signup,
+           CAST(round(sum(CASE WHEN event_type = 'view'     THEN CAST(value AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS view
+    FROM events
+    GROUP BY day
+    """,
+    doc="Pivot (long → wide): daily sum of event value per event type as "
+    "columns. The value list is EXPLICIT — with it, Spark compiles pivot "
+    "to conditional aggregates in one HashAggregate pass; without it, a "
+    "distinct-values collect job must run first (unbounded output width "
+    "at scale). Decimal sums keep every cell order-independent.",
+    tags=("relational", "aggregate"),
+)
+def daily_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", types)
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+        )
+    )
