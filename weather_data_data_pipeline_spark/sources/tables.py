@@ -92,12 +92,16 @@ def warm_cache(
 
     max_parts = spark.sparkContext.defaultParallelism
     for name in names:
-        key = (sf_dir, name)
-        if key in _CACHE:
+        cache_key = (sf_dir, name)
+        if cache_key in _CACHE:
             continue
-        key = WARM_KEYS.get(name) if partitions is None else None
-        if key is not None:
-            df = load(spark, sf_dir, name).repartition(KEYED_PARTITIONS, key).cache()
+        part_key = WARM_KEYS.get(name) if partitions is None else None
+        if part_key is not None:
+            df = (
+                load(spark, sf_dir, name)
+                .repartition(KEYED_PARTITIONS, part_key)
+                .cache()
+            )
         else:
             if partitions is None:
                 # ~512 KB compressed per partition: enough rows per task
@@ -108,7 +112,7 @@ def warm_cache(
                 n = partitions
             df = load(spark, sf_dir, name).repartition(n).cache()
         df.count()  # force materialization now, not mid-benchmark
-        _CACHE[key] = df
+        _CACHE[cache_key] = df
 
 
 def clear_cache() -> None:
