@@ -52,10 +52,8 @@ WARM_TABLES = (
     "embeddings",
 )
 # documents expands ~10× in its first map stage (shingle explode), so
-# byte-based sizing underestimates it; 8 partitions measured best for
-# the jaccard/minhash shapes (1 and 32 are both worse — task overhead
-# beats the parallelism gain beyond the expansion factor).
-DOC_PARTITIONS = 8
+# byte-based sizing underestimates it; see tables.DOC_FANOUT.
+from weather_data_data_pipeline_spark.sources.tables import DOC_FANOUT as DOC_PARTITIONS
 
 
 def _sf_from_dir(d: str) -> float:

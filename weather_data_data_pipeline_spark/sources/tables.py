@@ -115,6 +115,27 @@ def warm_cache(
         _CACHE[cache_key] = df
 
 
+# documents expands ~10× in its first map stage (shingle explode);
+# 8 partitions measured best for the dedup shapes at sf0.1 — beyond the
+# expansion factor, task overhead beats the parallelism gain.
+DOC_FANOUT = 8
+
+
+def load_fanout(
+    spark: SparkSession, sf_dir: str, name: str, partitions: int = DOC_FANOUT
+) -> DataFrame:
+    """Load a table, fanning out to ``partitions`` only when the source
+    provides fewer. The driver's raw files are single-row-group (1-task
+    scans), so CPU-heavy map stages need an explicit spread; the warm
+    cached layout — and any real at-scale table with thousands of
+    splits — already has enough partitions, and a redundant repartition
+    would add a full shuffle of the corpus (measured 1.4× on minhash)."""
+    df = load(spark, sf_dir, name)
+    if df.rdd.getNumPartitions() < partitions:
+        df = df.repartition(partitions)
+    return df
+
+
 def clear_cache() -> None:
     for df in _CACHE.values():
         try:
