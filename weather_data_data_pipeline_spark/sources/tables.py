@@ -68,7 +68,12 @@ WARM_KEYS = {
     "orders": "o_orderkey",
     "events": "user_id",
 }
-KEYED_PARTITIONS = 32
+# 16 measured best at sf0.1 on the TPC-H join shapes (total 2.26s vs
+# 2.36s at 8, 3.99s at 32 over the seven join-heavy bench queries):
+# enough tasks to spread the probe side, few enough that per-task
+# scheduling overhead doesn't dominate ~2 MB partitions. At real scale
+# this is sized by bytes-per-partition, not a constant.
+KEYED_PARTITIONS = 16
 
 
 def warm_cache(
