@@ -1,0 +1,82 @@
+"""Distributed k-means: Lloyd invariants, numpy ground truth, edge cases."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from weather_data_data_pipeline_spark.functions.clustering import (
+    assign_clusters,
+    cluster_profile,
+    kmeans_fit,
+)
+from weather_data_data_pipeline_spark.sources.tables import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load(spark, SF_DIR, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ids = [r["vec_id"] for r in rows]
+    return ids, np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+
+def test_assign_matches_numpy(emb, emb_np):
+    ids, X = emb_np
+    cents = X[:4]
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist2"])
+        for r in assign_clusters(emb, [list(c) for c in cents]).collect()
+    }
+    d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    want_cluster = d2.argmin(axis=1)  # numpy argmin ties → lowest index, same rule
+    for i, vid in enumerate(ids):
+        assert got[vid][0] == want_cluster[i]
+        assert got[vid][1] == pytest.approx(d2[i, want_cluster[i]], rel=1e-9)
+
+
+def test_fit_inertia_monotone_and_deterministic(emb):
+    cents1, hist1 = kmeans_fit(emb, k=4, iters=4)
+    cents2, hist2 = kmeans_fit(emb, k=4, iters=4)
+    # Lloyd's invariant: SSE never increases between iterations
+    for a, b in zip(hist1, hist1[1:]):
+        assert b <= a * (1 + 1e-9)
+    # same init + same data → bit-identical trajectory
+    assert hist1 == hist2
+    assert cents1 == cents2
+
+
+def test_fit_improves_on_init(emb):
+    _, hist = kmeans_fit(emb, k=4, iters=4)
+    assert hist[-1] < hist[0]
+
+
+def test_cluster_profile_covers_corpus(emb):
+    cents, _ = kmeans_fit(emb, k=4, iters=2)
+    prof = cluster_profile(emb, cents).collect()
+    assert sum(r["n_members"] for r in prof) == emb.count()
+    assert {r["cluster"] for r in prof} <= set(range(4))
+
+
+def test_empty_cluster_keeps_previous_centroid(spark):
+    # 3 distinct points, k=4: init takes ids 0..3 where ids 2,3 duplicate
+    # id 1's point → one centroid ends every round empty and must survive.
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [10.0, 10.0]),
+        (2, [10.0, 10.0]),
+        (3, [10.0, 10.0]),
+        (4, [0.1, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents, hist = kmeans_fit(df, k=4, iters=3)
+    assert len(cents) == 4 and all(len(c) == 2 for c in cents)
+    assert all(np.isfinite(v) for c in cents for v in c)
+    for a, b in zip(hist, hist[1:]):
+        assert b <= a * (1 + 1e-9)

@@ -21,6 +21,11 @@ from weather_data_data_pipeline_spark.functions.dedup import (
     minhash_dedup_pairs,
     simhash_near_dup_pairs,
 )
+from weather_data_data_pipeline_spark.functions.clustering import (
+    assign_clusters,
+    cluster_profile,
+    kmeans_fit,
+)
 from weather_data_data_pipeline_spark.functions.similarity import (
     brute_force_topk,
     cosine_near_dup_pairs,
@@ -609,3 +614,60 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_fanout(spark, sf_dir, "documents")
     pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
     return connected_components(pairs)
+
+
+@register(
+    "embedding_kmeans_assign",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
+             embedding AS cvec
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+    ),
+    scored AS (
+      SELECT e.vec_id, c.cluster,
+             list_sum(list_transform(list_zip(e.embedding, c.cvec),
+                 p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                      * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d2
+      FROM embeddings e CROSS JOIN cents c
+    )
+    SELECT vec_id, cluster, round(d2, 4) AS dist2
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, cluster) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+    doc="K-means assignment step under fixed seed centroids (the "
+    "embeddings of the 8 lowest vec_ids): every vector labeled with its "
+    "nearest centroid by squared L2, ties to the lowest cluster id. "
+    "Centroids ride along as broadcast literals, so the corpus is one "
+    "narrow codegen'd projection — no join, no shuffle. The oracle "
+    "recomputes the same double-precision argmin via a cross join.",
+    tags=("llm", "similarity"),
+)
+def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(8).collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in seeds]
+    return assign_clusters(emb, cents).select(
+        "vec_id", "cluster", F.round("dist2", 4).alias("dist2")
+    )
+
+
+@register(
+    "embedding_kmeans_clusters",
+    oracle=None,  # iterative full-corpus Lloyd's — not SQL-expressible
+    doc="Distributed k-means (k=8, 5 Lloyd iterations over the FULL "
+    "corpus — not a sample): per-cluster membership count and SSE under "
+    "the converged centroids. Each iteration is one map-side-combinable "
+    "HashAggregate shipping k x (dim+2) doubles to the driver; unit "
+    "tests verify monotone inertia, determinism, and a numpy "
+    "ground-truth match.",
+    tags=("llm", "similarity"),
+)
+def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    cents, _history = kmeans_fit(emb, k=8, iters=5)
+    return cluster_profile(emb, cents)
