@@ -1,0 +1,80 @@
+"""CSV / JSON-lines connectors: round-trips, malformed-row handling,
+nested-type guardrails."""
+
+from __future__ import annotations
+
+import pytest
+
+from weather_data_data_pipeline_spark.sources.files import (
+    read_csv,
+    read_jsonl,
+    write_csv,
+    write_jsonl,
+)
+from weather_data_data_pipeline_spark.sources.tables import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_csv_round_trip_flat_table(spark, tmp_path):
+    nation = load(spark, SF_DIR, "nation")
+    path = str(tmp_path / "nation_csv")
+    write_csv(nation, path)
+    back = read_csv(spark, path, nation.schema)
+    assert back.schema == nation.schema
+    assert _sorted_rows(back) == _sorted_rows(nation)
+
+
+def test_csv_round_trip_timestamps(spark, tmp_path):
+    orders = load(spark, SF_DIR, "orders")
+    path = str(tmp_path / "orders_csv")
+    write_csv(orders, path)
+    back = read_csv(spark, path, orders.schema)
+    assert _sorted_rows(back) == _sorted_rows(orders)
+
+
+def test_csv_rejects_nested_columns(spark, tmp_path):
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "id long, v array<double>")
+    with pytest.raises(ValueError, match="nested"):
+        write_csv(df, str(tmp_path / "bad"))
+
+
+def test_jsonl_round_trip_nested(spark, tmp_path):
+    emb = load(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "emb_jsonl")
+    write_jsonl(emb, path)
+    back = read_jsonl(spark, path, emb.schema)
+    assert back.schema == emb.schema
+    a = {r["vec_id"]: r for r in back.collect()}
+    b = {r["vec_id"]: r for r in emb.collect()}
+    assert a.keys() == b.keys()
+    for k in b:
+        assert a[k]["label"] == b[k]["label"]
+        assert a[k]["embedding"] == pytest.approx(b[k]["embedding"], rel=1e-6)
+
+
+def test_jsonl_corrupt_record_surfaced(spark, tmp_path):
+    p = tmp_path / "mixed.jsonl"
+    p.write_text('{"id": 1, "name": "ok"}\n{not json at all}\n')
+    df = read_jsonl(
+        spark,
+        str(tmp_path),
+        "id long, name string, _corrupt_record string",
+        corrupt_col="_corrupt_record",
+    )
+    rows = df.collect()
+    assert len(rows) == 2
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(bad) == 1 and bad[0]["id"] is None
+
+
+def test_csv_failfast_raises_on_malformed(spark, tmp_path):
+    p = tmp_path / "bad.csv"
+    p.write_text("id,n\n1,2\nnot_a_number,3\n")
+    df = read_csv(spark, str(p), "id long, n long", mode="FAILFAST")
+    with pytest.raises(Exception, match="(?i)malformed|failfast"):
+        df.collect()

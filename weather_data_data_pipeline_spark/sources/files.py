@@ -1,0 +1,104 @@
+"""File-format connectors beyond parquet: CSV and JSON-lines.
+
+The reference ingests JSON documents (the OpenWeatherMap payload,
+full:8-12) and persists to JDBC; a general engine also needs flat-file
+interchange. Design rules, same as the parquet path:
+
+- **Explicit schema on read, always.** Schema inference is a full extra
+  pass over the data (and for JSON a driver-side merge of per-partition
+  schemas) — at 100 TB that is a second scan before the first real job.
+  Readers here take a DDL string or StructType and refuse to infer.
+- **Malformed rows are visible, not silent.** ``PERMISSIVE`` mode with a
+  ``_corrupt_record`` column on request, or ``FAILFAST`` for pipelines
+  that must halt on bad input; never silently ``DROPMALFORMED``.
+- Writes go through the normal partitioned-directory layout (one file
+  per task), so source parallelism is preserved end-to-end.
+
+CSV cannot carry nested types (arrays/structs/maps) — use JSONL or
+parquet for those; the writer raises early instead of letting Spark
+emit a cryptic analysis error.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import ArrayType, MapType, StructType
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def _schema_arg(schema: str | StructType) -> str | StructType:
+    if not isinstance(schema, (str, StructType)):
+        raise TypeError("schema must be a DDL string or StructType")
+    return schema
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | StructType,
+    header: bool = True,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = None,
+) -> DataFrame:
+    """CSV scan with a declared schema (no inference pass). Filters and
+    projections still prune at the scan (CSV supports column pruning;
+    predicate pushdown is parse-then-filter, so prefer parquet for
+    hot tables)."""
+    reader = (
+        spark.read.format("csv")
+        .schema(_schema_arg(schema))
+        .option("header", str(header).lower())
+        .option("mode", mode)
+        .option("timestampFormat", _TS_FMT)
+    )
+    if corrupt_col is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+    return reader.load(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, header: bool = True, mode: str = "overwrite"
+) -> None:
+    nested = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    if nested:
+        raise ValueError(
+            f"CSV cannot encode nested columns {nested}; use write_jsonl/parquet"
+        )
+    (
+        df.write.format("csv")
+        .option("header", str(header).lower())
+        .option("timestampFormat", _TS_FMT)
+        .mode(mode)
+        .save(path)
+    )
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str | StructType,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = None,
+) -> DataFrame:
+    """JSON-lines scan with a declared schema — the file-resident twin of
+    the ``from_json`` ingestion path (SURVEY §2.1 S1/S2). Nested
+    arrays/structs round-trip; at scale JSONL is the landing format and
+    parquet the compacted one."""
+    reader = (
+        spark.read.format("json")
+        .schema(_schema_arg(schema))
+        .option("mode", mode)
+        .option("timestampFormat", _TS_FMT)
+    )
+    if corrupt_col is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+    return reader.load(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.format("json").option("timestampFormat", _TS_FMT).mode(mode).save(path)
