@@ -26,6 +26,10 @@ from weather_data_data_pipeline_spark.functions.clustering import (
     cluster_profile,
     kmeans_fit,
 )
+from weather_data_data_pipeline_spark.multimodal.binary import (
+    decode_features,
+    sample_frames,
+)
 from weather_data_data_pipeline_spark.functions.similarity import (
     brute_force_topk,
     cosine_near_dup_pairs,
@@ -671,3 +675,75 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     cents, _history = kmeans_fit(emb, k=8, iters=5)
     return cluster_profile(emb, cents)
+
+
+def _media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic media fixture: documents re-typed as the multimodal
+    layout (content = UTF-8 bytes of text, modality by doc_id mod 3,
+    duration derived from n_chars). Lets the binary-column operators run
+    under the oracle gate with no codec libraries present."""
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.col("text").cast("binary").alias("content"),
+        modality.alias("modality"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+@register(
+    "multimodal_decode_stats",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           16 AS feature_dim
+    FROM documents
+    """,
+    doc="Multimodal decode plumbing under the gate: documents re-typed as "
+    "binary media, featurized via the Arrow-batched mapInPandas decode "
+    "(deterministic stub codec). The oracle verifies the fields the "
+    "plumbing must carry exactly — per-row id/modality alignment across "
+    "the Python crossing, payload byte counts, feature width.",
+    tags=("llm", "multimodal"),
+)
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _media_from_documents(load(spark, sf_dir, "documents"))
+    decoded = decode_features(media, fake=True)
+    return decoded.select(
+        "media_id",
+        "modality",
+        "n_bytes",
+        F.size("feature").alias("feature_dim"),
+    )
+
+
+@register(
+    "multimodal_frame_counts",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST(n_chars * 10 // 1000 AS BIGINT) AS n_frames
+    FROM documents
+    WHERE n_chars * 10 // 1000 >= 1
+    """,
+    doc="Video frame-sampling fan-out under the gate: one media row -> "
+    "N frame rows via mapInPandas (output cardinality != input is why "
+    "that operator, not a UDF), then a count per media. The oracle "
+    "recomputes the expected cardinality duration_ms // every_ms from "
+    "the metadata — media too short for one frame emit nothing.",
+    tags=("llm", "multimodal"),
+)
+def multimodal_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _media_from_documents(load(spark, sf_dir, "documents"))
+    frames = sample_frames(media, every_ms=1000, fake=True)
+    return frames.groupBy("media_id").agg(F.count("*").alias("n_frames"))
