@@ -92,6 +92,13 @@ def jaccard_pairs(
     never materialized. Output: (id_a, id_b, n_common, jaccard) with
     id_a < id_b. At corpus scale, run this only on LSH candidates —
     see :func:`minhash_lsh_candidates`.
+
+    Shape note (measured): a posting-list variant (collect_list per
+    shingle + HOF pair generation) is ~15% faster at sf0.1 but builds
+    each shingle's full pair array inside ONE row's interpreted lambda —
+    a hot shingle shared by 10k docs would materialize 50M pairs in a
+    single task. The self-join distributes exactly that blow-up across
+    the shuffle, so it is the shape that survives skew at 100 TB.
     """
     # Materialize the inverted index ONCE. Both join sides derive from
     # it, and Spark re-executes unmaterialized lineage per side — the
