@@ -747,3 +747,93 @@ def multimodal_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = _media_from_documents(load(spark, sf_dir, "documents"))
     frames = sample_frames(media, every_ms=1000, fake=True)
     return frames.groupBy("media_id").agg(F.count("*").alias("n_frames"))
+
+
+@register(
+    "doc_quality_filter",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             length(text) BETWEEN 50 AND 100000 AS len_ok,
+             CAST(len(list_filter(string_split(text, ' '), t -> t IN {STOPWORDS!r})) AS DOUBLE)
+               / greatest(len(string_split(text, ' ')), 1) >= 0.05 AS stop_ok,
+             CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) <= 0.2 AS punct_ok,
+             CAST(list_sum(list_transform(list_filter(string_split(text, ' '), t -> t <> ''), t -> length(t))) AS DOUBLE)
+               / greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1)
+               BETWEEN 2 AND 12 AS wordlen_ok
+      FROM documents)
+    SELECT doc_id, len_ok, stop_ok, punct_ok, wordlen_ok
+    FROM m
+    WHERE NOT (len_ok AND stop_ok AND punct_ok AND wordlen_ok)
+    """,
+    doc="The quality FILTER itself (doc_quality_by_lang is the rollup): "
+    "rejected documents with the per-rule verdicts that rejected them — "
+    "the audit trail a curation pipeline keeps. One scan, codegen'd "
+    "predicates, selective output (only rejects survive the filter).",
+    tags=("llm", "text"),
+)
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    len_ok = (F.length(t) >= 50) & (F.length(t) <= 100_000)
+    stop_ok = stopword_ratio(t) >= 0.05
+    punct_ok = punct_ratio(t) <= 0.2
+    wl = mean_token_length(t)
+    wordlen_ok = (wl >= 2) & (wl <= 12)
+    return (
+        docs.select(
+            "doc_id",
+            len_ok.alias("len_ok"),
+            stop_ok.alias("stop_ok"),
+            punct_ok.alias("punct_ok"),
+            wordlen_ok.alias("wordlen_ok"),
+        )
+        .where(~(F.col("len_ok") & F.col("stop_ok") & F.col("punct_ok") & F.col("wordlen_ok")))
+    )
+
+
+@register(
+    "dedup_kept_corpus",
+    oracle="""
+    WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+           FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) _l(i)
+           WHERE len(t) >= 3),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+    dup AS (SELECT id_a, id_b FROM pair
+            JOIN cnt ca ON ca.doc_id = id_a
+            JOIN cnt cb ON cb.doc_id = id_b
+            WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+              UNION SELECT id_b, id_a FROM dup),
+    walk(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src
+    ),
+    comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+             FROM walk GROUP BY src)
+    SELECT d.doc_id, (c.doc_id IS NOT NULL) AS was_in_dup_cluster
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+    """,
+    doc="The deduplicated corpus a pipeline actually ships: every document "
+    "that is either outside the near-dup graph or its cluster's "
+    "representative (min doc_id). Composes jaccard pairs -> connected "
+    "components -> representative anti-filter; the oracle replays the "
+    "same components with a recursive CTE.",
+    tags=("llm", "dedup"),
+)
+def dedup_kept_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_fanout(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    labels = connected_components(pairs)
+    return (
+        docs.join(labels, "doc_id", "left")
+        .where(F.col("cluster_id").isNull() | (F.col("doc_id") == F.col("cluster_id")))
+        .select("doc_id", F.col("cluster_id").isNotNull().alias("was_in_dup_cluster"))
+    )
