@@ -1,0 +1,120 @@
+"""Property-based checks (SURVEY §5.4) with hypothesis-generated inputs.
+
+Each property runs real Spark jobs, so example counts are kept small —
+the point is hitting shapes hand-written fixtures miss (empty frames,
+duplicate keys, all-rows-duplicate, single-row), not fuzz volume.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from weather_data_data_pipeline_spark.functions.dedup import exact_dedup, jaccard_pairs
+from weather_data_data_pipeline_spark.operators.aggregates import weekly_avg
+from weather_data_data_pipeline_spark.operators.joins import anti_join_dedup
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+_KEY = st.tuples(
+    st.sampled_from(["IN", "US", "DE"]),
+    st.sampled_from(["a", "b", "c", "d"]),
+    st.integers(min_value=0, max_value=5),
+)
+_ROWS = st.lists(
+    st.tuples(_KEY, st.floats(min_value=-100, max_value=100, allow_nan=False)),
+    max_size=25,
+)
+
+
+@_SETTINGS
+@given(new=_ROWS, dest=_ROWS)
+def test_anti_join_disjoint_and_complete(spark, new, dest):
+    """anti(new, dest) keys ∩ dest keys = ∅, and anti ∪ matched = new."""
+    schema = "country string, city string, d int, value double"
+    new_df = spark.createDataFrame([(k[0], k[1], k[2], v) for k, v in new], schema)
+    dest_df = spark.createDataFrame([(k[0], k[1], k[2], v) for k, v in dest], schema)
+    keys = ["country", "city", "d"]
+    out = anti_join_dedup(new_df, dest_df, keys)
+    out_keys = {tuple(r) for r in out.select(*keys).collect()}
+    dest_keys = {tuple(r) for r in dest_df.select(*keys).collect()}
+    assert out_keys.isdisjoint(dest_keys)
+    new_keys = {tuple(r) for r in new_df.select(*keys).collect()}
+    assert out_keys == new_keys - dest_keys
+    # second application is a fixed point (idempotent append)
+    assert anti_join_dedup(out, dest_df, keys).count() == out.count()
+
+
+@_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.dates(datetime.date(2024, 1, 1), datetime.date(2024, 3, 1)),
+            st.floats(min_value=0, max_value=1000, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_weekly_avg_partition_and_order_invariant(spark, rows, seed):
+    """A1 result is identical under any row order / partitioning."""
+    schema = "city string, ts date, v double"
+    df1 = spark.createDataFrame(rows, schema)
+    shuffled = sorted(rows, key=lambda r: hash((seed, r)))
+    df2 = spark.createDataFrame(shuffled, schema).repartition(7)
+    r1 = sorted(map(tuple, weekly_avg(df1, ["city"], "ts", "v").collect()))
+    r2 = sorted(map(tuple, weekly_avg(df2, ["city"], "ts", "v").collect()))
+    assert r1 == r2
+
+
+@_SETTINGS
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40), min_size=0, max_size=12
+    )
+)
+def test_exact_dedup_partitions_the_input(spark, texts):
+    """Each input row lands in exactly one group; representatives are
+    group minima; copy counts sum back to the input size."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = exact_dedup(df.withColumn("digest", F.sha2("text", 256)), ["digest"], "doc_id").collect()
+    assert sum(r["n_copies"] for r in out) == len(rows)
+    by_text: dict[str, list[int]] = {}
+    for i, t in rows:
+        by_text.setdefault(t, []).append(i)
+    assert {r["keep_doc_id"] for r in out} == {min(v) for v in by_text.values()}
+
+
+@_SETTINGS
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["w1", "w2", "w3", "w4"]), max_size=12).map(" ".join),
+        min_size=0,
+        max_size=8,
+    )
+)
+def test_jaccard_pairs_bounds_and_orientation(spark, texts):
+    """All emitted similarities are in (0, 1], pairs are id_a < id_b, and
+    a document duplicated verbatim (≥ 3 tokens) scores exactly 1."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    rows += [(len(rows) + i, t) for i, t in enumerate(texts)]  # verbatim copies
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.0).collect()
+    for r in out:
+        assert r["id_a"] < r["id_b"]
+        assert 0.0 < r["jaccard"] <= 1.0
+    dup_pairs = {(r["id_a"], r["id_b"]) for r in out if r["jaccard"] == 1.0}
+    for i, t in enumerate(texts):
+        if len(t.split()) >= 3 and set(t.split()) != {""}:
+            a, b = i, len(texts) + i
+            assert (a, b) in dup_pairs
