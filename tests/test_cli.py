@@ -1,0 +1,33 @@
+"""Job-runner CLI: list/run/full-load smoke (in-process, reuses the
+session fixture via getOrCreate)."""
+
+from __future__ import annotations
+
+from weather_data_data_pipeline_spark.__main__ import main
+
+
+def test_list_names_every_query(capsys):
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "q1_pricing_summary" in out and "[oracle]" in out
+
+
+def test_list_tag_filter(capsys):
+    assert main(["list", "--tag", "bench"]) == 0
+    out = capsys.readouterr().out
+    assert "minhash_dedup_pairs" in out
+    assert "weather_weekly_avg_temp" not in out
+
+
+def test_run_unknown_query_is_error(capsys):
+    assert main(["run", "no_such_query"]) == 2
+
+
+def test_run_query(spark, capsys):
+    assert main(["run", "cross_join_region_nation", "--show", "2"]) == 0
+    assert "25 rows" in capsys.readouterr().out
+
+
+def test_full_load_idempotent(spark, tmp_path, capsys):
+    assert main(["full-load", "--dest", str(tmp_path)]) == 0
+    assert "idempotent" in capsys.readouterr().out
