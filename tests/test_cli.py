@@ -31,3 +31,18 @@ def test_run_query(spark, capsys):
 def test_full_load_idempotent(spark, tmp_path, capsys):
     assert main(["full-load", "--dest", str(tmp_path)]) == 0
     assert "idempotent" in capsys.readouterr().out
+
+
+def test_tune_for_working_set_policy(spark):
+    from weather_data_data_pipeline_spark.session import (
+        SMALL_WORKING_SET_BYTES,
+        tune_for_working_set,
+    )
+
+    try:
+        assert tune_for_working_set(spark, SMALL_WORKING_SET_BYTES - 1) is False
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        assert tune_for_working_set(spark, 100 << 40) is True
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
