@@ -39,10 +39,13 @@ def test_tune_for_working_set_policy(spark):
         tune_for_working_set,
     )
 
+    before_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         assert tune_for_working_set(spark, SMALL_WORKING_SET_BYTES - 1) is False
         assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) >= 8
         assert tune_for_working_set(spark, 100 << 40) is True
         assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.shuffle.partitions", before_parts)
