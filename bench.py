@@ -43,6 +43,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # layout before timing (see sources/tables.py:warm_cache — the raw files
 # are single-row-group and unsplittable, a small-SF artifact).
 WARM_TABLES = (
+    "region",
+    "nation",
     "customer",
     "supplier",
     "part",
@@ -88,7 +90,7 @@ def main() -> None:
     # with nothing to adapt. At real SF the same call keeps AQE on.
     working_set = sum(
         os.path.getsize(os.path.join(SF_DIR, f"{t}.parquet"))
-        for t in (*WARM_TABLES, "documents", "region", "nation")
+        for t in (*WARM_TABLES, "documents")
     )
     aqe_on = tune_for_working_set(spark, working_set)
     timings: dict[str, float] = {}
