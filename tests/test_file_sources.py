@@ -78,3 +78,14 @@ def test_csv_failfast_raises_on_malformed(spark, tmp_path):
     df = read_csv(spark, str(p), "id long, n long", mode="FAILFAST")
     with pytest.raises(Exception, match="(?i)malformed|failfast"):
         df.collect()
+
+
+def test_orc_round_trip(spark, tmp_path):
+    from weather_data_data_pipeline_spark.sources.files import read_orc, write_orc
+
+    emb = load(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "emb_orc")
+    write_orc(emb, path)
+    back = read_orc(spark, path)
+    assert back.schema == emb.schema
+    assert _sorted_rows(back) == _sorted_rows(emb)

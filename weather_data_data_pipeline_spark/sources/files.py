@@ -102,3 +102,18 @@ def read_jsonl(
 
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.format("json").option("timestampFormat", _TS_FMT).mode(mode).save(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: str | StructType | None = None) -> DataFrame:
+    """ORC scan. Schema optional: ORC is self-describing like parquet
+    (footer metadata, no inference pass), so omitting it costs nothing;
+    pass one to pin reader expectations. Predicate pushdown and column
+    pruning work as with parquet."""
+    reader = spark.read.format("orc")
+    if schema is not None:
+        reader = reader.schema(_schema_arg(schema))
+    return reader.load(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.format("orc").mode(mode).save(path)
