@@ -9,7 +9,7 @@ hash-checked, not rows-only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from weather_data_data_pipeline_spark.operators.aggregates import dsum
@@ -178,6 +178,124 @@ def daily_distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy(F.to_date("ts").alias("day"))
         .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "latest_event_per_user",
+    oracle="""
+    SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+           event_type AS last_event_type, round(value, 2) AS last_value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+    doc="Latest-wins compaction (upsert/CDC snapshot): one row per user = "
+    "their most recent event. Spark side is a single-pass argmax "
+    "aggregation (max over a (ts, event_id, ...) struct). Struct buffers "
+    "fall back to SortAggregate, but crucially WITH partial_max map-side: "
+    "only one row per (partition, user) crosses the shuffle, vs the "
+    "oracle's window-rank formulation which shuffles and sorts every raw "
+    "row — the difference between compacting 100 TB and re-shuffling it. "
+    "Tie-break is the unique event_id, so the result is deterministic. "
+    "Generalizes ref's anti-join idempotent upsert (full_load:163-167) "
+    "to last-writer-wins semantics.",
+    tags=("timeseries", "aggregate", "bench"),
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "event_type", "value")).alias("s")
+    )
+    return s.select(
+        "user_id",
+        F.col("s.ts").alias("last_ts"),
+        F.col("s.event_id").alias("last_event_id"),
+        F.col("s.event_type").alias("last_event_type"),
+        F.round("s.value", 2).alias("last_value"),
+    )
+
+
+@register(
+    "rolling_hour_user_avg",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           round(CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                      OVER w AS DOUBLE)
+                 / count(value) OVER w) / 100 AS avg_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Trailing-1-hour moving average per user: a RANGE window frame "
+    "keyed on epoch seconds (value-based frame, not row-based — covers "
+    "the frame shape rows/rangeBetween matrix cell the running-total "
+    "query does not). One shuffle+sort on user_id; frame evaluation is "
+    "a sliding two-pointer scan within each sorted partition, O(n) not "
+    "O(n * frame). Decimal-cast inside the avg keeps the sum "
+    "order-independent for cross-engine hashing.",
+    tags=("timeseries", "window"),
+)
+def rolling_hour_user_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).alias("n_1h"),
+        # Integer-cents average: exact long sum, one double divide, round
+        # to whole cents (half-away at exact .5 agrees across engines —
+        # round(double, 2) does NOT, it multiply-shifts through a double).
+        (
+            F.round(
+                F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+                .over(w)
+                .cast("double")
+                / F.count("value").over(w),
+                0,
+            )
+            / 100
+        ).alias("avg_1h"),
+    )
+
+
+@register(
+    "event_value_quantiles_exact",
+    oracle="""
+    SELECT event_type,
+           round(q[1], 2) AS p25, round(q[2], 2) AS p50,
+           round(q[3], 2) AS p90, round(q[4], 2) AS p99
+    FROM (SELECT event_type,
+                 quantile_cont(value, [0.25, 0.5, 0.9, 0.99]) AS q
+          FROM events GROUP BY event_type)
+    """,
+    doc="Exact interpolated quantiles per event type (Spark `percentile`, "
+    "linear interpolation — same definition as DuckDB quantile_cont): "
+    "the hash-checked ground truth twin of event_value_quantiles. Exact "
+    "percentile buffers each group's values, so it is the small-group "
+    "path; the sketch variant is the 100 TB path, and the pair "
+    "documents that trade explicitly.",
+    tags=("timeseries", "aggregate"),
+)
+def event_value_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.25D, 0.5D, 0.9D, 0.99D))").alias("q")
+    )
+    return q.select(
+        "event_type",
+        F.round(F.col("q")[0], 2).alias("p25"),
+        F.round(F.col("q")[1], 2).alias("p50"),
+        F.round(F.col("q")[2], 2).alias("p90"),
+        F.round(F.col("q")[3], 2).alias("p99"),
     )
 
 
