@@ -1,0 +1,65 @@
+"""Unit tests for distributed global ranking (operators/ranking.py):
+global row_number must equal the single-partition window formulation,
+partition-count independent; ntile must match SQL ntile semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from weather_data_data_pipeline_spark.operators.ranking import (
+    global_ntile,
+    global_row_number,
+)
+
+
+def _df(spark, n: int, parts: int):
+    # values deliberately collide (v = i % 7) so the unique id tie-break
+    # is load-bearing; scattered input partitioning exercises the
+    # range-repartition step.
+    rows = [(i, float(i % 7)) for i in range(n)]
+    return spark.createDataFrame(rows, "id long, v double").repartition(parts)
+
+
+@pytest.mark.parametrize("n,parts,rank_parts", [(40, 1, 4), (40, 5, 8), (3, 2, 8)])
+def test_global_row_number_matches_window(spark, n, parts, rank_parts):
+    df = _df(spark, n, parts)
+    got = {
+        r["id"]: r["rank"]
+        for r in global_row_number(
+            df, ["v", "id"], num_partitions=rank_parts
+        ).collect()
+    }
+    w = Window.orderBy("v", "id")
+    want = {
+        r["id"]: r["rank"]
+        for r in df.select("id", F.row_number().over(w).alias("rank")).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("n,k", [(40, 10), (43, 10), (7, 10), (10, 3)])
+def test_global_ntile_matches_window(spark, n, k):
+    df = _df(spark, n, parts=4)
+    got = {
+        r["id"]: r["bucket"]
+        for r in global_ntile(df, ["v", "id"], k, num_partitions=6).collect()
+    }
+    w = Window.orderBy("v", "id")
+    want = {
+        r["id"]: r["bucket"]
+        for r in df.select(
+            "id", F.ntile(k).over(w).cast("long").alias("bucket")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_row_number_is_dense_and_unique(spark):
+    df = _df(spark, 101, parts=7)
+    ranks = [
+        r["rank"]
+        for r in global_row_number(df, ["v", "id"], num_partitions=9).collect()
+    ]
+    assert sorted(ranks) == list(range(1, 102))

@@ -1,0 +1,117 @@
+"""Distributed global ranking: row_number / ntile over a TOTAL order.
+
+Spark's own ``Window.orderBy(...)`` without a ``partitionBy`` collapses
+the whole input into ONE partition (Catalyst even warns), which is a
+dead end at 100 TB. These operators produce the same answer with the
+sort distributed:
+
+1. ``repartitionByRange`` on the sort key — Spark range-partitions via
+   reservoir sampling, so partition *p* holds a contiguous key range and
+   every key in partition *p* sorts before every key in partition *p+1*.
+2. ``sortWithinPartitions`` — each partition sorts locally (spillable).
+3. A tiny count-per-partition aggregate (one row per partition crosses
+   the driver) yields the global offset of each partition.
+4. An Arrow-batched ``mapInPandas`` pass assigns
+   ``offset[pid] + local_index`` — no per-row Python, just a vectorized
+   range per batch.
+
+The input is persisted between steps 3 and 4: range boundaries come from
+sampling, so the two jobs MUST observe the same partitioning (at cluster
+scale use a checkpoint instead if the input lineage is expensive).
+
+With a unique tie-breaker in ``sort_cols`` the rank is fully
+deterministic, so results hash-match a single-node oracle's
+``row_number() OVER (ORDER BY ...)`` exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+
+def _ranked(
+    df: DataFrame, sort_cols: list[str], out_col: str, num_partitions: int | None
+) -> tuple[DataFrame, int]:
+    """Shared core: returns (df + 1-based global row number, total rows)."""
+    n = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    ranged = (
+        df.repartitionByRange(n, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # One tiny job: rows per partition (n rows total to the driver).
+    counts = dict(
+        ranged.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+    )
+    offsets = {}
+    acc = 0
+    for pid in range(n):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, LongType(), False)]
+    )
+
+    def assign(batches):
+        from pyspark import TaskContext
+
+        base = offsets.get(TaskContext.get().partitionId(), 0)
+        seen = 0
+        for b in batches:
+            m = len(b)
+            b[out_col] = range(base + seen + 1, base + seen + m + 1)
+            seen += m
+            yield b
+
+    return ranged.mapInPandas(assign, out_schema), acc
+
+
+def global_row_number(
+    df: DataFrame,
+    sort_cols: list[str],
+    out_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append a 1-based global row number under ORDER BY ``sort_cols``.
+
+    Distributed equivalent of
+    ``row_number() OVER (ORDER BY sort_cols)`` — same result, but the
+    sort runs range-partitioned across the cluster instead of on one
+    task. ``sort_cols`` must include a unique tie-breaker for a
+    deterministic result.
+    """
+    out, _ = _ranked(df, sort_cols, out_col, num_partitions)
+    return out
+
+
+def global_ntile(
+    df: DataFrame,
+    sort_cols: list[str],
+    k: int,
+    out_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """SQL ``ntile(k) OVER (ORDER BY sort_cols)``, distributed.
+
+    Standard ntile semantics: with n rows, the first ``n % k`` buckets
+    get ``n // k + 1`` rows, the rest ``n // k`` — derived arithmetically
+    from the global row number, all JVM-side (the total row count falls
+    out of the offsets pass for free).
+    """
+    ranked, n = _ranked(df, sort_cols, "__rn", num_partitions)
+    size, rem = divmod(n, k)
+    boundary = rem * (size + 1)  # ranks 1..boundary live in the big buckets
+    rn0 = F.col("__rn") - 1
+    if size == 0:
+        bucket = rn0 + 1  # fewer rows than buckets: row i → bucket i+1
+    else:
+        bucket = F.when(rn0 < boundary, F.floor(rn0 / (size + 1)) + 1).otherwise(
+            rem + F.floor((rn0 - boundary) / size) + 1
+        )
+    return ranked.withColumn(out_col, bucket.cast("long")).drop("__rn")

@@ -317,6 +317,40 @@ def window_running_user_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_value_global_deciles",
+    oracle="""
+    SELECT decile, count(*) AS n,
+           min(value) AS min_value, max(value) AS max_value
+    FROM (SELECT value,
+                 CAST(ntile(10) OVER (ORDER BY value, event_id) AS BIGINT)
+                   AS decile
+          FROM events)
+    GROUP BY decile
+    """,
+    doc="Global ntile(10) over a TOTAL order — the window shape Spark "
+    "can only express natively as a single-partition window (a 100 TB "
+    "dead end). Engine side is the distributed formulation "
+    "(operators/ranking.py): repartitionByRange + local sort + "
+    "per-partition offsets + Arrow-batched rank assignment, then "
+    "arithmetic ntile from the global row number. Unique (value, "
+    "event_id) tie-break makes the bucketing deterministic; NULL sort "
+    "keys would need explicit null-order alignment (Spark NULLS FIRST "
+    "vs DuckDB NULLS LAST) — filtered upstream here.",
+    tags=("relational", "window", "bench"),
+)
+def event_value_global_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.operators.ranking import global_ntile
+
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    d = global_ntile(ev, ["value", "event_id"], 10, out_col="decile")
+    return d.groupBy("decile").agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+@register(
     "distinct_parts_per_flag",
     oracle="""
     SELECT l_returnflag,
