@@ -147,3 +147,57 @@ def test_salted_join_spreads_rows(spark):
     assert salts == 16
     joined = salted_join(hot, dim, ["k"], salt=16)
     assert joined.count() == 4000
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from weather_data_data_pipeline_spark.sources.layout import zorder_key
+
+    # x,y span 0..3 with bits=2 → quantization is the identity, so the
+    # key must be the textbook Morton interleave x0y0x1y1...
+    rows = [(x, y) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.withColumn(
+            "z", zorder_key(df, ["x", "y"], bits_per_col=2)
+        ).collect()
+    }
+
+    def morton(x, y):
+        z = 0
+        for b in range(2):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    assert got == {(x, y): morton(x, y) for x, y in rows}
+
+
+def test_zorder_layout_clusters_both_dimensions(spark):
+    from weather_data_data_pipeline_spark.sources.layout import zorder_layout
+
+    # 64×64 uniform grid → 16 partitions. Z-order must give BOTH dims a
+    # narrow per-partition span; a linear sort on x gives y full span.
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x int, y int").repartition(8)
+
+    def mean_spans(clustered):
+        spans = (
+            clustered.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(
+                (F.max("x") - F.min("x")).alias("sx"),
+                (F.max("y") - F.min("y")).alias("sy"),
+            )
+            .collect()
+        )
+        n = len(spans)
+        return sum(r["sx"] for r in spans) / n, sum(r["sy"] for r in spans) / n
+
+    zx, zy = mean_spans(zorder_layout(df, ["x", "y"], 16))
+    lx, ly = mean_spans(
+        df.repartitionByRange(16, "x").sortWithinPartitions("x")
+    )
+    # linear layout: x clusters tightly but y spans the whole domain
+    assert lx < 8 and ly > 55
+    # z-order: both dims well under half the domain span
+    assert zx < 32 and zy < 32

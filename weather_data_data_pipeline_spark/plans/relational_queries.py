@@ -446,6 +446,79 @@ def set_ops_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bag_set_ops_nationkeys",
+    oracle="""
+    SELECT 'customer_minus_supplier' AS side, nationkey FROM (
+      SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+      EXCEPT ALL
+      SELECT CAST(s_nationkey AS INTEGER) FROM supplier
+    )
+    UNION ALL
+    SELECT 'both' AS side, nationkey FROM (
+      SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+      INTERSECT ALL
+      SELECT CAST(s_nationkey AS INTEGER) FROM supplier
+    )
+    """,
+    doc="Bag-semantics set operations (EXCEPT ALL / INTERSECT ALL): "
+    "multiplicity-aware difference and intersection. Catalyst rewrites "
+    "both to a per-key count aggregate + generate (replicate min/diff "
+    "counts) — no raw-row sort, shuffles only per-key counts.",
+    tags=("relational", "setop"),
+)
+def bag_set_ops_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nationkey")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nationkey")
+    )
+    only = c.exceptAll(s)
+    both = c.intersectAll(s)
+    return (
+        only.withColumn("side", F.lit("customer_minus_supplier"))
+        .unionByName(both.withColumn("side", F.lit("both")))
+        .select("side", "nationkey")
+    )
+
+
+@register(
+    "lineitem_metrics_unpivot",
+    oracle="""
+    WITH a AS (
+      SELECT l_returnflag,
+             CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS qty,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+                  AS DOUBLE) AS price,
+             CAST(count(*) AS DOUBLE) AS n_rows
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'qty' AS metric, qty AS value FROM a
+    UNION ALL
+    SELECT l_returnflag, 'price' AS metric, price AS value FROM a
+    UNION ALL
+    SELECT l_returnflag, 'n_rows' AS metric, n_rows AS value FROM a
+    """,
+    doc="Unpivot (melt): wide per-flag metric columns to long "
+    "(flag, metric, value) rows via DataFrame.unpivot — an Expand node, "
+    "one pass, no join; the inverse of the pivot query. Oracle is the "
+    "portable UNION ALL formulation.",
+    tags=("relational", "reshape"),
+)
+def lineitem_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("qty"),
+        dsum("l_extendedprice").alias("price"),
+        F.count("*").cast("double").alias("n_rows"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["qty", "price", "n_rows"], "metric", "value"
+    )
+
+
+@register(
     "order_priority_count",
     oracle="""
     SELECT o_orderpriority, count(*) AS n_orders

@@ -87,6 +87,66 @@ def salted_join(
     ).drop("_salt")
 
 
+def zorder_key(
+    df: DataFrame, cols: Sequence[str], bits_per_col: int | None = None
+) -> "F.Column":
+    """Z-order (Morton) key over numeric/timestamp columns: quantize each
+    to ``bits_per_col`` bits against its observed min/max, then
+    bit-interleave. Rows close in the z-value are close in EVERY listed
+    dimension, so range-partitioning on it clusters multi-dimensionally.
+
+    The min/max pass is one tiny agg job (2×len(cols) scalars to the
+    driver, broadcast back as literals); the interleave is a fixed tree
+    of shift/and/or expressions — whole-stage-codegen'd, no UDF.
+    """
+    n = len(cols)
+    if bits_per_col is None:
+        bits_per_col = min(16, 62 // n)
+    if n * bits_per_col > 62:
+        raise ValueError("interleaved key must fit a signed 64-bit long")
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+    top = (1 << bits_per_col) - 1
+    quantized = []
+    for i, c in enumerate(cols):
+        mn, mx = stats[f"mn_{i}"], stats[f"mx_{i}"]
+        span = (mx - mn) or 1.0
+        q = F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * top)
+        quantized.append(
+            F.greatest(F.lit(0), F.least(F.lit(top), q)).cast("long")
+        )
+    key = F.lit(0).cast("long")
+    for bit in range(bits_per_col):
+        for i, q in enumerate(quantized):
+            key = key.bitwiseOR(
+                F.shiftleft(F.shiftright(q, bit).bitwiseAND(F.lit(1)), bit * n + i)
+            )
+    return key
+
+
+def zorder_layout(
+    df: DataFrame, cols: Sequence[str], num_partitions: int
+) -> DataFrame:
+    """Cluster rows by z-order for multi-dimensional data skipping.
+
+    A single-column sort gives parquet min/max pruning on ONE predicate
+    dimension and none on the others; range-partitioning on the Morton
+    key gives every listed dimension a narrow min/max band per file, so
+    scans with a selective predicate on ANY of them skip most row
+    groups. This is the write-side layout step (Delta's OPTIMIZE ZORDER
+    equivalent) for fact tables queried along several axes — e.g.
+    events by (ts, user_id) or weather by (date, city-geo).
+    """
+    keyed = df.withColumn("_z", zorder_key(df, cols))
+    return (
+        keyed.repartitionByRange(int(num_partitions), "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+
+
 def executed_plan(df: DataFrame) -> str:
     """Final (post-AQE) physical plan as text — used by tests to assert
     shuffle-free bucketed joins and partition pruning."""
