@@ -118,3 +118,39 @@ def test_jaccard_pairs_bounds_and_orientation(spark, texts):
         if len(t.split()) >= 3 and set(t.split()) != {""}:
             a, b = i, len(texts) + i
             assert (a, b) in dup_pairs
+
+
+@settings(deadline=None, max_examples=15, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 5),  # key
+            st.floats(-100, 100, allow_nan=False, width=16),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    n_batches=st.integers(1, 4),
+)
+def test_avg_state_merge_equals_full_recompute(spark, rows, n_batches):
+    """Folding per-batch states (any batch split) == one full aggregate:
+    the exact-decimal state makes ⊕ associative and order-insensitive."""
+    from weather_data_data_pipeline_spark.operators.state import (
+        avg_state,
+        finalize_avg,
+        merge_avg_states,
+    )
+
+    df = spark.createDataFrame(
+        [(i, k, round(v, 2)) for i, (k, v) in enumerate(rows)],
+        "id long, k int, v double",
+    )
+    batches = [
+        df.where(F.pmod("id", F.lit(n_batches)) == b) for b in range(n_batches)
+    ]
+    states = [avg_state(b, ["k"], "v") for b in batches]
+    merged = finalize_avg(merge_avg_states(states, ["k"]), ["k"])
+    full = finalize_avg(avg_state(df, ["k"], "v"), ["k"])
+    got = {r["k"]: r["average_value"] for r in merged.collect()}
+    want = {r["k"]: r["average_value"] for r in full.collect()}
+    assert got == want

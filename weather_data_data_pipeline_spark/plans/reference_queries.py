@@ -47,6 +47,47 @@ def weekly_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weekly_avg_incremental_merge",
+    oracle="""
+    SELECT event_type,
+           CAST(weekofyear(ts) AS INTEGER) AS week,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(value), 2) AS average_value
+    FROM events
+    GROUP BY event_type, week
+    """,
+    doc="Incremental-view-maintenance twin of weekly_avg_value: the "
+    "input is split into 'history' and 'new batch' (event_id parity), "
+    "each reduced to a mergeable (decimal sum, count) state "
+    "(operators/state.py), states merged, then finalized. Exact "
+    "decimal state makes the merge associative, so hourly batches fold "
+    "into the report reading O(groups) state instead of re-scanning "
+    "all history — the scale-correct form of the reference's "
+    "recompute-everything hourly pipeline (inc_load:102-129). Oracle "
+    "is the full single-pass recompute: both must hash-match exactly.",
+    tags=("reference", "aggregate", "incremental"),
+)
+def weekly_avg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.operators.state import (
+        avg_state,
+        finalize_avg,
+        merge_avg_states,
+    )
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "week", F.weekofyear("ts").cast("int")
+    )
+    keys = ["event_type", "week"]
+    history = ev.where(F.pmod("event_id", F.lit(2)) == 0)
+    batch = ev.where(F.pmod("event_id", F.lit(2)) == 1)
+    merged = merge_avg_states(
+        [avg_state(history, keys, "value"), avg_state(batch, keys, "value")],
+        keys,
+    )
+    return finalize_avg(merged, keys)
+
+
+@register(
     "avg_value_in_range",
     oracle="""
     SELECT event_type,
