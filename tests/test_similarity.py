@@ -59,3 +59,22 @@ def test_ivf_full_probe_equals_exact(spark):
     exact = _pairs(brute_force_topk(emb, q, k=5))
     full = _pairs(ivf_topk(emb, q, k=5, n_centroids=8, n_probe=8))
     assert full == exact
+
+
+def test_gemm_topk_equals_jvm_topk(spark):
+    """The BLAS formulation must reproduce the pure-JVM one exactly:
+    same neighbors, same ranks, same rounded scores — including on
+    multi-partition input where per-batch top-k pruning is active."""
+    from weather_data_data_pipeline_spark.functions.similarity import (
+        brute_force_topk_gemm,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings").repartition(7)
+    q = emb.where(F.col("vec_id") < 10)
+    key = lambda df: {  # noqa: E731
+        (r["query_id"], r["rn"]): (r["neighbor_id"], r["cosine"])
+        for r in df.collect()
+    }
+    assert key(brute_force_topk_gemm(emb, q, k=10)) == key(
+        brute_force_topk(emb, q, k=10)
+    )

@@ -6,11 +6,11 @@ Scale design (100 TB corpus of documents):
 - jaccard:  exact pairwise similarity via an inverted shingle index
             (explode→self-join→count); quadratic in the worst case, so it
             is the *verifier*, not the candidate generator, at scale.
-- minhash:  64-permutation signatures computed as 64 JVM-side min-aggs
-            over xxhash64(seed, shingle) — no Python, no UDF; banded LSH
-            turns all-pairs into per-bucket micro-joins. This is the
-            scalable candidate generator; candidates are then verified
-            with exact Jaccard on the (tiny) candidate set.
+- minhash:  64-permutation signatures (two interchangeable physical
+            forms, see minhash_signatures / minhash_signatures_vectorized);
+            banded LSH turns all-pairs into per-bucket micro-joins. This
+            is the scalable candidate generator; candidates are then
+            verified with exact Jaccard on the (tiny) candidate set.
 - simhash:  64-bit signature via bit-vote aggregation, Hamming-banded
             join for near-dup candidates.
 """
@@ -172,6 +172,67 @@ def minhash_signatures(
     )
 
 
+def _splitmix64(x):
+    """SplitMix64 finalizer over a uint64 ndarray — the vectorized
+    permutation family for MinHash (input is already an xxhash64 value,
+    so one round of multiply-xor-shift mixing per seed suffices)."""
+    import numpy as np
+
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def minhash_signatures_vectorized(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = DEFAULT_NUM_PERM,
+) -> DataFrame:
+    """MinHash signatures via collect_list + one Arrow-vectorized pandas
+    UDF: sig[i] = min over shingles of splitmix64(h ^ seed_i), all
+    permutations of a document computed as one (shingles × num_perm)
+    numpy broadcast.
+
+    Tradeoff vs the JVM form (:func:`minhash_signatures`), measured at
+    sf0.1 warm: 0.5s vs 0.9s — the 64 per-shingle hash evaluations move
+    from codegen'd-but-scalar JVM calls into SIMD numpy. The cost is
+    shuffle width: collect_list carries every shingle hash (~O(tokens)
+    longs/doc) where the min-agg form shuffles a fixed 64 longs/doc
+    after map-side partial aggregation. CPU-bound deployments (this
+    box) want this form; shuffle-bound clusters want the JVM form —
+    both produce valid signatures and share the banding/verify stages.
+
+    ANSI note: the multiply-wrap permutation family is expressible in
+    JVM expressions only with overflow-wrapping arithmetic, which ANSI
+    mode (Spark 4 default) forbids — another reason this family lives
+    in numpy (uint64 wraps by definition).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    seeds = _splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64))
+
+    def _sig(hs):
+        out = []
+        for arr in hs:
+            u = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            m = _splitmix64(u[:, None] ^ seeds[None, :])
+            out.append(m.min(axis=0).view(np.int64))
+        return pd.Series(out)
+
+    # registered without type hints: `from __future__ import annotations`
+    # stringifies them, which defeats pandas_udf's hint inference
+    sig_udf = pandas_udf(_sig, "array<long>")
+
+    sh = hashed_shingles(df, id_col, text_col, n)
+    lists = sh.groupBy(id_col).agg(F.collect_list("h").alias("hs"))
+    return lists.select(id_col, sig_udf("hs").alias("signature"))
+
+
 def minhash_lsh_candidates(
     sigs: DataFrame,
     id_col: str,
@@ -231,9 +292,9 @@ def minhash_dedup_pairs(
     # explode+64-min-agg lineage per side (measured: candidates 0.71s →
     # 0.18s at sf0.1). At 100 TB the signature table is exactly what a
     # real pipeline persists between runs.
-    sigs = minhash_signatures(df, id_col, text_col, n, num_perm).localCheckpoint(
-        eager=True
-    )
+    sigs = minhash_signatures_vectorized(
+        df, id_col, text_col, n, num_perm
+    ).localCheckpoint(eager=True)
     cand = minhash_lsh_candidates(sigs, id_col, bands, num_perm).localCheckpoint(
         eager=True
     )

@@ -31,7 +31,7 @@ from weather_data_data_pipeline_spark.multimodal.binary import (
     sample_frames,
 )
 from weather_data_data_pipeline_spark.functions.similarity import (
-    brute_force_topk,
+    brute_force_topk_gemm,
     cosine_near_dup_pairs,
     ivf_topk,
     lsh_near_dup_pairs,
@@ -353,14 +353,17 @@ def doc_fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(rn AS INTEGER) AS rn
     FROM ranked WHERE rn <= 10
     """,
-    doc="Brute-force cosine top-k ANN baseline: broadcast the query set, "
-    "score with JVM higher-order functions in double precision, window-"
-    "rank per query. Corpus is scanned once and never shuffled in full.",
+    doc="Brute-force cosine top-k ANN baseline, BLAS formulation: the "
+    "(small) query set ships as a normalized float64 matrix, the corpus "
+    "streams through mapInPandas with one GEMM per Arrow batch, and only "
+    "per-batch top-k candidates reach the final window rank. Corpus is "
+    "scanned once and never shuffled in full. Unit-tested equal to the "
+    "pure-JVM higher-order-function formulation (brute_force_topk).",
     tags=("llm", "similarity", "bench"),
 )
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    return brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=10)
+    return brute_force_topk_gemm(emb, emb.where(F.col("vec_id") < 10), k=10)
 
 
 @register(

@@ -182,6 +182,36 @@ def daily_distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_15min_rollup",
+    oracle="""
+    SELECT to_timestamp(CAST(floor(epoch(ts) / 900) AS BIGINT) * 900)
+             AT TIME ZONE 'UTC' AS bucket_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS sum_value
+    FROM events
+    GROUP BY bucket_start, event_type
+    """,
+    doc="Arbitrary-interval time bucketing (15-min continuous-aggregate "
+    "rollup, the hypertable primitive): bucket = floor(epoch/900)*900, "
+    "pure JVM arithmetic — works for ANY interval, unlike date_trunc's "
+    "fixed units. One partial+final hash aggregate; at scale this is "
+    "the materialized rollup that time-partition pruning serves "
+    "dashboards from. Sub-day twin of the daily/weekly rollups.",
+    tags=("timeseries", "aggregate"),
+)
+def events_15min_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bucket = F.timestamp_seconds(
+        (F.col("ts").cast("long") / 900).cast("long") * 900
+    )
+    return ev.groupBy(
+        bucket.alias("bucket_start"), "event_type"
+    ).agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+
+
+@register(
     "latest_event_per_user",
     oracle="""
     SELECT user_id, ts AS last_ts, event_id AS last_event_id,
