@@ -416,6 +416,83 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "term_cooccurrence_lift",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, t.tok AS tok
+      FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    vocab AS (
+      SELECT tok, count(*) AS n_docs FROM toks GROUP BY tok
+      ORDER BY n_docs DESC, tok LIMIT 40
+    ),
+    rt AS (
+      SELECT toks.doc_id, toks.tok, vocab.n_docs
+      FROM toks JOIN vocab USING (tok)
+    ),
+    total AS (SELECT count(*) AS n_total FROM documents),
+    co AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b,
+             a.n_docs AS n_a, b.n_docs AS n_b, count(*) AS n_ab
+      FROM rt a JOIN rt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT tok_a, tok_b, n_ab,
+           (CAST(n_ab AS DOUBLE) * CAST(n_total AS DOUBLE))
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS lift
+    FROM co, total WHERE n_ab >= 10
+    """,
+    doc="Term co-occurrence lift over the corpus vocabulary: "
+    "P(a,b)/(P(a)P(b)) at document granularity. The per-doc token "
+    "self-join is restricted to the top-40 vocabulary FIRST (broadcast "
+    "join) so the quadratic blow-up is bounded by vocab hits per doc, "
+    "not doc length — the same candidate-restriction discipline as the "
+    "dedup verify stage. Lift is a pure quotient of exact integer "
+    "counts evaluated with one double divide (bit-identical across "
+    "engines, no rounding needed). Deterministic vocab cut: "
+    "(n_docs DESC, tok ASC) limit 40.",
+    tags=("llm", "text"),
+)
+def term_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    ).where(F.col("tok") != "")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("tok"))
+        .limit(40)
+    )
+    rt = toks.join(F.broadcast(vocab), "tok")
+    a = rt.select(
+        "doc_id", F.col("tok").alias("tok_a"), F.col("n_docs").alias("n_a")
+    )
+    b = rt.select(
+        "doc_id", F.col("tok").alias("tok_b"), F.col("n_docs").alias("n_b")
+    )
+    co = (
+        a.join(b, "doc_id")
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= 10)
+    )
+    total = docs.agg(F.count("*").alias("n_total"))
+    return co.crossJoin(F.broadcast(total)).select(
+        "tok_a",
+        "tok_b",
+        "n_ab",
+        (
+            (F.col("n_ab").cast("double") * F.col("n_total").cast("double"))
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        ).alias("lift"),
+    )
+
+
+@register(
     "vocab_top_terms",
     oracle="""
     WITH toks AS (
