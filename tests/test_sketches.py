@@ -74,3 +74,36 @@ def test_constraint_report_counts_planted_defects(spark):
     assert r["nulls_price"] == 1
     assert r["bad_price_positive"] == 1  # -5.0 (NULL doesn't match <= 0)
     assert r["rows_in_duplicate_keys"] == 2  # the two (1,1) rows
+
+
+def test_heavy_hitters_guarantee_and_bound(spark):
+    """MG contract: every item with true count > N/capacity is present,
+    and reported counts are underestimates by ≤ N/capacity — across a
+    multi-partition input where per-partition summaries merge."""
+    from weather_data_data_pipeline_spark.operators.sketches import heavy_hitters
+
+    # skewed synthetic: item k appears 2^(12-k) times, k=0..11, plus a
+    # long tail of singletons to force MG compression at capacity 16
+    rows = []
+    for k in range(12):
+        rows += [f"hot_{k}"] * (1 << (12 - k))
+    rows += [f"tail_{i}" for i in range(3000)]
+    df = spark.createDataFrame(
+        [(x,) for x in rows], "item string"
+    ).repartition(6)
+    n = len(rows)
+    cap = 16
+    got = {
+        r["item"]: r["min_count"]
+        for r in heavy_hitters(df, "item", capacity=cap).collect()
+    }
+    exact = {}
+    for x in rows:
+        exact[x] = exact.get(x, 0) + 1
+    bound = n / cap
+    for item, c in exact.items():
+        if c > bound:
+            assert item in got, f"guaranteed heavy hitter missing: {item}"
+    for item, mc in got.items():
+        assert mc <= exact[item], f"overcount for {item}"
+        assert exact[item] - mc <= bound, f"undercount beyond bound for {item}"

@@ -171,3 +171,34 @@ def test_idempotent_stream_append(spark, tmp_path):
     run_once(str(tmp_path / "ckpt1"))
     n3 = spark.read.parquet(dest).count()
     assert n3 == 100, "checkpoint resume reprocessed committed offsets"
+
+
+def test_stream_static_enrich_matches_batch_join(spark):
+    """Stream⋈static dim must equal the batch broadcast join, keep all
+    stream rows (left join), and plan with zero streaming join state."""
+    stream = S.read_events_stream(spark, SF_DIR)
+    # static dim: per-user segment derived from a batch read
+    dim = (
+        load(spark, SF_DIR, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("segment", (F.col("user_id") % 3).cast("int"))
+    )
+    enriched = S.stream_static_enrich(
+        stream.select("event_id", "user_id"), dim, ["user_id"]
+    )
+    name = "stream_static_result"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = _rows(spark.sql(f"SELECT * FROM {name}"))
+    want = _rows(
+        load(spark, SF_DIR, "events")
+        .select("event_id", "user_id")
+        .join(dim, "user_id", "left")
+    )
+    assert got == want and len(got) == 1000

@@ -67,3 +67,54 @@ def value_distribution(
         ],
         "n_rows",
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    capacity: int = 256,
+) -> DataFrame:
+    """Misra-Gries heavy hitters: every item with true frequency
+    > N/capacity is guaranteed present; reported counts are
+    underestimates by at most N/capacity (the classic MG bound, which
+    survives the merge because a sum of per-partition underestimates is
+    an underestimate with the summed bound).
+
+    Completes the mergeable-sketch trio (HLL cardinality, KLL
+    quantiles, MG frequency): one pass, O(capacity) state per
+    partition, shuffle of ≤ capacity rows per partition — never a
+    per-distinct-key shuffle like the exact top-k count. Per-partition
+    summaries are built batch-wise (pandas value_counts folds each
+    Arrow batch into the summary — vectorized per distinct item, not
+    per row), then merged with one tiny groupBy-sum.
+
+    Output: (item, min_count) for the merged summary's top items,
+    ``min_count`` being the guaranteed lower bound.
+    """
+
+    def summarize(batches):
+        import pandas as pd
+
+        counts: dict = {}
+        for b in batches:
+            for item, c in b["item"].value_counts().items():
+                counts[item] = counts.get(item, 0) + int(c)
+            # Misra-Gries compression: keep ≤ capacity counters by
+            # subtracting the (capacity+1)-th largest count from all.
+            if len(counts) > capacity:
+                cut = sorted(counts.values(), reverse=True)[capacity]
+                counts = {
+                    k: v - cut for k, v in counts.items() if v - cut > 0
+                }
+        yield pd.DataFrame(
+            {"item": list(counts), "min_count": list(counts.values())}
+        )
+
+    summaries = df.select(F.col(item_col).alias("item")).mapInPandas(
+        summarize, "item string, min_count long"
+    )
+    return (
+        summaries.groupBy("item")
+        .agg(F.sum("min_count").alias("min_count"))
+        .orderBy(F.desc("min_count"), F.asc("item"))
+    )

@@ -416,6 +416,29 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "frequent_tokens_mg",
+    oracle=None,  # MG counts are guaranteed underestimates, not exact;
+    # guarantee + error bound regression-tested in tests/test_sketches.py
+    doc="Misra-Gries heavy hitters over corpus tokens (capacity 32): "
+    "every token with frequency > N/32 is guaranteed surfaced, counts "
+    "underestimate by ≤ N/32. O(capacity) state per partition and a "
+    "≤ capacity-rows-per-partition shuffle — the frequency member of "
+    "the mergeable-sketch trio (HLL cardinality, KLL quantiles, MG "
+    "frequency) and the only top-k-by-count shape that avoids a "
+    "per-distinct-key shuffle at 100 TB. Exact twin: vocab_top_terms.",
+    tags=("llm", "text", "sketch", "rows-only"),
+)
+def frequent_tokens_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.operators.sketches import heavy_hitters
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    return heavy_hitters(toks, "tok", capacity=32)
+
+
+@register(
     "term_cooccurrence_lift",
     oracle="""
     WITH toks AS (

@@ -166,6 +166,25 @@ def stream_stream_join(
     )
 
 
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: attach (slowly-changing) dimension
+    attributes to a stream — the streaming twin of a broadcast dim join.
+
+    The static side is re-evaluated per micro-batch (so an updated
+    dimension table is picked up on the next trigger, no restart), needs
+    no watermark, and keeps NO join state: only the stream side is
+    unbounded. At scale the dim side should be broadcastable or
+    bucketed; Catalyst plans the same broadcast-hash join it would for
+    the batch query.
+    """
+    return stream.join(F.broadcast(dim), on=keys, how=how)
+
+
 def running_user_totals(stream: DataFrame) -> DataFrame:
     """Custom stateful operator: per-user running event count and value
     sum maintained ACROSS micro-batches with ``applyInPandasWithState``.
