@@ -201,3 +201,19 @@ def test_zorder_layout_clusters_both_dimensions(spark):
     assert lx < 8 and ly > 55
     # z-order: both dims well under half the domain span
     assert zx < 32 and zy < 32
+
+
+def test_compact_files_binpacks_and_preserves_data(spark, tmp_path):
+    from weather_data_data_pipeline_spark.sources.layout import compact_files
+
+    path = str(tmp_path / "frag")
+    ev = load(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    ev.repartition(64).write.parquet(path)  # 64 tiny files
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    n_small = len(list((tmp_path / "frag").glob("*.parquet")))
+    assert n_small >= 32
+
+    n_after = compact_files(spark, path, target_file_bytes=1 << 30)
+    assert n_after == 1
+    after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert after == before

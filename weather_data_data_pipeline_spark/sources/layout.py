@@ -87,6 +87,49 @@ def salted_join(
     ).drop("_salt")
 
 
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 256 << 20,
+    sort_cols: Sequence[str] | None = None,
+) -> int:
+    """Bin-pack a parquet directory's small files into ~target-sized
+    ones (the OPTIMIZE/compaction maintenance op). Streaming sinks and
+    fine-grained incremental appends accumulate files far below the
+    scan-efficient size; at 100 TB the resulting open/seek/footer
+    overhead and scheduler pressure (one task per tiny split) dominate
+    scan cost. Rewrites via coalesce (no shuffle) sized by current
+    bytes-on-disk; optionally re-sorts within partitions to restore a
+    clustering order (pair with :func:`zorder_layout`'s key for
+    multi-dim locality). Returns the new file count.
+
+    Write is to a temp dir then atomic-ish swap — readers racing the
+    swap see old or new layout, never a mix; on a real deployment this
+    is the transactional-commit step a table format (Delta/Iceberg)
+    provides natively.
+    """
+    import math
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    p = Path(path)
+    total = sum(f.stat().st_size for f in p.rglob("*.parquet"))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    out = df.coalesce(n_files)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    tmp = tempfile.mkdtemp(dir=p.parent, prefix=f".{p.name}_compact_")
+    out.write.mode("overwrite").parquet(tmp)
+    old = tempfile.mkdtemp(dir=p.parent, prefix=f".{p.name}_old_")
+    shutil.rmtree(old)
+    p.rename(old)
+    Path(tmp).rename(p)
+    shutil.rmtree(old)
+    return len(list(p.glob("*.parquet")))
+
+
 def zorder_key(
     df: DataFrame, cols: Sequence[str], bits_per_col: int | None = None
 ) -> "F.Column":
