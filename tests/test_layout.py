@@ -217,3 +217,18 @@ def test_compact_files_binpacks_and_preserves_data(spark, tmp_path):
     assert n_after == 1
     after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
     assert after == before
+
+
+def test_analyze_tables_collects_cbo_stats(spark, warehouse):
+    from weather_data_data_pipeline_spark.sources.catalog import (
+        analyze_tables,
+        table_stats,
+    )
+
+    orders = load(spark, SF_DIR, "orders")
+    spark.sql("DROP TABLE IF EXISTS layout_test.orders_stats")
+    orders.write.saveAsTable("layout_test.orders_stats")
+    analyze_tables(spark, ["layout_test.orders_stats"])
+    stats = table_stats(spark, "layout_test.orders_stats")
+    assert stats.get("rowCount") == orders.count()
+    assert stats.get("sizeInBytes", 0) > 0

@@ -55,6 +55,12 @@ def get_spark(
         ),
         # Arrow for every pandas/Pandas-UDF boundary crossing.
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Cost-based optimization: consume ANALYZE TABLE stats
+        # (sources/catalog.py:analyze_tables) for join reordering and
+        # build-side selection at plan time; complements AQE's runtime
+        # re-planning.
+        "spark.sql.cbo.enabled": "true",
+        "spark.sql.cbo.joinReorder.enabled": "true",
         # Deterministic, deployment-independent timestamp semantics.
         "spark.sql.session.timeZone": "UTC",
         # The driver-generated events table stores TIMESTAMP(NANOS) which

@@ -63,3 +63,39 @@ def drop_weather_tables(spark: SparkSession, db: str = "weather_db") -> None:
         "weather_avg_humidity_report_data",
     ):
         spark.sql(f"DROP TABLE IF EXISTS {db}.{t}")
+
+
+def analyze_tables(
+    spark: SparkSession, tables: list[str], columns: bool = True
+) -> None:
+    """Collect CBO statistics (row counts, sizes, per-column NDV/min/max)
+    for catalog tables: ``ANALYZE TABLE ... COMPUTE STATISTICS [FOR ALL
+    COLUMNS]``.
+
+    With ``spark.sql.cbo.enabled`` (set by session.get_spark), these
+    stats drive join reordering and build-side selection at plan time —
+    the compile-time complement to AQE's runtime re-planning. At 100 TB
+    stats are what keep an 8-table join from picking a pathological
+    order before the first byte is read; refresh them after bulk loads
+    or compaction.
+    """
+    for t in tables:
+        spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS")
+        if columns:
+            spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR ALL COLUMNS")
+
+
+def table_stats(spark: SparkSession, table: str) -> dict:
+    """Collected statistics for a table as a dict (rowCount/sizeInBytes
+    when analyzed) — test/inspection hook for the CBO path."""
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    info = {r["col_name"]: r["data_type"] for r in rows}
+    out = {}
+    stats = info.get("Statistics", "")
+    for part in stats.split(","):
+        part = part.strip()
+        if part.endswith("bytes"):
+            out["sizeInBytes"] = int(part.split()[0])
+        elif part.endswith("rows"):
+            out["rowCount"] = int(part.split()[0])
+    return out
