@@ -97,10 +97,21 @@ def session_window_counts(
 def dedup_stream(
     stream: DataFrame, keys: Sequence[str], watermark: str = "1 hour", ts_col: str = "ts"
 ) -> DataFrame:
-    """In-stream exact dedup: dropDuplicates on the composite key, state
-    bounded by the watermark — the streaming analogue of the reference's
-    anti-join for duplicates arriving within the horizon."""
-    return stream.withWatermark(ts_col, watermark).dropDuplicates(list(keys))
+    """In-stream exact dedup on the composite key — the streaming
+    analogue of the reference's anti-join for duplicates arriving
+    within the horizon.
+
+    State-bounding subtlety: plain ``dropDuplicates`` only evicts state
+    when the event-time column is PART OF the dedup key; deduping on a
+    key without it keeps every key seen forever — unbounded state, the
+    silent 100 TB killer. For key-only dedup Spark's
+    ``dropDuplicatesWithinWatermark`` evicts each key once the
+    watermark passes its first sighting + delay, which is the intended
+    "same key re-sent within the horizon" semantics."""
+    s = stream.withWatermark(ts_col, watermark)
+    if ts_col in keys:
+        return s.dropDuplicates(list(keys))
+    return s.dropDuplicatesWithinWatermark(list(keys))
 
 
 def idempotent_stream_append(
