@@ -78,3 +78,42 @@ def test_gemm_topk_equals_jvm_topk(spark):
     assert key(brute_force_topk_gemm(emb, q, k=10)) == key(
         brute_force_topk(emb, q, k=10)
     )
+
+
+def test_int8_quantization_roundtrip_and_recall(spark):
+    """int8 quantization contract: per-component error ≤ absmax/254, and
+    cosine top-k on reconstructed vectors keeps ≥90% of the exact
+    neighbors (the storage transform must not break retrieval)."""
+    from weather_data_data_pipeline_spark.functions.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    q8 = quantize_embeddings(emb)
+    rec = dequantize_embeddings(
+        q8.drop("embedding"), out_col="embedding"
+    ).select("vec_id", "embedding", "label")
+
+    # per-component reconstruction error bound
+    err = (
+        q8.select(
+            "q_scale",
+            F.expr(
+                "aggregate(zip_with(embedding, "
+                "transform(q_vec, (q, i) -> CAST(q AS DOUBLE) * q_scale / 127), "
+                "(x, xr) -> abs(CAST(x AS DOUBLE) - xr)), CAST(0.0 AS DOUBLE), "
+                "(acc, e) -> greatest(acc, e))"
+            ).alias("max_err"),
+        )
+        .where(F.col("max_err") > F.col("q_scale") / 254 + 1e-9)
+        .count()
+    )
+    assert err == 0
+
+    q = emb.where(F.col("vec_id") < 10)
+    exact = _pairs(brute_force_topk(emb, q, k=10))
+    rq = rec.where(F.col("vec_id") < 10)
+    approx = _pairs(brute_force_topk(rec, rq, k=10))
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"int8 retrieval recall collapsed: {recall}"
