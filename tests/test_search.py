@@ -1,0 +1,100 @@
+"""Units for BM25 ranking, n-gram contamination, and PII redaction."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from weather_data_data_pipeline_spark.functions.search import (
+    bm25_scores,
+    bm25_topk,
+    ngram_contamination,
+)
+from weather_data_data_pipeline_spark.functions.text import (
+    PII_PATTERNS,
+    match_count,
+    redact,
+)
+
+
+def _bm25_ref(tf, df, n_docs, dl, avgdl, k1=1.2, b=0.75):
+    idf = math.log(1 + (n_docs - df + 0.5) / (df + 0.5))
+    return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+
+def test_bm25_matches_hand_formula(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark join"),
+            (2, "join sort merge"),
+            (3, "scan filter agg window"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.score
+        for r in bm25_scores(docs, "doc_id", "text", ["spark", "join"]).collect()
+    }
+    avgdl = (3 + 3 + 4) / 3
+    exp1 = _bm25_ref(2, 1, 3, 3, avgdl) + _bm25_ref(1, 2, 3, 3, avgdl)
+    exp2 = _bm25_ref(1, 2, 3, 3, avgdl)
+    assert got.keys() == {1, 2}  # doc 3 matches nothing → omitted
+    assert abs(got[1] - exp1) < 1e-9
+    assert abs(got[2] - exp2) < 1e-9
+
+
+def test_bm25_topk_deterministic_order(spark):
+    docs = spark.createDataFrame(
+        [(i, "spark join") for i in range(10)], ["doc_id", "text"]
+    )
+    rows = bm25_topk(docs, "doc_id", "text", ["spark"], k=5).collect()
+    # identical scores → tie broken by ascending doc_id
+    assert [r.doc_id for r in rows] == [0, 1, 2, 3, 4]
+
+
+def test_contamination_fractions(spark):
+    train = spark.createDataFrame(
+        [(100, "a b c d e")], ["doc_id", "text"]
+    )
+    ev = spark.createDataFrame(
+        [
+            (1, "a b c x y"),   # grams: abc, bcx, cxy → 1/3 contaminated
+            (2, "a b c d e"),   # identical → 3/3
+            (3, "q r s t"),     # disjoint → 0/2
+            (4, "q r"),         # too short → 0 grams
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.n_ngrams, r.n_contaminated, r.contamination)
+        for r in ngram_contamination(train, ev, "doc_id", "text", n=3).collect()
+    }
+    assert got[1] == (3, 1, 0.3333)
+    assert got[2] == (3, 3, 1.0)
+    assert got[3] == (2, 0, 0.0)
+    assert got[4] == (0, 0, 0.0)
+
+
+def test_redact_and_match_count(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@corp.example.org today"),
+            (2, "ssn 123-45-6789 and pin 0042"),
+            (3, "clean text only"),
+        ],
+        ["id", "s"],
+    )
+    pats = [PII_PATTERNS["email"], PII_PATTERNS["ssn"], PII_PATTERNS["number"]]
+    rows = {
+        r.id: (r.red, r.n_num)
+        for r in df.select(
+            "id",
+            redact("s", pats, "[X]").alias("red"),
+            match_count("s", PII_PATTERNS["number"]).alias("n_num"),
+        ).collect()
+    }
+    assert rows[1] == ("mail me at [X] today", 0)
+    # SSN redacted as a unit (most-specific first), pin as a digit run
+    assert rows[2] == ("ssn [X] and pin [X]", 4)
+    assert rows[3] == ("clean text only", 0)

@@ -1,0 +1,152 @@
+"""Full-text relevance ranking and cross-corpus contamination detection.
+
+Capabilities the reference (a fixed-schema weather ETL,
+`/root/reference/src/weather_report_pipeline/`) never needed but a
+training-data pipeline does: score documents against a term query
+(BM25) and measure train/eval n-gram overlap (decontamination) — both
+expressed as pure DataFrame plans so Catalyst keeps the scan pruned and
+the aggregates partial+final.
+
+Scale design (100 TB corpus):
+
+- BM25: the per-(doc, term) term-frequency table is built by exploding
+  tokens and filtering to the query terms FIRST — the explode output is
+  pruned to |query| terms before any shuffle, so shuffle volume is
+  O(matching docs × query terms), not O(corpus tokens). Document
+  frequencies and corpus stats are tiny aggregates broadcast back into
+  the plan (1-row cross join + broadcast hash join) — no driver-side
+  collection.
+- Contamination: the train-side distinct n-gram set is the big
+  intermediate; it is carried as 8-byte xxhash64 longs, never strings,
+  and the eval side probes it with a left-semi/left-outer join keyed on
+  the hash. At 100 TB the train shingle table is exactly the bloom /
+  posting structure a decontamination pipeline persists between runs.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from weather_data_data_pipeline_spark.functions.dedup import (
+    hashed_shingles,
+    shingle_array,
+)
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document against a bag-of-terms query.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))  (Robertson/Sparck-Jones,
+    the Lucene formulation). Documents matching no term are omitted
+    (score 0).
+
+    Returns (id, score) with ``score`` unrounded — callers round/alias.
+    """
+    terms = [t for t in query_terms]
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).where(F.col("term").isin(terms))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # document frequency per query term: tf rows are unique per (doc, term)
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    dl = df.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), " ")).alias("dl")
+    )
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf")
+        + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), (idf * tf_norm).alias("term_score"))
+        .groupBy(id_col)
+        .agg(F.sum("term_score").alias("score"))
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k BM25 hits, deterministically ordered (rounded score desc,
+    id asc). orderBy+limit compiles to TakeOrderedAndProject: each
+    partition keeps its local top-k and only k rows reach the driver
+    side of the exchange — no global sort."""
+    scored = bm25_scores(df, id_col, text_col, query_terms, k1, b)
+    return (
+        scored.select(id_col, F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Per-eval-document n-gram contamination against a train corpus.
+
+    For each eval document: the fraction of its DISTINCT word n-grams
+    that occur anywhere in the train corpus — the standard
+    train/test-overlap decontamination check run before an eval set is
+    trusted. Output: (id, n_ngrams, n_contaminated, contamination),
+    one row per eval document (0.0 when nothing overlaps).
+
+    Join keys are xxhash64 longs (8 bytes) rather than n-gram strings;
+    a 64-bit collision shifts one count by 1 with probability ~2^-64.
+    """
+    train_grams = (
+        train.select(F.explode(shingle_array(text_col, n)).alias("g"))
+        .select(F.xxhash64("g").alias("h"))
+        .dropDuplicates()
+    )
+    ev_grams = hashed_shingles(eval_df, id_col, text_col, n)
+    hits = (
+        ev_grams.join(train_grams, "h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    totals = eval_df.select(
+        F.col(id_col), F.size(shingle_array(text_col, n)).alias("n_ngrams")
+    )
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_ngrams",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.round(
+                F.coalesce("n_contaminated", F.lit(0))
+                / F.greatest(F.col("n_ngrams"), F.lit(1)),
+                4,
+            ).alias("contamination"),
+        )
+    )

@@ -300,3 +300,36 @@ def deterministic_sample_portable(
         keep = F.when(*cond) if keep is None else keep.when(*cond)
     keep = keep.otherwise(F.lit(False)) if keep is not None else F.lit(False)
     return df.where(keep)
+
+
+# PII / pattern scrubbing. Patterns are Java-regex (Spark) that also
+# parse identically under RE2/PCRE — no lookbehind, no backreferences —
+# so the same literal works in DuckDB's regexp_replace(..., 'g').
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\d{3}-\d{2}-\d{4}",
+    "phone": r"\+?\d[\d()\- ]{7,}\d",
+    "number": r"\d+",
+}
+
+
+def redact(
+    col: Column | str,
+    patterns: list[str],
+    replacement: str = "[REDACTED]",
+) -> Column:
+    """Replace every match of every pattern with ``replacement`` —
+    chained codegen'd regexp_replace, order-sensitive (apply the most
+    specific pattern first: an SSN is also three number runs). Pure
+    column expression: no shuffle, scales with the scan."""
+    out = F.col(col) if isinstance(col, str) else col
+    for p in patterns:
+        out = F.regexp_replace(out, p, replacement)
+    return out
+
+
+def match_count(col: Column | str, pattern: str) -> Column:
+    """Number of non-overlapping matches of ``pattern`` — the audit
+    metric a scrubbing pipeline reports per row/partition."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))

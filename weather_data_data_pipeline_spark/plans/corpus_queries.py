@@ -1,0 +1,294 @@
+"""Corpus curation queries: relevance search, decontamination, repetition
+quality, PII scrubbing, and statistical profiling.
+
+North-star extensions (BASELINE.json: "operations a large-scale training
+data pipeline would need") beyond the reference's weather ETL surface —
+each registered with a DuckDB oracle so the driver hash-checks values.
+
+Oracle notes:
+- BM25 and the stats aggregates round to 4 dp: both engines fold IEEE
+  doubles with the same formulae; accumulation-order noise is ~1e-12 at
+  these scales.
+- All regexes are in the Java∩RE2 common subset (no lookaround, no
+  backrefs) so the identical literal runs in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_data_data_pipeline_spark.functions.search import (
+    bm25_topk,
+    ngram_contamination,
+)
+from weather_data_data_pipeline_spark.functions.text import (
+    PII_PATTERNS,
+    match_count,
+    redact,
+)
+from weather_data_data_pipeline_spark.registry import register
+from weather_data_data_pipeline_spark.sources.tables import load
+
+_BM25_TERMS = ["spark", "join", "stream"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "bm25_search_topk",
+    oracle=f"""
+    WITH dl AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    stats AS (
+        SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        WHERE term IN ('spark', 'join', 'stream')
+        GROUP BY doc_id, term
+    ),
+    dfreq AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    )
+    SELECT doc_id,
+           round(sum(ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                     * (tf.tf * ({_BM25_K1} + 1))
+                     / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                        + {_BM25_B} * dl.dl / stats.avgdl))), 4) AS score
+    FROM tf
+    JOIN dfreq USING (term)
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+    doc="BM25 top-20 documents for a bag-of-terms query (Lucene idf). "
+    "Explode is filtered to the query terms before any shuffle, so "
+    "shuffle volume is O(matching docs), not O(corpus tokens); corpus "
+    "stats and df() are broadcast 1-row/`|q|`-row joins; top-k is "
+    "TakeOrderedAndProject (per-partition heaps, no global sort).",
+    tags=("llm", "search"),
+)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, "doc_id", "text", _BM25_TERMS, k=20, k1=_BM25_K1, b=_BM25_B
+    )
+
+
+@register(
+    "corpus_contamination",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(range(1, len(t) - 1),
+                             i -> array_to_string(t[i:i+2], ' '))) AS g
+        FROM toks
+    ),
+    train AS (
+        SELECT DISTINCT unnest(g) AS gram FROM grams WHERE source <> 'src0'
+    ),
+    ev AS (
+        SELECT doc_id, unnest(g) AS gram FROM grams WHERE source = 'src0'
+    ),
+    tot AS (
+        SELECT doc_id, len(g) AS n_ngrams FROM grams WHERE source = 'src0'
+    ),
+    hits AS (
+        SELECT ev.doc_id, count(*) AS n_contaminated
+        FROM ev JOIN train USING (gram) GROUP BY ev.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.n_ngrams AS INTEGER) AS n_ngrams,
+           CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           round(CAST(coalesce(h.n_contaminated, 0) AS DOUBLE)
+                 / greatest(t.n_ngrams, 1), 4) AS contamination
+    FROM tot t LEFT JOIN hits h USING (doc_id)
+    """,
+    doc="Train/eval n-gram decontamination check: fraction of each eval "
+    "document's (source=src0) distinct 3-grams present anywhere in the "
+    "train split. Train grams travel as xxhash64 longs; the eval side "
+    "probes with a left-semi join — the layout that survives a 100 TB "
+    "train corpus.",
+    tags=("llm", "dedup", "quality"),
+)
+def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return ngram_contamination(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        "doc_id",
+        "text",
+        n=3,
+    )
+
+
+_SCRUB = [PII_PATTERNS["email"], PII_PATTERNS["ssn"], PII_PATTERNS["number"]]
+
+
+@register(
+    "pii_scrub_events",
+    oracle=r"""
+    SELECT event_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(props,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[X]', 'g'),
+               '\d{3}-\d{2}-\d{4}', '[X]', 'g'),
+             '\d+', '[X]', 'g') AS redacted,
+           CAST(len(regexp_extract_all(props, '\d+')) AS INTEGER)
+             AS n_redactions
+    FROM events
+    """,
+    doc="PII/pattern scrubbing with an audit count: chained "
+    "regexp_replace (email → SSN → digit runs, most-specific first) "
+    "over events.props plus the per-row match count a redaction "
+    "pipeline reports. Pure codegen'd column expressions — zero "
+    "shuffles, scales with the scan.",
+    tags=("llm", "quality"),
+)
+def pii_scrub_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        redact("props", _SCRUB, "[X]").alias("redacted"),
+        match_count("props", PII_PATTERNS["number"]).alias("n_redactions"),
+    )
+
+
+@register(
+    "doc_repetition_quality",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    b AS (
+        SELECT doc_id, len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS n_distinct,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> array_to_string(toks[i:i+1], ' '))) AS bigram
+        FROM t
+    ),
+    c AS (
+        SELECT doc_id, n_tokens, n_distinct, bigram, count(*) AS n
+        FROM b GROUP BY doc_id, n_tokens, n_distinct, bigram
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           round(1 - CAST(n_distinct AS DOUBLE) / n_tokens, 4)
+             AS dup_token_frac,
+           round(CAST(max(n) AS DOUBLE) / (n_tokens - 1), 4)
+             AS top_bigram_frac
+    FROM c
+    GROUP BY doc_id, n_tokens, n_distinct
+    """,
+    doc="Gopher-style repetition quality: duplicate-token fraction and "
+    "the fraction of bigram slots taken by the single most frequent "
+    "bigram. Distinct-token count is a codegen'd array expression; the "
+    "bigram mode is explode → two partial+final aggregates keyed by "
+    "doc_id — per-document work, embarrassingly parallel at any scale.",
+    tags=("llm", "quality"),
+)
+def doc_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.explode(bigrams).alias("bigram"),
+    )
+    counts = base.groupBy("doc_id", "n_tokens", "n_distinct", "bigram").agg(
+        F.count("*").alias("n")
+    )
+    return (
+        counts.groupBy("doc_id", "n_tokens", "n_distinct")
+        .agg(F.max("n").alias("top_n"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                1 - F.col("n_distinct") / F.col("n_tokens"), 4
+            ).alias("dup_token_frac"),
+            F.round(F.col("top_n") / (F.col("n_tokens") - 1), 4).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+
+
+@register(
+    "event_value_stats",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(avg(value), 4) AS avg_value,
+           round(stddev_samp(value), 4) AS stddev_value,
+           round(var_samp(value), 4) AS var_value,
+           round(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_value_user,
+           round(covar_samp(value, CAST(user_id AS DOUBLE)), 4)
+             AS covar_value_user
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Statistical profile per event type: sample stddev/variance and "
+    "the correlation/covariance aggregate family — one scan, "
+    "partial+final HashAggregate (all these moments are mergeable "
+    "states, so map-side combine keeps the shuffle at "
+    "|event_type| rows).",
+    tags=("relational", "aggregate"),
+)
+def event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.stddev_samp("value"), 4).alias("stddev_value"),
+        F.round(F.var_samp("value"), 4).alias("var_value"),
+        F.round(F.corr(F.col("value"), uid), 4).alias("corr_value_user"),
+        F.round(F.covar_samp(F.col("value"), uid), 4).alias(
+            "covar_value_user"
+        ),
+    )
+
+
+@register(
+    "event_value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(value / 20) AS INTEGER) AS bucket,
+           count(*) AS n_events,
+           round(min(value), 2) AS lo,
+           round(max(value), 2) AS hi
+    FROM events
+    GROUP BY event_type, bucket
+    """,
+    doc="Fixed-width histogram of event values per type (bucket = "
+    "floor(value/20)): the distribution profile behind skew detection "
+    "and bucketing decisions. Single partial+final aggregate keyed on "
+    "(type, bucket) — shuffle rows = number of occupied buckets.",
+    tags=("relational", "aggregate"),
+)
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / 20).cast("int").alias("bucket"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.min("value"), 2).alias("lo"),
+        F.round(F.max("value"), 2).alias("hi"),
+    )

@@ -37,6 +37,7 @@ _QUERY_MODULES = (
     "weather_data_data_pipeline_spark.plans.relational_queries",
     "weather_data_data_pipeline_spark.plans.tpch_remaining",
     "weather_data_data_pipeline_spark.plans.llm_queries",
+    "weather_data_data_pipeline_spark.plans.corpus_queries",
     "weather_data_data_pipeline_spark.plans.timeseries_queries",
     "weather_data_data_pipeline_spark.plans.weather_queries",
 )
