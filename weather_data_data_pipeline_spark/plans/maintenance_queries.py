@@ -1,0 +1,186 @@
+"""Table-maintenance and validation queries: MERGE upsert, SCD Type 2,
+cross-table referential integrity, and the full window-function family.
+
+These complete the engine's write-path and audit surface beyond the
+reference's single append-with-anti-join primitive (cites in
+`operators/merge.py`). All oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from weather_data_data_pipeline_spark.operators.merge import (
+    merge_upsert,
+    orphan_count,
+    scd2_snapshot,
+)
+from weather_data_data_pipeline_spark.registry import register
+from weather_data_data_pipeline_spark.sources.tables import load
+
+
+@register(
+    "merge_upsert_orders",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders
+    ),
+    source AS (
+        SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+               CAST(round(price * CAST('1.05' AS DECIMAL(4,2)), 2) AS DOUBLE)
+                 AS o_totalprice
+        FROM base WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey + 1000000000, o_custkey, 'N' AS o_orderstatus,
+               CAST(price AS DOUBLE) AS o_totalprice
+        FROM base WHERE o_orderkey % 13 = 0
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM source
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, CAST(price AS DOUBLE)
+    FROM base o
+    WHERE NOT EXISTS (SELECT 1 FROM source s
+                      WHERE s.o_orderkey = o.o_orderkey)
+    """,
+    doc="MERGE INTO semantics as one anti-join + union: a derived source "
+    "(price-bumped updates for orderkey%7, new keys for orderkey%13) "
+    "upserted into orders. Matched keys take the source row, unmatched "
+    "source rows insert, the rest of the target passes through — no "
+    "full-outer join, no window, one shuffle (or broadcast) on the key.",
+    tags=("relational", "maintenance"),
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Price arithmetic in DECIMAL: double×1.05 rounds differently across
+    # engines at .005 representation boundaries; decimal math is exact
+    # and both engines round decimals half-away-from-zero.
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        price.cast("double").alias("o_totalprice"),
+    )
+    updates = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey", "o_custkey",
+            F.lit("U").alias("o_orderstatus"),
+            F.round(price * F.lit("1.05").cast("decimal(4,2)"), 2)
+            .cast("double")
+            .alias("o_totalprice"),
+        )
+    )
+    inserts = (
+        orders.where(F.col("o_orderkey") % 13 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 1000000000)
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    source = updates.unionByName(inserts)
+    return merge_upsert(orders, source, ["o_orderkey"])
+
+
+@register(
+    "scd2_user_values",
+    oracle="""
+    SELECT user_id, event_id,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           (lead(ts) OVER w IS NULL) AS is_current,
+           CAST(row_number() OVER w AS BIGINT) AS version
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="SCD Type 2 from a change stream: each user's events become "
+    "versioned rows with [valid_from, valid_to) intervals, is_current "
+    "on the open-ended last version, and a version sequence. lead() "
+    "and row_number() share one window spec → one shuffle, one sort.",
+    tags=("relational", "maintenance", "window"),
+)
+def scd2_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return scd2_snapshot(
+        ev, ["user_id"], "ts", tiebreak_cols=["event_id"]
+    ).select(
+        "user_id", "event_id", "valid_from", "valid_to", "is_current",
+        F.col("version").cast("long").alias("version"),
+    )
+
+
+@register(
+    "referential_integrity_checks",
+    oracle="""
+    SELECT 'orders_custkey_orphans' AS check_name,
+           CAST(count(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT)
+             AS n_violations
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_custkey IS NOT NULL
+    UNION ALL
+    SELECT 'lineitem_orderkey_orphans',
+           CAST(count(*) FILTER (WHERE ord.o_orderkey IS NULL) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders ord ON l.l_orderkey = ord.o_orderkey
+    WHERE l.l_orderkey IS NOT NULL
+    UNION ALL
+    SELECT 'supplier_nationkey_orphans',
+           CAST(count(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT)
+    FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_nationkey IS NOT NULL
+    """,
+    doc="Cross-table referential integrity audit: orphaned foreign keys "
+    "counted with left-anti joins (NULL FKs exempt, per SQL semantics). "
+    "Small parents broadcast; a 100 TB child probes a bloom filter of "
+    "the parent key set before shuffling anything.",
+    tags=("relational", "quality"),
+)
+def referential_integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    lineitem = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    checks = [
+        ("orders_custkey_orphans", orders, customer, "o_custkey", "c_custkey"),
+        ("lineitem_orderkey_orphans", lineitem, orders, "l_orderkey", "o_orderkey"),
+        ("supplier_nationkey_orphans", supplier, nation, "s_nationkey", "n_nationkey"),
+    ]
+    out = None
+    for name, child, parent, fk, pk in checks:
+        one = orphan_count(child, parent, fk, pk).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+@register(
+    "window_function_suite",
+    oracle="""
+    SELECT event_id, user_id,
+           round(lead(value) OVER w - value, 2) AS next_delta,
+           round(percent_rank() OVER w, 4) AS pct_rank,
+           round(cume_dist() OVER w, 4) AS cume,
+           round(nth_value(value, 2) OVER w, 2) AS second_value,
+           round(first_value(value) OVER w, 2) AS first_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="The remaining analytic window family in one pass: lead, "
+    "percent_rank, cume_dist, nth_value, first_value — all sharing a "
+    "single (user, time) window spec, so Catalyst plans one Window "
+    "node: one shuffle on user_id, one sort. Completes coverage next "
+    "to lag/rank/row_number/ntile elsewhere in the registry.",
+    tags=("relational", "window"),
+)
+def window_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.lead("value").over(w) - F.col("value"), 2).alias("next_delta"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        F.round(F.nth_value("value", 2).over(w), 2).alias("second_value"),
+        F.round(F.first("value").over(w), 2).alias("first_val"),
+    )

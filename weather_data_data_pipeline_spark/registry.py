@@ -38,6 +38,7 @@ _QUERY_MODULES = (
     "weather_data_data_pipeline_spark.plans.tpch_remaining",
     "weather_data_data_pipeline_spark.plans.llm_queries",
     "weather_data_data_pipeline_spark.plans.corpus_queries",
+    "weather_data_data_pipeline_spark.plans.maintenance_queries",
     "weather_data_data_pipeline_spark.plans.timeseries_queries",
     "weather_data_data_pipeline_spark.plans.weather_queries",
 )
