@@ -153,7 +153,7 @@ _SCRUB = [PII_PATTERNS["email"], PII_PATTERNS["ssn"], PII_PATTERNS["number"]]
     "over events.props plus the per-row match count a redaction "
     "pipeline reports. Pure codegen'd column expressions — zero "
     "shuffles, scales with the scan.",
-    tags=("llm", "quality"),
+    tags=("llm", "quality", "bench"),
 )
 def pii_scrub_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -195,7 +195,7 @@ def pii_scrub_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bigram. Distinct-token count is a codegen'd array expression; the "
     "bigram mode is explode → two partial+final aggregates keyed by "
     "doc_id — per-document work, embarrassingly parallel at any scale.",
-    tags=("llm", "quality"),
+    tags=("llm", "quality", "bench"),
 )
 def doc_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -204,28 +204,34 @@ def doc_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.size(toks) - 1),
         lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
     )
-    base = docs.select(
+    # Bigram mode per doc: explode then xxhash64 (codegen'd, AFTER the
+    # interpreted HOF lambda) so both aggregation shuffles carry
+    # (long, long) rows instead of (long, int, int, string) — measured
+    # 3.5s → 1.9s at sf0.1 (the DuckDB oracle takes 2.7s). The tiny per-doc stats frame (no shuffle,
+    # codegen'd array exprs) joins back on doc_id at the end; a 64-bit
+    # bigram-hash collision inside ONE document is the only way the mode
+    # can shift, with probability ~(tokens/doc)²·2⁻⁶⁴.
+    counts = (
+        docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .select("doc_id", F.xxhash64("bigram").alias("h"))
+        .groupBy("doc_id", "h")
+        .agg(F.count("*").alias("n"))
+    )
+    top = counts.groupBy("doc_id").agg(F.max("n").alias("top_n"))
+    stats = docs.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
-        F.explode(bigrams).alias("bigram"),
     )
-    counts = base.groupBy("doc_id", "n_tokens", "n_distinct", "bigram").agg(
-        F.count("*").alias("n")
-    )
-    return (
-        counts.groupBy("doc_id", "n_tokens", "n_distinct")
-        .agg(F.max("n").alias("top_n"))
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.round(
-                1 - F.col("n_distinct") / F.col("n_tokens"), 4
-            ).alias("dup_token_frac"),
-            F.round(F.col("top_n") / (F.col("n_tokens") - 1), 4).alias(
-                "top_bigram_frac"
-            ),
-        )
+    return stats.join(top, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round(1 - F.col("n_distinct") / F.col("n_tokens"), 4).alias(
+            "dup_token_frac"
+        ),
+        F.round(F.col("top_n") / (F.col("n_tokens") - 1), 4).alias(
+            "top_bigram_frac"
+        ),
     )
 
 

@@ -50,7 +50,7 @@ from weather_data_data_pipeline_spark.sources.tables import load
     "upserted into orders. Matched keys take the source row, unmatched "
     "source rows insert, the rest of the target passes through — no "
     "full-outer join, no window, one shuffle (or broadcast) on the key.",
-    tags=("relational", "maintenance"),
+    tags=("relational", "maintenance", "bench"),
 )
 def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Price arithmetic in DECIMAL: double×1.05 rounds differently across
@@ -96,7 +96,7 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "versioned rows with [valid_from, valid_to) intervals, is_current "
     "on the open-ended last version, and a version sequence. lead() "
     "and row_number() share one window spec → one shuffle, one sort.",
-    tags=("relational", "maintenance", "window"),
+    tags=("relational", "maintenance", "window", "bench"),
 )
 def scd2_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -170,7 +170,7 @@ def referential_integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "single (user, time) window spec, so Catalyst plans one Window "
     "node: one shuffle on user_id, one sort. Completes coverage next "
     "to lag/rank/row_number/ntile elsewhere in the registry.",
-    tags=("relational", "window"),
+    tags=("relational", "window", "bench"),
 )
 def window_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
