@@ -73,3 +73,41 @@ def test_exact_dedup_counts_null_digests_together(spark):
     by_keep = {r["keep_doc_id"]: r["n_copies"] for r in out.collect()}
     assert by_keep[1] == 2  # docs 1 and 5 identical
     assert by_keep[2] == 1  # null text is its own (null-digest) group
+
+
+def test_search_and_redact_null_safety(spark):
+    from weather_data_data_pipeline_spark.functions.search import (
+        bm25_scores,
+        ngram_contamination,
+    )
+    from weather_data_data_pipeline_spark.functions.text import (
+        PII_PATTERNS,
+        match_count,
+        redact,
+    )
+
+    df = _docs(spark)
+    # BM25: null/empty/short docs simply don't match; no exceptions
+    scored = bm25_scores(df, "doc_id", "text", ["cat", "mat"]).collect()
+    assert {r.doc_id for r in scored} == {1, 5}
+    # contamination: null/short eval docs come back with 0 grams, 0.0 frac
+    got = {
+        r.doc_id: (r.n_ngrams, r.contamination)
+        for r in ngram_contamination(
+            df.where("doc_id = 1"), df, "doc_id", "text"
+        ).collect()
+    }
+    assert got[2] == (0, 0.0) and got[3] == (0, 0.0) and got[4] == (0, 0.0)
+    assert got[1][1] == 1.0 and got[5][1] == 1.0
+    # redaction: NULL propagates as NULL (never throws), empty stays empty
+    pats = [PII_PATTERNS["number"]]
+    rows = {
+        r.doc_id: (r.red, r.n)
+        for r in df.select(
+            "doc_id",
+            redact("text", pats).alias("red"),
+            match_count("text", PII_PATTERNS["number"]).alias("n"),
+        ).collect()
+    }
+    assert rows[2] == (None, None)
+    assert rows[3] == ("", 0)
