@@ -53,6 +53,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_ntz(df)
+
+
+def normalize_ntz(df: DataFrame) -> DataFrame:
+    """Reinterpret TIMESTAMP_NTZ columns as UTC-instant TimestampType.
+
+    Parquet timestamps written without a timezone (isAdjustedToUTC=false)
+    read back as TIMESTAMP_NTZ in Spark 4, which rejects epoch casts and
+    mixed NTZ/LTZ comparisons. The session runs in UTC, so reinterpreting
+    the naive wall-clock as a UTC instant is lossless and matches DuckDB's
+    naive-timestamp ``epoch()`` semantics.
+    """
+    for col_name, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
     return df
 
 

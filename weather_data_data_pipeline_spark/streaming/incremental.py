@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
 
 from weather_data_data_pipeline_spark.operators.joins import anti_join_dedup
-from weather_data_data_pipeline_spark.sources.tables import load
+from weather_data_data_pipeline_spark.sources.tables import load, normalize_ntz
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -45,7 +45,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if dict(batch.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return normalize_ntz(stream)
 
 
 def windowed_event_counts(
