@@ -26,6 +26,11 @@ from weather_data_data_pipeline_spark.functions.clustering import (
     cluster_profile,
     kmeans_fit,
 )
+from weather_data_data_pipeline_spark.functions.pca import (
+    pca_fit,
+    pca_project,
+    variance_report,
+)
 from weather_data_data_pipeline_spark.multimodal.binary import (
     decode_features,
     sample_frames,
@@ -939,4 +944,90 @@ def dedup_kept_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(labels, "doc_id", "left")
         .where(F.col("cluster_id").isNull() | (F.col("doc_id") == F.col("cluster_id")))
         .select("doc_id", F.col("cluster_id").isNotNull().alias("was_in_dup_cluster"))
+    )
+
+
+@register(
+    "embedding_pca_variance",
+    oracle=None,  # eigendecomposition — not SQL-expressible; numpy-checked units
+    doc="PCA spectrum of the embedding corpus (k=8): eigenvalue, explained-"
+    "variance ratio, cumulative ratio per component. The fit is ONE "
+    "mapInPandas pass producing O(dim^2) moment partials per Arrow batch "
+    "(numpy GEMM), reduced inside Spark; only dim+dim^2 scalars reach the "
+    "driver for the d x d eigh. tests/test_pca.py proves equality with "
+    "numpy PCA on the collected corpus.",
+    tags=("llm", "similarity"),
+)
+def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, k=8)
+    return variance_report(model, spark)
+
+
+@register(
+    "embedding_pca_project",
+    oracle=None,  # projection depends on the fitted eigenbasis (see above)
+    doc="Corpus projected onto its top-4 principal components — the "
+    "reduced representation ANN indexes and cluster stratification "
+    "consume. Components ride along as literal arrays, so the projection "
+    "is one narrow codegen'd pass (zip_with dot products), no join/"
+    "shuffle/UDF; sign-fixed eigenvectors make scores reproducible.",
+    tags=("llm", "similarity"),
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, k=4)
+    proj = pca_project(emb, model, id_col="vec_id")
+    return proj.select(
+        "vec_id", *[F.round(f"p{j}", 4).alias(f"p{j}") for j in range(4)]
+    )
+
+
+@register(
+    "training_mix_rates",
+    oracle="""
+    WITH per_source AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, chars,
+           round(sqrt(CAST(chars AS DOUBLE))
+                 / sum(sqrt(CAST(chars AS DOUBLE))) OVER (), 6) AS target_share,
+           round(least(1.0,
+               0.6 * sum(CAST(chars AS DOUBLE)) OVER ()
+                   * (sqrt(CAST(chars AS DOUBLE))
+                      / sum(sqrt(CAST(chars AS DOUBLE))) OVER ())
+                   / CAST(chars AS DOUBLE)), 6) AS sample_rate
+    FROM per_source
+    """,
+    doc="Temperature-based data-mixing solver (alpha=0.5 sampling, the "
+    "multilingual-corpus resampling rule: target share proportional to "
+    "sqrt of source size, upweighting low-resource sources): per source, "
+    "its target share of a 0.6-of-corpus token budget and the sampling "
+    "rate that hits it, capped at 1.0. One tiny aggregate (|sources| "
+    "rows) + unpartitioned window over it — the window is over the "
+    "AGGREGATE, never the corpus, so the single-partition exchange "
+    "moves a few dozen rows at any scale. Feeds deterministic_sample* "
+    "as the per-stratum rate input.",
+    tags=("llm", "text"),
+)
+def training_mix_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
+    w = Window.partitionBy()
+    chars_d = F.col("chars").cast("double")
+    share = F.sqrt(chars_d) / F.sum(F.sqrt(chars_d)).over(w)
+    rate = F.least(
+        F.lit(1.0), F.lit(0.6) * F.sum(chars_d).over(w) * share / chars_d
+    )
+    return per_source.select(
+        "source",
+        "n_docs",
+        "chars",
+        F.round(share, 6).alias("target_share"),
+        F.round(rate, 6).alias("sample_rate"),
     )

@@ -340,3 +340,65 @@ def event_value_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return value_distribution(ev, ["event_type"], "value")
+
+
+@register(
+    "event_value_robust_stats",
+    oracle="""
+    WITH pct AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.25) AS p25,
+             quantile_cont(value, 0.75) AS p75,
+             quantile_cont(value, 0.95) AS p95,
+             quantile_cont(value, 0.5)  AS med
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           round(max(p.med), 4) AS median,
+           round(max(p.p75) - max(p.p25), 4) AS iqr,
+           round(avg(CASE WHEN e.value IS NULL THEN NULL
+                          ELSE greatest(p.p05, least(p.p95, e.value))
+                     END), 4) AS winsorized_mean
+    FROM events e JOIN pct p USING (event_type)
+    GROUP BY e.event_type
+    """,
+    doc="Robust per-group statistics for outlier-aware profiling: median, "
+    "IQR, and the p05/p95-winsorized mean (clip then average — the "
+    "outlier-resistant location estimate quality pipelines threshold "
+    "on). Two passes: exact interpolated percentiles per group, "
+    "broadcast back onto the fact table (group count is tiny), clip and "
+    "re-aggregate. At 100 TB pass 1 swaps to percentile_approx with "
+    "identical plan shape; the clip stays pure codegen. NULL values "
+    "stay NULL through the clip (Spark and DuckDB both skip nulls in "
+    "least/greatest, which would silently turn NULL into p95).",
+    tags=("timeseries", "aggregate"),
+)
+def event_value_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    pct = ev.groupBy("event_type").agg(
+        F.expr(
+            "percentile(value, array(0.05D, 0.25D, 0.5D, 0.75D, 0.95D))"
+        ).alias("q")
+    ).select(
+        "event_type",
+        F.col("q")[0].alias("p05"),
+        F.col("q")[1].alias("p25"),
+        F.col("q")[3].alias("p75"),
+        F.col("q")[4].alias("p95"),
+        F.col("q")[2].alias("med"),
+    )
+    clipped = F.when(
+        F.col("value").isNull(), F.lit(None).cast("double")
+    ).otherwise(F.greatest("p05", F.least("p95", F.col("value"))))
+    return (
+        ev.join(F.broadcast(pct), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.max("med"), 4).alias("median"),
+            F.round(F.max("p75") - F.max("p25"), 4).alias("iqr"),
+            F.round(F.avg(clipped), 4).alias("winsorized_mean"),
+        )
+    )
