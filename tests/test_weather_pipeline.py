@@ -180,3 +180,34 @@ def test_full_load_runs_end_to_end(spark, payloads, tmp_path_factory):
         job_ts=F.lit("2024-01-02 02:00:00").cast("timestamp"),
     )
     assert spark.read.parquet(f"{dest}/weather_report_data").count() == 80
+
+
+def test_fetch_forecasts_executor_fanout(spark, payloads):
+    """S1 at scale: per-city fetch via mapInPandas with an injectable
+    transport; failures isolate to their row instead of failing the job."""
+    canned = {p["city"]["name"]: p for p in payloads}
+
+    def transport(api_key, city):
+        if city == "Atlantis":
+            raise ConnectionError("no such city")
+        return canned[city]
+
+    cities = spark.createDataFrame(
+        [("Houston",), ("Berlin",), ("Atlantis",)], "city string"
+    ).repartition(3)
+    fetched = W.fetch_forecasts(cities, transport).cache()
+    ok = fetched.filter(F.col("fetch_error").isNull())
+    bad = fetched.filter(F.col("fetch_error").isNotNull()).collect()
+    assert ok.count() == 2
+    assert len(bad) == 1 and bad[0]["city"] == "Atlantis"
+    assert "ConnectionError" in bad[0]["fetch_error"]
+    # The fetched frame feeds the standard flatten unchanged.
+    flat = W.flatten_forecast(ok)
+    assert flat.count() == sum(
+        len(canned[r["city"]]["list"]) for r in ok.select("city").collect()
+    )
+    assert set(flat.select("city").distinct().toPandas()["city"]) == {
+        "Houston",
+        "Berlin",
+    }
+    fetched.unpersist()

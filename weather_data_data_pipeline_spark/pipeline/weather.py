@@ -24,8 +24,9 @@ scale) as primary, JDBC (full:146-171) as the compatibility sink.
 from __future__ import annotations
 
 import json
-from collections.abc import Iterable
+from collections.abc import Iterable, Iterator
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -117,6 +118,47 @@ def payloads_to_df(spark: SparkSession, payloads: Iterable[dict]) -> DataFrame:
     """
     return spark.createDataFrame(
         [(json.dumps(p),) for p in payloads], schema="payload string"
+    )
+
+
+def fetch_forecasts(
+    cities: DataFrame,
+    transport,
+    api_key: str = "",
+    city_col: str = "city",
+) -> DataFrame:
+    """S1 at scale (full:8-12, SURVEY §2.1): executor-parallel fetch
+    fan-out — the fleet-fetcher twin of the reference's driver-side
+    single-city HTTP GET.
+
+    ``cities`` is a DataFrame of city names (one fetch per row, spread
+    across the cluster by its partitioning); ``transport(api_key, city)
+    -> dict`` is the injectable HTTP layer (``requests.get(...).json()``
+    in production, a canned-payload fake in tests — the engine never
+    hard-codes a network dependency). Returns the same
+    ``(city, payload)`` JSON-string frame ``payloads_to_df`` produces,
+    so everything downstream (flatten → transform → reports → append)
+    is identical for 1 city or 1 million.
+
+    Failures surface per-row as a NULL payload with the error message
+    in ``fetch_error`` instead of killing the job — at fleet scale some
+    endpoints are always down, and a poison row must not fail the batch.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for name in pdf[city_col]:
+                try:
+                    out.append((name, json.dumps(transport(api_key, name)), None))
+                except Exception as exc:  # noqa: BLE001 — per-row isolation
+                    out.append((name, None, f"{type(exc).__name__}: {exc}"))
+            yield pd.DataFrame(
+                out, columns=["city", "payload", "fetch_error"]
+            )
+
+    return cities.select(F.col(city_col)).mapInPandas(
+        run, "city string, payload string, fetch_error string"
     )
 
 

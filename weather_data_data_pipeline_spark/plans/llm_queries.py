@@ -26,6 +26,7 @@ from weather_data_data_pipeline_spark.functions.clustering import (
     cluster_profile,
     kmeans_fit,
 )
+from weather_data_data_pipeline_spark.functions.graph import pagerank
 from weather_data_data_pipeline_spark.functions.pca import (
     pca_fit,
     pca_project,
@@ -1030,4 +1031,28 @@ def training_mix_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chars",
         F.round(share, 6).alias("target_share"),
         F.round(rate, 6).alias("sample_rate"),
+    )
+
+
+@register(
+    "doc_pagerank",
+    oracle=None,  # iterative power method — numpy-checked in tests/test_graph.py
+    doc="PageRank over the document near-dup similarity graph (3-gram "
+    "Jaccard >= 0.5 pairs, symmetrized), all documents as vertices — "
+    "the authority weight corpus curation uses to weight crawl sources. "
+    "6 power iterations; each is one edges-join-ranks shuffle + one "
+    "partial-agg sum, dangling mass folds to a scalar, lineage is cut "
+    "per iteration (the similarity edge list is pinned once). Ranks "
+    "sum to 1 across the corpus.",
+    tags=("llm", "dedup"),
+)
+def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_fanout(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    return pagerank(edges, nodes=nodes, iters=6).select(
+        F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank")
     )
