@@ -63,3 +63,44 @@ def test_global_row_number_is_dense_and_unique(spark):
         for r in global_row_number(df, ["v", "id"], num_partitions=9).collect()
     ]
     assert sorted(ranks) == list(range(1, 102))
+
+
+def test_global_running_sum_matches_window(spark):
+    from weather_data_data_pipeline_spark.operators.ranking import (
+        global_running_sum,
+    )
+
+    df = spark.range(500).select(
+        F.col("id"), (F.col("id") % 37 + 1).alias("v")
+    )
+    got = {
+        r["id"]: r["rt"]
+        for r in global_running_sum(
+            df, ["id"], "v", out_col="rt", num_partitions=5
+        ).collect()
+    }
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["id"]: r["rt"]
+        for r in df.withColumn("rt", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_global_running_sum_carries_across_arrow_batches(spark):
+    from weather_data_data_pipeline_spark.operators.ranking import (
+        global_running_sum,
+    )
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        df = spark.range(100).select(F.col("id"), F.lit(1).alias("v"))
+        out = global_running_sum(
+            df, ["id"], "v", out_col="rt", num_partitions=2
+        ).collect()
+        # With v≡1 the running sum must equal id+1 — any per-batch reset
+        # of the carry would show as a sawtooth.
+        assert all(r["rt"] == r["id"] + 1 for r in out)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)

@@ -115,3 +115,61 @@ def global_ntile(
             rem + F.floor((rn0 - boundary) / size) + 1
         )
     return ranked.withColumn(out_col, bucket.cast("long")).drop("__rn")
+
+
+def global_running_sum(
+    df: DataFrame,
+    sort_cols: list[str],
+    value_col: str,
+    out_col: str = "running",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``sum(value) OVER (ORDER BY sort_cols ROWS UNBOUNDED PRECEDING)``,
+    distributed — the global prefix sum single-partition windows can't do
+    at scale.
+
+    Same three-step shape as :func:`global_row_number`: range-partition
+    on the sort key, one tiny per-partition SUM job to compute each
+    partition's starting offset (one row per partition to the driver),
+    then a vectorized cumsum per partition with the offset added.
+    ``sort_cols`` must include a unique tie-breaker for determinism.
+    Sums accumulate in int64 when the input is integral (exact);
+    float inputs get per-partition-deterministic ordering, so results
+    are reproducible under a fixed partition count.
+    """
+    n = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    ranged = (
+        df.repartitionByRange(n, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    totals = dict(
+        ranged.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    )
+    offsets = {}
+    acc = 0
+    for pid in range(n):
+        offsets[pid] = acc
+        acc += totals.get(pid, 0) or 0
+
+    field = df.schema[value_col].dataType
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, field, True)]
+    )
+
+    def assign(batches):
+        from pyspark import TaskContext
+
+        base = offsets.get(TaskContext.get().partitionId(), 0)
+        for b in batches:
+            cs = b[value_col].cumsum() + base
+            b[out_col] = cs
+            if len(b):
+                base = cs.iloc[-1]  # carry across Arrow batches
+            yield b
+
+    return ranged.mapInPandas(assign, out_schema)

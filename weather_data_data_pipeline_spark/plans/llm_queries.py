@@ -17,10 +17,12 @@ from pyspark.sql import functions as F
 
 from weather_data_data_pipeline_spark.functions.dedup import (
     connected_components,
+    hashed_shingles,
     jaccard_pairs,
     minhash_dedup_pairs,
     simhash_near_dup_pairs,
 )
+from weather_data_data_pipeline_spark.operators.ranking import global_running_sum
 from weather_data_data_pipeline_spark.functions.clustering import (
     assign_clusters,
     cluster_profile,
@@ -973,7 +975,7 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "consume. Components ride along as literal arrays, so the projection "
     "is one narrow codegen'd pass (zip_with dot products), no join/"
     "shuffle/UDF; sign-fixed eigenvectors make scores reproducible.",
-    tags=("llm", "similarity"),
+    tags=("llm", "similarity", "bench"),
 )
 def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
@@ -1011,7 +1013,7 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     "AGGREGATE, never the corpus, so the single-partition exchange "
     "moves a few dozen rows at any scale. Feeds deterministic_sample* "
     "as the per-stratum rate input.",
-    tags=("llm", "text"),
+    tags=("llm", "text", "bench"),
 )
 def training_mix_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -1055,4 +1057,115 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = docs.select(F.col("doc_id").alias("node"))
     return pagerank(edges, nodes=nodes, iters=6).select(
         F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank")
+    )
+
+
+@register(
+    "sequence_packing",
+    oracle="""
+    WITH ordered AS (
+      SELECT doc_id, n_chars,
+             sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS rt
+      FROM documents WHERE n_chars IS NOT NULL
+    )
+    SELECT CAST(floor(CAST(rt - n_chars AS DOUBLE) / 4096) AS BIGINT) AS bin,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM ordered GROUP BY bin
+    """,
+    doc="Sequence packing for training-batch assembly: documents sorted "
+    "longest-first (unique doc_id tie-break), concatenated, and split "
+    "into 4096-char context bins; a document belongs to the bin where "
+    "it STARTS. The global prefix sum runs distributed "
+    "(operators/ranking.py: global_running_sum — range partition + "
+    "per-partition offsets + vectorized cumsum), never as a "
+    "single-partition window; per-bin stats are one hash aggregate on "
+    "top. Output: bin id, docs starting there, their total chars.",
+    tags=("llm", "text", "bench"),
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    base = (
+        docs.where(F.col("n_chars").isNotNull())
+        .select("doc_id", "n_chars")
+        .withColumn("_negc", -F.col("n_chars"))
+    )
+    rt = global_running_sum(base, ["_negc", "doc_id"], "n_chars", out_col="rt")
+    return (
+        rt.select(
+            F.floor((F.col("rt") - F.col("n_chars")).cast("double") / 4096)
+            .cast("bigint")
+            .alias("bin"),
+            "n_chars",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+        )
+    )
+
+
+@register(
+    "span_dedup_profile",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(t) - 6),
+                             i -> array_to_string(t[i:i+7], ' '))) AS g
+        FROM toks
+    ),
+    spans AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+    freq AS (SELECT gram, count(*) AS df FROM spans GROUP BY gram),
+    shared AS (
+        SELECT s.doc_id, count(*) AS n_shared
+        FROM spans s JOIN freq USING (gram) WHERE freq.df >= 2
+        GROUP BY s.doc_id
+    ),
+    tot AS (SELECT doc_id, len(g) AS n_spans FROM grams)
+    SELECT d.doc_id,
+           CAST(coalesce(t.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(sh.n_shared, 0) AS BIGINT) AS n_shared,
+           round(CAST(coalesce(sh.n_shared, 0) AS DOUBLE)
+                 / greatest(coalesce(t.n_spans, 0), 1), 4) AS shared_frac
+    FROM documents d
+    LEFT JOIN tot t USING (doc_id) LEFT JOIN shared sh USING (doc_id)
+    """,
+    doc="Cross-document span dedup profile (suffix-array-style repeated-"
+    "span detection, 8-gram approximation): per document, how many of "
+    "its distinct 8-grams appear in at least one OTHER document — the "
+    "signal span-level dedup (e.g. removing memorized boilerplate) "
+    "thresholds on. Spans travel as xxhash64 longs; document frequency "
+    "is one count aggregate over the inverted index and the per-doc "
+    "rollup a semi-join-shaped aggregate — no pairwise blowup anywhere.",
+    tags=("llm", "dedup", "quality"),
+)
+def span_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_fanout(spark, sf_dir, "documents")
+    spans = hashed_shingles(docs, "doc_id", "text", n=8)
+    freq = spans.groupBy("h").agg(F.count("*").alias("df"))
+    shared = (
+        spans.join(freq.where(F.col("df") >= 2), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    tot = spans.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    return (
+        docs.select("doc_id")
+        .join(tot, "doc_id", "left")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+            F.round(
+                F.coalesce("n_shared", F.lit(0)).cast("double")
+                / F.greatest(F.coalesce("n_spans", F.lit(0)), F.lit(1)),
+                4,
+            ).alias("shared_frac"),
+        )
     )

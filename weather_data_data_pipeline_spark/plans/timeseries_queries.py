@@ -373,7 +373,7 @@ def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "identical plan shape; the clip stays pure codegen. NULL values "
     "stay NULL through the clip (Spark and DuckDB both skip nulls in "
     "least/greatest, which would silently turn NULL into p95).",
-    tags=("timeseries", "aggregate"),
+    tags=("timeseries", "aggregate", "bench"),
 )
 def event_value_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
