@@ -107,3 +107,36 @@ def test_heavy_hitters_guarantee_and_bound(spark):
     for item, mc in got.items():
         assert mc <= exact[item], f"overcount for {item}"
         assert exact[item] - mc <= bound, f"undercount beyond bound for {item}"
+
+
+def test_hll_merge_equals_direct_weekly_sketch(spark):
+    """Union of daily sketches must equal one sketch built directly over
+    the week (HLL union is lossless for same-lgK sketches), and land
+    within the sketch's error bound of the exact count."""
+    from weather_data_data_pipeline_spark.sources.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    week = F.date_trunc("week", "ts").alias("week_start")
+    direct = {
+        r["week_start"]: r["d"]
+        for r in ev.groupBy(week)
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("d"))
+        .collect()
+    }
+    merged = {
+        r["week_start"]: r["m"]
+        for r in ev.groupBy(week, F.to_date("ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .groupBy("week_start")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("m"))
+        .collect()
+    }
+    exact = {
+        r["week_start"]: r["x"]
+        for r in ev.groupBy(week)
+        .agg(F.countDistinct("user_id").alias("x"))
+        .collect()
+    }
+    assert merged == direct
+    for wk, est in merged.items():
+        assert abs(est - exact[wk]) / max(exact[wk], 1) < 0.05

@@ -202,3 +202,72 @@ def test_stream_static_enrich_matches_batch_join(spark):
         .join(dim, "user_id", "left")
     )
     assert got == want and len(got) == 1000
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf (its state "
+    "server protocol), not installed in this container",
+)
+def test_running_user_totals_tws_matches_old_api(spark, tmp_path):
+    """transformWithStateInPandas twin: same final per-user totals as the
+    applyInPandasWithState operator and as the batch aggregate, with
+    state carried across micro-batches on the RocksDB provider."""
+    ev = load(spark, SF_DIR, "events").select("user_id", "value").limit(200)
+    src = str(tmp_path / "src_tws")
+    ev.limit(100).write.parquet(src)
+    ev.exceptAll(ev.limit(100)).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    old_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        out = S.running_user_totals_tws(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("running_totals_tws")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.table("running_totals_tws")
+        final = got.groupBy("user_id").agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+        )
+        expected = (
+            spark.read.parquet(src)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+        )
+        assert _rows(final) == _rows(expected)
+    finally:
+        if old_provider:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old_provider
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

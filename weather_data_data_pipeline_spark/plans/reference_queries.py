@@ -221,6 +221,40 @@ def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_props_variant",
+    oracle="""
+    SELECT event_type,
+           count(CAST(json_extract(props, '$.k') AS INTEGER)) AS n_with_k,
+           round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 2) AS avg_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER)
+             AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Semi-structured ingestion on the VARIANT type (Spark 4): "
+    "parse_json once into the binary variant encoding, then typed "
+    "variant_get path extraction — the schema-on-read path for payloads "
+    "too heterogeneous for a declared from_json schema (the from_json "
+    "twin is events_props_extract). Extraction is JVM-side columnar; at "
+    "100 TB VARIANT shredding in parquet keeps path reads "
+    "column-pruned.",
+    tags=("reference", "semistructured"),
+)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.round(F.avg("k"), 2).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
     "tumbling_window_daily",
     oracle="""
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,

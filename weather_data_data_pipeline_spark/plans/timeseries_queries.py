@@ -402,3 +402,35 @@ def event_value_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(clipped), 4).alias("winsorized_mean"),
         )
     )
+
+
+@register(
+    "weekly_distinct_users_hll_merge",
+    oracle=None,  # sketch estimate by design; merge==direct equality in units
+    doc="Two-level mergeable-sketch rollup, the pattern that makes "
+    "distinct counts incrementally maintainable at 100 TB: per-day "
+    "Datasketches HLL sketches of user_id (hll_sketch_agg), then weekly "
+    "estimates by UNIONING the daily sketches (hll_union_agg) — the "
+    "weekly job touches 7 sketch blobs per group, never the raw events. "
+    "Units prove merge-then-estimate equals a direct weekly sketch and "
+    "bounds the error vs exact distinct counts.",
+    tags=("timeseries", "sketch", "rows-only"),
+)
+def weekly_distinct_users_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("week", "ts").alias("week_start"),
+        F.to_date("ts").alias("day"),
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("week_start")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.count("*").alias("n_days"),
+        )
+        .select(
+            F.col("week_start").cast("timestamp").alias("week_start"),
+            "approx_users",
+            "n_days",
+        )
+    )

@@ -236,6 +236,61 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def running_user_totals_tws(stream: DataFrame) -> DataFrame:
+    """The :func:`running_user_totals` operator on the NEW stateful API
+    (``transformWithStateInPandas``, Spark 4): a ``StatefulProcessor``
+    class with typed ValueState instead of the (py)tuple-state
+    ``applyInPandasWithState`` callback.
+
+    Same semantics and same state size — one (count, total) pair per
+    user — but the new API adds lifecycle hooks, multiple named state
+    variables, TTL, and timers, and is the forward path Spark documents
+    for custom stateful operators; the engine keeps both until the old
+    API is retired. Requires the RocksDB state store provider (set in
+    the caller/test), which is also the right provider at 100 TB state.
+    Runtime dependency: the TWS state-server protocol needs
+    ``google.protobuf`` — absent in this container, so the unit test
+    skips here and runs on a standard cluster image.
+    """
+    import pandas as pd  # local: executors import lazily
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n long, total double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (0, 0.0)
+            if self._state.exists():
+                n, total = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, float(total)))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def run_available_now(writer: DataStreamWriter) -> None:
     """Drain everything currently available and stop — the batch-like
     trigger used in tests and backfills."""
