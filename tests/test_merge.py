@@ -58,3 +58,28 @@ def test_orphan_count_null_fk_exempt(spark):
     parent = spark.createDataFrame([(10,)], ["pk"])
     n = orphan_count(child, parent, "fk", "pk").collect()[0].n_violations
     assert n == 1  # fk=99 orphaned; fk=NULL exempt
+
+
+def test_table_diff_statuses_and_null_safety(spark):
+    from weather_data_data_pipeline_spark.operators.merge import table_diff
+
+    left = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, None, 3.0), (4, "d", 4.0)],
+        "k long, s string, v double",
+    )
+    right = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 0.0), (3, "", 3.0), (5, "e", 5.0)],
+        "k long, s string, v double",
+    )
+    got = {r["k"]: r["diff_status"] for r in table_diff(left, right, ["k"]).collect()}
+    # k=1 identical → absent; NULL vs 0.0 and NULL vs '' must read changed.
+    assert got == {2: "changed", 3: "changed", 4: "only_left", 5: "only_right"}
+
+
+def test_table_diff_identical_tables_is_empty(spark):
+    from tests.conftest import SF_DIR
+    from weather_data_data_pipeline_spark.operators.merge import table_diff
+    from weather_data_data_pipeline_spark.sources.tables import load
+
+    orders = load(spark, SF_DIR, "orders")
+    assert table_diff(orders, orders, ["o_orderkey"]).count() == 0

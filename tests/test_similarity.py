@@ -117,3 +117,30 @@ def test_int8_quantization_roundtrip_and_recall(spark):
     approx = _pairs(brute_force_topk(rec, rq, k=10))
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"int8 retrieval recall collapsed: {recall}"
+
+
+def test_persisted_ivf_index_matches_fresh_ivf(spark, tmp_path):
+    from weather_data_data_pipeline_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_from_index,
+    )
+    from weather_data_data_pipeline_spark.sources.tables import load
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings")
+    queries = emb.limit(30)
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(emb, path, n_centroids=8)
+    got = sorted(
+        map(tuple, ivf_topk_from_index(spark, path, queries, k=5, n_probe=3).collect())
+    )
+    want = sorted(
+        map(tuple, ivf_topk(emb, queries, k=5, n_probe=3, n_centroids=8).collect())
+    )
+    assert got == want
+    # Postings are laid out one directory per cell → probing prunes files.
+    import os
+
+    cells = [d for d in os.listdir(f"{path}/postings") if d.startswith("cell=")]
+    assert len(cells) > 1

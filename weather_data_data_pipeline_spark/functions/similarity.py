@@ -531,3 +531,83 @@ def dequantize_embeddings(
             lambda q: (q.cast("double") * F.col("q_scale") / 127).cast("float"),
         ),
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    sample_size: int = 2048,
+) -> None:
+    """Materialize an IVF index: centroids + cell-partitioned postings.
+
+    `ivf_topk` retrains and reassigns per call — right for tests, wrong
+    for a served index. This writes the two artifacts a long-lived index
+    needs: ``<path>/centroids`` (tiny parquet) and ``<path>/postings``
+    parquet **partitioned by cell**, so a probe of p cells reads p
+    directories and Catalyst prunes the rest at the file-listing level
+    (static partition pruning when the probed cells resolve to literals,
+    DPP under the cell join). Rebuild cadence at scale: centroids are
+    stable under corpus drift; postings append incrementally via the
+    same assignment scan on the new batch.
+    """
+    spark = corpus.sparkSession
+    cents = train_ivf_centroids(corpus, id_col, vec_col, n_centroids, sample_size)
+    centroids_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cell int, centroid array<double>"
+    )
+    centroids_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    postings = _nearest_cells(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+        centroids_df, vec_col, 1, "c_vec", "neighbor_id",
+    )
+    postings.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/postings"
+    )
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Query a persisted IVF index (same output contract as `ivf_topk`).
+
+    Only the query batch is assigned at query time; the corpus-side
+    assignment was paid once at build. The postings join keys on the
+    partition column, so only probed cells' files are scanned.
+    """
+    centroids_df = spark.read.parquet(f"{path}/centroids")
+    postings = spark.read.parquet(f"{path}/postings")
+    q_cells = _nearest_cells(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+        centroids_df, vec_col, n_probe, "q_vec", "query_id",
+    )
+    scored = (
+        postings.join(q_cells, "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("q_vec"), F.col("c_vec"))
+             / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))).alias("cosine_raw"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine_raw", 4).alias("cosine"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )

@@ -78,3 +78,47 @@ def orphan_count(
         .join(parent.select(F.col(pk).alias(fk)), fk, "left_anti")
         .agg(F.count("*").alias("n_violations"))
     )
+
+
+def table_diff(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Symmetric data diff by key: one row per divergent key with status
+    ``only_left`` / ``only_right`` / ``changed``.
+
+    The anti-entropy primitive for replica reconciliation, migration
+    validation, and CDC backfill checks. Non-key columns collapse to ONE
+    64-bit xxhash per side before the join, so the shuffle carries
+    (key, hash) — not row payloads — and the comparison is a single
+    full-outer join on the key regardless of column count. NULL-safe:
+    hashing a struct distinguishes NULL from '' and from 0.
+
+    Identical keys (hash-equal) are filtered out BEFORE leaving the
+    join, so output size is bounded by the drift, not the table.
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in left.columns if c not in keys]
+    key_cols = [F.col(k) for k in keys]
+
+    def hashed(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            *key_cols,
+            F.xxhash64(F.struct(*[F.col(c) for c in compare_cols])).alias(
+                f"_h_{side}"
+            ),
+        )
+
+    joined = hashed(left, "l").join(hashed(right, "r"), list(keys), "full_outer")
+    status = (
+        F.when(F.col("_h_r").isNull(), F.lit("only_left"))
+        .when(F.col("_h_l").isNull(), F.lit("only_right"))
+        .when(F.col("_h_l") != F.col("_h_r"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("diff_status", status)
+        .where(F.col("diff_status").isNotNull())
+        .select(*keys, "diff_status")
+    )

@@ -15,6 +15,7 @@ from weather_data_data_pipeline_spark.operators.merge import (
     merge_upsert,
     orphan_count,
     scd2_snapshot,
+    table_diff,
 )
 from weather_data_data_pipeline_spark.registry import register
 from weather_data_data_pipeline_spark.sources.tables import load
@@ -184,3 +185,67 @@ def window_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.nth_value("value", 2).over(w), 2).alias("second_value"),
         F.round(F.first("value").over(w), 2).alias("first_val"),
     )
+
+
+@register(
+    "table_diff_orders",
+    oracle="""
+    WITH r AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderkey % 101 = 0
+                    THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+               o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 103 = 0
+    )
+    SELECT coalesce(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+           CASE WHEN r.o_orderkey IS NULL THEN 'only_left'
+                WHEN l.o_orderkey IS NULL THEN 'only_right'
+                ELSE 'changed' END AS diff_status
+    FROM orders l FULL OUTER JOIN r USING (o_orderkey)
+    WHERE r.o_orderkey IS NULL OR l.o_orderkey IS NULL
+       OR l.o_custkey IS DISTINCT FROM r.o_custkey
+       OR l.o_orderstatus IS DISTINCT FROM r.o_orderstatus
+       OR l.o_totalprice IS DISTINCT FROM r.o_totalprice
+       OR l.o_orderdate IS DISTINCT FROM r.o_orderdate
+       OR l.o_orderpriority IS DISTINCT FROM r.o_orderpriority
+    """,
+    doc="Symmetric table diff (operators/merge.py: table_diff) between "
+    "orders and a deterministically drifted replica (keys % 97 dropped, "
+    "% 101 repriced, % 103 re-keyed as inserts): one (key, row-hash) "
+    "projection per side, one full-outer join on the key, identical "
+    "rows filtered before leaving the join — the anti-entropy check "
+    "for replica reconciliation and migration cutover, with shuffle "
+    "bytes proportional to keys, not payload width.",
+    tags=("maintenance", "audit"),
+)
+def table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    drifted = (
+        orders.where(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") + 1
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .select(*cols)
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 103 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                *cols[1:],
+            )
+        )
+    )
+    return table_diff(orders, drifted, ["o_orderkey"])
