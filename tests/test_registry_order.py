@@ -1,0 +1,54 @@
+"""Registration-order contract for the correctness driver.
+
+The driver verifies a bounded prefix (~50 queries) of ``queries()`` per
+round; ``registry._PRIORITY`` is therefore the verification schedule.
+These tests pin the invariants the schedule depends on.
+"""
+
+from weather_data_data_pipeline_spark import registry
+
+# The judge's round-2 minimum set (VERDICT.md "Next round" #1) plus the
+# north-star families: all must sit inside the driver's 50-query window.
+MUST_BE_IN_WINDOW = {
+    "minhash_dedup_pairs",
+    "embedding_cosine_topk",
+    "dedup_clusters",
+    "doc_chunks",
+    "user_sessions",
+    "asof_click_view",
+    "weather_weekly_avg_temp",
+    "weather_avg_humidity_range",
+    "ngram_jaccard_pairs",
+    "embedding_near_dup",
+    "multimodal_decode_stats",
+    "multimodal_frame_counts",
+    "pii_scrub_events",
+    "bm25_search_topk",
+}
+
+WINDOW = 50
+
+
+def test_priority_names_all_registered():
+    names = set(registry.query_names())
+    missing = [n for n in registry._PRIORITY if n not in names]
+    assert not missing, f"_PRIORITY references unregistered queries: {missing}"
+
+
+def test_priority_has_no_duplicates():
+    assert len(registry._PRIORITY) == len(set(registry._PRIORITY))
+
+
+def test_minimum_set_inside_driver_window():
+    window = set(registry.query_names()[:WINDOW])
+    missing = MUST_BE_IN_WINDOW - window
+    assert not missing, f"outside the driver's first-{WINDOW} window: {missing}"
+
+
+def test_ordering_preserves_full_surface():
+    # Reordering must not drop or duplicate anything.
+    names = registry.query_names()
+    assert len(names) == len(set(names))
+    assert set(names) == set(registry.queries())
+    # every oracle key is a registered query
+    assert set(registry.oracle_sql()) <= set(names)
