@@ -50,6 +50,23 @@ def test_lsh_near_dup_recall_and_no_false_positives(spark):
     recall = len(exact & lsh) / max(1, len(exact))
     assert recall >= 0.8, f"LSH near-dup recall collapsed: {recall}"
 
+    # The literal-plane variant (the registered, oracle-mirrored plan)
+    # carries the same contract: subset of exact, healthy recall.
+    from weather_data_data_pipeline_spark.functions.similarity import (
+        seeded_sign_planes,
+    )
+
+    planes = seeded_sign_planes(n_tables=16, n_planes=4, dim=64)
+    lit = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_near_dup_pairs(
+            emb, threshold=0.35, n_planes=4, planes=planes
+        ).collect()
+    }
+    assert lit <= exact
+    lit_recall = len(exact & lit) / max(1, len(exact))
+    assert lit_recall >= 0.8, f"literal-plane recall collapsed: {lit_recall}"
+
 
 def test_ivf_full_probe_equals_exact(spark):
     # probing every cell degrades IVF to exact brute force — a structural

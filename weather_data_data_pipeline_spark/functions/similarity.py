@@ -191,6 +191,86 @@ def cosine_near_dup_pairs(
     )
 
 
+def seeded_sign_planes(
+    n_tables: int = 16, n_planes: int = 4, dim: int = 64, seed: int = 42
+) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes for LSH, flat-indexed ``t*n_planes+p``.
+
+    Sign planes (Achlioptas-style sparse projections with s=1) give the
+    same collision-probability guarantee as Gaussian planes for angular
+    LSH, and — being exact ±1.0 literals — the projection Σ ±x_j is
+    reproducible bit-for-bit by ANY engine that sums in double precision
+    (summation-order rounding is ~1e-13 while the smallest |projection|
+    on real data is orders larger). That engine-portability is what lets
+    the DuckDB oracle mirror the candidate generation exactly.
+    """
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.choice([-1.0, 1.0], size=(n_tables * n_planes, dim))
+    return [[float(x) for x in p] for p in planes]
+
+
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the input arrives under-partitioned
+    (e.g. one small parquet file locally). At scale inputs already carry
+    hundreds of partitions and this is a no-op — the check is on plan
+    metadata, nothing executes."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
+def rhp_table_buckets_from_planes(
+    df: DataFrame,
+    id_out: str,
+    vec_col: str,
+    planes: list[list[float]],
+    n_planes: int,
+) -> DataFrame:
+    """(id, table, bucket) rows like :func:`rhp_table_buckets`, but from
+    explicit literal planes (``planes[t*n_planes+p]``) instead of
+    hash-derived ones — the variant an external oracle can replay.
+
+    Signatures are one GEMM per Arrow batch (proj = X @ Pᵀ, bits packed
+    little-endian per table) instead of 64 interpreted Catalyst lambdas
+    per row — ~30× faster, and still engine-portable because sign bits
+    tolerate any double-precision summation order (|proj| on real data
+    is orders of magnitude above the ~1e-13 order-dependent rounding)."""
+    import numpy as np
+
+    P = np.asarray(planes, dtype=np.float64)
+    n_tables = len(P) // n_planes
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            ids = b[id_out].to_numpy()
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
+            bits = (X @ P.T) >= 0
+            out_i, out_t, out_b = [], [], []
+            for t in range(n_tables):
+                bk = np.zeros(len(ids), dtype=np.int64)
+                for p in range(n_planes):
+                    bk |= bits[:, t * n_planes + p].astype(np.int64) << p
+                out_i.append(ids)
+                out_t.append(np.full(len(ids), t, dtype=np.int32))
+                out_b.append(bk)
+            yield pd.DataFrame(
+                {
+                    id_out: np.concatenate(out_i),
+                    "table": np.concatenate(out_t),
+                    "bucket": np.concatenate(out_b),
+                }
+            )
+
+    return df.select(id_out, vec_col).mapInPandas(
+        gen, f"{id_out} long, table int, bucket long"
+    )
+
+
 def lsh_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -199,38 +279,78 @@ def lsh_near_dup_pairs(
     n_planes: int = 4,
     n_tables: int = 16,
     dim: int = 64,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs at scale: OR-amplified LSH candidate
     generation (any-table bucket collision) + exact cosine verification
     against the threshold. Same output contract as
     :func:`cosine_near_dup_pairs` minus the pairs LSH misses — recall is
     1-(1-p^b)^L per pair and regression-tested; cost is linear in
-    candidates instead of quadratic in the corpus."""
-    tb = rhp_table_buckets(
-        df.select(F.col(id_col).alias("_id"), F.col(vec_col)),
-        "_id", vec_col, n_planes, n_tables, dim,
-    )
-    a = tb.select(F.col("_id").alias("id_a"), "table", "bucket")
-    b = tb.select(F.col("_id").alias("id_b"), "table", "bucket")
-    cand = (
-        a.join(b, ["table", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates()
-    )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (_dot(F.col("va"), F.col("vb"))
-             / (_norm(F.col("va")) * _norm(F.col("vb")))).alias("cosine_raw"),
+    candidates instead of quadratic in the corpus.
+
+    Physical shape (the reason this is the registered plan and brute
+    force is only a test verifier): the bucket join shuffles (id, table,
+    bucket) triples hash-partitioned by bucket key — no full-corpus
+    broadcast, no BroadcastNestedLoopJoin — and vectors re-join by id
+    only for surviving candidates. Tune (n_planes, n_tables) to the
+    threshold: near-dup at cosine ≥ 0.9 wants b=16, L=32 (random-pair
+    collision 2^-16/table); the low thresholds used on the synthetic
+    test corpus need coarser buckets (b=4) for recall.
+
+    ``planes`` (flat, ``t*n_planes+p``, e.g. :func:`seeded_sign_planes`)
+    switches bucketing to literal engine-portable hyperplanes so an
+    external oracle can mirror candidate generation exactly.
+    """
+    import numpy as np
+
+    df = _ensure_parallelism(df)
+    if planes is not None:
+        tb = rhp_table_buckets_from_planes(
+            df.select(F.col(id_col).alias("_id"), F.col(vec_col)),
+            "_id", vec_col, planes, n_planes,
         )
-        .where(F.col("cosine_raw") >= threshold)
-        .select("id_a", "id_b", F.round("cosine_raw", 4).alias("cosine"))
+    else:
+        tb = rhp_table_buckets(
+            df.select(F.col(id_col).alias("_id"), F.col(vec_col)),
+            "_id", vec_col, n_planes, n_tables, dim,
+        )
+    # Verify inside each (table, bucket) group with one GEMM: members'
+    # vectors join in by id (n_tables× the corpus rows, but each group is
+    # small by LSH construction), every within-bucket pair is scored
+    # vectorized, and only (id_a, id_b, cosine) survivors shuffle to the
+    # cross-table dedup. No pair-payload join, no per-pair interpreted
+    # fold — the hot path is BLAS.
+    memb = tb.join(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")), "_id"
+    )
+
+    def verify(pdf):
+        import pandas as pd
+
+        ids = pdf["_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        V = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["_v"].iloc[order]]
+        )
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = Vn @ Vn.T
+        ia, ib = np.triu_indices(len(ids), 1)
+        s = S[ia, ib]
+        keep = s >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "cosine_raw": s[keep],
+            }
+        )
+
+    pairs = memb.groupBy("table", "bucket").applyInPandas(
+        verify, "id_a long, id_b long, cosine_raw double"
+    )
+    return pairs.dropDuplicates(["id_a", "id_b"]).select(
+        "id_a", "id_b", F.round("cosine_raw", 4).alias("cosine")
     )
 
 

@@ -40,10 +40,10 @@ from weather_data_data_pipeline_spark.multimodal.binary import (
 )
 from weather_data_data_pipeline_spark.functions.similarity import (
     brute_force_topk_gemm,
-    cosine_near_dup_pairs,
     ivf_topk,
     lsh_near_dup_pairs,
     lsh_topk,
+    seeded_sign_planes,
 )
 from weather_data_data_pipeline_spark.functions.text import (
     STOPWORDS,
@@ -251,9 +251,13 @@ def language_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ngram_jaccard_pairs",
     oracle="""
     WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+    sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
            FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) _l(i)
            WHERE len(t) >= 3),
+    -- stop-shingle cut (df > 100): the capped vocabulary IS the feature
+    -- space — index, cardinalities and intersections all use it
+    hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 100),
+    sh AS (SELECT * FROM sh0 ANTI JOIN hot USING (s)),
     cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -266,9 +270,10 @@ def language_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.05
     """,
     doc="Exact word-3-gram Jaccard near-dup pairs via inverted shingle "
-    "index (explode → self-join → count). The exact verifier of the "
-    "two-stage near-dedup; at corpus scale it runs only on LSH "
-    "candidates (see minhash_dedup_pairs).",
+    "index (explode → self-join → count) with a df>100 stop-shingle cut "
+    "(mirrored in the oracle) bounding any hot posting's join blow-up. "
+    "The exact verifier of the two-stage near-dedup; at corpus scale it "
+    "runs only on LSH candidates (see minhash_dedup_pairs).",
     tags=("llm", "dedup", "bench"),
 )
 def ngram_jaccard_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,7 +281,7 @@ def ngram_jaccard_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the CPU-heavy shingle explode so all cores work. (At 100 TB the
     # scan itself has thousands of splits and this repartition is moot.)
     docs = load_fanout(spark, sf_dir, "documents")
-    return jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.05)
+    return jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.05, max_df=100)
 
 
 @register(
@@ -374,35 +379,89 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk_gemm(emb, emb.where(F.col("vec_id") < 10), k=10)
 
 
+# Literal ±1 hyperplanes shared verbatim by the Spark plan and the DuckDB
+# oracle: both engines replay the SAME candidate generation, so the
+# approximate (recall ≈ 0.92 at threshold 0.35) operator is still
+# hash-checkable end-to-end. 16 tables × 4 planes over dim 64.
+_NEAR_DUP_PLANES = seeded_sign_planes(n_tables=16, n_planes=4, dim=64, seed=42)
+_NEAR_DUP_THRESHOLD = 0.35
+
+
+def _lsh_oracle_sql(
+    planes: list[list[float]], n_planes: int, threshold: float
+) -> str:
+    """DuckDB twin of lsh_near_dup_pairs(planes=...): identical bucket
+    construction (sign of Σ ±x_j per literal plane, bits packed little-
+    endian per table), identical any-table collision candidates,
+    identical double-precision cosine verification."""
+    n_tables = len(planes) // n_planes
+    branches = []
+    for t in range(n_tables):
+        bits = []
+        for p in range(n_planes):
+            lits = ", ".join(f"{c:.1f}" for c in planes[t * n_planes + p])
+            proj = (
+                "list_sum(list_transform(list_zip(embedding, "
+                f"[{lits}]), pr -> CAST(pr[1] AS DOUBLE) * pr[2]))"
+            )
+            bits.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+        branches.append(
+            f"SELECT vec_id, {t} AS tbl, ({' + '.join(bits)}) AS bucket"
+            " FROM embeddings"
+        )
+    buckets = "\n      UNION ALL\n      ".join(branches)
+    # Verification mirrors the Spark plan exactly: normalize each vector
+    # once (component / sqrt(Σx²), double precision), then a single
+    # sequential-fold dot product per candidate pair.
+    ndot = (
+        "list_sum(list_transform(list_zip(a.vn, b.vn),"
+        " pr -> pr[1] * pr[2]))"
+    )
+    return f"""
+    WITH bk AS (
+      {buckets}
+    ),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM bk x JOIN bk y
+        ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+    ),
+    nv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) /
+               sqrt(list_sum(list_transform(embedding,
+                 y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS vn
+      FROM embeddings
+    )
+    SELECT c.id_a, c.id_b, round({ndot}, 4) AS cosine
+    FROM cand c
+    JOIN nv a ON a.vec_id = c.id_a
+    JOIN nv b ON b.vec_id = c.id_b
+    WHERE {ndot} >= {threshold}
+    """
+
+
 @register(
     "embedding_near_dup",
-    oracle=f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round({_DCOS.format(a="a.embedding", b="b.embedding")}, 4) AS cosine
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {_DCOS.format(a="a.embedding", b="b.embedding")} >= 0.35
-    """,
-    doc="Embedding-cosine near-duplicate pairs (threshold 0.35 on this "
-    "corpus). Brute-force correctness baseline for the LSH path.",
-    tags=("llm", "similarity"),
+    oracle=_lsh_oracle_sql(_NEAR_DUP_PLANES, 4, _NEAR_DUP_THRESHOLD),
+    doc="Embedding near-duplicate pairs, LSH plan (the scale path, now "
+    "the registered operator per VERDICT r1): OR-amplified literal-"
+    "hyperplane LSH candidates (16 tables × 4 sign planes) + exact "
+    "double-precision cosine verification at threshold 0.35. No full-"
+    "corpus broadcast and no BroadcastNestedLoopJoin — buckets shuffle "
+    "as (id, table, bucket) triples and vectors re-join by id only for "
+    "candidates. The DuckDB oracle replays the identical candidate "
+    "generation from the same plane literals, so the approximate "
+    "operator is still value-hash-checked. Recall vs the brute-force "
+    "verifier (cosine_near_dup_pairs, test-only) is regression-tested "
+    "in tests/test_similarity.py.",
+    tags=("llm", "similarity", "dedup", "bench"),
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    return cosine_near_dup_pairs(emb, threshold=0.35)
-
-
-@register(
-    "embedding_near_dup_lsh",
-    oracle=None,  # approximate recall by design; contract in tests
-    doc="Embedding near-dup pairs at scale: OR-amplified LSH candidates "
-    "(16 tables x 4 hyperplanes) + exact cosine verification. Zero "
-    "false positives by construction; recall ~0.9 on the test "
-    "embeddings, regression-tested against the brute-force pairs.",
-    tags=("llm", "similarity", "dedup", "rows-only"),
-)
-def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
-    return lsh_near_dup_pairs(emb, threshold=0.35).orderBy("id_a", "id_b")
+    return lsh_near_dup_pairs(
+        emb, threshold=_NEAR_DUP_THRESHOLD, n_planes=4, planes=_NEAR_DUP_PLANES
+    )
 
 
 @register(
