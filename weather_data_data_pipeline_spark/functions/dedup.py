@@ -85,6 +85,7 @@ def jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
@@ -92,6 +93,18 @@ def jaccard_pairs(
     never materialized. Output: (id_a, id_b, n_common, jaccard) with
     id_a < id_b. At corpus scale, run this only on LSH candidates —
     see :func:`minhash_lsh_candidates`.
+
+    ``max_df`` is the stop-shingle cut: shingles appearing in more than
+    ``max_df`` documents are dropped from the feature space BEFORE the
+    self-join — consistently from the index, the per-doc cardinalities,
+    and the intersections, so the result is the exact Jaccard over the
+    capped vocabulary (the IR stopword-removal semantics, not an
+    approximation of the uncapped value). Without a cap, one shingle
+    shared by 10k docs materializes ~50M join rows (quadratic work per
+    hot key even though it distributes); the cap bounds every posting's
+    contribution at max_df²/2. The dropped postings are a tiny
+    df-ranked head, found with one aggregate and removed with a
+    broadcast anti-join.
 
     Shape note (measured): a posting-list variant (collect_list per
     shingle + HOF pair generation) is ~15% faster at sf0.1 but builds
@@ -106,10 +119,23 @@ def jaccard_pairs(
     # sf0.1). At scale this is the posting-list table a real pipeline
     # persists anyway; localCheckpoint is its single-process analog.
     sh = hashed_shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
-    # per-doc shingle cardinality straight from the array — no extra agg
-    counts = df.select(
-        F.col(id_col), F.size(shingle_array(text_col, n)).alias("n_sh")
-    ).where(F.col("n_sh") > 0)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("h")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > max_df)
+            .select("h")
+        )
+        sh = sh.join(F.broadcast(hot), "h", "left_anti").localCheckpoint(
+            eager=True
+        )
+        # cardinalities over the capped vocabulary, from the capped index
+        counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    else:
+        # per-doc shingle cardinality straight from the array — no extra agg
+        counts = df.select(
+            F.col(id_col), F.size(shingle_array(text_col, n)).alias("n_sh")
+        ).where(F.col("n_sh") > 0)
     # self-join on the 8-byte shingle hash, not the string: the shuffle
     # for the join carries (id, long) rows — measured ~4× faster at sf0.1
     a = sh.select(F.col(id_col).alias("id_a"), "h")
@@ -238,10 +264,23 @@ def minhash_lsh_candidates(
     id_col: str,
     bands: int = DEFAULT_BANDS,
     num_perm: int = DEFAULT_NUM_PERM,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded LSH: hash each band of the signature; docs colliding in any
     band become candidate pairs. One explode (docs × bands rows) + one
     shuffle on (band, band_hash) — per-bucket joins replace all-pairs.
+
+    ``max_bucket_size`` bounds the quadratic blow-up of a degenerate
+    bucket (e.g. 10k boilerplate near-identical docs colliding in one
+    band → ~50M pairs): buckets larger than the cap emit STAR edges —
+    every member paired with the bucket's min-id representative, m-1
+    edges instead of m(m-1)/2. Downstream connected-components
+    clustering (the dedup consumer) sees the exact same components,
+    because a bucket's members stay connected through the hub; only
+    direct pair enumeration inside oversized buckets is elided, and
+    those buckets are near-clique by construction (identical band
+    signature). Pair-level verification then validates hub edges as
+    usual.
 
     Band buckets are xxhash64 over the band's signature elements accessed
     by index (codegen'd getItem), not a string concat inside a
@@ -264,14 +303,32 @@ def minhash_lsh_candidates(
     ).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
-    return (
+    if max_bucket_size is None:
+        a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+        b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+        return (
+            a.join(b, ["band", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates()
+        )
+    stats = banded.groupBy("band", "bucket").agg(
+        F.count("*").alias("_m"), F.min(id_col).alias("_rep")
+    )
+    tagged = banded.join(stats, ["band", "bucket"])
+    small = tagged.where(F.col("_m") <= max_bucket_size)
+    a = small.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = small.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    dense_pairs = (
         a.join(b, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .dropDuplicates()
     )
+    star_pairs = (
+        tagged.where((F.col("_m") > max_bucket_size) & (F.col(id_col) != F.col("_rep")))
+        .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    return dense_pairs.union(star_pairs).dropDuplicates()
 
 
 def minhash_dedup_pairs(
@@ -282,10 +339,13 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
     num_perm: int = DEFAULT_NUM_PERM,
     bands: int = DEFAULT_BANDS,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Candidate generation via MinHash LSH, then exact-Jaccard
     verification restricted to the candidate set — the standard
-    two-stage near-dedup at corpus scale."""
+    two-stage near-dedup at corpus scale. ``max_bucket_size`` caps the
+    per-bucket pair blow-up (star edges inside oversized buckets — see
+    :func:`minhash_lsh_candidates`)."""
     # Materialize the signature table before the banded self-join: it is
     # tiny (docs × num_perm longs) and BOTH join sides derive from it —
     # without materialization Spark re-executes the whole
@@ -295,9 +355,9 @@ def minhash_dedup_pairs(
     sigs = minhash_signatures_vectorized(
         df, id_col, text_col, n, num_perm
     ).localCheckpoint(eager=True)
-    cand = minhash_lsh_candidates(sigs, id_col, bands, num_perm).localCheckpoint(
-        eager=True
-    )
+    cand = minhash_lsh_candidates(
+        sigs, id_col, bands, num_perm, max_bucket_size
+    ).localCheckpoint(eager=True)
     # Verify with per-pair exact Jaccard via array_intersect. Only docs
     # that appear in some candidate pair build shingle arrays: a
     # broadcast semi-join restricts the corpus first (candidates are a
