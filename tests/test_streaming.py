@@ -213,15 +213,150 @@ def _has_protobuf() -> bool:
         return False
 
 
-@pytest.mark.skipif(
-    not _has_protobuf(),
-    reason="transformWithStateInPandas needs google.protobuf (its state "
-    "server protocol), not installed in this container",
-)
+def test_tws_processor_matches_old_api_without_protocol(spark):
+    """Protocol-free equivalence for the transformWithStateInPandas twin:
+    drive the StatefulProcessor directly against a stub ValueState handle
+    (its logic has no protobuf dependency) across two 'micro-batches' per
+    key, and assert the carried state matches both the
+    applyInPandasWithState operator run through the real streaming
+    harness and the batch aggregate. This is the coverage that runs
+    where google.protobuf is absent; the full-harness test below
+    additionally runs wherever the TWS state server is available."""
+    import pandas as pd
+
+    from weather_data_data_pipeline_spark.streaming.incremental import (
+        _running_totals_processor,
+    )
+
+    class StubValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class StubHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, StubValueState())
+
+    ev = (
+        load(spark, SF_DIR, "events")
+        .select("user_id", "value")
+        .limit(200)
+        .toPandas()
+    )
+    half = len(ev) // 2
+    batches = [ev.iloc[:half], ev.iloc[half:]]
+
+    # one processor (with its own state) per key, two batches each —
+    # exactly the per-key grouped delivery the TWS harness provides
+    final: dict[int, tuple[int, float]] = {}
+    processors: dict[int, object] = {}
+    for batch in batches:
+        for uid, g in batch.groupby("user_id"):
+            p = processors.get(uid)
+            if p is None:
+                p = _running_totals_processor()
+                p.init(StubHandle())
+                processors[uid] = p
+            out = pd.concat(list(p.handleInputRows((uid,), iter([g]), None)))
+            assert list(out.columns) == ["user_id", "n_events", "total_value"]
+            final[uid] = (
+                int(out["n_events"].iloc[0]),
+                float(out["total_value"].iloc[0]),
+            )
+
+    expected = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in (
+            load(spark, SF_DIR, "events")
+            .select("user_id", "value")
+            .limit(200)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+        ).collect()
+    }
+    assert final == expected
+
+    # and the old-API operator through the real streaming harness agrees
+    src_df = load(spark, SF_DIR, "events").select("user_id", "value").limit(200)
+    got_old = _final_totals_via_apply_in_pandas(spark, src_df)
+    assert got_old == expected
+
+
+def _final_totals_via_apply_in_pandas(spark, src_df):
+    """Run running_user_totals (applyInPandasWithState) over src_df via a
+    rate-less availableNow stream and return {user_id: (n, total)}."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        src = f"{d}/src"
+        src_df.write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema).format("parquet").load(src)
+        )
+        out = S.running_user_totals(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("totals_old_api_fallback")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.table("totals_old_api_fallback")
+        return {
+            r["user_id"]: (r["n_events"], r["total_value"])
+            for r in got.groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max("total_value").alias("total_value"),
+            )
+            .collect()
+        }
+
+
 def test_running_user_totals_tws_matches_old_api(spark, tmp_path):
     """transformWithStateInPandas twin: same final per-user totals as the
     applyInPandasWithState operator and as the batch aggregate, with
-    state carried across micro-batches on the RocksDB provider."""
+    state carried across micro-batches on the RocksDB provider.
+
+    Where the TWS state-server protocol (google.protobuf) is absent the
+    plan cannot EXECUTE, so this test degrades to asserting the operator
+    still ANALYZES — streaming flag, exact output schema — while the
+    semantics are covered protocol-free by
+    test_tws_processor_matches_old_api_without_protocol. No skip either
+    way."""
+    if not _has_protobuf():
+        src = str(tmp_path / "src_tws_plan")
+        load(spark, SF_DIR, "events").select("user_id", "value").limit(
+            10
+        ).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).format("parquet").load(src)
+        out = S.running_user_totals_tws(stream)
+        assert out.isStreaming
+        assert [
+            (f.name, f.dataType.simpleString()) for f in out.schema.fields
+        ] == [
+            ("user_id", "bigint"),
+            ("n_events", "bigint"),
+            ("total_value", "double"),
+        ]
+        return
     ev = load(spark, SF_DIR, "events").select("user_id", "value").limit(200)
     src = str(tmp_path / "src_tws")
     ev.limit(100).write.parquet(src)

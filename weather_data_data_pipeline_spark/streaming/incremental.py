@@ -236,22 +236,12 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
-def running_user_totals_tws(stream: DataFrame) -> DataFrame:
-    """The :func:`running_user_totals` operator on the NEW stateful API
-    (``transformWithStateInPandas``, Spark 4): a ``StatefulProcessor``
-    class with typed ValueState instead of the (py)tuple-state
-    ``applyInPandasWithState`` callback.
-
-    Same semantics and same state size — one (count, total) pair per
-    user — but the new API adds lifecycle hooks, multiple named state
-    variables, TTL, and timers, and is the forward path Spark documents
-    for custom stateful operators; the engine keeps both until the old
-    API is retired. Requires the RocksDB state store provider (set in
-    the caller/test), which is also the right provider at 100 TB state.
-    Runtime dependency: the TWS state-server protocol needs
-    ``google.protobuf`` — absent in this container, so the unit test
-    skips here and runs on a standard cluster image.
-    """
+def _running_totals_processor():
+    """The ``StatefulProcessor`` behind :func:`running_user_totals_tws`,
+    exposed as a factory so tests can drive ``init`` /
+    ``handleInputRows`` directly against a stub handle when the TWS
+    state-server protocol (google.protobuf) is unavailable — the
+    processor logic itself has no protobuf dependency."""
     import pandas as pd  # local: executors import lazily
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -283,8 +273,28 @@ def running_user_totals_tws(stream: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
+    return RunningTotals()
+
+
+def running_user_totals_tws(stream: DataFrame) -> DataFrame:
+    """The :func:`running_user_totals` operator on the NEW stateful API
+    (``transformWithStateInPandas``, Spark 4): a ``StatefulProcessor``
+    class with typed ValueState instead of the (py)tuple-state
+    ``applyInPandasWithState`` callback.
+
+    Same semantics and same state size — one (count, total) pair per
+    user — but the new API adds lifecycle hooks, multiple named state
+    variables, TTL, and timers, and is the forward path Spark documents
+    for custom stateful operators; the engine keeps both until the old
+    API is retired. Requires the RocksDB state store provider (set in
+    the caller/test), which is also the right provider at 100 TB state.
+    Runtime dependency: the TWS state-server protocol needs
+    ``google.protobuf``; where that is absent the unit test drives the
+    processor directly (see :func:`_running_totals_processor`) and
+    asserts equivalence with :func:`running_user_totals`.
+    """
     return stream.groupBy("user_id").transformWithStateInPandas(
-        RunningTotals(),
+        _running_totals_processor(),
         outputStructType="user_id long, n_events long, total_value double",
         outputMode="Update",
         timeMode="None",
