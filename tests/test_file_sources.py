@@ -89,3 +89,25 @@ def test_orc_round_trip(spark, tmp_path):
     back = read_orc(spark, path)
     assert back.schema == emb.schema
     assert _sorted_rows(back) == _sorted_rows(emb)
+
+
+def test_normalize_ntz_rejects_non_utc_session(spark, tmp_path):
+    import pytest
+
+    from weather_data_data_pipeline_spark.sources.tables import normalize_ntz
+
+    path = str(tmp_path / "ntz")
+    spark.sql(
+        "SELECT TIMESTAMP_NTZ '2024-01-01 12:00:00' AS t"
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("t") != "timestamp_ntz":
+        return  # writer config didn't produce NTZ; nothing to guard
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(ValueError, match="timeZone=UTC"):
+            normalize_ntz(df)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    assert normalize_ntz(df).dtypes[0][1] == "timestamp"

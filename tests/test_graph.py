@@ -88,3 +88,14 @@ def test_partition_invariance(spark):
     }
     for k in a:
         assert a[k] == pytest.approx(b[k], abs=1e-12)
+
+
+def test_empty_graph_releases_caches(spark):
+    from weather_data_data_pipeline_spark.functions.graph import pagerank
+
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    edges = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(edges)
+    assert out.count() == 0
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert after <= before, "empty-graph early return leaked cached frames"

@@ -83,3 +83,19 @@ def test_table_diff_identical_tables_is_empty(spark):
 
     orders = load(spark, SF_DIR, "orders")
     assert table_diff(orders, orders, ["o_orderkey"]).count() == 0
+
+
+def test_table_diff_null_position_shift_detected(spark):
+    """(NULL,'x') vs ('x',NULL): Spark hash exprs skip NULL fields, so a
+    naive struct hash collides on value shifts across a NULL. The
+    null-flag-perturbed hash must report these keys as changed."""
+    from weather_data_data_pipeline_spark.operators.merge import table_diff
+
+    left = spark.createDataFrame(
+        [(1, None, "x"), (2, "y", None)], "k long, a string, b string"
+    )
+    right = spark.createDataFrame(
+        [(1, "x", None), (2, None, "y")], "k long, a string, b string"
+    )
+    got = {r["k"]: r["diff_status"] for r in table_diff(left, right, ["k"]).collect()}
+    assert got == {1: "changed", 2: "changed"}

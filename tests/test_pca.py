@@ -99,3 +99,13 @@ def test_variance_report_shape(model, spark):
     rep = variance_report(model, spark).collect()
     assert [r["component"] for r in rep] == list(range(K))
     assert abs(rep[-1]["cum_evr"] - round(sum(model.explained_variance_ratio), 6)) < 1e-6
+
+
+def test_pca_fit_empty_corpus_raises_value_error(spark):
+    import pytest
+
+    from weather_data_data_pipeline_spark.functions.pca import pca_fit
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="no non-null vectors"):
+        pca_fit(empty, k=2)

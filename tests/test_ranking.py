@@ -104,3 +104,36 @@ def test_global_running_sum_carries_across_arrow_batches(spark):
         assert all(r["rt"] == r["id"] + 1 for r in out)
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_global_running_sum_null_values_sql_semantics(spark):
+    """NULLs are skipped (SQL SUM-over-window): a NULL row receives the
+    running sum of preceding non-nulls, leading NULLs yield NULL, and a
+    batch/partition ending in NULL must not poison the carry."""
+    from weather_data_data_pipeline_spark.operators.ranking import (
+        global_running_sum,
+    )
+
+    rows = [(0, None), (1, 10), (2, None), (3, 5), (4, None), (5, None), (6, 2)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        got = {
+            r["id"]: r["rt"]
+            for r in global_running_sum(
+                df, ["id"], "v", out_col="rt", num_partitions=2
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    # window twin: sum(v) over (order by id rows unbounded preceding)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["id"]: r["rt"]
+        for r in df.withColumn("rt", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+    assert got[0] is None and got[2] == 10 and got[6] == 17

@@ -39,6 +39,11 @@ def pagerank(
     teleport + dangling mass only — include them when ranking a corpus
     where most documents have no links). Dangling-vertex mass is
     redistributed uniformly, the standard convention.
+
+    The returned DataFrame is persisted (the last iteration pinned it);
+    the caller owns it and should ``unpersist()`` when done. All
+    intermediate cached frames are released before returning, including
+    on the empty-graph early exit.
     """
     # The edge list may carry an expensive lineage (e.g. a shingle-join
     # similarity graph) and is scanned once per downstream prep step —
@@ -52,7 +57,10 @@ def pagerank(
     vertices = vertex_ids.dropDuplicates().persist()
     n = vertices.count()
     if n == 0:
-        return vertices.withColumn("rank", F.lit(0.0))
+        empty = vertices.withColumn("rank", F.lit(0.0))
+        vertices.unpersist()
+        e.unpersist()
+        return empty
 
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
     # (src, dst, outdeg) resolved once — each iteration then only joins

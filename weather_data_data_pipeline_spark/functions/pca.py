@@ -117,6 +117,10 @@ def pca_fit(df: DataFrame, k: int = 8, vec_col: str = "embedding") -> PCAModel:
         .agg(F.sum("val").alias("val"))
     )
     flat = {r["pos"]: r["val"] for r in cells.collect()}
+    if not flat:
+        raise ValueError(
+            f"pca_fit: no non-null vectors in corpus column {vec_col!r}"
+        )
     total_n = int(flat[0])
     d = int(round((np.sqrt(4 * (len(flat) - 1) + 1) - 1) / 2))  # 1 + d + d²
     s = np.array([flat[1 + i] for i in range(d)])

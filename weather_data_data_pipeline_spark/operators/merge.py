@@ -93,8 +93,16 @@ def table_diff(
     validation, and CDC backfill checks. Non-key columns collapse to ONE
     64-bit xxhash per side before the join, so the shuffle carries
     (key, hash) — not row payloads — and the comparison is a single
-    full-outer join on the key regardless of column count. NULL-safe:
-    hashing a struct distinguishes NULL from '' and from 0.
+    full-outer join on the key regardless of column count.
+
+    NULL handling: Spark hash expressions SKIP null inputs (a null
+    leaves the accumulator unchanged), so hashing bare columns would
+    make (NULL,'x') and ('x',NULL) collide — a false "unchanged" in the
+    exact tool meant to catch drift. Each column therefore contributes
+    an explicit is-null flag ahead of its value, which disambiguates
+    null-position shifts; NULL vs '' vs 0 are likewise distinct. (As
+    with any 64-bit content hash, a random collision — p ≈ 2⁻⁶⁴ per
+    key — is the accepted trade for the fixed-width shuffle.)
 
     Identical keys (hash-equal) are filtered out BEFORE leaving the
     join, so output size is bounded by the drift, not the table.
@@ -106,9 +114,13 @@ def table_diff(
     def hashed(df: DataFrame, side: str) -> DataFrame:
         return df.select(
             *key_cols,
-            F.xxhash64(F.struct(*[F.col(c) for c in compare_cols])).alias(
-                f"_h_{side}"
-            ),
+            F.xxhash64(
+                *[
+                    e
+                    for c in compare_cols
+                    for e in (F.col(c).isNull(), F.col(c))
+                ]
+            ).alias(f"_h_{side}"),
         )
 
     joined = hashed(left, "l").join(hashed(right, "r"), list(keys), "full_outer")

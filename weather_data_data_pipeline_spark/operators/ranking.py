@@ -136,6 +136,15 @@ def global_running_sum(
     Sums accumulate in int64 when the input is integral (exact);
     float inputs get per-partition-deterministic ordering, so results
     are reproducible under a fixed partition count.
+
+    NULL handling matches SQL SUM-over-window exactly: NULLs are
+    skipped by the accumulation (a NULL row still receives the running
+    sum of the preceding non-null values), and the output is NULL only
+    while the frame has seen no non-null value at all. The cross-batch
+    and cross-partition carries use null-filled cumsums plus a
+    non-null-count carry, so a batch or partition ending in NULL cannot
+    poison later ones (pandas ``cumsum`` alone would propagate NaN into
+    the carry).
     """
     n = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")
@@ -145,31 +154,41 @@ def global_running_sum(
         .sortWithinPartitions(*sort_cols)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    totals = dict(
-        ranged.groupBy(F.spark_partition_id().alias("pid"))
-        .agg(F.sum(value_col).alias("s"))
+    totals = {
+        r["pid"]: (r["s"], r["c"])
+        for r in ranged.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.sum(value_col).alias("s"), F.count(value_col).alias("c"))
         .collect()
-    )
+    }
     offsets = {}
-    acc = 0
+    acc, seen = 0, 0
     for pid in range(n):
-        offsets[pid] = acc
-        acc += totals.get(pid, 0) or 0
+        offsets[pid] = (acc, seen)
+        s, c = totals.get(pid, (0, 0))
+        acc += s or 0
+        seen += c
 
     field = df.schema[value_col].dataType
     out_schema = StructType(
         list(df.schema.fields) + [StructField(out_col, field, True)]
     )
+    integral = field.simpleString() in ("tinyint", "smallint", "int", "bigint")
 
     def assign(batches):
         from pyspark import TaskContext
 
-        base = offsets.get(TaskContext.get().partitionId(), 0)
+        base, nn_base = offsets.get(TaskContext.get().partitionId(), (0, 0))
         for b in batches:
-            cs = b[value_col].cumsum() + base
-            b[out_col] = cs
+            v = b[value_col]
+            cs = v.fillna(0).cumsum() + base
+            nn = v.notna().cumsum() + nn_base
+            out = cs.where(nn > 0)
+            if integral:
+                out = out.astype("Int64")  # nullable int → long, no NaN cast
+            b[out_col] = out
             if len(b):
-                base = cs.iloc[-1]  # carry across Arrow batches
+                base = cs.iloc[-1]  # carries are NaN-proof by construction
+                nn_base = nn.iloc[-1]
             yield b
 
     return ranged.mapInPandas(assign, out_schema)

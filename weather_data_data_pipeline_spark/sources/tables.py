@@ -64,7 +64,19 @@ def normalize_ntz(df: DataFrame) -> DataFrame:
     mixed NTZ/LTZ comparisons. The session runs in UTC, so reinterpreting
     the naive wall-clock as a UTC instant is lossless and matches DuckDB's
     naive-timestamp ``epoch()`` semantics.
+
+    The plain cast applies the SESSION timezone — correct only under
+    UTC, so a misconfigured session fails loudly here instead of
+    silently shifting every instant.
     """
+    has_ntz = any(dtype == "timestamp_ntz" for _, dtype in df.dtypes)
+    if has_ntz:
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00"):
+            raise ValueError(
+                "normalize_ntz requires spark.sql.session.timeZone=UTC "
+                f"(got {tz!r}); a non-UTC session would shift NTZ instants"
+            )
     for col_name, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
