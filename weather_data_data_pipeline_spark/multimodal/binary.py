@@ -8,11 +8,15 @@ Data model (the 100 TB layout):
                      duration_ms: INT, sample_rate: INT>
 
 The Spark-side plumbing — schema, Arrow batching, mapInPandas signatures,
-partition sizing — is real and tested. The codec step itself (PIL/ffmpeg
-et al.) is NOT available in this container, so decoding is stubbed: pass
-``fake=True`` for a deterministic hash-derived fake decode (stable test
-vectors), or ``fake=False`` to get the explicit NotImplementedError a
-deployment must replace with a real codec.
+partition sizing — is real and tested. Decoding has two tiers:
+
+- REAL, library-free: PPM/BMP images, PCM16 WAV audio, PPM-stream video
+  (``multimodal/codecs.py``) — actual bytes → pixels/samples → features,
+  no PIL/ffmpeg needed.
+- Everything else (JPEG/MP3/MP4 …) needs codec libraries absent in this
+  container: ``fake=True`` gives a deterministic hash-derived decode
+  (stable test vectors); ``fake=False`` on an unsupported format raises
+  the explicit NotImplementedError a deployment replaces with PIL/ffmpeg.
 
 Why mapInPandas: decode is per-row CPU work with a wide, variable-size
 output; Arrow batches amortize the Python crossing, and the iterator
@@ -82,28 +86,46 @@ def _fake_decode(content: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return (vec / np.linalg.norm(vec)).astype(np.float32)
 
 
+def _real_decode(content: bytes) -> np.ndarray:
+    """Real decode for the library-free formats (PPM/BMP/WAV); raises
+    NotImplementedError for anything else — the seam where PIL/ffmpeg
+    plug in on a full image."""
+    from weather_data_data_pipeline_spark.multimodal import codecs
+
+    kind = codecs.sniff(content)
+    if kind == "ppm":
+        _, _, px = codecs.decode_ppm(content)
+        return codecs.image_features(px)
+    if kind == "bmp":
+        _, _, px = codecs.decode_bmp(content)
+        return codecs.image_features(px)
+    if kind == "wav":
+        rate, _, samples = codecs.decode_wav(content)
+        return codecs.audio_features(samples, rate)
+    raise NotImplementedError(
+        "no codec for this format in this environment (built-in: PPM, "
+        "24-bit BMP, PCM16 WAV); wire PIL/torchaudio/ffmpeg here or pass "
+        "fake=True for the deterministic test decode"
+    )
+
+
 def decode_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode/feature-extract binary media via mapInPandas (Arrow batches).
 
-    ``fake=False`` raises NotImplementedError at execution time: this
-    container has no image/audio libraries (see module docstring); the
-    function body is the exact shape a real codec plugs into.
-    """
+    ``fake=False`` decodes PPM/BMP/WAV for real (pure-Python codecs, see
+    module docstring) and raises NotImplementedError on formats that
+    need external libraries — the exact shape a full codec stack plugs
+    into."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _fake_decode if fake else _real_decode
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media codecs are not installed in this environment; "
-                    "wire a real decoder here (PIL/torchaudio/ffmpeg) or "
-                    "pass fake=True for the deterministic test decode"
-                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "modality": pdf["modality"],
                     "feature": [
-                        _fake_decode(bytes(c)).tolist() for c in pdf["content"]
+                        decode(bytes(c)).tolist() for c in pdf["content"]
                     ],
                     "n_bytes": [len(bytes(c)) for c in pdf["content"]],
                 }
@@ -112,24 +134,45 @@ def decode_features(df: DataFrame, fake: bool = False) -> DataFrame:
     return df.mapInPandas(run, DECODED_SCHEMA)
 
 
+def _real_resize(content: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resize for PPM/BMP, re-encoded in the source
+    format — a real resample with no imaging library."""
+    from weather_data_data_pipeline_spark.multimodal import codecs
+
+    kind = codecs.sniff(content)
+    if kind not in ("ppm", "bmp"):
+        raise NotImplementedError(
+            "no resize codec for this format (built-in: PPM, 24-bit BMP); "
+            "wire PIL/opencv here or pass fake=True for the plumbing stub"
+        )
+    decode = codecs.decode_ppm if kind == "ppm" else codecs.decode_bmp
+    encode = codecs.encode_ppm if kind == "ppm" else codecs.encode_bmp
+    w, h, px = decode(content)
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return encode(px[ys][:, xs])
+
+
 def resize_images(df: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
-    """Image resize: binary in → binary out, meta updated. Stub: the fake
-    path truncates/pads bytes deterministically (plumbing-only); the
-    real path is a PIL/opencv call in the same mapInPandas shape."""
+    """Image resize: binary in → binary out, meta updated. The real path
+    nearest-neighbor-resamples PPM/BMP via the pure-Python codecs (other
+    formats raise — the PIL/opencv seam); the fake path truncates/pads
+    bytes deterministically (plumbing-only)."""
     out_schema = MEDIA_SCHEMA
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
         for pdf in batches:
             if not fake:
-                raise NotImplementedError(
-                    "image codec not installed; pass fake=True for the "
-                    "deterministic plumbing stub"
-                )
-            content = [
-                (bytes(c) * (target // max(len(bytes(c)), 1) + 1))[:target]
-                for c in pdf["content"]
-            ]
+                content = [
+                    _real_resize(bytes(c), width, height)
+                    for c in pdf["content"]
+                ]
+            else:
+                content = [
+                    (bytes(c) * (target // max(len(bytes(c)), 1) + 1))[:target]
+                    for c in pdf["content"]
+                ]
             meta = pd.DataFrame(
                 {
                     "mime": [m["mime"] if m is not None else None for m in pdf["meta"]],
@@ -155,12 +198,35 @@ def resize_images(df: DataFrame, width: int, height: int, fake: bool = False) ->
     return df.mapInPandas(run, out_schema)
 
 
+def _real_sample_frames(
+    content: bytes, duration_ms: int, every_ms: int
+) -> list[tuple[int, bytes]]:
+    """Real frame sampling over a PPM-stream container (concatenated P6
+    frames — the image2pipe layout): walk the frame headers, keep every
+    k-th frame where k = ceil(every_ms / frame_interval)."""
+    from weather_data_data_pipeline_spark.multimodal import codecs
+
+    if codecs.sniff(content) != "ppm":
+        raise NotImplementedError(
+            "no video demuxer for this format (built-in: PPM-stream); "
+            "wire ffmpeg here or pass fake=True for the plumbing stub"
+        )
+    frames = list(codecs.iter_ppm_stream(content))
+    if not frames:
+        return []
+    interval = max(duration_ms, 1) / len(frames)
+    stride = max(int(-(-every_ms // interval)), 1)  # ceil
+    return [(i, blob) for i, blob in frames[::stride]]
+
+
 def sample_frames(
     df: DataFrame, every_ms: int = 1000, fake: bool = False
 ) -> DataFrame:
     """Video frame sampling: one row in → N frame rows out (mapInPandas
     is the right operator precisely because output cardinality differs
-    from input). Fake path derives frame count from meta.duration_ms."""
+    from input). The real path demuxes PPM-stream containers (other
+    formats raise — the ffmpeg seam); the fake path derives frame count
+    from meta.duration_ms."""
     out_schema = StructType(
         [
             StructField("media_id", StringType()),
@@ -172,10 +238,21 @@ def sample_frames(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
-                raise NotImplementedError(
-                    "video codec not installed; pass fake=True for the "
-                    "deterministic plumbing stub"
+                ids, idxs, frames = [], [], []
+                for _, row in pdf.iterrows():
+                    duration = (row["meta"] or {}).get("duration_ms")
+                    if duration is None or duration != duration:
+                        duration = 0
+                    for i, blob in _real_sample_frames(
+                        bytes(row["content"]), int(duration), every_ms
+                    ):
+                        ids.append(row["media_id"])
+                        idxs.append(i)
+                        frames.append(blob)
+                yield pd.DataFrame(
+                    {"media_id": ids, "frame_idx": idxs, "frame": frames}
                 )
+                continue
             ids, idxs, frames = [], [], []
             for _, row in pdf.iterrows():
                 duration = (row["meta"] or {}).get("duration_ms")

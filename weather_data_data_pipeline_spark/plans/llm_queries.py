@@ -920,6 +920,79 @@ def multimodal_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_real_decode",
+    oracle="""
+    WITH g AS (
+      SELECT d.doc_id, x.x, y.y
+      FROM documents d,
+           generate_series(0, 7) x(x),
+           generate_series(0, 7) y(y)
+    )
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST(203 AS INTEGER) AS n_bytes,
+           CAST(SUM((doc_id * 31 + x * 3 + y * 7) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((doc_id * 31 + x * 3 + y * 7 + 11) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((doc_id * 31 + x * 3 + y * 7 + 22) % 256) AS BIGINT) AS sum_b
+    FROM g GROUP BY doc_id
+    """,
+    doc="REAL codec under the gate (no stub): fabricate an 8×8 binary "
+    "P6 PPM per document with a closed-form pixel pattern, decode the "
+    "actual bytes with the pure-Python codec "
+    "(multimodal/codecs.py:decode_ppm), featurize, and recover the "
+    "per-channel pixel SUMS from the feature means (integer-exact: "
+    "mean × 64 × 255 rounds to the true sum, so no float-boundary "
+    "risk). The oracle re-derives the sums by enumerating the same "
+    "pixel grid in SQL — bytes → parse → features verified end-to-end.",
+    tags=("llm", "multimodal"),
+)
+def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from weather_data_data_pipeline_spark.multimodal.binary import MEDIA_SCHEMA
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        from weather_data_data_pipeline_spark.multimodal import codecs
+
+        for pdf in batches:
+            yy, xx, cc = np.meshgrid(
+                np.arange(8), np.arange(8), np.arange(3), indexing="ij"
+            )
+            content = [
+                codecs.encode_ppm(
+                    ((int(d) * 31 + xx * 3 + yy * 7 + cc * 11) % 256).astype(
+                        np.uint8
+                    )
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype(str),
+                    "content": content,
+                    "modality": "image",
+                    "meta": [None] * len(pdf),
+                }
+            )
+
+    media = docs.mapInPandas(make, MEDIA_SCHEMA)
+    dec = decode_features(media, fake=False)
+    px_total = 8 * 8 * 255
+    return dec.select(
+        "media_id",
+        "n_bytes",
+        *[
+            F.round(F.element_at("feature", i + 1).cast("double") * px_total, 0)
+            .cast("long")
+            .alias(name)
+            for i, name in enumerate(["sum_r", "sum_g", "sum_b"])
+        ],
+    )
+
+
+@register(
     "doc_quality_filter",
     oracle=f"""
     WITH m AS (

@@ -95,6 +95,7 @@ _PRIORITY: tuple[str, ...] = (
     "doc_chunks",
     "multimodal_decode_stats",
     "multimodal_frame_counts",
+    "multimodal_real_decode",
     "tfidf_top_terms",
     "training_mix_sample_portable",
     "training_mix_sample",
