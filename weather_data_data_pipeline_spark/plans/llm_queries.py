@@ -236,7 +236,7 @@ def lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Heuristic language ID: per-language profile-token evidence "
     "counts, argmax with deterministic tie-break — executed as pure "
     "Column expressions (no UDF).",
-    tags=("llm", "text"),
+    tags=("llm", "text", "bench"),
 )
 def language_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -274,7 +274,12 @@ def language_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(mirrored in the oracle) bounding any hot posting's join blow-up. "
     "The exact verifier of the two-stage near-dedup; at corpus scale it "
     "runs only on LSH candidates (see minhash_dedup_pairs).",
-    tags=("llm", "dedup", "bench"),
+    # shuffle16: the posting self-join is a JVM-heavy reduce that wants
+    # width (measured 1.29s at 8 partitions vs 1.09s at 16 at sf0.1);
+    # python-stage-heavy queries want the opposite (minhash: 1.77s at 8
+    # vs 2.38s at 16). AQE coalescing makes this call per-stage at real
+    # scale; the tag is the static local-mode analog.
+    tags=("llm", "dedup", "bench", "shuffle16"),
 )
 def ngram_jaccard_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The documents scan is a single small file → 1 task; fan out before
@@ -339,7 +344,7 @@ def simhash_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Pandas UDF) joined with exact-dup grouping: fingerprint collisions "
     "== exact text matches on this corpus. Oracle folds the same "
     "polynomial in DuckDB HUGEINT arithmetic.",
-    tags=("llm", "text"),
+    tags=("llm", "text", "bench"),
 )
 def doc_fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -1014,7 +1019,7 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rejected documents with the per-rule verdicts that rejected them — "
     "the audit trail a curation pipeline keeps. One scan, codegen'd "
     "predicates, selective output (only rejects survive the filter).",
-    tags=("llm", "text"),
+    tags=("llm", "text", "bench"),
 )
 def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -1274,7 +1279,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "thresholds on. Spans travel as xxhash64 longs; document frequency "
     "is one count aggregate over the inverted index and the per-doc "
     "rollup a semi-join-shaped aggregate — no pairwise blowup anywhere.",
-    tags=("llm", "dedup", "quality"),
+    tags=("llm", "dedup", "quality", "bench"),
 )
 def span_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_fanout(spark, sf_dir, "documents")

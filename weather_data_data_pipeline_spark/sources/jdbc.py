@@ -7,11 +7,15 @@ reference passed a bare ``SELECT *`` string as the ``table`` argument
 (full:135,160), which Spark rejects — reads here take a table name or
 wrap a query as a parenthesized aliased subquery.
 
-No MySQL exists in this environment; these are thin, untested-against-a-
-live-DB wrappers whose read path still benefits from Catalyst's JDBC
-predicate pushdown (``pushDownPredicate`` defaults true). At scale, use
-``partition_column``/``num_partitions`` so the read parallelizes instead
-of funneling through one connection.
+No MySQL exists in this environment, but the connector is integration-
+tested against a LIVE database: Apache Derby, whose embedded JDBC driver
+ships inside the Spark distribution's own jars
+(tests/test_jdbc_derby.py — write/read round-trip, subquery reads,
+anti-join append idempotency, and filter pushdown into the external
+engine, visible as PushedFilters in the scan). The read path gets
+Catalyst's JDBC predicate pushdown (``pushDownPredicate`` defaults
+true). At scale, use ``partition_column``/``num_partitions`` so the
+read parallelizes instead of funneling through one connection.
 """
 
 from __future__ import annotations
