@@ -75,3 +75,58 @@ def test_minhash_bucket_cap_star_edges_preserve_components(spark):
     cc = connected_components(pairs)
     assert cc.count() == 50
     assert cc.select("cluster_id").distinct().count() == 1
+
+
+def test_incremental_near_dedup_invariants(spark):
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        incremental_near_dedup,
+        jaccard_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    kept = spark.createDataFrame(
+        [(1, base), (2, "completely different text about training data pipelines at scale")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # near-dup of kept doc 1 → must be dropped
+            (10, base + " today"),
+            # two near-dups of each other, unseen in kept → min id kept
+            (11, "distributed joins shuffle on their keys and skewed keys hurt a lot"),
+            (12, "distributed joins shuffle on their keys and skewed keys hurt plenty"),
+            # unique → kept
+            (13, "a totally novel document with nothing in common with others"),
+        ],
+        "doc_id long, text string",
+    )
+    out = incremental_near_dedup(new, kept, "doc_id", "text", threshold=0.5)
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert got == [11, 13]
+
+    # invariant: the union of kept ∪ survivors has no near-dup pair
+    merged = kept.union(out)
+    assert jaccard_pairs(merged, "doc_id", "text", threshold=0.5).count() == 0
+
+    # idempotency: replaying the SAME batch against the updated corpus
+    # adds nothing (every doc is now a near-dup of itself in kept)
+    replay = incremental_near_dedup(new, merged, "doc_id", "text", threshold=0.5)
+    assert replay.count() == 0
+
+
+def test_incremental_near_dedup_empty_kept_equals_batch(spark):
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        connected_components,
+        incremental_near_dedup,
+        minhash_dedup_pairs,
+    )
+    from weather_data_data_pipeline_spark.sources.tables import load
+    from tests.conftest import SF_DIR
+
+    docs = load(spark, SF_DIR, "documents").limit(200)
+    inc = incremental_near_dedup(docs, None, "doc_id", "text", threshold=0.5)
+    pairs = minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5)
+    cc = connected_components(pairs)
+    dropped = {r["doc_id"] for r in cc.collect() if r["doc_id"] != r["cluster_id"]}
+    want = {r["doc_id"] for r in docs.collect()} - dropped
+    assert {r["doc_id"] for r in inc.collect()} == want

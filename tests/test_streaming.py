@@ -406,3 +406,58 @@ def test_running_user_totals_tws_matches_old_api(spark, tmp_path):
             )
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_near_dedup_stream_append_matches_sequential_batches(spark, tmp_path):
+    """The streaming near-dedup sink must equal running
+    incremental_near_dedup sequentially over the same batches: the
+    destination corpus is the dedup state, so batch boundaries — not a
+    watermark — define what each micro-batch dedups against."""
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        incremental_near_dedup,
+        jaccard_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    b1 = [(1, base), (2, "unrelated text about shuffle partitioning strategies in spark")]
+    b2 = [
+        (10, base + " again"),                     # near-dup of kept 1 → dropped
+        (11, "fresh content about bloom filters pruning join probes early"),
+        (12, "fresh content about bloom filters pruning join probes soon"),  # near-dup of 11
+    ]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "src_neardedup")
+    spark.createDataFrame(b1, schema).write.parquet(src)
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+
+    dest = str(tmp_path / "kept_corpus")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    q = (
+        S.near_dedup_stream_append(
+            stream, dest, "doc_id", "text", str(tmp_path / "ckpt_nd")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    kept = spark.read.parquet(dest)
+    got = sorted(r["doc_id"] for r in kept.collect())
+    # sequential ground truth over the same two batches
+    seq1 = incremental_near_dedup(
+        spark.createDataFrame(b1, schema), None, "doc_id", "text"
+    )
+    seq2 = incremental_near_dedup(
+        spark.createDataFrame(b2, schema), seq1, "doc_id", "text"
+    )
+    want = sorted(
+        [r["doc_id"] for r in seq1.collect()] + [r["doc_id"] for r in seq2.collect()]
+    )
+    assert got == want
+    # and the materialized corpus holds no near-dup pair
+    assert jaccard_pairs(kept, "doc_id", "text", threshold=0.5).count() == 0

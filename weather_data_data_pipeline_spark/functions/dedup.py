@@ -537,3 +537,100 @@ def simhash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def incremental_near_dedup(
+    new_df: DataFrame,
+    kept_df: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Greedy incremental near-dedup: the subset of ``new_df`` to KEEP
+    given an already-deduplicated ``kept_df`` corpus — the reference's
+    anti-join idempotency contract (SURVEY §2.3 J1) generalized from
+    exact keys to MinHash near-duplicates, i.e. the operator a
+    continuously-ingesting training-data pipeline runs per batch.
+
+    Two stages, both candidate-bounded by banded LSH:
+    1. cross-corpus: new docs colliding with a kept doc in any band are
+       exact-Jaccard verified; matches are dropped (the kept corpus owns
+       the cluster).
+    2. within-batch: surviving new docs near-dedup against each other
+       (connected components, min-id representative survives).
+
+    Greedy-vs-global caveat (inherent to ANY incremental dedup): a new
+    doc whose only links into an existing cluster run through
+    previously-DROPPED duplicates is kept, where a global re-clustering
+    would drop it. The invariants that do hold — no kept pair is a
+    near-duplicate, and replaying a batch adds nothing — are the ones
+    regression-tested (tests/test_dedup_caps.py).
+
+    At scale the kept side's signatures are the persisted artifact
+    (recomputed here from text for self-containedness); band buckets
+    join shuffle-bounded exactly as in :func:`minhash_lsh_candidates`.
+    """
+    survivors = new_df
+    if kept_df is not None and not kept_df.isEmpty():
+        sig_new = minhash_signatures_vectorized(
+            new_df, id_col, text_col, n, num_perm
+        ).localCheckpoint(eager=True)
+        sig_kept = minhash_signatures_vectorized(
+            kept_df, id_col, text_col, n, num_perm
+        ).localCheckpoint(eager=True)
+
+        def banded(sigs, out):
+            rows_per_band = num_perm // bands
+            structs = [
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        *[
+                            F.col("signature")[b * rows_per_band + j]
+                            for j in range(rows_per_band)
+                        ]
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ]
+            return sigs.select(
+                F.col(id_col).alias(out), F.explode(F.array(*structs)).alias("bb")
+            ).select(out, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+        cand = (
+            banded(sig_new, "new_id")
+            .join(banded(sig_kept, "kept_id"), ["band", "bucket"])
+            .select("new_id", "kept_id")
+            .dropDuplicates()
+        )
+        # exact-Jaccard verify on full shingle arrays, candidates only
+        sh_new = new_df.select(
+            F.col(id_col).alias("new_id"), shingle_array(text_col, n).alias("sh_a")
+        )
+        sh_kept = kept_df.select(
+            F.col(id_col).alias("kept_id"), shingle_array(text_col, n).alias("sh_b")
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        dup_new_ids = (
+            cand.join(sh_new, "new_id")
+            .join(sh_kept, "kept_id")
+            .where(inter / union >= threshold)
+            .select(F.col("new_id").alias(id_col))
+            .dropDuplicates()
+        )
+        survivors = new_df.join(dup_new_ids, id_col, "left_anti")
+
+    # within-batch near-dedup of the survivors: min-id per component
+    pairs = minhash_dedup_pairs(
+        survivors, id_col, text_col, n, threshold, num_perm, bands, max_bucket_size
+    )
+    clusters = connected_components(pairs)
+    drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return survivors.join(drop, id_col, "left_anti")

@@ -1306,3 +1306,30 @@ def span_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shared_frac"),
         )
     )
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=None,  # MinHash-family specific; invariants + batch-equivalence
+    # are pytest-verified (tests/test_dedup_caps.py)
+    doc="Incremental near-dedup of an arriving batch against an "
+    "already-kept corpus (functions/dedup.py:incremental_near_dedup): "
+    "the reference's anti-join idempotency generalized to MinHash "
+    "near-duplicates — the per-batch operator of a continuously "
+    "ingesting training-data pipeline. Docs with id < 250 play the kept "
+    "corpus, the rest arrive as the new batch; output is the new ids "
+    "that survive (not near-dup of kept, one representative per "
+    "within-batch cluster). Invariants tested: kept ∪ survivors has no "
+    "near-dup pair; replaying the batch adds nothing.",
+    tags=("llm", "dedup", "rows-only"),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        incremental_near_dedup,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    kept = docs.where(F.col("doc_id") < 250)
+    new = docs.where(F.col("doc_id") >= 250)
+    out = incremental_near_dedup(new, kept, "doc_id", "text", threshold=0.5)
+    return out.select("doc_id", "lang", "source").orderBy("doc_id")

@@ -935,3 +935,40 @@ def daily_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
         )
     )
+
+
+@register(
+    "bloom_pruned_urgent_revenue",
+    oracle=f"""
+    SELECT l.l_orderkey AS orderkey,
+           CAST(round(SUM({_REVENUE_SQL}), 2) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_orderkey
+    """,
+    doc="Runtime bloom-filter join pruning (functions/bloom.py): a 16 KB "
+    "bloom built in one pass over the urgent orders' keys prunes the "
+    "lineitem probe side BEFORE the shuffle — at 100 TB only the "
+    "~matching fraction of the fact table reaches the join. The exact "
+    "join after the filter removes false positives, so the result is "
+    "IDENTICAL to the unfiltered join (no false negatives by "
+    "construction) and the oracle is the plain join. The filter probe "
+    "is a pure codegen'd Column expression (element_at + bit ops on a "
+    "literal word array) — no UDF.",
+    tags=("relational", "join", "scale-pattern"),
+)
+def bloom_pruned_urgent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.bloom import bloom_prune
+
+    urgent = load(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    pruned = bloom_prune(
+        load(spark, sf_dir, "lineitem"), urgent, "l_orderkey", "o_orderkey"
+    )
+    return (
+        pruned.join(urgent.select("o_orderkey"), pruned.l_orderkey == F.col("o_orderkey"))
+        .groupBy(F.col("l_orderkey").alias("orderkey"))
+        .agg(F.round(F.sum(_revenue()), 2).cast("double").alias("revenue"))
+    )

@@ -96,6 +96,8 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_decode_stats",
     "multimodal_frame_counts",
     "multimodal_real_decode",
+    "bloom_pruned_urgent_revenue",
+    "dedup_incremental_batch",
     "tfidf_top_terms",
     "training_mix_sample_portable",
     "training_mix_sample",

@@ -142,6 +142,50 @@ def idempotent_stream_append(
     )
 
 
+def near_dedup_stream_append(
+    stream: DataFrame,
+    dest_path: str,
+    id_col: str,
+    text_col: str,
+    checkpoint: str,
+    threshold: float = 0.5,
+) -> DataStreamWriter:
+    """Streaming twin of :func:`idempotent_stream_append` for NEAR
+    duplicates: each micro-batch runs
+    ``functions.dedup.incremental_near_dedup`` against the accumulated
+    destination corpus and appends only the survivors — a continuously
+    ingesting, continuously deduplicated training corpus.
+
+    State shape at scale: the per-batch work is LSH-bounded (banded
+    bucket joins against the kept corpus's signatures — persist those
+    alongside the corpus to skip recomputing them per batch); no
+    streaming state store is involved, so the watermark horizon does not
+    bound dedup history — the DESTINATION is the state, exactly like
+    the reference's anti-join pattern (full:160-171) but resilient to
+    paraphrase-level duplication, not just key equality.
+    """
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        incremental_near_dedup,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            kept = spark.read.parquet(dest_path)
+        except Exception:
+            kept = None
+        out = incremental_near_dedup(
+            batch_df, kept, id_col, text_col, threshold=threshold
+        )
+        out.write.mode("append").parquet(dest_path)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+
+
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,
