@@ -134,3 +134,36 @@ def test_tfidf_top_terms_small_frame(spark):
     # banana df=2 == cherry df=2, alphabetical tie-break
     assert sorted(by_doc[2]) == [(1, "banana", 1), (2, "cherry", 1)]
     assert by_doc[3][0][1] == "cherry" and by_doc[3][0][2] == 3
+
+
+def test_weighted_sample_portable_bias_and_determinism(spark):
+    from tests.conftest import SF_DIR
+    from weather_data_data_pipeline_spark.functions.text import (
+        weighted_sample_portable,
+    )
+    from weather_data_data_pipeline_spark.sources.tables import load
+
+    docs = load(spark, SF_DIR, "documents")
+    s1 = weighted_sample_portable(docs, "n_chars", k=25)
+    rows = s1.collect()
+    # exactly min(k, |stratum|) per language, ranks dense from 1
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in rows:
+        per[r["lang"]].append(r["rn"])
+    sizes = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, rns in per.items():
+        assert sorted(rns) == list(range(1, min(25, sizes[lang]) + 1))
+
+    # weighting by n_chars must bias the sample toward longer docs
+    corpus_avg = docs.agg(F.avg("n_chars")).first()[0]
+    sample_avg = s1.agg(F.avg("n_chars")).first()[0]
+    assert sample_avg > corpus_avg
+
+    # deterministic: identical output on re-run
+    s2 = weighted_sample_portable(docs, "n_chars", k=25)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, s2.collect()))

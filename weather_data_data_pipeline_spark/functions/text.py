@@ -333,3 +333,48 @@ def match_count(col: Column | str, pattern: str) -> Column:
     metric a scrubbing pipeline reports per row/partition."""
     c = F.col(col) if isinstance(col, str) else col
     return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
+
+
+def portable_uniform(id_col: str, salt: str = "v1") -> "F.Column":
+    """Engine-portable uniform u ∈ (0, 1) from md5(salt || id): the first
+    13 hex chars are a 52-bit integer — exactly representable in a
+    double, so ANY engine that can parse hex reproduces u bit-for-bit
+    (Spark: conv(); DuckDB: CAST('0x…')). The +0.5 offset keeps u
+    strictly inside (0, 1) so ln(u) is finite."""
+    h = F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 13)
+    return (F.conv(h, 16, 10).cast("double") + F.lit(0.5)) / F.lit(float(1 << 52))
+
+
+def weighted_sample_portable(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "v1",
+) -> DataFrame:
+    """Distributed weighted sampling WITHOUT replacement, k per stratum
+    (Efraimidis–Spirakis A-ES): each row draws the portable uniform u and
+    scores ln(u)/w — the top-k scores per stratum are exactly a weighted
+    sample without replacement. One scan + one window rank; the score is
+    a codegen'd expression, and because u derives from md5 the identical
+    sample reproduces on any engine (the DuckDB oracle replays it).
+
+    Weights must be strictly positive. Output carries ``rn`` (1..k per
+    stratum) for deterministic downstream ordering.
+    """
+    from pyspark.sql import Window
+
+    score = F.log(portable_uniform(id_col, salt)) / F.col(weight_col).cast(
+        "double"
+    )
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.desc("_es_score"), F.asc(id_col)
+    )
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("_es_score", score)
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= k)
+        .drop("_es_score")
+    )

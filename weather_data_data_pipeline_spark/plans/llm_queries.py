@@ -1333,3 +1333,37 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.where(F.col("doc_id") >= 250)
     out = incremental_near_dedup(new, kept, "doc_id", "text", threshold=0.5)
     return out.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+@register(
+    "training_mix_weighted_sample",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars,
+             ln((CAST('0x' || substr(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+                 + 0.5) / 4503599627370496.0) / CAST(n_chars AS DOUBLE) AS s
+      FROM documents WHERE n_chars > 0),
+    ranked AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY s DESC, doc_id) AS rn
+      FROM scored)
+    SELECT doc_id, lang, n_chars, CAST(rn AS INTEGER) AS rn
+    FROM ranked WHERE rn <= 25
+    """,
+    doc="Weighted sampling without replacement, 25 docs per language "
+    "weighted by n_chars (Efraimidis–Spirakis A-ES: score = ln(u)/w, "
+    "top-k per stratum). u is the portable md5-derived 52-bit uniform, "
+    "so the DuckDB oracle reproduces the EXACT sample — the "
+    "length-weighted variant of the training-mix samplers. One scan + "
+    "one window rank; no shuffle beyond the rank's stratum partition.",
+    tags=("llm", "text"),
+)
+def training_mix_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.text import (
+        weighted_sample_portable,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return weighted_sample_portable(docs, "n_chars", k=25).select(
+        "doc_id", "lang", "n_chars", "rn"
+    )

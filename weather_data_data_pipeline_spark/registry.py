@@ -98,6 +98,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_real_decode",
     "bloom_pruned_urgent_revenue",
     "dedup_incremental_batch",
+    "training_mix_weighted_sample",
     "tfidf_top_terms",
     "training_mix_sample_portable",
     "training_mix_sample",
