@@ -130,3 +130,46 @@ def test_incremental_near_dedup_empty_kept_equals_batch(spark):
     dropped = {r["doc_id"] for r in cc.collect() if r["doc_id"] != r["cluster_id"]}
     want = {r["doc_id"] for r in docs.collect()} - dropped
     assert {r["doc_id"] for r in inc.collect()} == want
+
+
+def test_indexed_incremental_dedup_matches_recompute(spark, tmp_path):
+    """The persisted-index path must make the same keep/drop decisions
+    as recomputing kept-corpus signatures from text, and the buckets
+    table must be laid out one directory per band (partition pruning)."""
+    import os
+
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        append_to_minhash_index,
+        build_minhash_index,
+        incremental_near_dedup,
+        incremental_near_dedup_indexed,
+    )
+    from weather_data_data_pipeline_spark.sources.tables import load
+    from tests.conftest import SF_DIR
+
+    docs = load(spark, SF_DIR, "documents")
+    kept = docs.where("doc_id < 250")
+    new = docs.where("doc_id >= 250 AND doc_id < 400")
+    idx = str(tmp_path / "mh_index")
+    build_minhash_index(kept, idx, "doc_id", "text")
+
+    via_index = incremental_near_dedup_indexed(
+        new, kept, idx, "doc_id", "text", threshold=0.5
+    )
+    recompute = incremental_near_dedup(new, kept, "doc_id", "text", threshold=0.5)
+    assert sorted(r["doc_id"] for r in via_index.collect()) == sorted(
+        r["doc_id"] for r in recompute.collect()
+    )
+
+    bands = [d for d in os.listdir(f"{idx}/buckets") if d.startswith("band=")]
+    assert len(bands) == 16  # one directory per band → pruned probes
+
+    # index maintenance: append the surviving batch, then replaying the
+    # SAME batch against the grown index drops everything
+    append_to_minhash_index(via_index, idx, "doc_id", "text")
+    merged_text = kept.union(via_index.select(kept.columns))
+    replay = incremental_near_dedup_indexed(
+        new, merged_text, idx, "doc_id", "text", threshold=0.5
+    )
+    survivors_again = {r["doc_id"] for r in replay.collect()}
+    assert survivors_again == set(), f"replay kept {len(survivors_again)} docs"

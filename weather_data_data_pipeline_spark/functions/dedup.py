@@ -634,3 +634,161 @@ def incremental_near_dedup(
         F.col("doc_id").alias(id_col)
     )
     return survivors.join(drop, id_col, "left_anti")
+
+
+def build_minhash_index(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+) -> None:
+    """Materialize the near-dedup index a long-lived corpus keeps beside
+    its data: ``<path>/signatures`` (one row per doc: id + num_perm
+    longs) and ``<path>/buckets`` (id, band, bucket) parquet partitioned
+    by ``band`` — so a probe of an arriving batch reads only the band
+    directories it collides with, and Catalyst prunes the rest at file
+    listing. ``incremental_near_dedup_indexed`` consumes it; appending a
+    deduped batch appends its signatures/buckets here with the same
+    plans (one scan over the new rows).
+    """
+    sigs = minhash_signatures_vectorized(df, id_col, text_col, n, num_perm)
+    sigs.write.mode("overwrite").parquet(f"{path}/signatures")
+    spark = df.sparkSession
+    sigs_back = spark.read.parquet(f"{path}/signatures")
+    rows_per_band = num_perm // bands
+    structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[
+                    F.col("signature")[b * rows_per_band + j]
+                    for j in range(rows_per_band)
+                ]
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = sigs_back.select(
+        F.col(id_col), F.explode(F.array(*structs)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded.write.mode("overwrite").partitionBy("band").parquet(f"{path}/buckets")
+
+
+def append_to_minhash_index(
+    new_df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+) -> None:
+    """Append an (already-deduplicated) batch's signatures and band
+    buckets to the persisted index — the per-batch maintenance write of
+    a continuously ingesting corpus."""
+    # Compute signatures ONCE, pin them, and derive both writes from the
+    # pinned frame (the signature lineage re-shingles the batch if left
+    # lazy across the two sinks).
+    sigs = minhash_signatures_vectorized(
+        new_df, id_col, text_col, n, num_perm
+    ).localCheckpoint(eager=True)
+    sigs.write.mode("append").parquet(f"{path}/signatures")
+    rows_per_band = num_perm // bands
+    structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[
+                    F.col("signature")[b * rows_per_band + j]
+                    for j in range(rows_per_band)
+                ]
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*structs)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded.write.mode("append").partitionBy("band").parquet(f"{path}/buckets")
+
+
+def incremental_near_dedup_indexed(
+    new_df: DataFrame,
+    kept_df: DataFrame | None,
+    index_path: str | None,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """:func:`incremental_near_dedup` against a PERSISTED index: the kept
+    corpus's signatures/buckets come from ``build_minhash_index`` output
+    instead of being recomputed from text per batch — at 100 TB the
+    difference between re-shingling the whole corpus every batch and
+    one bucket-partition-pruned join. ``kept_df`` supplies text only
+    for the exact-verification of cross-corpus candidates (columns
+    ``id_col``, ``text_col``)."""
+    spark = new_df.sparkSession
+    survivors = new_df
+    if index_path is not None and kept_df is not None:
+        kept_buckets = spark.read.parquet(f"{index_path}/buckets")
+        sig_new = minhash_signatures_vectorized(
+            new_df, id_col, text_col, n, num_perm
+        ).localCheckpoint(eager=True)
+        rows_per_band = num_perm // bands
+        structs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[
+                        F.col("signature")[b * rows_per_band + j]
+                        for j in range(rows_per_band)
+                    ]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+        new_banded = sig_new.select(
+            F.col(id_col).alias("new_id"), F.explode(F.array(*structs)).alias("bb")
+        ).select("new_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        cand = (
+            new_banded.join(
+                kept_buckets.select(
+                    F.col(id_col).alias("kept_id"), "band", "bucket"
+                ),
+                ["band", "bucket"],
+            )
+            .select("new_id", "kept_id")
+            .dropDuplicates()
+        )
+        sh_new = new_df.select(
+            F.col(id_col).alias("new_id"), shingle_array(text_col, n).alias("sh_a")
+        )
+        sh_kept = kept_df.select(
+            F.col(id_col).alias("kept_id"), shingle_array(text_col, n).alias("sh_b")
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        dup_new_ids = (
+            cand.join(sh_new, "new_id")
+            .join(sh_kept, "kept_id")
+            .where(inter / union >= threshold)
+            .select(F.col("new_id").alias(id_col))
+            .dropDuplicates()
+        )
+        survivors = new_df.join(dup_new_ids, id_col, "left_anti")
+
+    pairs = minhash_dedup_pairs(
+        survivors, id_col, text_col, n, threshold, num_perm, bands, max_bucket_size
+    )
+    clusters = connected_components(pairs)
+    drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return survivors.join(drop, id_col, "left_anti")
