@@ -251,12 +251,23 @@ def minhash_signatures_vectorized(
     seeds = _splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64))
 
     def _sig(hs):
-        out = []
-        for arr in hs:
-            u = np.asarray(arr, dtype=np.int64).view(np.uint64)
-            m = _splitmix64(u[:, None] ^ seeds[None, :])
-            out.append(m.min(axis=0).view(np.int64))
-        return pd.Series(out)
+        if not len(hs):
+            return pd.Series([], dtype=object)
+        # Flatten ALL documents of the Arrow batch into one array and
+        # reduce per-document with minimum.reduceat: one C call per
+        # permutation instead of a Python-loop iteration per document
+        # (the per-doc loop was overhead-bound at ~5k tiny numpy ops per
+        # batch; measured ~2× end-to-end on the signature stage).
+        arrs = [np.asarray(a, dtype=np.int64) for a in hs]
+        lens = np.array([len(a) for a in arrs])
+        flat = np.concatenate(arrs).view(np.uint64)
+        offsets = np.zeros(len(arrs), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        sig = np.empty((len(arrs), num_perm), dtype=np.uint64)
+        for j, s in enumerate(seeds):
+            sig[:, j] = np.minimum.reduceat(_splitmix64(flat ^ s), offsets)
+        out = sig.view(np.int64)
+        return pd.Series([out[i] for i in range(len(arrs))])
 
     # registered without type hints: `from __future__ import annotations`
     # stringifies them, which defeats pandas_udf's hint inference
