@@ -211,3 +211,63 @@ def test_fetch_forecasts_executor_fanout(spark, payloads):
         "Berlin",
     }
     fetched.unpersist()
+
+
+def test_weatherapi_python_datasource_end_to_end(spark):
+    """Spark 4 Python DataSource for the REST source (S1): one input
+    partition per city, per-city failure isolation, and the resulting
+    frame flows through the standard flatten → transform pipeline."""
+    from weather_data_data_pipeline_spark.pipeline.weather import (
+        flatten_forecast,
+        transform_weather,
+    )
+    from weather_data_data_pipeline_spark.sources import weather_datasource as W
+
+    W.register(spark)
+    df = (
+        spark.read.format("weatherapi")
+        .option("cities", "Hyderabad, Houston ,Berlin")
+        .option(
+            "transport",
+            "weather_data_data_pipeline_spark.sources.weather_datasource:canned_transport",
+        )
+        .load()
+    )
+    # fetch fan-out: the task layout is one partition per city
+    assert df.rdd.getNumPartitions() == 3
+    rows = {r["city"]: r for r in df.collect()}
+    assert set(rows) == {"Hyderabad", "Houston", "Berlin"}
+    assert all(r["fetch_error"] is None for r in rows.values())
+
+    flat = flatten_forecast(df.where(F.col("payload").isNotNull()))
+    fact = transform_weather(flat, job_ts=F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    assert fact.count() == 3 * 8  # 8 forecast entries per city
+    got = {
+        (r["city"], r["Temperature_in_Celsius"])
+        for r in fact.where(F.col("weatherDate") == F.timestamp_seconds(F.lit(1700000000))).collect()
+    }
+    # K→°C conversion on the canned temps: 273.15 + h − 273.15 = h
+    import json as _json
+
+    for city in ("Hyderabad", "Houston", "Berlin"):
+        h = sum(city.encode()) % 40
+        assert (city, float(h)) in got
+
+
+def test_weatherapi_datasource_isolates_failures(spark):
+    from weather_data_data_pipeline_spark.sources import weather_datasource as W
+
+    W.register(spark)
+    df = (
+        spark.read.format("weatherapi")
+        .option("cities", "Good, __BOOM__")
+        .option(
+            "transport",
+            "tests.failing_transport:transport",
+        )
+        .load()
+    )
+    rows = {r["city"]: r for r in df.collect()}
+    assert rows["Good"]["fetch_error"] is None
+    assert rows["__BOOM__"]["payload"] is None
+    assert "RuntimeError" in rows["__BOOM__"]["fetch_error"]
