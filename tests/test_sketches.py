@@ -140,3 +140,50 @@ def test_hll_merge_equals_direct_weekly_sketch(spark):
     assert merged == direct
     for wk, est in merged.items():
         assert abs(est - exact[wk]) / max(exact[wk], 1) < 0.05
+
+
+def test_count_min_overestimates_within_bound(spark):
+    import math
+
+    from weather_data_data_pipeline_spark.operators.sketches import (
+        cms_point_estimate,
+        count_min_sketch,
+    )
+
+    # skewed corpus: key k appears k times, k = 1..120 (N = 7260)
+    rows = [(k,) for k in range(1, 121) for _ in range(k)]
+    df = spark.createDataFrame(rows, "k long")
+    width, depth = 1 << 12, 5
+    sk = count_min_sketch(df, "k", width, depth).localCheckpoint(eager=True)
+    keys = spark.createDataFrame([(k,) for k in range(1, 121)], "k long")
+    est = {
+        r["k"]: r["est_count"]
+        for r in cms_point_estimate(sk, keys, "k", width, depth).collect()
+    }
+    n = len(rows)
+    eps = math.e / width
+    for k in range(1, 121):
+        assert est[k] >= k, "CMS must never underestimate"
+        assert est[k] <= k + eps * n + 1, f"bound blown for {k}: {est[k]}"
+    # unseen key → 0 (all cells empty) or tiny collision mass
+    unseen = cms_point_estimate(
+        sk, spark.createDataFrame([(10_000,)], "k long"), "k", width, depth
+    ).first()["est_count"]
+    assert unseen <= eps * n
+
+
+def test_count_min_merge_equals_direct(spark):
+    from weather_data_data_pipeline_spark.operators.sketches import (
+        cms_merge,
+        cms_point_estimate,
+        count_min_sketch,
+    )
+
+    a = spark.createDataFrame([(k % 50,) for k in range(2000)], "k long")
+    b = spark.createDataFrame([(k % 30,) for k in range(900)], "k long")
+    merged = cms_merge(count_min_sketch(a, "k"), count_min_sketch(b, "k"))
+    direct = count_min_sketch(a.unionByName(b), "k")
+    keys = spark.createDataFrame([(k,) for k in range(50)], "k long")
+    em = {r["k"]: r["est_count"] for r in cms_point_estimate(merged, keys, "k").collect()}
+    ed = {r["k"]: r["est_count"] for r in cms_point_estimate(direct, keys, "k").collect()}
+    assert em == ed, "merged sketch must answer exactly like the direct one"

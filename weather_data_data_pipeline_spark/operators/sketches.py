@@ -118,3 +118,100 @@ def heavy_hitters(
         .agg(F.sum("min_count").alias("min_count"))
         .orderBy(F.desc("min_count"), F.asc("item"))
     )
+
+
+def count_min_sketch(
+    df: DataFrame,
+    key_col: str,
+    width: int = 1 << 12,
+    depth: int = 5,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch of key frequencies: a (depth × width) counter
+    grid where row d increments cell xxhash64(d, key) mod width. Point
+    estimate = min over rows — always an OVERestimate (collisions only
+    add), off by at most εN with ε = e/width at confidence 1-e^-depth.
+
+    The CMS completes the mergeable-sketch family (HLL cardinality, KLL
+    quantiles, Misra-Gries heavy hitters): unlike MG it answers point
+    queries for ARBITRARY keys after the fact, and two sketches merge by
+    cell-wise addition — the shape that rolls up daily sketches into
+    weekly ones without touching raw data.
+
+    Built with one explode (depth rows per input) + one partial+final
+    SUM per occupied cell; the result is at most depth × width rows of
+    (d, cell, count) — a few hundred KB regardless of input size. At
+    100 TB this is the frequency index you can afford to keep per
+    partition/day.
+    """
+    rows = [
+        F.struct(
+            F.lit(d).alias("d"),
+            F.pmod(
+                F.xxhash64(F.lit(d), F.col(key_col)).bitwiseAND(
+                    F.lit(0x7FFFFFFFFFFFFFFF)
+                ),
+                F.lit(width),
+            ).alias("cell"),
+        )
+        for d in range(depth)
+    ]
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    return (
+        df.select(F.explode(F.array(*rows)).alias("rc"), w.alias("w"))
+        .select(F.col("rc.d").alias("d"), F.col("rc.cell").alias("cell"), "w")
+        .groupBy("d", "cell")
+        .agg(F.sum("w").alias("count"))
+    )
+
+
+def cms_point_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    width: int = 1 << 12,
+    depth: int = 5,
+) -> DataFrame:
+    """Estimated frequency for each key in ``keys``: join the key's
+    depth cells against the sketch, take the min. Missing cells count 0
+    (the key was never seen). The sketch side is tiny — broadcast."""
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(
+                            F.xxhash64(F.lit(d), F.col(key_col)).bitwiseAND(
+                                F.lit(0x7FFFFFFFFFFFFFFF)
+                            ),
+                            F.lit(width),
+                        ).alias("cell"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("pc"),
+    ).select(key_col, F.col("pc.d").alias("d"), F.col("pc.cell").alias("cell"))
+    return (
+        probes.join(F.broadcast(sketch), ["d", "cell"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("count", F.lit(0))).alias("est_count"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two same-shape sketches by cell-wise addition — estimates
+    from the merged sketch bound the union's true counts exactly like a
+    sketch built over the union directly."""
+    return (
+        a.select("d", "cell", "count")
+        .unionByName(b.select("d", "cell", "count"))
+        .groupBy("d", "cell")
+        .agg(F.sum("count").alias("count"))
+    )

@@ -434,3 +434,39 @@ def weekly_distinct_users_hll_merge(spark: SparkSession, sf_dir: str) -> DataFra
             "n_days",
         )
     )
+
+
+@register(
+    "user_event_counts_cms",
+    oracle=None,  # hash-family specific; never-underestimate + merge==direct
+    # + error-bound contracts are pytest-verified (tests/test_sketches.py)
+    doc="Count-min sketch point estimates of per-user event counts: a "
+    "5×4096 counter grid (one explode + one partial+final SUM — at most "
+    "depth×width rows of state regardless of input size) probed for "
+    "every distinct user, estimates joined against exact counts. CMS "
+    "completes the mergeable-sketch family (HLL cardinality, KLL "
+    "quantiles, MG heavy hitters): point queries for arbitrary keys "
+    "after one pass, cell-wise-additive merge for rollups.",
+    tags=("timeseries", "sketch", "rows-only"),
+)
+def user_event_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.operators.sketches import (
+        cms_point_estimate,
+        count_min_sketch,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    sk = count_min_sketch(ev, "user_id").localCheckpoint(eager=True)
+    users = ev.select("user_id").dropDuplicates()
+    est = cms_point_estimate(sk, users, "user_id")
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("true_count"))
+    return (
+        est.join(exact, "user_id")
+        .select(
+            "user_id",
+            "est_count",
+            "true_count",
+            (F.col("est_count") - F.col("true_count")).alias("overcount"),
+        )
+        .orderBy("user_id")
+    )

@@ -71,6 +71,7 @@ _PRIORITY: tuple[str, ...] = (
     "event_value_quantiles",
     "event_value_robust_stats",
     "weekly_distinct_users_hll_merge",
+    "user_event_counts_cms",
     # maintenance / mutation operators
     "merge_upsert_orders",
     "scd2_user_values",
