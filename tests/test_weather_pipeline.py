@@ -271,3 +271,49 @@ def test_weatherapi_datasource_isolates_failures(spark):
     assert rows["Good"]["fetch_error"] is None
     assert rows["__BOOM__"]["payload"] is None
     assert "RuntimeError" in rows["__BOOM__"]["fetch_error"]
+
+
+def test_weatherapi_filter_pushdown_prunes_fetches(spark):
+    """city = 'X' pushes into the source: only X's endpoint is fetched,
+    visible as a single-partition scan (one partition per fetched city)."""
+    from weather_data_data_pipeline_spark.sources import weather_datasource as W
+
+    W.register(spark)
+    df = (
+        spark.read.format("weatherapi")
+        .option("cities", "Hyderabad,Houston,Berlin")
+        .option(
+            "transport",
+            "weather_data_data_pipeline_spark.sources.weather_datasource:canned_transport",
+        )
+        .load()
+    )
+    flt = df.where(F.col("city") == "Houston")
+    assert [r["city"] for r in flt.collect()] == ["Houston"]
+    assert flt.rdd.getNumPartitions() == 1
+
+
+def test_weatherapi_stream_reader_polls(spark, tmp_path):
+    from weather_data_data_pipeline_spark.sources import weather_datasource as W
+
+    W.register(spark)
+    stream = (
+        spark.readStream.format("weatherapi")
+        .option("cities", "Hyderabad,Houston")
+        .option(
+            "transport",
+            "weather_data_data_pipeline_spark.sources.weather_datasource:canned_transport",
+        )
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("weather_poll")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wx"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("weather_poll")
+    assert sorted(r["city"] for r in got.collect()) == ["Houston", "Hyderabad"]
+    assert got.where(F.col("payload").isNull()).count() == 0

@@ -69,6 +69,9 @@ def get_spark(
         # Local-mode memory headroom; harmless on a cluster submit.
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
         "spark.ui.enabled": "false",
+        # Python DataSource filter pushdown (weatherapi source prunes
+        # fetched cities from query predicates).
+        "spark.sql.python.filterPushdown.enabled": "true",
         # Disable PySpark's per-API-call call-site capture (DataFrame
         # debugging context): it adds 2+ py4j round-trips to EVERY
         # Column/DataFrame operation — measured ~60% of plan-construction

@@ -30,7 +30,15 @@ from __future__ import annotations
 import json
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    In,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 API_URL = "https://api.openweathermap.org/data/2.5/forecast"
 
@@ -93,6 +101,21 @@ class WeatherForecastReader(DataSourceReader):
             "weather_data_data_pipeline_spark.sources.weather_datasource:default_transport",
         )
 
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Source-level predicate pushdown: a ``city = 'X'`` or
+        ``city IN (...)`` predicate restricts which cities are FETCHED —
+        the API-call analog of partition pruning (don't hit endpoints
+        whose rows the query would discard). Other filters are returned
+        for Spark to apply above the scan."""
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("city",):
+                self._cities = [c for c in self._cities if c == f.value]
+            elif isinstance(f, In) and f.attribute == ("city",):
+                wanted = set(f.values)
+                self._cities = [c for c in self._cities if c in wanted]
+            else:
+                yield f
+
     def partitions(self) -> Sequence[InputPartition]:
         # one partition per city → the fetch fan-out IS the task layout
         return [_CityPartition(c) for c in self._cities]
@@ -106,6 +129,31 @@ class WeatherForecastReader(DataSourceReader):
             yield (city, None, f"{type(exc).__name__}: {exc}")
 
 
+class WeatherForecastStreamReader(SimpleDataSourceStreamReader):
+    """Poll-per-micro-batch streaming twin: each trigger fetches every
+    configured city once; the offset is a monotone poll counter. With a
+    deterministic transport recovery replays exactly; with live HTTP a
+    replayed batch re-fetches (at-least-once payload semantics — pair
+    with the anti-join/near-dedup sinks for idempotent delivery, which
+    is the engine's standard pattern anyway)."""
+
+    def __init__(self, options: dict):
+        self._batch = WeatherForecastReader(options)
+
+    def initialOffset(self) -> dict:
+        return {"poll": 0}
+
+    def _fetch_all(self):
+        for p in self._batch.partitions():
+            yield from self._batch.read(p)
+
+    def read(self, start: dict):
+        return iter(list(self._fetch_all())), {"poll": start["poll"] + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(list(self._fetch_all()))
+
+
 class WeatherForecastDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -116,6 +164,9 @@ class WeatherForecastDataSource(DataSource):
 
     def reader(self, schema) -> WeatherForecastReader:
         return WeatherForecastReader(self.options)
+
+    def simpleStreamReader(self, schema) -> WeatherForecastStreamReader:
+        return WeatherForecastStreamReader(self.options)
 
 
 def register(spark) -> None:
