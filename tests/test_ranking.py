@@ -137,3 +137,38 @@ def test_global_running_sum_null_values_sql_semantics(spark):
     }
     assert got == want
     assert got[0] is None and got[2] == 10 and got[6] == 17
+
+
+def test_grouped_topk_equals_plain_window_and_prunes_shuffle(spark):
+    from weather_data_data_pipeline_spark.operators.ranking import grouped_topk
+    from weather_data_data_pipeline_spark.sources.tables import load
+    from tests.conftest import SF_DIR
+    from pyspark.sql import Window
+
+    ev = load(spark, SF_DIR, "events").repartition(8)
+    got = grouped_topk(
+        ev, ["user_id"], "value", k=3, tiebreak_cols=["event_id"]
+    ).select("user_id", "event_id", "value", "rn")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    want = (
+        ev.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= 3)
+        .select("user_id", "event_id", "value", "rn")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # the pre-shuffle truncation must actually bound what reaches the
+    # final window: ≤ k rows per (input partition, group)
+    pruned_rows = (
+        ev.withColumn(
+            "_lrn",
+            F.row_number().over(
+                Window.partitionBy(F.spark_partition_id(), "user_id").orderBy(
+                    F.desc("value"), F.asc("event_id")
+                )
+            ),
+        )
+        .where(F.col("_lrn") <= 3)
+        .count()
+    )
+    assert pruned_rows < ev.count()

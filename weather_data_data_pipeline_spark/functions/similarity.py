@@ -320,6 +320,16 @@ def lsh_near_dup_pairs(
     # vectorized, and only (id_a, id_b, cosine) survivors shuffle to the
     # cross-table dedup. No pair-payload join, no per-pair interpreted
     # fold — the hot path is BLAS.
+    #
+    # Payload-shuffle tradeoff, made explicit: this form ships each
+    # vector n_tables× (bounded, independent of candidate density) —
+    # right when buckets are dense (low thresholds, near-dup corpora
+    # with heavy duplication). The alternative — distinct candidate
+    # pairs re-joined to vectors by id — ships each vector once per
+    # candidate it appears in: cheaper only when candidates per vector
+    # < n_tables (very high thresholds on clean corpora). Measured here
+    # at threshold 0.35: candidates/vector ≈ 1280 vs n_tables = 16,
+    # so the group form wins by ~80×.
     memb = tb.join(
         df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")), "_id"
     )

@@ -192,3 +192,52 @@ def global_running_sum(
             yield b
 
     return ranged.mapInPandas(assign, out_schema)
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    ascending: bool = False,
+    tiebreak_cols: list[str] | None = None,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-k rows per group with MAP-SIDE TRUNCATION before the shuffle.
+
+    The plain window (`row_number() OVER (PARTITION BY g ORDER BY v)`)
+    shuffles EVERY row of every group to that group's reducer — at
+    100 TB a hot group (one user with 10⁹ events) funnels through one
+    task. This operator cuts the shuffle first: phase 1 ranks within
+    (spark_partition_id, group) — a window over data already in place,
+    no Exchange — and keeps at most k rows per group per input
+    partition; phase 2 runs the normal per-group window on the
+    survivors. A group's global top-k is contained in the union of its
+    per-partition top-k (any row outside a partition's local top-k has
+    ≥ k better rows in that partition alone), so the result is EXACTLY
+    the plain window's — verified row-for-row in tests and against the
+    DuckDB oracle.
+
+    Shuffle volume drops from Σ|group| to ≤ k × partitions × groups;
+    the hot-group reducer sees k × partitions rows instead of |group|.
+    ``tiebreak_cols`` must make the order total for deterministic
+    results (same requirement as any rank-based top-k).
+    """
+    from pyspark.sql import Window
+
+    tb = tiebreak_cols or []
+    direction = F.asc if ascending else F.desc
+    order = [direction(order_col)] + [F.asc(c) for c in tb]
+    local = Window.partitionBy(
+        F.spark_partition_id(), *[F.col(c) for c in group_cols]
+    ).orderBy(*order)
+    pruned = (
+        df.withColumn("_lrn", F.row_number().over(local))
+        .where(F.col("_lrn") <= k)
+        .drop("_lrn")
+    )
+    final = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(*order)
+    return (
+        pruned.withColumn(rank_col, F.row_number().over(final).cast("int"))
+        .where(F.col(rank_col) <= k)
+    )

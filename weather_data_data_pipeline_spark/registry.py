@@ -72,6 +72,7 @@ _PRIORITY: tuple[str, ...] = (
     "event_value_robust_stats",
     "weekly_distinct_users_hll_merge",
     "user_event_counts_cms",
+    "top_events_per_user_pruned",
     # maintenance / mutation operators
     "merge_upsert_orders",
     "scd2_user_values",
@@ -106,14 +107,14 @@ _PRIORITY: tuple[str, ...] = (
     "lang_source_rollup",
     "language_id_pred",
     "doc_fingerprint",
-    "frequent_tokens_mg",
+    "doc_quality_filter",
     "term_cooccurrence_lift",
     "vocab_top_terms",
+    "frequent_tokens_mg",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "embedding_kmeans_assign",
     "embedding_kmeans_clusters",
-    "doc_quality_filter",
     "embedding_pca_project",
     # still-unverified overflow (positions 51+): next in line if the
     # driver's window is wider than 50
