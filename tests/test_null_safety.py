@@ -111,3 +111,53 @@ def test_search_and_redact_null_safety(spark):
     }
     assert rows[2] == (None, None)
     assert rows[3] == ("", 0)
+
+
+def test_round2_operators_on_empty_inputs(spark):
+    """Empty builds/batches/corpora must yield empty-but-well-formed
+    results, not crashes — the degenerate inputs every long-running
+    pipeline eventually feeds its operators."""
+    from weather_data_data_pipeline_spark.functions.bloom import (
+        bloom_prune,
+        build_bloom,
+        might_contain,
+    )
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        incremental_near_dedup,
+    )
+    from weather_data_data_pipeline_spark.functions.text import (
+        weighted_sample_portable,
+    )
+    from weather_data_data_pipeline_spark.operators.ranking import grouped_topk
+    from weather_data_data_pipeline_spark.operators.sketches import (
+        cms_point_estimate,
+        count_min_sketch,
+    )
+
+    from pyspark.sql import functions as F
+
+    empty_keys = spark.createDataFrame([], "k long")
+    probe = spark.createDataFrame([(1,), (2,)], "k long")
+
+    # bloom of an empty build side rejects every probe row
+    words = build_bloom(empty_keys, "k")
+    assert probe.where(might_contain(words, F.col("k"))).count() == 0
+    assert bloom_prune(probe, empty_keys, "k", "k").count() == 0
+
+    # CMS of empty input estimates 0 for every key
+    sk = count_min_sketch(empty_keys, "k")
+    est = cms_point_estimate(sk, probe, "k")
+    assert {r["est_count"] for r in est.collect()} == {0}
+
+    # empty new batch through incremental near-dedup keeps nothing
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    kept = spark.createDataFrame([(1, "some kept document text here")],
+                                 "doc_id long, text string")
+    assert incremental_near_dedup(empty_docs, kept, "doc_id", "text").count() == 0
+
+    # grouped_topk and weighted sampling over empty frames stay empty
+    ev = spark.createDataFrame([], "user_id long, event_id long, value double")
+    assert grouped_topk(ev, ["user_id"], "value", 3,
+                        tiebreak_cols=["event_id"]).count() == 0
+    docs = spark.createDataFrame([], "doc_id long, lang string, n_chars long")
+    assert weighted_sample_portable(docs, "n_chars", 5).count() == 0

@@ -167,3 +167,43 @@ def test_weighted_sample_portable_bias_and_determinism(spark):
     # deterministic: identical output on re-run
     s2 = weighted_sample_portable(docs, "n_chars", k=25)
     assert sorted(map(tuple, rows)) == sorted(map(tuple, s2.collect()))
+
+
+def test_normalize_for_dedup_collapses_reformattings(spark):
+    from weather_data_data_pipeline_spark.functions.text import (
+        normalize_for_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello,   World!"),
+            (2, "hello world"),
+            (3, "HELLO — world."),
+            (4, "a genuinely different text"),
+        ],
+        "id long, text string",
+    )
+    out = df.select("id", normalize_for_dedup("text").alias("n"))
+    vals = {r["id"]: r["n"] for r in out.collect()}
+    assert vals[1] == vals[2] == vals[3] == "hello world"
+    assert vals[4] != vals[1]
+
+
+def test_dedup_paragraphs_first_occurrence_order(spark):
+    from weather_data_data_pipeline_spark.functions.text import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [
+            (1, "A\n\nB\n\nA\n\nC\n\nB"),
+            (2, "same\n\nsame\n\nsame"),
+            (3, "only one paragraph"),
+        ],
+        "id long, body string",
+    )
+    out = {
+        r["id"]: r["d"]
+        for r in dedup_paragraphs(df, "body", "d").collect()
+    }
+    assert out[1] == "A\n\nB\n\nC"
+    assert out[2] == "same"
+    assert out[3] == "only one paragraph"

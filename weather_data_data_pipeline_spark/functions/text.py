@@ -378,3 +378,36 @@ def weighted_sample_portable(
         .where(F.col("rn") <= k)
         .drop("_es_score")
     )
+
+
+def normalize_for_dedup(col: str | "F.Column") -> "F.Column":
+    """Canonical text form for normalization-aware exact dedup:
+    lowercase, punctuation stripped, whitespace runs collapsed, ends
+    trimmed. Catches trivially-reformatted duplicates (case, spacing,
+    punctuation-only edits) that a raw content hash misses — the
+    standard normalization step before exact dedup in corpus pipelines.
+    All codegen'd string expressions; mirror the same four steps in SQL
+    for an engine-portable twin."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.lower(c)
+    out = F.regexp_replace(out, r"[^\w\s]", "")
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.trim(out)
+
+
+def dedup_paragraphs(
+    df: DataFrame, text_col: str, out_col: str, sep: str = "\n\n"
+) -> DataFrame:
+    """Intra-document span dedup: drop repeated paragraphs WITHIN each
+    document, preserving first-occurrence order (boilerplate headers,
+    duplicated navigation blocks, copy-paste artifacts). Pure
+    higher-order functions — split, keep paragraph i iff array_position
+    over the prefix finds no earlier copy, rejoin — so it runs entirely
+    inside the JVM with no shuffle at all: a per-row map over the
+    corpus scan."""
+    paras = F.split(F.col(text_col), sep)
+    kept = F.filter(
+        paras,
+        lambda p, i: F.array_position(F.slice(paras, 1, i), p) == 0,
+    )
+    return df.withColumn(out_col, F.array_join(kept, sep))

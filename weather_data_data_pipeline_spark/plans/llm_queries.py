@@ -1367,3 +1367,127 @@ def training_mix_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_portable(docs, "n_chars", k=25).select(
         "doc_id", "lang", "n_chars", "rn"
     )
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'),
+                                 '\\s+', ' ', 'g')) AS norm
+      FROM documents)
+    SELECT sha256(norm) AS digest,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies,
+           CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_raw_variants
+    FROM n GROUP BY digest
+    """,
+    doc="Normalization-aware exact dedup: digest over the canonical form "
+    "(lowercase, punctuation stripped, whitespace collapsed — "
+    "functions/text.py:normalize_for_dedup) instead of raw bytes, so "
+    "case/spacing/punctuation-only reformattings collapse into one "
+    "group; n_raw_variants counts how many raw-byte variants each "
+    "normalized group absorbed. Same single-shuffle groupBy-on-digest "
+    "shape as dedup_exact.",
+    tags=("llm", "dedup"),
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.text import (
+        normalize_for_dedup,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.sha2(normalize_for_dedup("text"), 256).alias("digest"),
+            F.sha2("text", 256).alias("raw_digest"),
+        )
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+            F.count_distinct("raw_digest").alias("n_raw_variants"),
+        )
+    )
+
+
+@register(
+    "doc_paragraph_dedup",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    paras AS (
+      SELECT doc_id,
+             array_to_string(w[1:20], ' ') AS p1,
+             array_to_string(w[21:40], ' ') AS p2
+      FROM t WHERE len(w) >= 40)
+    SELECT doc_id,
+           CAST(CASE WHEN p1 = p2 THEN 1 ELSE 2 END AS INTEGER) AS n_paras,
+           CAST(length(CASE WHEN p1 = p2 THEN p1
+                            ELSE p1 || chr(10) || chr(10) || p2 END)
+                AS INTEGER) AS deduped_len
+    FROM paras
+    """,
+    doc="Intra-document span dedup (functions/text.py:dedup_paragraphs): "
+    "each doc is given a fabricated 3-paragraph body with the first "
+    "paragraph planted TWICE (p1\\n\\np2\\n\\np1, both engines build it "
+    "identically from the first 40 tokens); the operator must keep "
+    "first occurrences in order — the oracle derives the expected "
+    "result in closed form. Zero-shuffle: a pure higher-order-function "
+    "map over the corpus scan (split → index-aware filter vs prefix → "
+    "rejoin).",
+    tags=("llm", "dedup", "text"),
+)
+def doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.text import dedup_paragraphs
+
+    docs = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    p1 = F.concat_ws(" ", F.slice(w, 1, 20))
+    p2 = F.concat_ws(" ", F.slice(w, 21, 20))
+    fab = docs.where(F.size(w) >= 40).select(
+        "doc_id",
+        F.concat(p1, F.lit("\n\n"), p2, F.lit("\n\n"), p1).alias("body"),
+    )
+    out = dedup_paragraphs(fab, "body", "deduped")
+    return out.select(
+        "doc_id",
+        F.size(F.split("deduped", "\n\n")).cast("int").alias("n_paras"),
+        F.length("deduped").cast("int").alias("deduped_len"),
+    )
+
+
+@register(
+    "source_quota_sample",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source,
+             (CAST('0x' || substr(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+              + 0.5) / 4503599627370496.0 AS u
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS rn
+      FROM scored)
+    SELECT doc_id, source, CAST(rn AS INTEGER) AS rn
+    FROM ranked WHERE rn <= 30
+    """,
+    doc="Per-source quota sampling: hard cap of 30 docs per source, "
+    "chosen by the portable md5 uniform so the draw is deterministic "
+    "and engine-reproducible — the anti-domination guard of a crawl "
+    "mix (no single domain floods the corpus). Runs on grouped_topk, "
+    "so the per-source selection truncates map-side before the "
+    "shuffle: a hot source ships k·partitions rows, not its millions.",
+    tags=("llm", "text", "scale-pattern"),
+)
+def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.text import portable_uniform
+    from weather_data_data_pipeline_spark.operators.ranking import grouped_topk
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_u", portable_uniform("doc_id")
+    )
+    return grouped_topk(
+        docs, ["source"], "_u", k=30, ascending=True, tiebreak_cols=["doc_id"]
+    ).select("doc_id", "source", "rn")

@@ -101,6 +101,9 @@ _PRIORITY: tuple[str, ...] = (
     "bloom_pruned_urgent_revenue",
     "dedup_incremental_batch",
     "training_mix_weighted_sample",
+    "dedup_exact_normalized",
+    "doc_paragraph_dedup",
+    "source_quota_sample",
     "tfidf_top_terms",
     "training_mix_sample_portable",
     "training_mix_sample",
