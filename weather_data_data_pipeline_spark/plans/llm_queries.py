@@ -1491,3 +1491,51 @@ def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_topk(
         docs, ["source"], "_u", k=30, ascending=True, tiebreak_cols=["doc_id"]
     ).select("doc_id", "source", "rn")
+
+
+# The SQL twin of quality_score (same four C4/Gopher-style rules) — kept
+# in one fragment so the decile query and doc_quality_by_lang stay in
+# sync with functions/text.py:quality_score.
+_QSCORE_SQL = f"""(
+  (CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END
+   + CASE WHEN CAST(len(list_filter(string_split(text, ' '), t -> t IN {STOPWORDS!r})) AS DOUBLE)
+          / greatest(len(string_split(text, ' ')), 1) >= 0.05 THEN 1.0 ELSE 0.0 END
+   + CASE WHEN CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+          / greatest(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.0 END
+   + CASE WHEN CAST(list_sum(list_transform(list_filter(string_split(text, ' '), t -> t <> ''), t -> length(t))) AS DOUBLE)
+          / greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1) BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END
+  ) / 4.0)"""
+
+
+@register(
+    "doc_quality_deciles",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, {_QSCORE_SQL} AS q FROM documents),
+    nt AS (
+      SELECT doc_id, q, ntile(10) OVER (ORDER BY q, doc_id) AS decile
+      FROM scored)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           count(*) AS n_docs,
+           round(avg(q), 4) AS avg_q
+    FROM nt GROUP BY decile
+    """,
+    doc="Curriculum binning: every document assigned a global quality "
+    "decile (ntile over the composite quality score) — the standard "
+    "input to quality-stratified mixing ('sample decile 10 at 3×, "
+    "decile 1 at 0.1×'). Rides the DISTRIBUTED ntile "
+    "(operators/ranking.py:global_ntile — range partition + offsets, "
+    "never Spark's single-partition global window), so the global "
+    "total order survives any corpus size.",
+    tags=("llm", "text", "scale-pattern"),
+)
+def doc_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.operators.ranking import global_ntile
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", quality_score("text").alias("q")
+    )
+    nt = global_ntile(docs, ["q", "doc_id"], 10, out_col="decile")
+    return nt.groupBy("decile").agg(
+        F.count("*").alias("n_docs"), F.round(F.avg("q"), 4).alias("avg_q")
+    )

@@ -104,6 +104,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_exact_normalized",
     "doc_paragraph_dedup",
     "source_quota_sample",
+    "doc_quality_deciles",
     "tfidf_top_terms",
     "training_mix_sample_portable",
     "training_mix_sample",
