@@ -111,3 +111,27 @@ def test_normalize_ntz_rejects_non_utc_session(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
     assert normalize_ntz(df).dtypes[0][1] == "timestamp"
+
+
+def test_union_evolve_widens_and_nullfills(spark):
+    import pytest as _pytest
+
+    from weather_data_data_pipeline_spark.sources.files import union_evolve
+
+    b1 = spark.createDataFrame([(1, 10, "a")], "id int, v int, tag string")
+    b2 = spark.createDataFrame([(2, 2.5)], "id bigint, v double")  # drifted
+    b3 = spark.createDataFrame([(3, None, "c", True)],
+                               "id int, v double, tag string, flag boolean")
+    out = union_evolve([b1, b2, b3])
+    assert [(f.name, f.dataType.simpleString()) for f in out.schema.fields] == [
+        ("id", "bigint"), ("v", "double"), ("tag", "string"), ("flag", "boolean")
+    ]
+    rows = {r["id"]: (r["v"], r["tag"], r["flag"]) for r in out.collect()}
+    assert rows[1] == (10.0, "a", None)
+    assert rows[2] == (2.5, None, None)
+    assert rows[3] == (None, "c", True)
+
+    # non-numeric conflicts must fail loudly, not coerce
+    bad = spark.createDataFrame([("x",)], "v string")
+    with _pytest.raises(TypeError, match="incompatible"):
+        union_evolve([b1, bad])

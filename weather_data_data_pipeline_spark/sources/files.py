@@ -117,3 +117,63 @@ def read_orc(spark: SparkSession, path: str, schema: str | StructType | None = N
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.format("orc").mode(mode).save(path)
+
+
+# Numeric widening lattice for schema-drift unions: a column that is int
+# in one landing batch and long/double in another unifies to the widest
+# type instead of failing the union.
+_WIDENING = {
+    "tinyint": 0, "smallint": 1, "int": 2, "bigint": 3,
+    "float": 4, "double": 5,
+}
+
+
+def union_evolve(dfs: list[DataFrame]) -> DataFrame:
+    """Union DataFrames whose schemas have DRIFTED — the ingestion-side
+    schema-evolution primitive (landing batches gain/lose columns and
+    widen numeric types over a pipeline's lifetime):
+
+    - columns missing from a batch are null-filled
+      (``unionByName(allowMissingColumns=True)``)
+    - numeric columns widen to the widest type observed across batches
+      (int→bigint→double lattice); non-numeric type conflicts raise —
+      silent string/number coercion hides corruption
+    - output column order follows first appearance across the batches
+
+    Pure plan surgery: casts + one union, no data pass beyond what the
+    union itself costs; at scale this is the view you put OVER a
+    directory of heterogeneous landing files.
+    """
+    if not dfs:
+        raise ValueError("union_evolve: no inputs")
+    # resolve target type per column, first-appearance order
+    target: dict[str, str] = {}
+    for df in dfs:
+        for name, dtype in df.dtypes:
+            prev = target.get(name)
+            if prev is None:
+                target[name] = dtype
+            elif prev != dtype:
+                if prev in _WIDENING and dtype in _WIDENING:
+                    target[name] = max(prev, dtype, key=_WIDENING.__getitem__)
+                else:
+                    raise TypeError(
+                        f"union_evolve: column {name!r} has incompatible "
+                        f"types {prev!r} vs {dtype!r} (only numeric "
+                        "widening is automatic)"
+                    )
+    from pyspark.sql import functions as F
+
+    out = None
+    for df in dfs:
+        have = dict(df.dtypes)
+        cols = [
+            (F.col(n).cast(t) if have[n] != t else F.col(n)).alias(n)
+            for n, t in target.items()
+            if n in have
+        ]
+        aligned = df.select(*cols)
+        out = aligned if out is None else out.unionByName(
+            aligned, allowMissingColumns=True
+        )
+    return out.select(*target)
