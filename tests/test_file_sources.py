@@ -135,3 +135,25 @@ def test_union_evolve_widens_and_nullfills(spark):
     bad = spark.createDataFrame([("x",)], "v string")
     with _pytest.raises(TypeError, match="incompatible"):
         union_evolve([b1, bad])
+
+
+def test_union_evolve_int_float_mix_promotes_to_double(spark):
+    """bigint ∪ float must land on DOUBLE, never float — float32's 24-bit
+    mantissa silently corrupts int64 values above 2^24 (Spark's native
+    union precedence would pick float here; the helper must not)."""
+    from weather_data_data_pipeline_spark.sources.files import union_evolve
+
+    big = (1 << 40) + 1  # not representable in float32
+    b1 = spark.createDataFrame([(big,)], "v bigint")
+    b2 = spark.createDataFrame([(2.5,)], "v float")
+    out = union_evolve([b1, b2])
+    assert dict(out.dtypes)["v"] == "double"
+    vals = sorted(r["v"] for r in out.collect())
+    assert vals == [2.5, float(big)]  # exact: double holds ints < 2^53
+
+    # int ∪ float likewise: 2^24+1 is the first int float32 cannot hold
+    c1 = spark.createDataFrame([((1 << 24) + 1,)], "v int")
+    c2 = spark.createDataFrame([(0.5,)], "v float")
+    out2 = union_evolve([c1, c2])
+    assert dict(out2.dtypes)["v"] == "double"
+    assert sorted(r["v"] for r in out2.collect()) == [0.5, float((1 << 24) + 1)]

@@ -121,11 +121,24 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 # Numeric widening lattice for schema-drift unions: a column that is int
 # in one landing batch and long/double in another unifies to the widest
-# type instead of failing the union.
-_WIDENING = {
-    "tinyint": 0, "smallint": 1, "int": 2, "bigint": 3,
-    "float": 4, "double": 5,
-}
+# type instead of failing the union. Integer×floating mixes ALWAYS
+# promote to double — float32's 24-bit mantissa silently corrupts any
+# integer above 2^24 (and bigint∪float under Spark's native union
+# precedence lands on float, exactly the corruption this helper exists
+# to prevent), while double holds every int up to 2^53 exactly and is
+# the ceiling of the lattice anyway.
+_INT_RANK = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+_FLOAT_RANK = {"float": 0, "double": 1}
+_WIDENING = {**_INT_RANK, **{k: v + 4 for k, v in _FLOAT_RANK.items()}}
+
+
+def _widen(a: str, b: str) -> str:
+    """Widest lossless-enough common type of two numeric type names."""
+    if a in _INT_RANK and b in _INT_RANK:
+        return max(a, b, key=_INT_RANK.__getitem__)
+    if a in _FLOAT_RANK and b in _FLOAT_RANK:
+        return max(a, b, key=_FLOAT_RANK.__getitem__)
+    return "double"  # mixed integer × floating: only double is safe
 
 
 def union_evolve(dfs: list[DataFrame]) -> DataFrame:
@@ -135,9 +148,11 @@ def union_evolve(dfs: list[DataFrame]) -> DataFrame:
 
     - columns missing from a batch are null-filled
       (``unionByName(allowMissingColumns=True)``)
-    - numeric columns widen to the widest type observed across batches
-      (int→bigint→double lattice); non-numeric type conflicts raise —
-      silent string/number coercion hides corruption
+    - numeric columns widen to the widest type observed across batches:
+      within a family the usual lattice (int→bigint, float→double), and
+      any integer×floating mix goes straight to double (never float —
+      see :func:`_widen`); non-numeric type conflicts raise — silent
+      string/number coercion hides corruption
     - output column order follows first appearance across the batches
 
     Pure plan surgery: casts + one union, no data pass beyond what the
@@ -155,7 +170,7 @@ def union_evolve(dfs: list[DataFrame]) -> DataFrame:
                 target[name] = dtype
             elif prev != dtype:
                 if prev in _WIDENING and dtype in _WIDENING:
-                    target[name] = max(prev, dtype, key=_WIDENING.__getitem__)
+                    target[name] = _widen(prev, dtype)
                 else:
                     raise TypeError(
                         f"union_evolve: column {name!r} has incompatible "

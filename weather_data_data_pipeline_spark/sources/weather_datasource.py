@@ -20,9 +20,11 @@ Options:
   (not a callable) because DataSource options are strings and the
   reader is pickled to executors.
 
-Streaming twin: ``simpleStreamReader`` could poll the same endpoint per
-micro-batch; the batch reader + Structured Streaming file/Kafka landing
-is the deployment shape, so only the batch reader is implemented.
+Streaming twin: :class:`WeatherForecastStreamReader` (a
+``SimpleDataSourceStreamReader``) polls the same endpoint per
+micro-batch with a monotonically increasing poll-count offset, so
+``spark.readStream.format("weatherapi")`` works alongside the batch
+reader (exercised in tests/test_streaming.py).
 """
 
 from __future__ import annotations
