@@ -77,6 +77,67 @@ def test_minhash_bucket_cap_star_edges_preserve_components(spark):
     assert cc.select("cluster_id").distinct().count() == 1
 
 
+def test_minhash_bucket_cap_contract_nonidentical_members(spark):
+    """Pin the cap's PRECISE contract (ADVICE r2): star edges preserve
+    components of the CANDIDATE graph even when bucket members are not
+    identical, and post-verification connectivity is approximate — a
+    star member whose hub edge fails the Jaccard threshold loses the
+    elided dense links."""
+    from pyspark.sql import functions as F
+
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        verify_jaccard_pairs,
+    )
+
+    # (a) candidate-graph preservation with NON-identical signatures:
+    # fabricate signatures whose band 0 collides for docs 0,1,2 while
+    # every other band is unique per doc (signature values chosen so no
+    # cross-doc band hashes collide by accident).
+    rows = []
+    for d in range(3):
+        sig = [1, 2, 3, 4] + [100 * (d + 1) + j for j in range(60)]
+        rows.append((d, sig))
+    sigs = spark.createDataFrame(rows, "doc_id long, signature array<long>")
+    dense = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(sigs, "doc_id").collect()
+    }
+    assert dense == {(0, 1), (0, 2), (1, 2)}
+    star = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            sigs, "doc_id", max_bucket_size=2
+        ).collect()
+    }
+    assert star == {(0, 1), (0, 2)}  # hub = min id, (1,2) elided
+    # same components: {0,1,2} connected through the hub in both graphs
+
+    # (b) the documented post-verification caveat, by construction: hub
+    # edges (0,1),(0,2) fail the threshold, the elided dense edge (1,2)
+    # would have passed — so with star candidates docs 1 and 2 come out
+    # DISCONNECTED where dense candidates connect them.
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "one two three four five six seven eight nine ten"),
+            (2, "one two three four five six seven eight nine eleven"),
+        ],
+        "doc_id long, text string",
+    )
+    star_cand = spark.createDataFrame([(0, 1), (0, 2)], "id_a long, id_b long")
+    dense_cand = star_cand.union(
+        spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    )
+    star_verified = verify_jaccard_pairs(
+        docs, star_cand, "doc_id", "text", threshold=0.5
+    )
+    dense_verified = verify_jaccard_pairs(
+        docs, dense_cand, "doc_id", "text", threshold=0.5
+    )
+    assert star_verified.count() == 0  # both hub edges fail → 1,2 split
+    assert {(r["id_a"], r["id_b"]) for r in dense_verified.collect()} == {(1, 2)}
+
+
 def test_incremental_near_dedup_invariants(spark):
     from weather_data_data_pipeline_spark.functions.dedup import (
         incremental_near_dedup,

@@ -68,6 +68,27 @@ def test_lsh_near_dup_recall_and_no_false_positives(spark):
     assert lit_recall >= 0.8, f"literal-plane recall collapsed: {lit_recall}"
 
 
+def test_lsh_near_dup_chunked_verify_equals_unchunked(spark, monkeypatch):
+    """The per-bucket GEMM verifier scores in O(chunk × m) row blocks so a
+    degenerate bucket cannot demand an m×m matrix in one Python worker.
+    Forcing a tiny chunk on real buckets must change NOTHING about the
+    result — chunking is a memory shape, not a semantic."""
+    import weather_data_data_pipeline_spark.functions.similarity as sim
+
+    emb = load(spark, SF_DIR, "embeddings").limit(300)
+
+    def run():
+        return {
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in lsh_near_dup_pairs(emb, threshold=0.35).collect()
+        }
+
+    baseline = run()
+    assert baseline, "corpus has near-dup pairs at this threshold"
+    monkeypatch.setattr(sim, "_VERIFY_CHUNK", 7)  # force many blocks per bucket
+    assert run() == baseline
+
+
 def test_ivf_full_probe_equals_exact(spark):
     # probing every cell degrades IVF to exact brute force — a structural
     # sanity check on the index (no candidates lost by the plumbing)

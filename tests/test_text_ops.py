@@ -207,3 +207,42 @@ def test_dedup_paragraphs_first_occurrence_order(spark):
     assert out[1] == "A\n\nB\n\nC"
     assert out[2] == "same"
     assert out[3] == "only one paragraph"
+
+
+def test_dedup_paragraphs_pathological_doc_bounded(spark):
+    """VERDICT r2 #6: a planted 10⁴-paragraph document must not stall —
+    above the HOF cap the row routes through the O(p)-per-doc pandas-UDF
+    path, and both paths produce identical output."""
+    import time
+
+    from weather_data_data_pipeline_spark.functions.text import dedup_paragraphs
+
+    # 10_000 paragraphs cycling through 100 distinct values
+    body = "\n\n".join(f"para {i % 100}" for i in range(10_000))
+    expect = "\n\n".join(f"para {i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, body), (2, "A\n\nB\n\nA"), (3, None)], "id long, body string"
+    )
+    t0 = time.perf_counter()
+    out = {r["id"]: r["d"] for r in dedup_paragraphs(df, "body", "d").collect()}
+    elapsed = time.perf_counter() - t0
+    assert out[1] == expect
+    assert out[2] == "A\n\nB"  # small doc: HOF path, unchanged semantics
+    assert out[3] is None
+    assert elapsed < 30, f"pathological doc took {elapsed:.1f}s — cap broken"
+
+    # cross-path equality: force the SAME medium doc down each path
+    # (300 paragraphs: above the default cap, still cheap for the HOF)
+    med = spark.createDataFrame(
+        [(1, "\n\n".join(f"p {i % 37}" for i in range(300))), (2, "A\n\nB\n\nA")],
+        "id long, body string",
+    )
+    via_hof = {
+        r["id"]: r["d"]
+        for r in dedup_paragraphs(med, "body", "d", hof_max_paragraphs=10**6).collect()
+    }
+    via_udf = {
+        r["id"]: r["d"]
+        for r in dedup_paragraphs(med, "body", "d", hof_max_paragraphs=0).collect()
+    }
+    assert via_hof == via_udf

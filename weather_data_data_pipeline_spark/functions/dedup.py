@@ -293,13 +293,21 @@ def minhash_lsh_candidates(
     bucket (e.g. 10k boilerplate near-identical docs colliding in one
     band → ~50M pairs): buckets larger than the cap emit STAR edges —
     every member paired with the bucket's min-id representative, m-1
-    edges instead of m(m-1)/2. Downstream connected-components
-    clustering (the dedup consumer) sees the exact same components,
-    because a bucket's members stay connected through the hub; only
-    direct pair enumeration inside oversized buckets is elided, and
-    those buckets are near-clique by construction (identical band
-    signature). Pair-level verification then validates hub edges as
-    usual.
+    edges instead of m(m-1)/2.
+
+    Contract, precisely: star edges preserve connected components of
+    the CANDIDATE graph exactly (every member reaches every other
+    through the hub — regression-tested in tests/test_dedup_caps.py).
+    AFTER pair-level Jaccard verification the preservation is
+    approximate: band-signature collision does not imply pairwise
+    Jaccard ≥ threshold, so a member of an oversized bucket whose hub
+    edge fails verification loses any links it would have had to other
+    members via the elided dense pairs. In practice oversized buckets
+    are triggered by near-identical boilerplate whose hub edges pass
+    overwhelmingly, and LSH's OR-amplification gives such a member
+    bands-1 more chances to surface in a small bucket; but the cap IS
+    a recall trade, not a free lunch. Pass ``max_bucket_size=None``
+    for exact candidate enumeration.
 
     Band buckets are xxhash64 over the band's signature elements accessed
     by index (codegen'd getItem), not a string concat inside a
@@ -368,8 +376,13 @@ def minhash_dedup_pairs(
     """Candidate generation via MinHash LSH, then exact-Jaccard
     verification restricted to the candidate set — the standard
     two-stage near-dedup at corpus scale. ``max_bucket_size`` caps the
-    per-bucket pair blow-up (star edges inside oversized buckets — see
-    :func:`minhash_lsh_candidates`)."""
+    per-bucket pair blow-up with star edges inside oversized buckets;
+    that preserves components of the candidate graph exactly but makes
+    POST-verification connectivity approximate (a star member whose hub
+    edge fails the Jaccard threshold loses the elided dense links) —
+    see :func:`minhash_lsh_candidates` for the precise contract. Use
+    ``max_bucket_size=None`` when exact pair enumeration matters more
+    than bounding a degenerate bucket's quadratic cost."""
     # Materialize the signature table before the banded self-join: it is
     # tiny (docs × num_perm longs) and BOTH join sides derive from it —
     # without materialization Spark re-executes the whole
@@ -382,14 +395,30 @@ def minhash_dedup_pairs(
     cand = minhash_lsh_candidates(
         sigs, id_col, bands, num_perm, max_bucket_size
     ).localCheckpoint(eager=True)
-    # Verify with per-pair exact Jaccard via array_intersect. Only docs
-    # that appear in some candidate pair build shingle arrays: a
-    # broadcast semi-join restricts the corpus first (candidates are a
-    # vanishing fraction of it — measured 477/5000 docs at sf0.1). The
-    # restricted arrays feed both sides of the candidate join, so they
-    # are materialized once (interpreted HOF lambdas make rebuilding
-    # them the single most expensive re-execution; measured 2× end-to-
-    # end).
+    return verify_jaccard_pairs(df, cand, id_col, text_col, n, threshold)
+
+
+def verify_jaccard_pairs(
+    df: DataFrame,
+    cand: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard verification of a candidate-pair set (columns
+    ``id_a``, ``id_b``) against the corpus ``df`` — the second stage of
+    every two-stage near-dedup here, exposed on its own so the
+    candidate generator is swappable (banded LSH, SimHash chunks, a
+    persisted index probe) and its semantics testable in isolation.
+
+    Only docs that appear in some candidate pair build shingle arrays:
+    a broadcast semi-join restricts the corpus first (candidates are a
+    vanishing fraction of it — measured 477/5000 docs at sf0.1). The
+    restricted arrays feed both sides of the candidate join, so they
+    are materialized once (interpreted HOF lambdas make rebuilding
+    them the single most expensive re-execution; measured 2× end-to-
+    end)."""
     cand_ids = (
         cand.select(F.col("id_a").alias(id_col))
         .union(cand.select(F.col("id_b").alias(id_col)))

@@ -191,6 +191,13 @@ def cosine_near_dup_pairs(
     )
 
 
+# Verification GEMM block height for lsh_near_dup_pairs: memory per
+# bucket task is O(_VERIFY_CHUNK × bucket_size) doubles instead of
+# O(bucket_size²). 2048 × 10^5-member degenerate bucket ≈ 1.6 GB peak —
+# survivable where the square (80 GB) is not.
+_VERIFY_CHUNK = 2048
+
+
 def seeded_sign_planes(
     n_tables: int = 16, n_planes: int = 4, dim: int = 64, seed: int = 42
 ) -> list[list[float]]:
@@ -334,6 +341,19 @@ def lsh_near_dup_pairs(
         df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")), "_id"
     )
 
+    # Row-chunked scoring caps the verifier's memory at O(chunk × m)
+    # instead of O(m²): a degenerate bucket on a duplication-heavy
+    # corpus (the motivating near-dup case — boilerplate docs whose
+    # embeddings all collide) can hold 10^5 members, and a full m×m
+    # similarity matrix for that is ~80 GB in ONE Python worker. Each
+    # chunk scores rows [i, i+c) against the tail columns i..m-1 only
+    # (strict upper triangle), so semantics are exactly the uncapped
+    # GEMM's; output stays bounded by the TRUE near-dup pairs, which are
+    # the operator's answer regardless of how they are computed.
+    # Captured at plan-build time so tests can shrink it to force the
+    # multi-chunk path on small data.
+    chunk_rows = _VERIFY_CHUNK
+
     def verify(pdf):
         import pandas as pd
 
@@ -344,15 +364,25 @@ def lsh_near_dup_pairs(
             [np.asarray(v, dtype=np.float64) for v in pdf["_v"].iloc[order]]
         )
         Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-        S = Vn @ Vn.T
-        ia, ib = np.triu_indices(len(ids), 1)
-        s = S[ia, ib]
-        keep = s >= threshold
+        m = len(ids)
+        out_a, out_b, out_s = [], [], []
+        for i0 in range(0, m, chunk_rows):
+            i1 = min(i0 + chunk_rows, m)
+            S = Vn[i0:i1] @ Vn[i0:].T  # (chunk × tail) block
+            ia, ib = np.nonzero(S >= threshold)
+            # row ia is global i0+ia, column ib is global i0+ib; keep the
+            # strict upper triangle (global col > global row) — each pair
+            # (a < b) is produced exactly once, by the chunk owning row a
+            strict = ib > ia
+            ia, ib = ia[strict], ib[strict]
+            out_a.append(ids[ia + i0])
+            out_b.append(ids[ib + i0])
+            out_s.append(S[ia, ib])
         return pd.DataFrame(
             {
-                "id_a": ids[ia[keep]],
-                "id_b": ids[ib[keep]],
-                "cosine_raw": s[keep],
+                "id_a": np.concatenate(out_a) if out_a else np.array([], dtype=ids.dtype),
+                "id_b": np.concatenate(out_b) if out_b else np.array([], dtype=ids.dtype),
+                "cosine_raw": np.concatenate(out_s) if out_s else np.array([], dtype="f8"),
             }
         )
 

@@ -396,18 +396,71 @@ def normalize_for_dedup(col: str | "F.Column") -> "F.Column":
 
 
 def dedup_paragraphs(
-    df: DataFrame, text_col: str, out_col: str, sep: str = "\n\n"
+    df: DataFrame,
+    text_col: str,
+    out_col: str,
+    sep: str = "\n\n",
+    hof_max_paragraphs: int = 256,
 ) -> DataFrame:
     """Intra-document span dedup: drop repeated paragraphs WITHIN each
     document, preserving first-occurrence order (boilerplate headers,
-    duplicated navigation blocks, copy-paste artifacts). Pure
-    higher-order functions — split, keep paragraph i iff array_position
-    over the prefix finds no earlier copy, rejoin — so it runs entirely
-    inside the JVM with no shuffle at all: a per-row map over the
-    corpus scan."""
+    duplicated navigation blocks, copy-paste artifacts).
+
+    Two per-row paths, split on paragraph count (VERDICT r2 #6 — the
+    prefix-scan is O(p²) per document, fine at real-document p ≈ 10²
+    but a crafted 10⁵-paragraph row would stall its task):
+
+    - p ≤ ``hof_max_paragraphs``: pure higher-order functions — split,
+      keep paragraph i iff array_position over the prefix finds no
+      earlier copy, rejoin. Zero Python, zero shuffle, whole-stage
+      codegen; this is the hot path for every real document.
+    - p > ``hof_max_paragraphs``: Arrow-batched pandas UDF with a
+      per-document seen-set — O(p) per document, bounded memory. The
+      Arrow crossing costs more per byte than the HOF path, but only
+      pathological rows ever take it. (Kept out of a ``when`` branch
+      deliberately: Spark extracts Python UDFs into their own
+      projection evaluated on EVERY row, so a conditional expression
+      would pay the crossing corpus-wide — the filter-and-union shape
+      below confines it to the oversized rows.)
+
+    Both paths treat ``sep`` as a regex for splitting (Spark's
+    ``split`` semantics) and a literal when rejoining. Results are
+    identical across paths (regression-tested)."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
     paras = F.split(F.col(text_col), sep)
+    # NULL text → size() is NULL, which would drop the row from BOTH
+    # branches; coalesce routes NULLs to the HOF branch → NULL out.
+    n = F.coalesce(F.size(paras), F.lit(-1))
     kept = F.filter(
         paras,
         lambda p, i: F.array_position(F.slice(paras, 1, i), p) == 0,
     )
-    return df.withColumn(out_col, F.array_join(kept, sep))
+    small = df.where(n <= hof_max_paragraphs).withColumn(
+        out_col, F.array_join(kept, sep)
+    )
+
+    pat = re.compile(sep)
+
+    def _dedup_series(s):
+        def one(t):
+            if t is None:
+                return None
+            seen = set()
+            out = []
+            for p in pat.split(t):
+                if p not in seen:
+                    seen.add(p)
+                    out.append(p)
+            return sep.join(out)
+
+        return s.map(one)
+
+    dedup_udf = pandas_udf(_dedup_series, "string")
+    large = df.where(n > hof_max_paragraphs).withColumn(
+        out_col, dedup_udf(F.col(text_col))
+    )
+    return small.unionByName(large)
