@@ -7,9 +7,28 @@ These tests pin the invariants the schedule depends on.
 
 from weather_data_data_pipeline_spark import registry
 
-# The judge's round-2 minimum set (VERDICT.md "Next round" #1) plus the
+# The judge's round-2/3 minimum set (VERDICT.md "Next round" #1) plus the
 # north-star families: all must sit inside the driver's 50-query window.
 MUST_BE_IN_WINDOW = {
+    # round 3: the 15 never-driver-verified queries + the new rows
+    "doc_fingerprint",
+    "doc_quality_filter",
+    "term_cooccurrence_lift",
+    "vocab_top_terms",
+    "embedding_kmeans_assign",
+    "training_mix_rates",
+    "sequence_packing",
+    "span_dedup_profile",
+    "ann_lsh_topk",
+    "frequent_tokens_mg",
+    "ann_ivf_topk",
+    "embedding_kmeans_clusters",
+    "embedding_pca_project",
+    "embedding_pca_variance",
+    "doc_pagerank",
+    "minhash_dedup_pairs_portable",
+    "jdbc_roundtrip",
+    # round 2 carry-over minimum
     "minhash_dedup_pairs",
     "embedding_cosine_topk",
     "dedup_clusters",

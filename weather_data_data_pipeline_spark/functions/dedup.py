@@ -446,6 +446,81 @@ def verify_jaccard_pairs(
     )
 
 
+def minhash_signatures_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 32,
+) -> DataFrame:
+    """Engine-PORTABLE MinHash signatures: sig[i] = min over shingles of
+    md5(i || ':' || shingle), the minimum taken over lowercase hex
+    STRINGS (lexicographic order == numeric order of the 128-bit value,
+    and every engine renders md5 identically — the same portability
+    trick as functions/text.py:md5_threshold). One wide row per doc
+    (columns h0..h{num_perm-1}).
+
+    This family exists so the ENTIRE two-stage near-dedup — signatures,
+    banding, candidate join, exact-Jaccard verify — can be replayed
+    verbatim by an external SQL oracle. Production corpora should use
+    :func:`minhash_signatures_vectorized` (xxhash64+splitmix64, no
+    cryptographic hash per shingle); both share banding and
+    verification code paths."""
+    sh = word_shingles(df, id_col, text_col, n)
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def minhash_dedup_pairs_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    num_perm: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """Two-stage MinHash near-dedup with the engine-portable md5 hash
+    family (:func:`minhash_signatures_portable`): banded LSH candidates
+    (band bucket = the band's min-hashes concatenated — tuple equality,
+    no engine-specific band hash), then exact-Jaccard verification via
+    :func:`verify_jaccard_pairs`. Same physical shape as
+    :func:`minhash_dedup_pairs` — signatures shuffle once per doc,
+    buckets self-join on the band key, only candidates re-shingle —
+    with a wider bucket key (hex strings instead of one long): the
+    portability tax. Defaults (32 perms, 16 bands × 2 rows) put the
+    S-curve's high-recall region at the 0.5 threshold:
+    1-(1-0.5²)¹⁶ ≈ 0.99 candidate recall for true near-dups."""
+    sigs = minhash_signatures_portable(
+        df, id_col, text_col, n, num_perm
+    ).localCheckpoint(eager=True)
+    rows_per_band = num_perm // bands
+    structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|", *[F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)]
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*structs)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    return verify_jaccard_pairs(df, cand, id_col, text_col, n, threshold)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

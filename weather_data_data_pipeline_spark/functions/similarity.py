@@ -597,11 +597,19 @@ def lsh_topk(
     n_planes: int = 4,
     n_tables: int = 16,
     dim: int = 64,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """ANN top-k via OR-amplified random-hyperplane LSH: ``n_tables``
     independent tables of ``n_planes`` planes each; a corpus vector is a
     candidate if it shares a bucket with the query in ANY table, then
     candidates are re-ranked with exact cosine.
+
+    ``planes`` (flat-indexed ``t*n_planes+p`` literals, e.g.
+    :func:`seeded_sign_planes`) switches bucketing to explicit
+    engine-portable hyperplanes — the variant whose candidate
+    generation a DuckDB oracle replays verbatim, making this
+    approximate operator value-hash-checkable end-to-end (same trick
+    as ``lsh_near_dup_pairs``).
 
     Recall for neighbors at angle θ is 1-(1-p^b)^L with p = 1-θ/π,
     b = n_planes, L = n_tables — the AND/OR construction every LSH paper
@@ -611,14 +619,24 @@ def lsh_topk(
     embeddings are joined back by id for the exact re-rank, so the L×
     inflation never carries the vector payload.
     """
-    cb = rhp_table_buckets(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
-        "neighbor_id", vec_col, n_planes, n_tables, dim,
-    )
-    qb = rhp_table_buckets(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
-        "query_id", vec_col, n_planes, n_tables, dim,
-    )
+    if planes is not None:
+        cb = rhp_table_buckets_from_planes(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+            "neighbor_id", vec_col, planes, n_planes,
+        )
+        qb = rhp_table_buckets_from_planes(
+            queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+            "query_id", vec_col, planes, n_planes,
+        )
+    else:
+        cb = rhp_table_buckets(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+            "neighbor_id", vec_col, n_planes, n_tables, dim,
+        )
+        qb = rhp_table_buckets(
+            queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+            "query_id", vec_col, n_planes, n_tables, dim,
+        )
     cand = (
         cb.join(qb, ["table", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))

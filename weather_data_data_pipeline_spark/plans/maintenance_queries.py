@@ -249,3 +249,60 @@ def table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return table_diff(orders, drifted, ["o_orderkey"])
+
+
+@register(
+    "jdbc_roundtrip",
+    # The destination-table math is pure relational, so the oracle runs
+    # it straight on the parquet nation table: if the JDBC write, the
+    # idempotent re-append (anti-join must add 0 rows), or the JDBC read
+    # corrupts anything — row loss, duplication, type mangling — the
+    # region aggregate diverges and the hash check fails.
+    oracle="""
+    SELECT n_regionkey AS region_key,
+           count(*) AS n_nations,
+           CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
+           min(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey
+    """,
+    doc="Live JDBC append + idempotent re-append + read-back inside the "
+    "correctness gate (VERDICT r2 #4 — SURVEY §2.1 S5/S6 driver row): "
+    "writes the nation table to an embedded Apache Derby database (the "
+    "JDBC engine shipping in Spark's own jars; MySQL is unreachable in "
+    "this sandbox — ref weather_report_data_full_load_pipeline.py:146-171), "
+    "re-appends the same batch behind the reference's anti-join dedup "
+    "(must add zero rows), reads the destination back over JDBC, and "
+    "aggregates per region. Hash-checked against the same aggregate on "
+    "the parquet source: any loss/duplication/type-mangling in the JDBC "
+    "path diverges the result.",
+    tags=("maintenance", "jdbc"),
+)
+def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from weather_data_data_pipeline_spark.operators.joins import anti_join_dedup
+    from weather_data_data_pipeline_spark.sources import jdbc
+
+    tmp = tempfile.mkdtemp(prefix="jdbc_roundtrip_")
+    try:
+        # keep derby.log inside the scratch dir, not the process cwd
+        spark.sparkContext._jvm.java.lang.System.setProperty(
+            "derby.system.home", tmp
+        )
+    except Exception:
+        pass
+    url = f"jdbc:derby:{tmp}/roundtrip;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    nation = load(spark, sf_dir, "nation")
+    jdbc.append(nation, url, "nation_dest", props)
+    # the reference's idempotency contract: re-running the load must not
+    # duplicate destination rows (anti-join on the key before the append)
+    existing = jdbc.read_table(spark, url, "nation_dest", props)
+    fresh = anti_join_dedup(nation, existing, ["n_nationkey"])
+    jdbc.append(fresh, url, "nation_dest", props)
+    back = jdbc.read_table(spark, url, "nation_dest", props)
+    return back.groupBy(F.col("n_regionkey").alias("region_key")).agg(
+        F.count("*").alias("n_nations"),
+        F.sum("n_nationkey").alias("sum_key"),
+        F.min("n_name").alias("first_name"),
+    )
