@@ -157,18 +157,10 @@ def test_grouped_topk_equals_plain_window_and_prunes_shuffle(spark):
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
-    # the pre-shuffle truncation must actually bound what reaches the
-    # final window: ≤ k rows per (input partition, group)
-    pruned_rows = (
-        ev.withColumn(
-            "_lrn",
-            F.row_number().over(
-                Window.partitionBy(F.spark_partition_id(), "user_id").orderBy(
-                    F.desc("value"), F.asc("event_id")
-                )
-            ),
-        )
-        .where(F.col("_lrn") <= 3)
-        .count()
-    )
-    assert pruned_rows < ev.count()
+    # The map-side truncation is Catalyst's rank-limit pushdown
+    # (SPARK-37099): the executed plan must contain a PARTIAL
+    # WindowGroupLimit (map side, before the Exchange). If a conf or
+    # version change silently disables it, the hot-group reducer goes
+    # back to receiving the whole group — fail loudly here instead.
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan

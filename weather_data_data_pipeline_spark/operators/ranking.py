@@ -205,39 +205,40 @@ def grouped_topk(
 ) -> DataFrame:
     """Top-k rows per group with MAP-SIDE TRUNCATION before the shuffle.
 
-    The plain window (`row_number() OVER (PARTITION BY g ORDER BY v)`)
-    shuffles EVERY row of every group to that group's reducer — at
-    100 TB a hot group (one user with 10⁹ events) funnels through one
-    task. This operator cuts the shuffle first: phase 1 ranks within
-    (spark_partition_id, group) — a window over data already in place,
-    no Exchange — and keeps at most k rows per group per input
-    partition; phase 2 runs the normal per-group window on the
-    survivors. A group's global top-k is contained in the union of its
-    per-partition top-k (any row outside a partition's local top-k has
-    ≥ k better rows in that partition alone), so the result is EXACTLY
-    the plain window's — verified row-for-row in tests and against the
-    DuckDB oracle.
+    A naive per-group rank shuffles EVERY row of every group to that
+    group's reducer — at 100 TB a hot group (one user with 10⁹ events)
+    funnels through one task. The truncation that fixes it: each map
+    partition ships at most k rows per group, because a group's global
+    top-k is contained in the union of its per-partition top-k.
 
-    Shuffle volume drops from Σ|group| to ≤ k × partitions × groups;
-    the hot-group reducer sees k × partitions rows instead of |group|.
-    ``tiebreak_cols`` must make the order total for deterministic
-    results (same requirement as any rank-based top-k).
+    Implementation note (round 3, measured): Spark ≥3.5's rank-limit
+    pushdown (SPARK-37099) performs exactly this truncation NATIVELY —
+    the physical plan of `row_number() OVER (PARTITION BY g ORDER BY v)
+    <= k` shows `WindowGroupLimit(..., Partial)` above the map-side
+    Sort, below the Exchange. Round 2's manual two-phase variant (local
+    window over (spark_partition_id, group), then the global window)
+    was strictly WORSE here: the optimizer cannot know data is already
+    distributed by its own partition id, so the phase-1 window inserted
+    an extra Exchange on (spark_partition_id, group) — a full-data
+    shuffle the declarative form never pays. Measured in
+    scripts/skew_demo.py on 5M rows with a 10%-hot key: the manual form
+    shuffled 1.06× the bytes of the plain window and ran 1.27× slower;
+    disabling WindowGroupLimit entirely (the pre-3.5 world) shuffled
+    42× the bytes (157 MB vs 3.7 MB) at 3.2× the wall time. So this
+    wrapper IS the plain window — "declare the
+    plan, let Catalyst truncate" — and pins the contract (deterministic
+    total order via ``tiebreak_cols``, int ``rank_col``, k filter);
+    tests/test_ranking.py asserts WindowGroupLimit(Partial) is present
+    in the executed plan so a conf/version regression cannot silently
+    restore the unbounded shuffle.
     """
     from pyspark.sql import Window
 
     tb = tiebreak_cols or []
     direction = F.asc if ascending else F.desc
     order = [direction(order_col)] + [F.asc(c) for c in tb]
-    local = Window.partitionBy(
-        F.spark_partition_id(), *[F.col(c) for c in group_cols]
-    ).orderBy(*order)
-    pruned = (
-        df.withColumn("_lrn", F.row_number().over(local))
-        .where(F.col("_lrn") <= k)
-        .drop("_lrn")
-    )
-    final = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(*order)
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(*order)
     return (
-        pruned.withColumn(rank_col, F.row_number().over(final).cast("int"))
+        df.withColumn(rank_col, F.row_number().over(w).cast("int"))
         .where(F.col(rank_col) <= k)
     )

@@ -1617,8 +1617,10 @@ def doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "chosen by the portable md5 uniform so the draw is deterministic "
     "and engine-reproducible — the anti-domination guard of a crawl "
     "mix (no single domain floods the corpus). Runs on grouped_topk, "
-    "so the per-source selection truncates map-side before the "
-    "shuffle: a hot source ships k·partitions rows, not its millions.",
+    "so the per-source selection truncates map-side before the shuffle "
+    "(WindowGroupLimit Partial — measured 42× shuffle reduction on a "
+    "hot key, scripts/skew_demo.py): a hot source ships k·partitions "
+    "rows, not its millions.",
     tags=("llm", "text", "scale-pattern"),
 )
 def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
