@@ -36,6 +36,13 @@ INTENTIONAL = {
         "brute-force exact baseline: broadcast(queries) × corpus scoring is "
         "the definition of the operator; ann_lsh_topk / ann_ivf_topk are the "
         "sub-quadratic scale paths",
+    ("bm25_search_topk", "BroadcastNestedLoopJoin"):
+        "single-ROW build side: the corpus-level stats aggregate (n_docs, "
+        "avgdl) cross-joins onto the postings — O(n × 1), the idiomatic "
+        "scalar attach, not a quadratic join",
+    ("tfidf_top_terms", "BroadcastNestedLoopJoin"):
+        "single-ROW build side: the corpus-level doc-count aggregate "
+        "attaches to the term table — O(n × 1) scalar attach",
 }
 
 

@@ -72,7 +72,7 @@ _BM25_B = 0.75
     "shuffle volume is O(matching docs), not O(corpus tokens); corpus "
     "stats and df() are broadcast 1-row/`|q|`-row joins; top-k is "
     "TakeOrderedAndProject (per-partition heaps, no global sort).",
-    tags=("llm", "search"),
+    tags=("llm", "search", "bench"),
 )
 def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -118,7 +118,7 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "train split. Train grams travel as xxhash64 longs; the eval side "
     "probes with a left-semi join — the layout that survives a 100 TB "
     "train corpus.",
-    tags=("llm", "dedup", "quality"),
+    tags=("llm", "dedup", "quality", "bench"),
 )
 def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")

@@ -863,7 +863,7 @@ def training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "document-frequency aggregate; idf joins back as a broadcast and the "
     "top-k window ranks integer-deterministically (tf DESC, df ASC, term) "
     "so no float comparison decides row membership.",
-    tags=("llm", "text"),
+    tags=("llm", "text", "bench"),
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -927,7 +927,7 @@ def training_mix_sample_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     "iterative min-label propagation — one join + min-aggregate per "
     "round, converged when a round changes nothing; the oracle computes "
     "the same components with a recursive transitive-closure CTE.",
-    tags=("llm", "dedup"),
+    tags=("llm", "dedup", "bench"),
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_fanout(spark, sf_dir, "documents")
@@ -1088,7 +1088,7 @@ def multimodal_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mean × 64 × 255 rounds to the true sum, so no float-boundary "
     "risk). The oracle re-derives the sums by enumerating the same "
     "pixel grid in SQL — bytes → parse → features verified end-to-end.",
-    tags=("llm", "multimodal"),
+    tags=("llm", "multimodal", "bench"),
 )
 def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
@@ -1214,7 +1214,7 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "representative (min doc_id). Composes jaccard pairs -> connected "
     "components -> representative anti-filter; the oracle replays the "
     "same components with a recursive CTE.",
-    tags=("llm", "dedup"),
+    tags=("llm", "dedup", "bench"),
 )
 def dedup_kept_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_fanout(spark, sf_dir, "documents")
