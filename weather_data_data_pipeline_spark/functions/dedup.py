@@ -541,10 +541,16 @@ def connected_components(
     max_iter or switch to the large-star/small-star variant — the
     per-round plan here is the same building block.
     """
+    # Materialize the (symmetrized) edge table ONCE: every propagation
+    # round joins against it, and left lazy each round would re-execute
+    # the full upstream pair-generation lineage (candidate join + exact
+    # verification — measured ~0.4s/round at sf0.1). At scale this is
+    # the edge list a real pipeline persists before clustering anyway.
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .dropDuplicates()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
