@@ -71,6 +71,26 @@ def run_query(spark, fn, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def shuffle_bytes_for_group(spark, group: str) -> int:
+    """Total shuffle-write bytes of every job in a job group, from the
+    AppStatusStore — the measured counterpart of the plan audit's
+    Exchange counts (scripts/explain_audit.py): exchanges say WHERE the
+    plan shuffles, this says HOW MUCH actually crossed the wire."""
+    st = spark.sparkContext.statusTracker()
+    store = spark.sparkContext._jsc.sc().statusStore()
+    total = 0
+    for j in st.getJobIdsForGroup(group):
+        info = st.getJobInfo(j)
+        if info is None:
+            continue
+        for sid in info.stageIds:
+            try:
+                total += store.lastStageAttempt(sid).shuffleWriteBytes()
+            except Exception:
+                pass  # stage evicted from the store or never ran
+    return total
+
+
 def release_transients(spark, keep_ids: set[int]) -> None:
     """Unpersist every cached RDD created since the warm-up (query-local
     localCheckpoints of signature/index tables). Left in place they
@@ -120,6 +140,7 @@ def main() -> None:
     keep = persistent_ids(spark)  # the warmed tables stay cached
     base_parts = spark.conf.get("spark.sql.shuffle.partitions")
     timings: dict[str, float] = {}
+    shuffle_bytes: dict[str, int] = {}
     for name, fn in bench_queries.items():
         # Per-query static shuffle width (AQE's per-stage coalescing is
         # the at-scale version; with AQE off locally a tag picks it).
@@ -137,8 +158,17 @@ def main() -> None:
                 run_query(spark, fn, SF_DIR)
                 release_transients(spark, keep)
             runs = []
-            for _ in range(3):
+            for i in range(3):
+                if i == 0:
+                    # shuffle bytes are deterministic per plan: measure
+                    # once, on the first timed run, scoped by job group
+                    spark.sparkContext.setJobGroup(f"bench_{name}", name)
                 runs.append(run_query(spark, fn, SF_DIR))
+                if i == 0:
+                    spark.sparkContext.setJobGroup(None, None)
+                    shuffle_bytes[name] = shuffle_bytes_for_group(
+                        spark, f"bench_{name}"
+                    )
                 release_transients(spark, keep)
         finally:
             if wide and not aqe_on:
@@ -152,6 +182,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "shuffle_bytes": shuffle_bytes,
                 "warm_cache_sec": warm_sec,
                 "aqe": aqe_on,
                 "sf": _sf_from_dir(SF_DIR),
