@@ -68,6 +68,29 @@ def test_lsh_near_dup_recall_and_no_false_positives(spark):
     assert lit_recall >= 0.8, f"literal-plane recall collapsed: {lit_recall}"
 
 
+def test_lsh_topk_self_equals_two_sided(spark):
+    """lsh_topk_self (buckets computed once, queries filtered from the
+    corpus bucket table) must return exactly what the general two-sided
+    lsh_topk returns for the same planes — it is a plan optimization,
+    not a semantic variant."""
+    from weather_data_data_pipeline_spark.functions.similarity import (
+        lsh_topk_self,
+        seeded_sign_planes,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    planes = seeded_sign_planes(n_tables=16, n_planes=4, dim=64)
+    two_sided = lsh_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=10, n_planes=4, planes=planes
+    )
+    fused = lsh_topk_self(emb, F.col("vec_id") < 10, k=10, n_planes=4, planes=planes)
+    key = lambda df: sorted(
+        (r["query_id"], r["rn"], r["neighbor_id"], r["cosine"])
+        for r in df.collect()
+    )
+    assert key(two_sided) == key(fused)
+
+
 def test_lsh_near_dup_chunked_verify_equals_unchunked(spark, monkeypatch):
     """The per-bucket GEMM verifier scores in O(chunk × m) row blocks so a
     degenerate bucket cannot demand an m×m matrix in one Python worker.

@@ -668,6 +668,81 @@ def lsh_topk(
     )
 
 
+def lsh_topk_self(
+    corpus: DataFrame,
+    query_pred,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 4,
+    planes: list[list[float]] | None = None,
+    n_tables: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """:func:`lsh_topk` specialized for the common "neighbors of these
+    corpus rows" shape: ``query_pred`` (a boolean Column) selects the
+    query subset FROM the corpus, so bucket signatures are computed
+    ONCE over the corpus and the query side is a broadcast-semi filter
+    on the materialized bucket table — one Arrow/mapInPandas stage
+    instead of two. With a handful of queries the saving is small
+    (measured within noise at sf0.1: the query-side stage was tiny);
+    the shape matters when the query set is LARGE — an all-corpus kNN
+    graph build pays the signature GEMM once instead of twice. It also
+    mirrors exactly how the DuckDB oracle expresses the query (bucket
+    CTE + WHERE for the query side), keeping replayed plans aligned.
+    Verified row-identical to the two-sided form in
+    tests/test_similarity.py."""
+    if planes is not None:
+        tb = rhp_table_buckets_from_planes(
+            corpus.select(F.col(id_col).alias("_id"), F.col(vec_col)),
+            "_id", vec_col, planes, n_planes,
+        )
+    else:
+        tb = rhp_table_buckets(
+            corpus.select(F.col(id_col).alias("_id"), F.col(vec_col)),
+            "_id", vec_col, n_planes, n_tables, dim,
+        )
+    # materialized: both join sides (all buckets vs query buckets) read it
+    tb = tb.localCheckpoint(eager=True)
+    qids = corpus.where(query_pred).select(F.col(id_col).alias("_qid"))
+    cb = tb.select(F.col("_id").alias("neighbor_id"), "table", "bucket")
+    qb = (
+        tb.join(F.broadcast(qids), tb["_id"] == qids["_qid"], "left_semi")
+        .select(F.col("_id").alias("query_id"), "table", "bucket")
+    )
+    cand = (
+        cb.join(qb, ["table", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates()
+    )
+    c_vec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    q_vec = corpus.where(query_pred).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = cand.join(c_vec, "neighbor_id").join(
+        F.broadcast(q_vec), "query_id"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("q_vec"), F.col("c_vec"))
+         / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))).alias("cosine_raw"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine_raw", 4).alias("cosine"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+
+
 def quantize_embeddings(
     df: DataFrame, vec_col: str = "embedding", out_col: str = "q_vec"
 ) -> DataFrame:

@@ -778,10 +778,14 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "similarity", "bench"),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.similarity import lsh_topk_self
+
     emb = load(spark, sf_dir, "embeddings")
-    return lsh_topk(
+    # queries are a corpus subset → bucket signatures computed ONCE
+    # (lsh_topk_self), exactly matching the oracle's bucket-CTE + filter
+    return lsh_topk_self(
         emb,
-        emb.where(F.col("vec_id") < 10),
+        F.col("vec_id") < 10,
         k=10,
         n_planes=4,
         planes=_NEAR_DUP_PLANES,
