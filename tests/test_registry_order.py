@@ -28,6 +28,7 @@ MUST_BE_IN_WINDOW = {
     "doc_pagerank",
     "minhash_dedup_pairs_portable",
     "jdbc_roundtrip",
+    "semantic_dedup_keep",
     # round 2 carry-over minimum
     "minhash_dedup_pairs",
     "embedding_cosine_topk",

@@ -68,6 +68,49 @@ def test_lsh_near_dup_recall_and_no_false_positives(spark):
     assert lit_recall >= 0.8, f"literal-plane recall collapsed: {lit_recall}"
 
 
+def test_semantic_dedup_invariants(spark):
+    """SemDeDup keep-set contract: (a) every row labeled, reps are
+    members of their own component; (b) NO two kept rows in the same
+    cluster are near-duplicates of each other (the defining guarantee);
+    (c) dropped rows really do have a kept near-dup chain (their rep is
+    kept)."""
+    from weather_data_data_pipeline_spark.functions.similarity import (
+        cosine,
+        semantic_dedup,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    seeds = emb.select("vec_id", "embedding").orderBy("vec_id").limit(8).collect()
+    cents = [[float(x) for x in r["embedding"]] for r in seeds]
+    out = semantic_dedup(emb, cents, threshold=0.35)
+    rows = out.collect()
+    assert len(rows) == emb.count()  # total function: every row labeled
+    kept = {r["vec_id"] for r in rows if r["kept"]}
+    rep_of = {r["vec_id"]: r["rep_id"] for r in rows}
+    assert any(not r["kept"] for r in rows), "corpus should have semantic dups"
+    # reps are kept, and every drop points at a kept rep
+    for vid, rep in rep_of.items():
+        assert rep in kept
+        assert rep <= vid  # min-id representative
+    # no two kept rows in one cluster may be near-dups: re-score them
+    kept_df = emb.join(
+        out.where(F.col("kept")).select("vec_id", "cluster"), "vec_id"
+    )
+    a = kept_df.select(
+        F.col("vec_id").alias("id_a"), F.col("cluster"), F.col("embedding").alias("va")
+    )
+    b = kept_df.select(
+        F.col("vec_id").alias("id_b"), F.col("cluster"), F.col("embedding").alias("vb")
+    )
+    offenders = (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cosine(F.col("va"), F.col("vb")) >= 0.35)
+        .count()
+    )
+    assert offenders == 0, f"{offenders} kept near-dup pairs survived"
+
+
 def test_lsh_topk_self_equals_two_sided(spark):
     """lsh_topk_self (buckets computed once, queries filtered from the
     corpus bucket table) must return exactly what the general two-sided

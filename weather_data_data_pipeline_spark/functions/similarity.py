@@ -191,11 +191,42 @@ def cosine_near_dup_pairs(
     )
 
 
-# Verification GEMM block height for lsh_near_dup_pairs: memory per
-# bucket task is O(_VERIFY_CHUNK × bucket_size) doubles instead of
-# O(bucket_size²). 2048 × 10^5-member degenerate bucket ≈ 1.6 GB peak —
-# survivable where the square (80 GB) is not.
+# Verification GEMM block height for the per-group pair scorers
+# (lsh_near_dup_pairs buckets, semantic_dedup cells): memory per task is
+# O(_VERIFY_CHUNK × group_size) doubles instead of O(group_size²).
+# 2048 × 10^5-member degenerate group ≈ 1.6 GB peak — survivable where
+# the square (80 GB) is not.
 _VERIFY_CHUNK = 2048
+
+
+def _pairs_above_threshold(ids, V, threshold: float, chunk_rows: int):
+    """All (id_a < id_b, cosine) pairs of one group with cosine ≥
+    threshold, scored in row-chunked GEMM blocks (see _VERIFY_CHUNK).
+    ``ids`` must be sorted ascending and ``V`` row-aligned to it.
+    Returns three numpy arrays (id_a, id_b, cosine_raw)."""
+    import numpy as np
+
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    m = len(ids)
+    out_a, out_b, out_s = [], [], []
+    for i0 in range(0, m, chunk_rows):
+        i1 = min(i0 + chunk_rows, m)
+        S = Vn[i0:i1] @ Vn[i0:].T  # (chunk × tail) block
+        ia, ib = np.nonzero(S >= threshold)
+        # row ia is global i0+ia, column ib is global i0+ib; keep the
+        # strict upper triangle (global col > global row) — each pair
+        # (a < b) is produced exactly once, by the chunk owning row a
+        strict = ib > ia
+        ia, ib = ia[strict], ib[strict]
+        out_a.append(ids[ia + i0])
+        out_b.append(ids[ib + i0])
+        out_s.append(S[ia, ib])
+    empty_i = np.array([], dtype=ids.dtype)
+    return (
+        np.concatenate(out_a) if out_a else empty_i,
+        np.concatenate(out_b) if out_b else empty_i,
+        np.concatenate(out_s) if out_s else np.array([], dtype="f8"),
+    )
 
 
 def seeded_sign_planes(
@@ -363,28 +394,8 @@ def lsh_near_dup_pairs(
         V = np.stack(
             [np.asarray(v, dtype=np.float64) for v in pdf["_v"].iloc[order]]
         )
-        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-        m = len(ids)
-        out_a, out_b, out_s = [], [], []
-        for i0 in range(0, m, chunk_rows):
-            i1 = min(i0 + chunk_rows, m)
-            S = Vn[i0:i1] @ Vn[i0:].T  # (chunk × tail) block
-            ia, ib = np.nonzero(S >= threshold)
-            # row ia is global i0+ia, column ib is global i0+ib; keep the
-            # strict upper triangle (global col > global row) — each pair
-            # (a < b) is produced exactly once, by the chunk owning row a
-            strict = ib > ia
-            ia, ib = ia[strict], ib[strict]
-            out_a.append(ids[ia + i0])
-            out_b.append(ids[ib + i0])
-            out_s.append(S[ia, ib])
-        return pd.DataFrame(
-            {
-                "id_a": np.concatenate(out_a) if out_a else np.array([], dtype=ids.dtype),
-                "id_b": np.concatenate(out_b) if out_b else np.array([], dtype=ids.dtype),
-                "cosine_raw": np.concatenate(out_s) if out_s else np.array([], dtype="f8"),
-            }
-        )
+        id_a, id_b, cos = _pairs_above_threshold(ids, V, threshold, chunk_rows)
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine_raw": cos})
 
     pairs = memb.groupBy("table", "bucket").applyInPandas(
         verify, "id_a long, id_b long, cosine_raw double"
@@ -740,6 +751,86 @@ def lsh_topk_self(
             F.round("cosine_raw", 4).alias("cosine"),
             F.col("rn").cast("int").alias("rn"),
         )
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus by embedding, find cosine
+    near-duplicates only WITHIN each cluster, and keep one
+    representative (the min id of each near-dup component) — the
+    "remove semantically redundant training examples" operator of an
+    LLM data pipeline.
+
+    Output: (id, cluster, rep_id, kept) for EVERY input row —
+    ``rep_id`` is the min id of the row's within-cluster near-dup
+    component (itself when it has no near-dup), ``kept`` marks the
+    representatives; filtering on ``kept`` materializes the
+    semantically deduplicated corpus.
+
+    Scale shape: assignment is a narrow codegen'd projection (centroids
+    ride as literals — `functions/clustering.py: nearest_centroid`, no
+    join, no shuffle); pairwise scoring is one applyInPandas GEMM per
+    cluster, chunked (`_pairs_above_threshold`) so a degenerate cluster
+    costs O(chunk × m) memory; components are the same bounded
+    min-label propagation as text dedup. Total work is O(Σ m_c²/chunk)
+    GEMM flops instead of O(n²) — the k-fold reduction that makes
+    pairwise semantic comparison feasible at corpus scale. Cross-
+    cluster near-duplicates are missed BY DESIGN (the SemDeDup trade:
+    k-means cells approximate the neighborhood structure); raise k for
+    cheaper cells, lower it for better recall.
+    """
+    import numpy as np
+
+    from weather_data_data_pipeline_spark.functions.clustering import (
+        nearest_centroid,
+    )
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        connected_components,
+    )
+
+    df = _ensure_parallelism(df)
+    best = nearest_centroid(F.col(vec_col), centroids)
+    assigned = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        best["cluster"].alias("cluster"),
+    ).localCheckpoint(eager=True)  # scored per cluster AND joined back below
+
+    chunk_rows = _VERIFY_CHUNK
+
+    def score(pdf):
+        import pandas as pd
+
+        ids = pdf["_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        V = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["_v"].iloc[order]]
+        )
+        id_a, id_b, cos = _pairs_above_threshold(ids, V, threshold, chunk_rows)
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine_raw": cos})
+
+    pairs = assigned.groupBy("cluster").applyInPandas(
+        score, "id_a long, id_b long, cosine_raw double"
+    )
+    reps = connected_components(pairs).select(
+        F.col("doc_id").alias("_id"), F.col("cluster_id").alias("_rep")
+    )
+    return (
+        assigned.join(reps, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cluster",
+            F.coalesce(F.col("_rep"), F.col("_id")).alias("rep_id"),
+        )
+        .withColumn("kept", F.col("rep_id") == F.col(id_col))
     )
 
 

@@ -980,6 +980,84 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semantic_dedup_keep",
+    # Fully oracle-checked SemDeDup: the seed centroids are the
+    # embeddings of the 8 lowest vec_ids (the embedding_kmeans_assign
+    # trick), so DuckDB replays assignment, the within-cluster cosine
+    # pair graph, and the connected components (recursive CTE, the
+    # dedup_clusters pattern) — every stage of the semantic-dedup
+    # pipeline is hash-matched, not just row-counted.
+    oracle=f"""
+    WITH RECURSIVE cents AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
+             embedding AS cvec
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+    ),
+    scored AS (
+      SELECT e.vec_id, c.cluster,
+             list_sum(list_transform(list_zip(e.embedding, c.cvec),
+                 p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                      * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d2
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    assign AS (
+      SELECT vec_id, cluster
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, cluster) AS rn
+            FROM scored)
+      WHERE rn = 1
+    ),
+    dup AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assign a
+      JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE {_DCOS.format(a="ea.embedding", b="eb.embedding")} >= 0.35
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+              UNION SELECT id_b, id_a FROM dup),
+    walk(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src
+    ),
+    rep AS (
+      SELECT src AS vec_id, least(src, min(dst)) AS rep0
+      FROM walk GROUP BY src
+    )
+    SELECT a.vec_id, a.cluster,
+           coalesce(rep.rep0, a.vec_id) AS rep_id,
+           coalesce(rep.rep0, a.vec_id) = a.vec_id AS kept
+    FROM assign a LEFT JOIN rep ON rep.vec_id = a.vec_id
+    """,
+    doc="SemDeDup-style semantic deduplication (Abbas et al. 2023): "
+    "k-means-cell clustering (seed centroids = embeddings of the 8 "
+    "lowest vec_ids, assignment a narrow codegen'd projection), cosine "
+    "near-dup pairs (>= 0.35) scored only WITHIN each cell by a chunked "
+    "per-cluster GEMM, connected components keep the min-id "
+    "representative. Every row labeled (cluster, rep_id, kept); "
+    "filtering kept materializes the semantically deduplicated corpus. "
+    "Work is O(sum of cell sizes squared) instead of O(n^2) — the "
+    "SemDeDup trade (cross-cell near-dups missed by design). The "
+    "DuckDB oracle replays assignment, pair graph, and components "
+    "(recursive CTE) end-to-end.",
+    tags=("llm", "dedup", "similarity", "bench"),
+)
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.similarity import (
+        semantic_dedup,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(8).collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in seeds]
+    return semantic_dedup(emb, cents, threshold=0.35)
+
+
+@register(
     "embedding_kmeans_clusters",
     oracle=None,  # iterative full-corpus Lloyd's — not SQL-expressible
     doc="Distributed k-means (k=8, 5 Lloyd iterations over the FULL "

@@ -75,6 +75,7 @@ _PRIORITY: tuple[str, ...] = (
     # --- new queries this round
     "minhash_dedup_pairs_portable",  # md5-portable MinHash, full oracle
     "jdbc_roundtrip",  # Derby append + idempotent re-append + read-back
+    "semantic_dedup_keep",  # SemDeDup: cluster → within-cell cosine → CC
     # --- plans changed this round: re-earn the green row
     "embedding_near_dup",  # chunked bucket verify
     "doc_paragraph_dedup",  # O(p) fallback branch for pathological docs
