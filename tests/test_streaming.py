@@ -427,8 +427,11 @@ def test_near_dedup_stream_append_matches_sequential_batches(spark, tmp_path):
     ]
     schema = "doc_id long, text string"
     src = str(tmp_path / "src_neardedup")
-    spark.createDataFrame(b1, schema).write.parquet(src)
-    spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+    # one FILE per logical batch: maxFilesPerTrigger=1 batches per part
+    # file, so a multi-file write would split the logical batches and
+    # de-sync the sequential ground truth below
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
 
     dest = str(tmp_path / "kept_corpus")
     stream = (
@@ -461,3 +464,61 @@ def test_near_dedup_stream_append_matches_sequential_batches(spark, tmp_path):
     assert got == want
     # and the materialized corpus holds no near-dup pair
     assert jaccard_pairs(kept, "doc_id", "text", threshold=0.5).count() == 0
+
+
+def test_near_dedup_stream_append_indexed_matches_unindexed(spark, tmp_path):
+    """The index-probing streaming sink must produce the SAME corpus as
+    the recompute-per-batch sink (index == recompute, lifted to the
+    stream), and must maintain the band-partitioned index on disk as it
+    appends."""
+    import os
+
+    from weather_data_data_pipeline_spark.functions.dedup import jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    b1 = [(1, base), (2, "unrelated text about shuffle partitioning strategies in spark")]
+    b2 = [
+        (10, base + " again"),
+        (11, "fresh content about bloom filters pruning join probes early"),
+        (12, "fresh content about bloom filters pruning join probes soon"),
+    ]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "src_nd_idx")
+    # one file per logical batch (see the unindexed test)
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def run(sink_fn, dest, ckpt, **kw):
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        q = sink_fn(stream, dest, **kw).trigger(availableNow=True).start()
+        q.awaitTermination(180)
+        return sorted(r["doc_id"] for r in spark.read.parquet(dest).collect())
+
+    idx = str(tmp_path / "nd_index")
+    got_indexed = run(
+        lambda s, d, **kw: S.near_dedup_stream_append_indexed(
+            s, d, idx, "doc_id", "text", str(tmp_path / "ck_i")
+        ),
+        str(tmp_path / "kept_indexed"),
+        None,
+    )
+    got_plain = run(
+        lambda s, d, **kw: S.near_dedup_stream_append(
+            s, d, "doc_id", "text", str(tmp_path / "ck_p")
+        ),
+        str(tmp_path / "kept_plain"),
+        None,
+    )
+    assert got_indexed == got_plain
+    kept = spark.read.parquet(str(tmp_path / "kept_indexed"))
+    assert jaccard_pairs(kept, "doc_id", "text", threshold=0.5).count() == 0
+    # the index was materialized band-partitioned and covers the kept docs
+    bands = [d for d in os.listdir(f"{idx}/buckets") if d.startswith("band=")]
+    assert len(bands) > 0
+    sigs = spark.read.parquet(f"{idx}/signatures")
+    assert sorted(r["doc_id"] for r in sigs.select("doc_id").collect()) == got_indexed

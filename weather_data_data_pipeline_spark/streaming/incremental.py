@@ -186,6 +186,88 @@ def near_dedup_stream_append(
     )
 
 
+def near_dedup_stream_append_indexed(
+    stream: DataFrame,
+    dest_path: str,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    checkpoint: str,
+    threshold: float = 0.5,
+) -> DataStreamWriter:
+    """:func:`near_dedup_stream_append` with the PERSISTED MinHash index
+    as the probe structure — the at-scale form its docstring promises:
+    instead of re-shingling the whole accumulated corpus every
+    micro-batch, each batch (1) probes ``<index_path>/buckets``
+    (band-partitioned parquet, so only colliding band directories are
+    scanned), (2) exact-verifies candidates against kept text,
+    (3) near-dedups within itself, then (4) appends the survivors to
+    BOTH the corpus and the index with one signature pass.
+
+    Per-batch cost is O(batch) signature work + candidate-bounded
+    verification — independent of corpus size except through the
+    (pruned) bucket probe. The corpus+index pair IS the streaming
+    state; no state store, no watermark horizon on dedup history.
+    """
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        append_to_minhash_index,
+        incremental_near_dedup_indexed,
+    )
+
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        incremental_near_dedup,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            # an empty micro-batch must not append footer-less parquet
+            # dirs (they poison later schema inference on the index)
+            return
+        spark = batch_df.sparkSession
+        try:
+            kept = spark.read.parquet(dest_path)
+        except Exception:
+            kept = None  # first batch: no corpus yet
+        try:
+            # probe readability, not just existence: a corpus row
+            # without a readable index (crash between the two appends
+            # below) must degrade to recompute, never to skipping the
+            # cross-corpus dedup
+            spark.read.parquet(f"{index_path}/buckets").schema
+            idx = index_path
+        except Exception:
+            idx = None
+        degraded = kept is not None and idx is None
+        if degraded:
+            out = incremental_near_dedup(
+                batch_df, kept, id_col, text_col, threshold=threshold
+            )
+        else:
+            out = incremental_near_dedup_indexed(
+                batch_df, kept, idx, id_col, text_col, threshold=threshold
+            )
+        out = out.localCheckpoint(eager=True)  # two sinks share the lineage
+        out.write.mode("append").parquet(dest_path)
+        if degraded:
+            # the index didn't cover the kept corpus — rebuild it whole
+            # so subsequent batches probe a complete structure
+            from weather_data_data_pipeline_spark.functions.dedup import (
+                build_minhash_index,
+            )
+
+            build_minhash_index(
+                spark.read.parquet(dest_path), index_path, id_col, text_col
+            )
+        else:
+            append_to_minhash_index(out, index_path, id_col, text_col)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+
+
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,
