@@ -29,6 +29,8 @@ MUST_BE_IN_WINDOW = {
     "minhash_dedup_pairs_portable",
     "jdbc_roundtrip",
     "semantic_dedup_keep",
+    "corpus_drift_psi",
+    "scd2_point_in_time_join",
     # round 2 carry-over minimum
     "minhash_dedup_pairs",
     "embedding_cosine_topk",

@@ -298,3 +298,69 @@ def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 2).alias("lo"),
         F.round(F.max("value"), 2).alias("hi"),
     )
+
+
+@register(
+    "corpus_drift_psi",
+    oracle="""
+    WITH bounded AS (SELECT min(ts) + INTERVAL 15 DAY AS boundary FROM events),
+    binned AS (
+      SELECT CAST(floor(value / 50) AS INTEGER) AS bin,
+             CASE WHEN ts < boundary THEN 1 ELSE 0 END AS is_base
+      FROM events CROSS JOIN bounded
+    ),
+    agg AS (
+      SELECT bin,
+             sum(is_base) AS n_base,
+             sum(1 - is_base) AS n_cur
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT sum(n_base) AS tot_base, sum(n_cur) AS tot_cur FROM agg)
+    SELECT bin,
+           CAST(n_base AS BIGINT) AS n_base,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           round(n_base / tot_base, 6) AS p,
+           round(n_cur / tot_cur, 6) AS q,
+           round((n_base / tot_base - n_cur / tot_cur)
+                 * ln((n_base / tot_base + 1e-6) / (n_cur / tot_cur + 1e-6)),
+                 5) AS psi_term
+    FROM agg CROSS JOIN tot
+    """,
+    doc="Distribution-drift detection via the Population Stability Index: "
+    "event values binned at fixed width 50, the corpus split into a base "
+    "window (first 15 days) and a current window, per-bin PSI terms "
+    "(p-q)*ln((p+eps)/(q+eps)) — the retrain/pipeline-alert metric a "
+    "production data pipeline computes between snapshots. All "
+    "relational: the period boundary is a 1-row min-aggregate attached "
+    "by broadcast cross join (never a driver collect), the bin counts "
+    "one conditional partial+final aggregate (shuffle rows = occupied "
+    "bins), totals another 1-row attach. Sum the psi_term column for "
+    "the headline PSI; per-bin rows localize WHERE the drift is.",
+    tags=("llm", "quality", "aggregate"),
+)
+def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bounded = ev.agg(
+        (F.min("ts") + F.expr("INTERVAL 15 DAYS")).alias("boundary")
+    )
+    binned = ev.crossJoin(F.broadcast(bounded)).select(
+        F.floor(F.col("value") / 50).cast("int").alias("bin"),
+        F.when(F.col("ts") < F.col("boundary"), 1).otherwise(0).alias("is_base"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.sum("is_base").alias("n_base"),
+        F.sum(1 - F.col("is_base")).alias("n_cur"),
+    )
+    tot = agg.agg(
+        F.sum("n_base").alias("tot_base"), F.sum("n_cur").alias("tot_cur")
+    )
+    p = F.col("n_base") / F.col("tot_base")
+    q = F.col("n_cur") / F.col("tot_cur")
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.col("n_base").cast("long").alias("n_base"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.round(p, 6).alias("p"),
+        F.round(q, 6).alias("q"),
+        F.round((p - q) * F.log((p + 1e-6) / (q + 1e-6)), 5).alias("psi_term"),
+    )

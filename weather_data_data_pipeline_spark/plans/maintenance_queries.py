@@ -306,3 +306,91 @@ def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_nationkey").alias("sum_key"),
         F.min("n_name").alias("first_name"),
     )
+
+
+@register(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, event_id, ts AS valid_from,
+             lead(ts) OVER w AS valid_to,
+             row_number() OVER w AS version
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    dim1 AS (
+      -- unique version per (user, valid_from): duplicate-timestamp
+      -- changes collapse to the LAST version at that instant
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, valid_from
+                                     ORDER BY event_id DESC) AS rr
+        FROM dim) WHERE rr = 1
+    ),
+    probe AS (
+      SELECT event_id AS probe_id, user_id,
+             ts - INTERVAL 30 MINUTE AS asof
+      FROM events WHERE event_id % 17 = 0
+    )
+    SELECT p.probe_id, p.user_id, p.asof,
+           d.valid_from AS matched_valid_from,
+           d.event_id AS version_event_id,
+           CAST(d.version AS BIGINT) AS version
+    FROM probe p
+    LEFT JOIN dim1 d
+      ON d.user_id = p.user_id
+     AND d.valid_from <= p.asof
+     AND (d.valid_to IS NULL OR d.valid_to > p.asof)
+    """,
+    doc="Point-in-time enrichment against an SCD Type 2 dimension: every "
+    "probe (user, as-of timestamp) picks up the dimension version VALID "
+    "at that instant — the time-travel lookup feature stores and "
+    "backtest pipelines run constantly. The naive plan (equi-join on "
+    "key + interval filter) explodes by versions-per-key before "
+    "filtering; this rides operators/timeseries.py:asof_join's "
+    "merge-scan instead — union + one window pass, one shuffle on the "
+    "key, cost independent of version count (a 10^5-version hot key "
+    "costs its row count, not probes x versions). Probes older than "
+    "the first version surface with NULL version (left semantics). "
+    "The oracle expresses the same lookup as the validity-interval "
+    "join; equivalence of the two formulations is the correctness "
+    "argument for the merge-scan.",
+    tags=("relational", "maintenance", "timeseries", "bench"),
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.operators.timeseries import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    dim = scd2_snapshot(ev, ["user_id"], "ts", tiebreak_cols=["event_id"])
+    # unique version per (user, valid_from): duplicate-timestamp changes
+    # collapse to the last version at that instant (asof_join contract)
+    w = Window.partitionBy("user_id", "valid_from").orderBy(F.desc("event_id"))
+    dim1 = (
+        dim.withColumn("_rr", F.row_number().over(w))
+        .where(F.col("_rr") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("version_event_id"),
+            "valid_from",
+            F.col("version").cast("long").alias("version"),
+        )
+    )
+    probe = ev.where(F.col("event_id") % 17 == 0).select(
+        F.col("event_id").alias("probe_id"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("asof"),
+    )
+    return asof_join(
+        probe,
+        dim1,
+        keys=["user_id"],
+        left_ts="asof",
+        right_ts="valid_from",
+        right_cols=["version_event_id", "version"],
+    ).select(
+        "probe_id",
+        "user_id",
+        "asof",
+        F.col("matched_valid_from"),
+        "version_event_id",
+        "version",
+    )

@@ -76,6 +76,8 @@ _PRIORITY: tuple[str, ...] = (
     "minhash_dedup_pairs_portable",  # md5-portable MinHash, full oracle
     "jdbc_roundtrip",  # Derby append + idempotent re-append + read-back
     "semantic_dedup_keep",  # SemDeDup: cluster → within-cell cosine → CC
+    "corpus_drift_psi",  # PSI distribution drift between time windows
+    "scd2_point_in_time_join",  # PIT lookup via merge-scan as-of join
     # --- plans changed this round: re-earn the green row
     "embedding_near_dup",  # chunked bucket verify
     "doc_paragraph_dedup",  # O(p) fallback branch for pathological docs
