@@ -31,6 +31,8 @@ MUST_BE_IN_WINDOW = {
     "semantic_dedup_keep",
     "corpus_drift_psi",
     "scd2_point_in_time_join",
+    "data_expectations_report",
+    "dataset_card_by_source",
     # round 2 carry-over minimum
     "minhash_dedup_pairs",
     "embedding_cosine_topk",

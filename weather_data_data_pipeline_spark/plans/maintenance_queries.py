@@ -394,3 +394,158 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version_event_id",
         "version",
     )
+
+
+@register(
+    "data_expectations_report",
+    oracle="""
+    SELECT 'orders_pk_unique' AS check_name,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations,
+           count(*) AS n_rows
+    FROM orders
+    UNION ALL
+    SELECT 'orders_custkey_complete',
+           CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT), count(*)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           CAST(count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+                AS BIGINT), count(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_price_positive',
+           CAST(count(*) FILTER (WHERE l_extendedprice <= 0) AS BIGINT), count(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'events_ts_complete',
+           CAST(count(*) FILTER (WHERE ts IS NULL) AS BIGINT), count(*)
+    FROM events
+    UNION ALL
+    SELECT 'documents_text_nonempty',
+           CAST(count(*) FILTER (WHERE text IS NULL OR text = '') AS BIGINT),
+           count(*)
+    FROM documents
+    """,
+    doc="Declarative data-quality expectations (the Deequ/Great-"
+    "Expectations shape): primary-key uniqueness, completeness, and "
+    "value-range checks as one conditional-aggregate pass per table — "
+    "each check is a count FILTER, so a table contributes ONE "
+    "partial+final aggregate regardless of how many checks it carries, "
+    "and a 100 TB fact pays one scan for its whole expectation suite. "
+    "Complements referential_integrity_checks (cross-table) and the "
+    "in-flight observe() metrics (sources/observability.py) with the "
+    "batch audit surface.",
+    tags=("relational", "quality", "maintenance"),
+)
+def data_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    events = load(spark, sf_dir, "events")
+    documents = load(spark, sf_dir, "documents")
+
+    def report(df, name: str, violation_col) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.sum(F.when(violation_col, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violations"),
+            F.count("*").alias("n_rows"),
+        )
+
+    pk = orders.agg(
+        F.lit("orders_pk_unique").alias("check_name"),
+        (F.count("*") - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("n_violations"),
+        F.count("*").alias("n_rows"),
+    )
+    checks = [
+        pk,
+        report(orders, "orders_custkey_complete", F.col("o_custkey").isNull()),
+        report(
+            lineitem,
+            "lineitem_qty_range",
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+        ),
+        report(
+            lineitem, "lineitem_price_positive", F.col("l_extendedprice") <= 0
+        ),
+        report(events, "events_ts_complete", F.col("ts").isNull()),
+        report(
+            documents,
+            "documents_text_nonempty",
+            F.col("text").isNull() | (F.col("text") == ""),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+@register(
+    "dataset_card_by_source",
+    oracle="""
+    WITH dup AS (
+      SELECT md5(text) AS digest, source, count(*) AS n
+      FROM documents GROUP BY 1, 2
+    ),
+    dupes AS (
+      SELECT source, CAST(sum(n - 1) AS BIGINT) AS n_exact_dups
+      FROM dup GROUP BY source
+    ),
+    stats AS (
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> '')))
+                  AS BIGINT) AS total_tokens,
+             round(avg(n_chars), 2) AS avg_chars,
+             round(CAST(count(*) FILTER (WHERE lang = 'en') AS DOUBLE)
+                   / count(*), 4) AS pct_en,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM documents GROUP BY source
+    )
+    SELECT s.source, s.n_docs, s.total_tokens, s.avg_chars, s.pct_en,
+           s.n_langs, coalesce(d.n_exact_dups, 0) AS n_exact_dups
+    FROM stats s LEFT JOIN dupes d USING (source)
+    """,
+    doc="Dataset-card generator: the per-source summary a training-data "
+    "release ships — document and token counts, average length, "
+    "language mix, and the exact-duplicate count (md5-digest groupBy, "
+    "the same one-shuffle dedup primitive as dedup_exact). One "
+    "aggregate over the corpus plus one digest aggregate; every metric "
+    "is a partial+final combine, so the card costs two scans at any "
+    "corpus size.",
+    tags=("llm", "text", "quality"),
+)
+def dataset_card_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    )
+    stats = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks).cast("long").alias("total_tokens"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.round(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            / F.count("*"),
+            4,
+        ).alias("pct_en"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    dupes = (
+        docs.groupBy(F.md5("text").alias("digest"), F.col("source"))
+        .agg(F.count("*").alias("n"))
+        .groupBy("source")
+        .agg(F.sum(F.col("n") - 1).cast("long").alias("n_exact_dups"))
+    )
+    return stats.join(dupes, "source", "left").select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "avg_chars",
+        "pct_en",
+        "n_langs",
+        F.coalesce("n_exact_dups", F.lit(0)).alias("n_exact_dups"),
+    )

@@ -78,6 +78,8 @@ _PRIORITY: tuple[str, ...] = (
     "semantic_dedup_keep",  # SemDeDup: cluster → within-cell cosine → CC
     "corpus_drift_psi",  # PSI distribution drift between time windows
     "scd2_point_in_time_join",  # PIT lookup via merge-scan as-of join
+    "data_expectations_report",  # Deequ-style batch expectation suite
+    "dataset_card_by_source",  # per-source release-card summary
     # --- plans changed this round: re-earn the green row
     "embedding_near_dup",  # chunked bucket verify
     "doc_paragraph_dedup",  # O(p) fallback branch for pathological docs
