@@ -33,6 +33,7 @@ MUST_BE_IN_WINDOW = {
     "scd2_point_in_time_join",
     "data_expectations_report",
     "dataset_card_by_source",
+    "doc_unigram_logppl",
     # round 2 carry-over minimum
     "minhash_dedup_pairs",
     "embedding_cosine_topk",

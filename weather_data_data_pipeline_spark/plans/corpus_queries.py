@@ -364,3 +364,52 @@ def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(q, 6).alias("q"),
         F.round((p - q) * F.log((p + 1e-6) / (q + 1e-6)), 5).alias("psi_term"),
     )
+
+
+@register(
+    "doc_unigram_logppl",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t.tok AS tok
+      FROM documents, unnest(list_filter(string_split(text, ' '),
+                                         x -> x <> '')) AS t(tok)
+    ),
+    vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    n AS (SELECT count(*) AS total FROM toks)
+    SELECT toks.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(-ln(vocab.c / n.total)), 4) AS logppl
+    FROM toks JOIN vocab USING (tok) CROSS JOIN n
+    GROUP BY toks.doc_id
+    """,
+    doc="Model-free perplexity-filter proxy: per-document mean negative "
+    "log-probability of its tokens under the corpus's own unigram "
+    "distribution — high scores flag rare-token/noisy documents, the "
+    "cheap stand-in for LM-perplexity quality filtering when no model "
+    "is servable in the pipeline. Two aggregates (vocab counts, corpus "
+    "total) + one token→vocab hash join; the vocab is Zipf-small "
+    "relative to the corpus, and the final per-doc average is a "
+    "partial+final combine — three shuffles total at any corpus size.",
+    tags=("llm", "text", "quality", "bench"),
+)
+def doc_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+        ).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    n = toks.agg(F.count("*").alias("total"))
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("total"))), 4).alias(
+                "logppl"
+            ),
+        )
+    )

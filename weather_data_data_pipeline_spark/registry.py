@@ -80,6 +80,7 @@ _PRIORITY: tuple[str, ...] = (
     "scd2_point_in_time_join",  # PIT lookup via merge-scan as-of join
     "data_expectations_report",  # Deequ-style batch expectation suite
     "dataset_card_by_source",  # per-source release-card summary
+    "doc_unigram_logppl",  # model-free perplexity-filter proxy
     # --- plans changed this round: re-earn the green row
     "embedding_near_dup",  # chunked bucket verify
     "doc_paragraph_dedup",  # O(p) fallback branch for pathological docs
