@@ -43,6 +43,9 @@ INTENTIONAL = {
     ("tfidf_top_terms", "BroadcastNestedLoopJoin"):
         "single-ROW build side: the corpus-level doc-count aggregate "
         "attaches to the term table — O(n × 1) scalar attach",
+    ("doc_unigram_logppl", "BroadcastNestedLoopJoin"):
+        "single-ROW build side: the corpus token total attaches to the "
+        "token table — O(n × 1) scalar attach",
 }
 
 
