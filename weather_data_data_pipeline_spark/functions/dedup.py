@@ -465,7 +465,16 @@ def minhash_signatures_portable(
     verbatim by an external SQL oracle. Production corpora should use
     :func:`minhash_signatures_vectorized` (xxhash64+splitmix64, no
     cryptographic hash per shingle); both share banding and
-    verification code paths."""
+    verification code paths.
+
+    Design note (measured, sf0.1): the obvious "hash once" variant —
+    one md5 per shingle, then num_perm universal-hash permutations
+    (a_i·h+b_i mod 2^61−1) — is ALSO exactly replayable (DuckDB HUGEINT
+    vs Spark decimal(38) arithmetic, verified bit-equal), but runs
+    1.4× SLOWER in Spark (0.64 s vs 0.45 s for the signature stage):
+    Spark's decimal ops are BigDecimal-backed while md5 over short
+    strings stays in codegen. The md5-per-permutation form is the
+    faster portable family on this engine."""
     sh = word_shingles(df, id_col, text_col, n)
     mins = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
@@ -512,11 +521,15 @@ def minhash_dedup_pairs_portable(
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    # Materialized: verification consumes cand twice (the id semi-join
+    # and the pair join), and the banded self-join would re-execute per
+    # consumer — same reasoning as minhash_dedup_pairs.
     cand = (
         a.join(b, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates()
+        .localCheckpoint(eager=True)
     )
     return verify_jaccard_pairs(df, cand, id_col, text_col, n, threshold)
 
