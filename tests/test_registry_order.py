@@ -34,6 +34,7 @@ MUST_BE_IN_WINDOW = {
     "data_expectations_report",
     "dataset_card_by_source",
     "doc_unigram_logppl",
+    "contrastive_triplets",
     # round 2 carry-over minimum
     "minhash_dedup_pairs",
     "embedding_cosine_topk",

@@ -1763,3 +1763,78 @@ def doc_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nt.groupBy("decile").agg(
         F.count("*").alias("n_docs"), F.round(F.avg("q"), 4).alias("avg_q")
     )
+
+
+@register(
+    "contrastive_triplets",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS anchor_id, embedding FROM embeddings
+               WHERE vec_id < 10),
+    scored AS (
+      SELECT q.anchor_id, c.vec_id AS neighbor_id,
+             {_DCOS.format(a="q.embedding", b="c.embedding")} AS cr
+      FROM q, embeddings c WHERE c.vec_id <> q.anchor_id),
+    pos AS (
+      SELECT anchor_id, neighbor_id AS positive_id, round(cr, 4) AS pos_cosine
+      FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                         ORDER BY cr DESC, neighbor_id) AS rn
+            FROM scored) WHERE rn = 1),
+    neg AS (
+      SELECT anchor_id, vec_id AS negative_id FROM (
+        SELECT p.anchor_id, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY p.anchor_id
+                 ORDER BY md5('neg:' || p.anchor_id || ':' || e.vec_id),
+                          e.vec_id) AS rn
+        FROM pos p JOIN embeddings e
+          ON e.vec_id <> p.anchor_id AND e.vec_id <> p.positive_id
+      ) WHERE rn = 1)
+    SELECT pos.anchor_id, pos.positive_id, pos.pos_cosine, neg.negative_id
+    FROM pos JOIN neg USING (anchor_id)
+    """,
+    doc="Contrastive-pair mining for embedding training: per anchor, the "
+    "exact nearest neighbor as the positive (GEMM brute-force top-1, the "
+    "embedding_cosine_topk machinery) and a DETERMINISTIC portable "
+    "random negative (argmin of md5('neg:'||anchor||':'||candidate) — "
+    "the md5_threshold portability trick, so the draw replays on any "
+    "engine). The negative draw's rank-1 window gets Catalyst's "
+    "rank-limit pushdown (WindowGroupLimit Partial), so each map "
+    "partition ships ONE candidate per anchor — the anchors x corpus "
+    "expansion never crosses the wire. At real scale swap the exact "
+    "positive for ann_lsh_topk's candidates and draw negatives from a "
+    "bounded sampled pool; the plan shape is identical.",
+    tags=("llm", "similarity", "bench"),
+)
+def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    pos = brute_force_topk_gemm(emb, emb.where(F.col("vec_id") < 10), k=1).select(
+        F.col("query_id").alias("anchor_id"),
+        F.col("neighbor_id").alias("positive_id"),
+        F.col("cosine").alias("pos_cosine"),
+    )
+    cand = (
+        emb.select("vec_id")
+        .crossJoin(F.broadcast(pos.select("anchor_id", "positive_id")))
+        .where(
+            (F.col("vec_id") != F.col("anchor_id"))
+            & (F.col("vec_id") != F.col("positive_id"))
+        )
+        .withColumn(
+            "d",
+            F.md5(
+                F.concat(
+                    F.lit("neg:"),
+                    F.col("anchor_id").cast("string"),
+                    F.lit(":"),
+                    F.col("vec_id").cast("string"),
+                )
+            ),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy("d", "vec_id")
+    neg = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("anchor_id", F.col("vec_id").alias("negative_id"))
+    )
+    return pos.join(neg, "anchor_id")

@@ -81,6 +81,7 @@ _PRIORITY: tuple[str, ...] = (
     "data_expectations_report",  # Deequ-style batch expectation suite
     "dataset_card_by_source",  # per-source release-card summary
     "doc_unigram_logppl",  # model-free perplexity-filter proxy
+    "contrastive_triplets",  # anchor/positive/portable-negative mining
     # --- plans changed this round: re-earn the green row
     "embedding_near_dup",  # chunked bucket verify
     "doc_paragraph_dedup",  # O(p) fallback branch for pathological docs
