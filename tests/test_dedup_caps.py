@@ -5,6 +5,8 @@ avoid, and one degenerate LSH bucket must not emit m(m-1)/2 pairs."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from weather_data_data_pipeline_spark.functions.dedup import (
     connected_components,
     jaccard_pairs,
@@ -75,6 +77,35 @@ def test_minhash_bucket_cap_star_edges_preserve_components(spark):
     cc = connected_components(pairs)
     assert cc.count() == 50
     assert cc.select("cluster_id").distinct().count() == 1
+
+
+def test_connected_components_driver_and_distributed_paths_equal(spark):
+    """The size-adaptive CC must return IDENTICAL labels from the driver
+    union-find fast path and the distributed min-label loop — including
+    on chains (max diameter), cliques, and singleton-free graphs."""
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),          # chain: diameter 3
+            (10, 11), (11, 12), (10, 12),    # triangle
+            (20, 21),                        # single edge
+            (30, 31), (32, 31), (30, 33),    # star-ish
+        ],
+        "id_a long, id_b long",
+    )
+    fast = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(pairs).collect()
+    }
+    dist = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(pairs, driver_max_edges=0).collect()
+    }
+    assert fast == dist
+    assert {(1, 1), (2, 1), (3, 1), (4, 1)} <= fast  # chain collapses to min
+    # empty graph: both paths yield an empty frame with the same schema
+    empty = pairs.where(F.lit(False))
+    assert connected_components(empty).count() == 0
+    assert connected_components(empty, driver_max_edges=0).count() == 0
 
 
 def test_minhash_bucket_cap_contract_nonidentical_members(spark):
