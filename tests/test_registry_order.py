@@ -35,6 +35,7 @@ MUST_BE_IN_WINDOW = {
     "dataset_card_by_source",
     "doc_unigram_logppl",
     "contrastive_triplets",
+    "training_pipeline_e2e",
     # round 2 carry-over minimum
     "minhash_dedup_pairs",
     "embedding_cosine_topk",

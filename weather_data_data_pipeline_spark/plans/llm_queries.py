@@ -1838,3 +1838,157 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("anchor_id", F.col("vec_id").alias("negative_id"))
     )
     return pos.join(neg, "anchor_id")
+
+
+_QUALITY_PASS_SQL = f"""
+      length(text) BETWEEN 50 AND 100000
+      AND CAST(len(list_filter(string_split(text, ' '), t -> t IN {STOPWORDS!r})) AS DOUBLE)
+            / greatest(len(string_split(text, ' ')), 1) >= 0.05
+      AND CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+            / greatest(length(text), 1) <= 0.2
+      AND CAST(list_sum(list_transform(list_filter(string_split(text, ' '), t -> t <> ''), t -> length(t))) AS DOUBLE)
+            / greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1)
+            BETWEEN 2 AND 12
+"""
+
+
+@register(
+    "training_pipeline_e2e",
+    # Every stage reuses an oracle fragment already hash-proven on its
+    # own query: quality (doc_quality_filter), normalized exact dedup
+    # (dedup_exact_normalized), jaccard near-dedup + recursive-CTE
+    # components (dedup_kept_corpus), portable quota draw
+    # (source_quota_sample). The composition is the point: the whole
+    # curation pipeline is ONE declarative plan, auditable per document.
+    oracle=f"""
+    WITH RECURSIVE q AS (
+      SELECT doc_id, text, source FROM documents
+      WHERE {_QUALITY_PASS_SQL}
+    ),
+    nrm AS (
+      SELECT doc_id, text, source,
+             trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'),
+                                 '\\s+', ' ', 'g')) AS norm
+      FROM q),
+    ek AS (SELECT min(doc_id) AS doc_id FROM nrm GROUP BY sha256(norm)),
+    e AS (SELECT nrm.doc_id, nrm.text, nrm.source FROM nrm JOIN ek USING (doc_id)),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM e),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+           FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) _l(i)
+           WHERE len(t) >= 3),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+    dup AS (SELECT id_a, id_b FROM pair
+            JOIN cnt ca ON ca.doc_id = id_a
+            JOIN cnt cb ON cb.doc_id = id_b
+            WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+              UNION SELECT id_b, id_a FROM dup),
+    walk(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT w.src, e2.dst FROM walk w JOIN edges e2 ON w.dst = e2.src
+    ),
+    comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+             FROM walk GROUP BY src),
+    nd AS (SELECT e.doc_id, e.source FROM e
+           LEFT JOIN comp c ON e.doc_id = c.doc_id
+           WHERE c.doc_id IS NULL OR c.cluster_id = e.doc_id),
+    scored AS (
+      SELECT doc_id, source,
+             (CAST('0x' || substr(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+              + 0.5) / 4503599627370496.0 AS u
+      FROM nd),
+    kept AS (SELECT doc_id FROM (
+      SELECT doc_id, row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS rn
+      FROM scored) WHERE rn <= 20)
+    SELECT d.doc_id, d.source,
+           CASE WHEN q.doc_id IS NULL THEN 'quality'
+                WHEN e.doc_id IS NULL THEN 'exact_dup'
+                WHEN nd.doc_id IS NULL THEN 'near_dup'
+                WHEN kept.doc_id IS NULL THEN 'quota'
+                ELSE 'kept' END AS stage
+    FROM documents d
+    LEFT JOIN q ON q.doc_id = d.doc_id
+    LEFT JOIN e ON e.doc_id = d.doc_id
+    LEFT JOIN nd ON nd.doc_id = d.doc_id
+    LEFT JOIN kept ON kept.doc_id = d.doc_id
+    """,
+    doc="The WHOLE curation pipeline as one declarative plan — quality "
+    "filter -> normalization-aware exact dedup -> n-gram-Jaccard "
+    "near-dedup with connected-component representatives -> per-source "
+    "quota sampling (20/source, portable md5 draw) — emitting a per-"
+    "document audit row: which stage dropped it, or 'kept'. Each stage "
+    "is the already-oracle-proven operator; the composition shows a "
+    "reference user can run their END-TO-END corpus build as one "
+    "lineage (Catalyst sees the whole DAG: one documents scan feeds "
+    "every stage, filters push into it, and the per-stage marker "
+    "frames are id-only left joins). The audit-trail output is what "
+    "a production pipeline logs for every shipped corpus.",
+    tags=("llm", "dedup", "text", "bench"),
+)
+def training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.text import (
+        mean_token_length,
+        normalize_for_dedup,
+        portable_uniform,
+        punct_ratio,
+        stopword_ratio,
+    )
+    from weather_data_data_pipeline_spark.operators.ranking import grouped_topk
+
+    docs = load_fanout(spark, sf_dir, "documents")
+    t = F.col("text")
+    quality_pass = (
+        (F.length(t) >= 50)
+        & (F.length(t) <= 100_000)
+        & (stopword_ratio(t) >= 0.05)
+        & (punct_ratio(t) <= 0.2)
+        & (mean_token_length(t) >= 2)
+        & (mean_token_length(t) <= 12)
+    )
+    q = docs.where(quality_pass).localCheckpoint(eager=True)
+    exact_keep = (
+        q.groupBy(F.sha2(normalize_for_dedup("text"), 256).alias("_d"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    e = q.join(exact_keep, "doc_id", "left_semi").localCheckpoint(eager=True)
+    pairs = jaccard_pairs(e, "doc_id", "text", n=3, threshold=0.5)
+    labels = connected_components(pairs)
+    nd = (
+        e.join(labels, "doc_id", "left")
+        .where(F.col("cluster_id").isNull() | (F.col("doc_id") == F.col("cluster_id")))
+        .select("doc_id", "source")
+    )
+    kept = grouped_topk(
+        nd.withColumn("_u", portable_uniform("doc_id")),
+        ["source"],
+        "_u",
+        20,
+        ascending=True,
+        tiebreak_cols=["doc_id"],
+    ).select("doc_id")
+
+    def marker(df, name):
+        return df.select("doc_id").withColumn(name, F.lit(True))
+
+    return (
+        docs.select("doc_id", "source")
+        .join(marker(q, "_q"), "doc_id", "left")
+        .join(marker(e, "_e"), "doc_id", "left")
+        .join(marker(nd, "_n"), "doc_id", "left")
+        .join(marker(kept, "_k"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.when(F.col("_q").isNull(), "quality")
+            .when(F.col("_e").isNull(), "exact_dup")
+            .when(F.col("_n").isNull(), "near_dup")
+            .when(F.col("_k").isNull(), "quota")
+            .otherwise("kept")
+            .alias("stage"),
+        )
+    )

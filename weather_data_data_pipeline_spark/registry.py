@@ -82,6 +82,7 @@ _PRIORITY: tuple[str, ...] = (
     "dataset_card_by_source",  # per-source release-card summary
     "doc_unigram_logppl",  # model-free perplexity-filter proxy
     "contrastive_triplets",  # anchor/positive/portable-negative mining
+    "training_pipeline_e2e",  # whole curation pipeline, one plan, audit rows
     # --- plans changed this round: re-earn the green row
     "embedding_near_dup",  # chunked bucket verify
     "doc_paragraph_dedup",  # O(p) fallback branch for pathological docs
