@@ -46,6 +46,12 @@ INTENTIONAL = {
     ("doc_unigram_logppl", "BroadcastNestedLoopJoin"):
         "single-ROW build side: the corpus token total attaches to the "
         "token table — O(n × 1) scalar attach",
+    ("contrastive_triplets", "BroadcastNestedLoopJoin"):
+        "bounded build side: the anchor set (k rows) cross-joins the "
+        "corpus for the negative draw — O(n × k) with k the anchor "
+        "count, and the rank-1 window truncates map-side "
+        "(WindowGroupLimit) so only one candidate per anchor per "
+        "partition shuffles",
 }
 
 
