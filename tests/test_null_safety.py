@@ -161,3 +161,46 @@ def test_round2_operators_on_empty_inputs(spark):
                         tiebreak_cols=["event_id"]).count() == 0
     docs = spark.createDataFrame([], "doc_id long, lang string, n_chars long")
     assert weighted_sample_portable(docs, "n_chars", 5).count() == 0
+
+
+def test_round3_operators_on_empty_and_degenerate_inputs(spark):
+    """Round-3 additions must degrade cleanly on empty frames and
+    pathological rows, same contract as everything else."""
+    from pyspark.sql import functions as F
+
+    from weather_data_data_pipeline_spark.functions.similarity import (
+        semantic_dedup,
+    )
+
+    # semantic dedup: empty corpus → empty labeled frame, no throw
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    cents = [[1.0] * 4, [-1.0] * 4]
+    out = semantic_dedup(empty, cents, threshold=0.9)
+    assert out.count() == 0
+    assert set(out.columns) == {"vec_id", "cluster", "rep_id", "kept"}
+
+    # singleton corpus: one vector is its own kept representative
+    one = spark.createDataFrame(
+        [(7, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    row = semantic_dedup(one, cents, threshold=0.9).collect()[0]
+    assert row["kept"] and row["rep_id"] == 7
+
+    # portable minhash: null/empty/short texts silently excluded
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        minhash_dedup_pairs_portable,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat again"), (2, None), (3, ""), (4, "tiny"),
+         (5, "the cat sat on the mat again")],
+        "doc_id long, text string",
+    )
+    pairs = minhash_dedup_pairs_portable(docs, "doc_id", "text").collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in pairs] == [(1, 5, 1.0)]
+
+    # paragraph dedup pathological branch on an EMPTY frame: both paths
+    from weather_data_data_pipeline_spark.functions.text import dedup_paragraphs
+
+    edocs = spark.createDataFrame([], "id long, body string")
+    assert dedup_paragraphs(edocs, "body", "d").count() == 0

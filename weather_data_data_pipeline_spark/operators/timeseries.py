@@ -162,3 +162,62 @@ def session_stats(
             F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
         ).alias("duration_s"),
     )
+
+
+def resample_locf(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Regular-grid resampling with last-observation-carried-forward —
+    the gap-fill operator every sensor/metrics pipeline needs (the
+    reference's weather observations are exactly this shape: irregular
+    fetch times → a regular reporting grid).
+
+    Per key: a grid of timestamps from floor(min ts) to max ts at
+    ``step_seconds``, each grid point carrying the latest observation at
+    or before it. Physical shape, all relational:
+
+    - grid generation: one per-key (min, max) aggregate, then
+      ``sequence()`` + explode — executor-side, never a driver loop;
+      grid size is bounded by span/step per key.
+    - observation dedup: at most one row per (key, ts) via
+      ``max_by(value, tiebreak)`` (deterministic under ties).
+    - the fill itself is :func:`asof_join`'s union + last-ignorenulls
+      merge-scan — ONE shuffle on the key, cost independent of how many
+      observations precede each grid point. A naive
+      grid × observations range join would explode by observation
+      count; this never does.
+
+    Grid start is floored to the step boundary so grids are phase-
+    aligned across keys (cross-key joins on grid_ts line up).
+    """
+    obs = df.groupBy(*keys, F.col(ts_col).alias("_ots")).agg(
+        F.max_by(value_col, tiebreak_col or ts_col).alias(value_col)
+    )
+    spans = df.groupBy(*keys).agg(
+        F.min(ts_col).alias("_min_ts"), F.max(ts_col).alias("_max_ts")
+    )
+    step = F.expr(f"INTERVAL {int(step_seconds)} SECONDS")
+    floor_start = F.timestamp_seconds(
+        (F.unix_timestamp("_min_ts") / step_seconds).cast("long")
+        * step_seconds
+    )
+    grid = spans.select(
+        *keys,
+        F.explode(
+            F.sequence(floor_start, F.col("_max_ts"), step)
+        ).alias("grid_ts"),
+    )
+    filled = asof_join(
+        grid,
+        obs.select(*keys, F.col("_ots").alias("obs_ts"), value_col),
+        keys=keys,
+        left_ts="grid_ts",
+        right_ts="obs_ts",
+        right_cols=[value_col],
+    )
+    return filled

@@ -501,3 +501,52 @@ def top_events_per_user_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_topk(
         ev, ["user_id"], "value", k=3, tiebreak_cols=["event_id"]
     ).select("user_id", "event_id", F.round("value", 2).alias("value"), "rn")
+
+
+@register(
+    "events_locf_15min",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, ts, arg_max(value, event_id) AS value
+      FROM events GROUP BY user_id, ts
+    ),
+    spans AS (
+      SELECT user_id, min(ts) AS mn, max(ts) AS mx FROM events GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, g.gts AS grid_ts
+      FROM spans, LATERAL (
+        SELECT unnest(generate_series(
+          to_timestamp(CAST(floor(epoch(mn) / 900) * 900 AS BIGINT))
+            AT TIME ZONE 'UTC',
+          mx, INTERVAL 900 SECOND)) AS gts) g
+    )
+    SELECT grid.user_id, grid.grid_ts, round(o.value, 2) AS value_locf
+    FROM grid ASOF LEFT JOIN obs o
+      ON grid.user_id = o.user_id AND grid.grid_ts >= o.ts
+    """,
+    doc="Gap-fill resampling (operators/timeseries.py: resample_locf): "
+    "each user's irregular observations projected onto a phase-aligned "
+    "15-minute grid with last-observation-carried-forward — the "
+    "sensor/metrics regularization the reference's irregular weather "
+    "fetches need before any grid-aligned comparison. Grid generation "
+    "is per-key sequence()+explode (executor-side, bounded by "
+    "span/step); the fill is the asof_join merge-scan — one shuffle on "
+    "the key, NO grid x observations range explosion. Grid points "
+    "before a user's first observation stay NULL (left semantics). "
+    "Oracle is DuckDB's native ASOF JOIN over the identical grid.",
+    tags=("timeseries", "join", "bench"),
+)
+def events_locf_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.operators.timeseries import (
+        resample_locf,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    out = resample_locf(
+        ev, ["user_id"], "ts", "value", step_seconds=900,
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id", "grid_ts", F.round("value", 2).alias("value_locf")
+    )
