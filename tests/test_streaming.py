@@ -522,3 +522,79 @@ def test_near_dedup_stream_append_indexed_matches_unindexed(spark, tmp_path):
     assert len(bands) > 0
     sigs = spark.read.parquet(f"{idx}/signatures")
     assert sorted(r["doc_id"] for r in sigs.select("doc_id").collect()) == got_indexed
+
+
+def test_drift_monitor_stream_matches_batch_psi(spark, tmp_path):
+    """The streaming drift sink must emit, per micro-batch, exactly the
+    PSI a batch computation of the same formula yields for that batch
+    against the frozen reference histogram."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from weather_data_data_pipeline_spark.sources.tables import load
+    from tests.conftest import SF_DIR
+
+    ev = load(spark, SF_DIR, "events")
+    bound = ev.agg(
+        (F.min("ts") + F.expr("INTERVAL 15 DAYS")).alias("b")
+    ).collect()[0]["b"]
+    base = ev.where(F.col("ts") < bound)
+    cur = ev.where(F.col("ts") >= bound).select("ts", "value")
+
+    # frozen reference histogram at bin width 50 (two-line recipe)
+    counts = base.groupBy(
+        F.floor(F.col("value") / 50).cast("int").alias("bin")
+    ).agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").alias("t"))
+    ref = counts.crossJoin(F.broadcast(tot)).select(
+        "bin", (F.col("n") / F.col("t")).alias("p")
+    )
+
+    # two single-file micro-batches of the current window
+    half = cur.count() // 2
+    rows = cur.collect()
+    src = str(tmp_path / "drift_src")
+    spark.createDataFrame(rows[:half], cur.schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows[half:], cur.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    out = str(tmp_path / "drift_out")
+    stream = (
+        spark.readStream.schema(cur.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    q = (
+        S.drift_monitor_sink(
+            stream, ref, out, str(tmp_path / "drift_ck"), bin_width=50.0
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["batch_id"]: (r["n_rows"], r["psi"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert len(got) == 2
+
+    # batch ground truth per micro-batch (same eps-smoothed formula)
+    ref_p = {r["bin"]: r["p"] for r in ref.collect()}
+    for bid, batch_rows in ((0, rows[:half]), (1, rows[half:])):
+        from collections import Counter
+
+        c = Counter(int(math.floor(r["value"] / 50)) for r in batch_rows)
+        t = sum(c.values())
+        bins = set(ref_p) | set(c)
+        psi = sum(
+            (ref_p.get(b, 0.0) - c.get(b, 0) / t)
+            * math.log((ref_p.get(b, 0.0) + 1e-6) / (c.get(b, 0) / t + 1e-6))
+            for b in bins
+        )
+        n_rows, got_psi = got[bid]
+        assert n_rows == len(batch_rows)
+        assert abs(got_psi - round(psi, 5)) < 1e-9, (bid, got_psi, psi)

@@ -449,3 +449,69 @@ def streaming_twin_matches_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def drift_monitor_sink(
+    stream: DataFrame,
+    reference_hist: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    value_col: str = "value",
+    bin_width: float = 50.0,
+    eps: float = 1e-6,
+) -> DataStreamWriter:
+    """Streaming distribution-drift monitor: per micro-batch, bin the
+    arriving values on the SAME fixed-width grid as a frozen reference
+    histogram and append one PSI row per batch — the live twin of the
+    batch ``corpus_drift_psi`` query, i.e. the alert signal a serving
+    pipeline watches between retrains.
+
+    ``reference_hist`` must hold (bin INT, p DOUBLE) — build it once
+    from the training window with the same ``bin_width`` (see
+    tests/test_streaming.py for the two-line recipe). Per batch: one
+    conditional aggregate over the batch (bins), a broadcast join to
+    the (tiny) reference, and a one-row PSI reduce — appended as
+    (batch_id, n_rows, psi). Bins present in only one side contribute
+    through the eps-smoothed terms, matching the batch query's
+    formula. State is just the frozen reference; nothing grows.
+    """
+    ref = reference_hist.select(
+        F.col("bin").cast("int").alias("bin"), F.col("p").alias("p")
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        binned = batch_df.select(
+            F.floor(F.col(value_col) / bin_width).cast("int").alias("bin")
+        )
+        q = binned.groupBy("bin").agg(F.count("*").alias("n"))
+        tot = q.agg(F.sum("n").alias("t"))
+        qn = q.crossJoin(F.broadcast(tot)).select(
+            "bin", (F.col("n") / F.col("t")).alias("q")
+        )
+        joined = ref.join(qn, "bin", "full_outer").select(
+            F.coalesce("p", F.lit(0.0)).alias("p"),
+            F.coalesce("q", F.lit(0.0)).alias("q"),
+        )
+        psi_row = joined.agg(
+            F.round(
+                F.sum(
+                    (F.col("p") - F.col("q"))
+                    * F.log((F.col("p") + eps) / (F.col("q") + eps))
+                ),
+                5,
+            ).alias("psi")
+        ).collect()[0]
+        n_rows = batch_df.count()
+        spark.createDataFrame(
+            [(int(batch_id), int(n_rows), float(psi_row["psi"]))],
+            "batch_id long, n_rows long, psi double",
+        ).write.mode("append").parquet(out_path)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
