@@ -37,6 +37,7 @@ MUST_BE_IN_WINDOW = {
     "contrastive_triplets",
     "training_pipeline_e2e",
     "events_locf_15min",
+    "events_interp_15min",
     # round 2 carry-over minimum
     "minhash_dedup_pairs",
     "embedding_cosine_topk",

@@ -550,3 +550,69 @@ def events_locf_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "grid_ts", F.round("value", 2).alias("value_locf")
     )
+
+
+@register(
+    "events_interp_15min",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, ts, arg_max(value, event_id) AS value
+      FROM events GROUP BY user_id, ts
+    ),
+    spans AS (
+      SELECT user_id, min(ts) AS mn, max(ts) AS mx FROM events GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, g.gts AS grid_ts
+      FROM spans, LATERAL (
+        SELECT unnest(generate_series(
+          to_timestamp(CAST(floor(epoch(mn) / 900) * 900 AS BIGINT))
+            AT TIME ZONE 'UTC',
+          mx, INTERVAL 900 SECOND)) AS gts) g
+    ),
+    prev AS (
+      SELECT grid.user_id, grid.grid_ts, o.ts AS prev_ts, o.value AS pv
+      FROM grid ASOF LEFT JOIN obs o
+        ON grid.user_id = o.user_id AND grid.grid_ts >= o.ts
+    ),
+    pn AS (
+      SELECT p.user_id, p.grid_ts, p.prev_ts, p.pv,
+             o.ts AS next_ts, o.value AS nv
+      FROM prev p ASOF LEFT JOIN obs o
+        ON p.user_id = o.user_id AND p.grid_ts <= o.ts
+    )
+    SELECT user_id, grid_ts, prev_ts, next_ts,
+           round(CASE
+             WHEN prev_ts IS NULL OR next_ts IS NULL THEN NULL
+             WHEN next_ts = prev_ts THEN pv
+             ELSE pv + (nv - pv)
+                  * (CAST(epoch_us(grid_ts) AS DOUBLE) - CAST(epoch_us(prev_ts) AS DOUBLE))
+                  / (CAST(epoch_us(next_ts) AS DOUBLE) - CAST(epoch_us(prev_ts) AS DOUBLE))
+           END, 4) AS value_interp
+    FROM pn
+    """,
+    doc="Linear-interpolation resampling onto the 15-minute grid "
+    "(operators/timeseries.py: resample_interpolate): each grid point "
+    "blends its bracketing observations by time fraction; boundary "
+    "points without both brackets stay NULL (no silent extrapolation). "
+    "Two merge-scan as-of passes (backward + the new forward twin "
+    "asof_join_forward) — two key shuffles, no range explosion; the "
+    "blend is codegen'd arithmetic on integer microsecond epochs, so "
+    "both engines compute identical doubles. Oracle: two native DuckDB "
+    "ASOF joins over the identical grid.",
+    tags=("timeseries", "join", "bench"),
+)
+def events_interp_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.operators.timeseries import (
+        resample_interpolate,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    out = resample_interpolate(
+        ev, ["user_id"], "ts", "value", step_seconds=900,
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id", "grid_ts", "prev_ts", "next_ts",
+        F.round("value_interp", 4).alias("value_interp"),
+    )

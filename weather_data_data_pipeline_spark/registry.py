@@ -84,6 +84,7 @@ _PRIORITY: tuple[str, ...] = (
     "contrastive_triplets",  # anchor/positive/portable-negative mining
     "training_pipeline_e2e",  # whole curation pipeline, one plan, audit rows
     "events_locf_15min",  # gap-fill resampling (LOCF via merge-scan as-of)
+    "events_interp_15min",  # linear interpolation between bracketing obs
     # --- plans changed this round: re-earn the green row
     "embedding_near_dup",  # chunked bucket verify
     "doc_paragraph_dedup",  # O(p) fallback branch for pathological docs
