@@ -38,6 +38,7 @@ MUST_BE_IN_WINDOW = {
     "training_pipeline_e2e",
     "events_locf_15min",
     "events_interp_15min",
+    "weekly_cohort_retention",
     # round 2 carry-over minimum
     "minhash_dedup_pairs",
     "embedding_cosine_topk",

@@ -102,3 +102,28 @@ def test_session_stats_rollup(spark):
         for r in session_stats(df, ["user_id"], "ts", 1800).collect()
     }
     assert rows == {1: (2, 600), 2: (1, 0)}
+
+
+def test_asof_join_forward_ties_and_boundaries(spark):
+    """Forward as-of: earliest right row with ts >= left ts; ties at the
+    exact timestamp match; left rows after the last observation get
+    NULLs (left semantics)."""
+    from pyspark.sql import functions as F
+
+    from weather_data_data_pipeline_spark.operators.timeseries import (
+        asof_join_forward,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 5), (1, 7), (1, 100)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 3, "a"), (1, 7, "b"), (1, 12, "c")], "k long, ts long, v string"
+    )
+    out = {
+        r["ts"]: (r["matched_ts"], r["v"])
+        for r in asof_join_forward(left, right, ["k"]).collect()
+    }
+    assert out[5] == (7, "b")      # nearest following
+    assert out[7] == (7, "b")      # tie at equal ts matches
+    assert out[100] == (None, None)  # nothing follows → NULL

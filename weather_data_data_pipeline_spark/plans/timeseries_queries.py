@@ -616,3 +616,73 @@ def events_interp_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "grid_ts", "prev_ts", "next_ts",
         F.round("value_interp", 4).alias("value_interp"),
     )
+
+
+@register(
+    "weekly_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(floor(date_diff('day', f.cohort_week,
+                                  CAST(date_trunc('week', e.ts) AS DATE)) / 7)
+                  AS INTEGER) AS week_offset
+      FROM events e JOIN firsts f USING (user_id)
+    ),
+    cohort_sizes AS (
+      SELECT cohort_week, count(*) AS cohort_size
+      FROM firsts GROUP BY cohort_week
+    )
+    SELECT a.cohort_week, a.week_offset,
+           count(*) AS n_active,
+           cs.cohort_size,
+           round(CAST(count(*) AS DOUBLE) / cs.cohort_size, 4) AS retention
+    FROM activity a JOIN cohort_sizes cs USING (cohort_week)
+    GROUP BY a.cohort_week, a.week_offset, cs.cohort_size
+    """,
+    doc="Weekly cohort-retention matrix: users grouped by first-active "
+    "week, fraction still active k weeks later — the standard "
+    "product-analytics triangle. Three aggregates and one key join, "
+    "all partial+final combines: firsts is one groupBy(user), activity "
+    "one distinct on (user, week_offset) riding the same user-keyed "
+    "shuffle as the firsts join, cohort sizes a tiny broadcast. No "
+    "window over the full event stream — a 100 TB events table "
+    "contributes one row per (user, active-week) to the wire.",
+    tags=("timeseries", "aggregate", "bench"),
+)
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts")).cast("date")
+    firsts = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    activity = (
+        ev.select("user_id", week.alias("w"))
+        .join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff(F.col("w"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .dropDuplicates(["user_id", "cohort_week", "week_offset"])
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 4).alias(
+                "retention"
+            ),
+        )
+    )

@@ -85,6 +85,7 @@ _PRIORITY: tuple[str, ...] = (
     "training_pipeline_e2e",  # whole curation pipeline, one plan, audit rows
     "events_locf_15min",  # gap-fill resampling (LOCF via merge-scan as-of)
     "events_interp_15min",  # linear interpolation between bracketing obs
+    "weekly_cohort_retention",  # cohort triangle: first-week × offset
     # --- plans changed this round: re-earn the green row
     "embedding_near_dup",  # chunked bucket verify
     "doc_paragraph_dedup",  # O(p) fallback branch for pathological docs
