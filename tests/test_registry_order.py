@@ -39,6 +39,8 @@ MUST_BE_IN_WINDOW = {
     "events_locf_15min",
     "events_interp_15min",
     "weekly_cohort_retention",
+    "conversion_funnel",
+    "value_changepoint_cusum",
     # round 2 carry-over minimum
     "minhash_dedup_pairs",
     "embedding_cosine_topk",

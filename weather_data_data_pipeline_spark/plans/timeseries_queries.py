@@ -686,3 +686,116 @@ def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "conversion_funnel",
+    oracle="""
+    WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2
+           FROM events e JOIN s1 ON s1.user_id = e.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t1
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t3
+           FROM events e JOIN s2 ON s2.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+           GROUP BY e.user_id),
+    base AS (SELECT count(DISTINCT user_id) AS n_users FROM events)
+    SELECT step, n, round(CAST(n AS DOUBLE) / n_users, 4) AS frac
+    FROM (
+      SELECT 1 AS step, count(*) AS n FROM s1
+      UNION ALL SELECT 2, count(*) FROM s2
+      UNION ALL SELECT 3, count(*) FROM s3
+    ) CROSS JOIN base
+    """,
+    doc="Ordered conversion funnel (view -> click -> purchase, each step "
+    "STRICTLY after the previous step's first completion): per-step "
+    "completer counts and fraction of the user base — the product-"
+    "analytics primitive next to sessions and cohorts. Each step is a "
+    "filtered min-aggregate joined to the previous step's completion "
+    "times; every stage rides the same user_id-keyed shuffle "
+    "(partial+final min combines), so a 100 TB event stream "
+    "contributes one row per (user, step) to the wire — no per-user "
+    "event-sequence window, no array collection.",
+    tags=("timeseries", "aggregate", "bench"),
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+
+    def first_after(step_type: str, prev, prev_t: str, out_t: str):
+        e = ev.where(F.col("event_type") == step_type)
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias(out_t))
+        return (
+            e.join(prev, "user_id")
+            .where(F.col("ts") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_t))
+        )
+
+    s1 = first_after("view", None, "", "t1")
+    s2 = first_after("click", s1, "t1", "t2")
+    s3 = first_after("purchase", s2, "t2", "t3")
+    base = ev.agg(F.count_distinct("user_id").alias("n_users"))
+    counts = (
+        s1.agg(F.lit(1).alias("step"), F.count("*").alias("n"))
+        .unionByName(s2.agg(F.lit(2).alias("step"), F.count("*").alias("n")))
+        .unionByName(s3.agg(F.lit(3).alias("step"), F.count("*").alias("n")))
+    )
+    return counts.crossJoin(F.broadcast(base)).select(
+        "step",
+        "n",
+        F.round(F.col("n") / F.col("n_users"), 4).alias("frac"),
+    )
+
+
+@register(
+    "value_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               / count(*) AS daily_avg
+      FROM events GROUP BY day
+    ),
+    g AS (SELECT avg(daily_avg) AS mu FROM daily),
+    c AS (
+      SELECT day, daily_avg,
+             sum(daily_avg - mu) OVER (ORDER BY day
+                                       ROWS UNBOUNDED PRECEDING) AS cusum
+      FROM daily CROSS JOIN g
+    )
+    SELECT day, round(daily_avg, 4) AS daily_avg,
+           round(cusum, 4) + 0.0 AS cusum,  -- + 0.0 folds IEEE -0.0 to 0.0
+           (rank() OVER (ORDER BY abs(cusum) DESC) = 1) AS is_changepoint
+    FROM c
+    """,
+    doc="CUSUM change-point detection over the daily mean-value series: "
+    "cumulative sum of deviations from the global mean, with the "
+    "maximum-|CUSUM| day flagged as the most likely level shift — the "
+    "batch sibling of the streaming drift monitor "
+    "(streaming/incremental.py: drift_monitor_sink). Daily means use "
+    "exact DECIMAL sums so the series is partition-order-independent; "
+    "the running sum's window runs over the (tiny) per-day series, not "
+    "the events, so the single-partition window is O(days) regardless "
+    "of corpus size.",
+    tags=("timeseries", "window", "quality"),
+)
+def value_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        (dsum("value") / F.count("*")).alias("daily_avg")
+    )
+    g = daily.agg(F.avg("daily_avg").alias("mu"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = daily.crossJoin(F.broadcast(g)).withColumn(
+        "cusum", F.sum(F.col("daily_avg") - F.col("mu")).over(w)
+    )
+    wr = Window.orderBy(F.abs(F.col("cusum")).desc())
+    return c.select(
+        "day",
+        F.round("daily_avg", 4).alias("daily_avg"),
+        (F.round("cusum", 4) + F.lit(0.0)).alias("cusum"),  # -0.0 → 0.0
+        (F.rank().over(wr) == 1).alias("is_changepoint"),
+    )

@@ -86,6 +86,8 @@ _PRIORITY: tuple[str, ...] = (
     "events_locf_15min",  # gap-fill resampling (LOCF via merge-scan as-of)
     "events_interp_15min",  # linear interpolation between bracketing obs
     "weekly_cohort_retention",  # cohort triangle: first-week × offset
+    "conversion_funnel",  # ordered view→click→purchase completion
+    "value_changepoint_cusum",  # CUSUM level-shift detection
     # --- plans changed this round: re-earn the green row
     "embedding_near_dup",  # chunked bucket verify
     "doc_paragraph_dedup",  # O(p) fallback branch for pathological docs
