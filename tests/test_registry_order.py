@@ -41,6 +41,7 @@ MUST_BE_IN_WINDOW = {
     "weekly_cohort_retention",
     "conversion_funnel",
     "value_changepoint_cusum",
+    "video_frame_dedup",
     # round 2 carry-over minimum
     "minhash_dedup_pairs",
     "embedding_cosine_topk",

@@ -1992,3 +1992,112 @@ def training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("stage"),
         )
     )
+
+
+@register(
+    "video_frame_dedup",
+    # Frames are byte-identical iff they share the closed-form pattern
+    # parameter p = (doc_id + frame_idx) % 7, so the oracle derives the
+    # dedup groups without ever touching bytes; the Spark side must
+    # REDISCOVER them from the real container — demux → hash → group.
+    oracle="""
+    WITH pairs AS (
+      SELECT doc_id, k.k AS frame_idx, (doc_id + k.k) % 7 AS p
+      FROM documents, generate_series(0, 3) k(k)
+    ),
+    g AS (
+      SELECT p, count(*) AS n_copies,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_videos,
+             min(doc_id) AS rep_doc
+      FROM pairs GROUP BY p
+    ),
+    rep AS (
+      SELECT pairs.p, min(frame_idx) AS rep_frame
+      FROM pairs JOIN g ON pairs.p = g.p AND pairs.doc_id = g.rep_doc
+      GROUP BY pairs.p
+    )
+    SELECT g.n_copies, g.n_videos, g.rep_doc AS rep_doc_id,
+           CAST(rep.rep_frame AS INTEGER) AS rep_frame_idx
+    FROM g JOIN rep ON g.p = rep.p
+    """,
+    doc="Cross-video frame-level dedup through the REAL video path: "
+    "fabricate a 4-frame PPM-stream container per document (frames "
+    "repeat across videos by a closed-form pattern), demux with the "
+    "actual pure-Python demuxer (multimodal/binary.py: sample_frames "
+    "over codecs.iter_ppm_stream — no stub), hash each frame's bytes, "
+    "and exact-dedup frames GLOBALLY: per duplicate group, copy count, "
+    "distinct-video count, and the (min video, min frame) "
+    "representative. The multimodal twin of dedup_exact — the "
+    "keyframe-dedup a video training corpus runs; at scale the frame "
+    "digest "
+    "shuffles as 32 bytes regardless of frame size. The oracle derives "
+    "the same groups from the generating pattern, so the whole "
+    "demux→hash→group pipeline is hash-checked.",
+    tags=("llm", "multimodal", "dedup", "bench"),
+)
+def video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from weather_data_data_pipeline_spark.multimodal.binary import (
+        MEDIA_SCHEMA,
+        sample_frames,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        from weather_data_data_pipeline_spark.multimodal import codecs
+
+        yy, xx, cc = np.meshgrid(
+            np.arange(4), np.arange(4), np.arange(3), indexing="ij"
+        )
+        for pdf in batches:
+            contents = []
+            for d in pdf["doc_id"]:
+                frames = [
+                    (
+                        (((int(d) + k) % 7) * 13 + xx * 5 + yy * 11 + cc * 17)
+                        % 256
+                    ).astype(np.uint8)
+                    for k in range(4)
+                ]
+                contents.append(codecs.encode_ppm_stream(frames))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype(str),
+                    "content": contents,
+                    "modality": "video",
+                    "meta": [
+                        {
+                            "mime": "video/x-ppm",
+                            "width": None,
+                            "height": None,
+                            "duration_ms": 4000,
+                        }
+                    ]
+                    * len(pdf),
+                }
+            )
+
+    media = docs.mapInPandas(make, MEDIA_SCHEMA)
+    frames = sample_frames(media, every_ms=1000, fake=False)
+    return (
+        frames.groupBy(F.sha2("frame", 256).alias("_digest"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.count_distinct("media_id").alias("n_videos"),
+            F.min(
+                F.struct(
+                    F.col("media_id").cast("long").alias("d"),
+                    F.col("frame_idx").alias("f"),
+                )
+            ).alias("_rep"),
+        )
+        .select(
+            "n_copies",
+            "n_videos",
+            F.col("_rep.d").alias("rep_doc_id"),
+            F.col("_rep.f").alias("rep_frame_idx"),
+        )
+    )

@@ -88,6 +88,7 @@ _PRIORITY: tuple[str, ...] = (
     "weekly_cohort_retention",  # cohort triangle: first-week × offset
     "conversion_funnel",  # ordered view→click→purchase completion
     "value_changepoint_cusum",  # CUSUM level-shift detection
+    "video_frame_dedup",  # real demux → frame hash → global dedup
     # --- plans changed this round: re-earn the green row
     "embedding_near_dup",  # chunked bucket verify
     "doc_paragraph_dedup",  # O(p) fallback branch for pathological docs
