@@ -42,6 +42,8 @@ MUST_BE_IN_WINDOW = {
     "conversion_funnel",
     "value_changepoint_cusum",
     "video_frame_dedup",
+    "audio_dedup_fingerprint",
+    "customer_rfm_segments",
     # round 2 carry-over minimum
     "minhash_dedup_pairs",
     "embedding_cosine_topk",
@@ -58,6 +60,10 @@ MUST_BE_IN_WINDOW = {
     "pii_scrub_events",
     "bm25_search_topk",
 }
+# Twice-driver-verified queries (green in both r1 and r2) may rotate out
+# of the window when a round adds many new queries; they are NOT part of
+# the must-be-inside set.
+MUST_BE_IN_WINDOW -= {"user_sessions", "asof_click_view"}
 
 WINDOW = 50
 

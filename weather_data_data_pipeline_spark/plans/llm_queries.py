@@ -2101,3 +2101,79 @@ def video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_rep.f").alias("rep_frame_idx"),
         )
     )
+
+
+@register(
+    "audio_dedup_fingerprint",
+    # Audio clips share a waveform iff they share p = doc_id % 9; the
+    # oracle recomputes each p's 4-window absolute-amplitude sums in
+    # closed form, while the Spark side must recover them from the REAL
+    # RIFF/WAVE bytes (encode → decode → featurize → group).
+    oracle="""
+    WITH d AS (SELECT doc_id, doc_id % 9 AS p FROM documents),
+    w AS (
+      SELECT ps.p, w.w,
+             CAST(sum(abs(((ps.p * 31 + (w.w * 16 + i.i) * 13) % 2048) - 1024))
+                  AS BIGINT) AS s
+      FROM (SELECT DISTINCT doc_id % 9 AS p FROM documents) ps,
+           generate_series(0, 3) w(w), generate_series(0, 15) i(i)
+      GROUP BY ps.p, w.w
+    ),
+    fp AS (
+      SELECT p,
+             sum(CASE WHEN w = 0 THEN s END) AS s0,
+             sum(CASE WHEN w = 1 THEN s END) AS s1,
+             sum(CASE WHEN w = 2 THEN s END) AS s2,
+             sum(CASE WHEN w = 3 THEN s END) AS s3
+      FROM w GROUP BY p
+    ),
+    counts AS (
+      SELECT p, count(*) AS n_copies, min(doc_id) AS rep_doc_id
+      FROM d GROUP BY p
+    )
+    SELECT fp.s0, fp.s1, fp.s2, fp.s3, counts.n_copies, counts.rep_doc_id
+    FROM fp JOIN counts ON fp.p = counts.p
+    """,
+    doc="Audio dedup through the REAL codec path: fabricate a 64-sample "
+    "PCM16 WAV per document (waveforms repeat across docs by a closed-"
+    "form pattern), round-trip the actual RIFF/WAVE bytes "
+    "(multimodal/codecs.py: encode_wav/decode_wav — chunk walking, not "
+    "a stub), fingerprint each clip as 4 window absolute-amplitude "
+    "sums (integer-exact, no float boundary), and group clips by "
+    "fingerprint: copy count + min-doc representative per group. The "
+    "audio member of the multimodal dedup trio (video_frame_dedup, "
+    "dedup_exact); a real deployment swaps the window sums for "
+    "chromaprint-style features behind the same Arrow-batched seam.",
+    tags=("llm", "multimodal", "dedup"),
+)
+def audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def fingerprint(batches):
+        from weather_data_data_pipeline_spark.multimodal import codecs
+
+        i = np.arange(64)
+        for pdf in batches:
+            out = {"doc_id": [], "s0": [], "s1": [], "s2": [], "s3": []}
+            for d in pdf["doc_id"]:
+                p = int(d) % 9
+                samples = (((p * 31 + i * 13) % 2048) - 1024).astype(np.int16)
+                wav = codecs.encode_wav(samples, 8000)
+                _rate, _ch, decoded = codecs.decode_wav(wav)
+                a = np.abs(decoded[:, 0].astype(np.int64)).reshape(4, 16)
+                sums = a.sum(axis=1)
+                out["doc_id"].append(int(d))
+                for k in range(4):
+                    out[f"s{k}"].append(int(sums[k]))
+            yield pd.DataFrame(out)
+
+    fp = docs.mapInPandas(
+        fingerprint, "doc_id long, s0 long, s1 long, s2 long, s3 long"
+    )
+    return fp.groupBy("s0", "s1", "s2", "s3").agg(
+        F.count("*").alias("n_copies"),
+        F.min("doc_id").alias("rep_doc_id"),
+    )

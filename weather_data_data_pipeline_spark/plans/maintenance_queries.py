@@ -549,3 +549,72 @@ def dataset_card_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_langs",
         F.coalesce("n_exact_dups", F.lit(0)).alias("n_exact_dups"),
     )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, last_order, frequency, monetary,
+             ntile(4) OVER (ORDER BY last_order, o_custkey) AS r_quartile,
+             ntile(4) OVER (ORDER BY frequency, o_custkey) AS f_quartile,
+             ntile(4) OVER (ORDER BY monetary, o_custkey) AS m_quartile
+      FROM base
+    )
+    SELECT o_custkey, last_order, frequency, monetary,
+           CAST(r_quartile AS BIGINT) AS r_quartile,
+           CAST(f_quartile AS BIGINT) AS f_quartile,
+           CAST(m_quartile AS BIGINT) AS m_quartile,
+           CASE WHEN r_quartile = 4 AND f_quartile = 4 AND m_quartile = 4
+                  THEN 'champion'
+                WHEN r_quartile >= 3 AND f_quartile >= 3 THEN 'loyal'
+                WHEN r_quartile <= 1 AND f_quartile >= 3 THEN 'at_risk'
+                ELSE 'standard' END AS segment
+    FROM scored
+    """,
+    doc="RFM customer segmentation: recency (last order date), frequency "
+    "(order count), monetary (exact DECIMAL revenue) per customer, each "
+    "quartiled INDEPENDENTLY with the distributed global ntile "
+    "(operators/ranking.py — range-partitioned total order, never a "
+    "one-partition window; three ntiles = three range exchanges over "
+    "the small per-customer aggregate, not the orders table), then the "
+    "classic champion/loyal/at-risk segmentation. Deterministic under "
+    "ties via the custkey tiebreak, hence hash-checkable.",
+    tags=("relational", "aggregate", "window"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.operators.aggregates import dsum
+    from weather_data_data_pipeline_spark.operators.ranking import global_ntile
+
+    orders = load(spark, sf_dir, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        dsum("o_totalprice").alias("monetary"),
+    )
+    r = global_ntile(base, ["last_order", "o_custkey"], 4, out_col="r_quartile")
+    f = global_ntile(r, ["frequency", "o_custkey"], 4, out_col="f_quartile")
+    m = global_ntile(f, ["monetary", "o_custkey"], 4, out_col="m_quartile")
+    seg = (
+        F.when(
+            (F.col("r_quartile") == 4)
+            & (F.col("f_quartile") == 4)
+            & (F.col("m_quartile") == 4),
+            "champion",
+        )
+        .when((F.col("r_quartile") >= 3) & (F.col("f_quartile") >= 3), "loyal")
+        .when((F.col("r_quartile") <= 1) & (F.col("f_quartile") >= 3), "at_risk")
+        .otherwise("standard")
+    )
+    return m.select(
+        "o_custkey", "last_order", "frequency", "monetary",
+        "r_quartile", "f_quartile", "m_quartile", seg.alias("segment"),
+    )

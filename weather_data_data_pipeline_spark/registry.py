@@ -89,6 +89,8 @@ _PRIORITY: tuple[str, ...] = (
     "conversion_funnel",  # ordered view→click→purchase completion
     "value_changepoint_cusum",  # CUSUM level-shift detection
     "video_frame_dedup",  # real demux → frame hash → global dedup
+    "audio_dedup_fingerprint",  # real WAV decode → window-sum fingerprint
+    "customer_rfm_segments",  # RFM quartiles on the distributed ntile
     # --- plans changed this round: re-earn the green row
     "embedding_near_dup",  # chunked bucket verify
     "doc_paragraph_dedup",  # O(p) fallback branch for pathological docs
