@@ -46,6 +46,9 @@ INTENTIONAL = {
     ("doc_unigram_logppl", "BroadcastNestedLoopJoin"):
         "single-ROW build side: the corpus token total attaches to the "
         "token table — O(n × 1) scalar attach",
+    ("conversion_funnel", "BroadcastNestedLoopJoin"):
+        "single-ROW build side: the distinct-user total attaches to the "
+        "three per-step count rows — O(3 × 1) scalar attach",
     ("contrastive_triplets", "BroadcastNestedLoopJoin"):
         "bounded build side: the anchor set (k rows) cross-joins the "
         "corpus for the negative draw — O(n × k) with k the anchor "
