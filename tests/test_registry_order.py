@@ -44,6 +44,7 @@ MUST_BE_IN_WINDOW = {
     "video_frame_dedup",
     "audio_dedup_fingerprint",
     "customer_rfm_segments",
+    "simhash_near_dup_portable",
     # round 2 carry-over minimum
     "minhash_dedup_pairs",
     "embedding_cosine_topk",
@@ -63,7 +64,7 @@ MUST_BE_IN_WINDOW = {
 # Twice-driver-verified queries (green in both r1 and r2) may rotate out
 # of the window when a round adds many new queries; they are NOT part of
 # the must-be-inside set.
-MUST_BE_IN_WINDOW -= {"user_sessions", "asof_click_view"}
+MUST_BE_IN_WINDOW -= {"user_sessions", "asof_click_view", "pii_scrub_events"}
 
 WINDOW = 50
 

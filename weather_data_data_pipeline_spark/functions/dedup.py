@@ -719,6 +719,107 @@ def simhash_near_dup_pairs(
     )
 
 
+def simhash_near_dup_pairs_portable(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Engine-PORTABLE SimHash near-dup: a 64-bit signature carried as
+    TWO 32-bit halves, each half's token hash drawn from md5(token)
+    hex (chars 1-8 and 9-16) — reproducible by any engine with md5 +
+    integer bit ops, so the ENTIRE pipeline (token-vote signature,
+    4×16-bit pigeonhole banding, candidate join, Hamming verification)
+    replays verbatim in SQL. The two-half representation keeps every
+    value inside a signed 64-bit integer on both engines (a full
+    64-bit unsigned hash would overflow Spark's ANSI long). Geometry
+    matches the xxhash64 production family
+    (:func:`simhash_near_dup_pairs`, rows-only): 64 voted bits,
+    16-bit chunks (65536 buckets — the collision rate that keeps the
+    candidate join sparse; an 8-bit-chunk 32-bit variant was measured
+    at 1.57M candidate pairs on 5k docs vs ~thousands here).
+    Pigeonhole: hamming ≤ 3 over 4 chunks ⇒ ≥ 1 identical chunk."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+    ).where(F.col("tok") != "")
+    h_hi = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    h_lo = F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long")
+    hashed = toks.withColumn("_hh", h_hi).withColumn("_hl", h_lo)
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("_hh"), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"h{i}")
+            for i in range(32)
+        ],
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("_hl"), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"l{i}")
+            for i in range(32)
+        ],
+    )
+
+    def pack(prefix: str):
+        terms = [
+            F.when(F.col(f"{prefix}{i}") > 0, F.lit(1 << i).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            for i in range(32)
+        ]
+        return sum(terms[1:], terms[0])
+
+    sigs = votes.select(
+        id_col, pack("h").alias("sig_hi"), pack("l").alias("sig_lo")
+    ).localCheckpoint(eager=True)
+    # chunks 0,1 from the hi half (bits 0-15, 16-31), 2,3 from the lo half
+    chunk_exprs = [
+        F.shiftrightunsigned(F.col("sig_hi"), 0).bitwiseAND(F.lit(0xFFFF)),
+        F.shiftrightunsigned(F.col("sig_hi"), 16).bitwiseAND(F.lit(0xFFFF)),
+        F.shiftrightunsigned(F.col("sig_lo"), 0).bitwiseAND(F.lit(0xFFFF)),
+        F.shiftrightunsigned(F.col("sig_lo"), 16).bitwiseAND(F.lit(0xFFFF)),
+    ]
+    chunks = sigs.select(
+        id_col,
+        "sig_hi",
+        "sig_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("chunk_idx"), e.alias("chunk"))
+                    for i, e in enumerate(chunk_exprs)
+                ]
+            )
+        ).alias("c"),
+    ).select(
+        id_col, "sig_hi", "sig_lo", F.col("c.chunk_idx"), F.col("c.chunk")
+    )
+    a = chunks.select(
+        F.col(id_col).alias("id_a"),
+        F.col("sig_hi").alias("ha"), F.col("sig_lo").alias("la"),
+        "chunk_idx", "chunk",
+    )
+    b = chunks.select(
+        F.col(id_col).alias("id_b"),
+        F.col("sig_hi").alias("hb"), F.col("sig_lo").alias("lb"),
+        "chunk_idx", "chunk",
+    )
+    hamming = (
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+        + F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+    ).cast("int")
+    return (
+        a.join(b, ["chunk_idx", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "la", "hb", "lb")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def incremental_near_dedup(
     new_df: DataFrame,
     kept_df: DataFrame | None,

@@ -2177,3 +2177,94 @@ def audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_copies"),
         F.min("doc_id").alias("rep_doc_id"),
     )
+
+
+def _simhash_portable_oracle_sql(max_hamming: int = 3) -> str:
+    """DuckDB twin of simhash_near_dup_pairs_portable: identical md5-
+    derived 32-bit half hashes, identical per-bit votes, identical
+    two-half signature packing, 4x16-bit chunk banding, and
+    bit_count(xor) Hamming verification over both halves."""
+    vote_cols = ",\n             ".join(
+        ["sum(CASE WHEN (hh >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS h{i}".format(i=i)
+         for i in range(32)]
+        + ["sum(CASE WHEN (hl >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS l{i}".format(i=i)
+           for i in range(32)]
+    )
+    sig_hi = " + ".join(
+        f"(CASE WHEN h{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32)
+    )
+    sig_lo = " + ".join(
+        f"(CASE WHEN l{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32)
+    )
+    chunk_branches = "\n      UNION ALL\n      ".join(
+        [
+            "SELECT doc_id, sig_hi, sig_lo, 0 AS chunk_idx,"
+            " sig_hi & 65535 AS chunk FROM sig",
+            "SELECT doc_id, sig_hi, sig_lo, 1,"
+            " (sig_hi >> 16) & 65535 FROM sig",
+            "SELECT doc_id, sig_hi, sig_lo, 2,"
+            " sig_lo & 65535 FROM sig",
+            "SELECT doc_id, sig_hi, sig_lo, 3,"
+            " (sig_lo >> 16) & 65535 FROM sig",
+        ]
+    )
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, t.tok AS tok
+      FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS hh,
+             CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) AS hl
+      FROM toks
+    ),
+    votes AS (
+      SELECT doc_id,
+             {vote_cols}
+      FROM hashed GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, CAST({sig_hi} AS BIGINT) AS sig_hi,
+                   CAST({sig_lo} AS BIGINT) AS sig_lo
+            FROM votes),
+    chunks AS (
+      {chunk_branches}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, a.sig_hi AS ha, a.sig_lo AS la,
+             b.doc_id AS id_b, b.sig_hi AS hb, b.sig_lo AS lb
+      FROM chunks a JOIN chunks b
+        ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS INTEGER)
+             AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= {max_hamming}
+    """
+
+
+@register(
+    "simhash_near_dup_portable",
+    oracle=_simhash_portable_oracle_sql(3),
+    doc="SimHash near-dup with the engine-portable md5-derived 32-bit "
+    "hash family: token-vote signature, 4x8-bit pigeonhole banding "
+    "(hamming <= 3 guarantees a shared chunk), bit_count(xor) "
+    "verification — and the WHOLE pipeline replayed verbatim by the "
+    "DuckDB oracle, completing the portable-twin trio next to "
+    "minhash_dedup_pairs_portable and the literal-plane LSH. The "
+    "64-bit xxhash64 production family (simhash_near_dup) keeps its "
+    "rows-only row + units; this twin is the hash-checkable shape.",
+    tags=("llm", "dedup", "bench"),
+)
+def simhash_near_dup_portable_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        simhash_near_dup_pairs_portable,
+    )
+
+    docs = load_fanout(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs_portable(
+        docs, "doc_id", "text", max_hamming=3
+    ).orderBy("id_a", "id_b")

@@ -91,6 +91,7 @@ _PRIORITY: tuple[str, ...] = (
     "video_frame_dedup",  # real demux → frame hash → global dedup
     "audio_dedup_fingerprint",  # real WAV decode → window-sum fingerprint
     "customer_rfm_segments",  # RFM quartiles on the distributed ntile
+    "simhash_near_dup_portable",  # md5 two-half 64-bit family, full oracle
     # --- plans changed this round: re-earn the green row
     "embedding_near_dup",  # chunked bucket verify
     "doc_paragraph_dedup",  # O(p) fallback branch for pathological docs
