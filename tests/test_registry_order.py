@@ -45,26 +45,21 @@ MUST_BE_IN_WINDOW = {
     "audio_dedup_fingerprint",
     "customer_rfm_segments",
     "simhash_near_dup_portable",
-    # round 2 carry-over minimum
+    "vocab_zipf_fit",
+    "source_vocab_divergence",
+    # queries whose PLANS changed this round: re-earn the green row
     "minhash_dedup_pairs",
-    "embedding_cosine_topk",
-    "dedup_clusters",
-    "doc_chunks",
-    "user_sessions",
-    "asof_click_view",
-    "weather_weekly_avg_temp",
-    "weather_avg_humidity_range",
     "ngram_jaccard_pairs",
     "embedding_near_dup",
-    "multimodal_decode_stats",
-    "multimodal_frame_counts",
-    "pii_scrub_events",
-    "bm25_search_topk",
+    "doc_paragraph_dedup",
+    "dedup_incremental_batch",
+    "simhash_near_dup",
 }
-# Twice-driver-verified queries (green in both r1 and r2) may rotate out
-# of the window when a round adds many new queries; they are NOT part of
-# the must-be-inside set.
-MUST_BE_IN_WINDOW -= {"user_sessions", "asof_click_view", "pii_scrub_events"}
+# Already-driver-verified queries (green rows in r1/r2) rotate through
+# whatever window space remains after the never-verified + new + changed
+# head — they are deliberately NOT in the must-be-inside set, because a
+# round that adds many new queries pushes the rotation tail out and
+# that is the correct trade (verify the unverified first).
 
 WINDOW = 50
 

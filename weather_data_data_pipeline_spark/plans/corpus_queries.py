@@ -15,7 +15,7 @@ Oracle notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from weather_data_data_pipeline_spark.functions.search import (
@@ -412,4 +412,130 @@ def doc_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "logppl"
             ),
         )
+    )
+
+
+@register(
+    "vocab_zipf_fit",
+    oracle="""
+    WITH toks AS (
+      SELECT t.tok AS tok
+      FROM documents, unnest(list_filter(string_split(text, ' '),
+                                         x -> x <> '')) AS t(tok)
+    ),
+    vocab AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok),
+    ranked AS (
+      SELECT freq,
+             row_number() OVER (ORDER BY freq DESC, tok) AS rnk
+      FROM vocab
+    ),
+    pts AS (SELECT ln(rnk) AS x, ln(freq) AS y FROM ranked),
+    s AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS vocab_size,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+             AS intercept
+    FROM s
+    """,
+    doc="Zipf's-law fit of the corpus vocabulary: least-squares slope of "
+    "ln(freq) vs ln(rank) — natural text sits near -1, and a corpus "
+    "whose slope drifts (template spam flattens it, deduped boilerplate "
+    "steepens it) flags collection problems before training does. One "
+    "vocab aggregate, a rank window over the (Zipf-small) vocabulary — "
+    "never the corpus — and a closed-form 5-sum regression, so the "
+    "driver sees three numbers at any corpus size.",
+    tags=("llm", "text", "quality"),
+)
+def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+        ).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("freq"))
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    pts = vocab.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("vocab_size"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
+            "intercept"
+        ),
+    )
+
+
+@register(
+    "source_vocab_divergence",
+    oracle="""
+    WITH toks AS (
+      SELECT source, t.tok AS tok
+      FROM documents, unnest(list_filter(string_split(text, ' '),
+                                         x -> x <> '')) AS t(tok)
+    ),
+    sv AS (SELECT source, tok, count(*) AS n FROM toks GROUP BY source, tok),
+    st AS (SELECT source, sum(n) AS tot FROM sv GROUP BY source),
+    cv AS (SELECT tok, sum(n) AS n FROM sv GROUP BY tok),
+    ct AS (SELECT sum(n) AS tot FROM cv),
+    terms AS (
+      SELECT sv.source,
+             (sv.n / st.tot)
+               * ln((sv.n / st.tot) / (cv.n / ct.tot)) AS term
+      FROM sv
+      JOIN st USING (source)
+      JOIN cv USING (tok)
+      CROSS JOIN ct
+    )
+    SELECT source, round(sum(term), 4) AS kl_divergence
+    FROM terms GROUP BY source
+    """,
+    doc="Per-source vocabulary divergence: KL(source unigram dist || "
+    "corpus unigram dist) — the outlier-source detector of a crawl mix "
+    "(a source whose vocabulary diverges is boilerplate, another "
+    "language, or spam). KL needs no smoothing here because every "
+    "source token exists in the corpus distribution by construction. "
+    "Two grouped aggregates over the token table plus a vocab-keyed "
+    "join — the corpus-wide totals are 1-row/vocab-row attaches, and "
+    "every sum is a partial+final combine.",
+    tags=("llm", "text", "quality"),
+)
+def source_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+        ).alias("tok"),
+    )
+    sv = toks.groupBy("source", "tok").agg(F.count("*").alias("n"))
+    st = sv.groupBy("source").agg(F.sum("n").alias("tot"))
+    cv = sv.groupBy("tok").agg(F.sum("n").alias("cn"))
+    ct = cv.agg(F.sum("cn").alias("ctot"))
+    p = F.col("n") / F.col("tot")
+    q = F.col("cn") / F.col("ctot")
+    terms = (
+        sv.join(st, "source")
+        .join(cv, "tok")
+        .crossJoin(F.broadcast(ct))
+        .select("source", (p * F.log(p / q)).alias("term"))
+    )
+    return terms.groupBy("source").agg(
+        F.round(F.sum("term"), 4).alias("kl_divergence")
     )

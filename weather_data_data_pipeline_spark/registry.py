@@ -92,6 +92,8 @@ _PRIORITY: tuple[str, ...] = (
     "audio_dedup_fingerprint",  # real WAV decode → window-sum fingerprint
     "customer_rfm_segments",  # RFM quartiles on the distributed ntile
     "simhash_near_dup_portable",  # md5 two-half 64-bit family, full oracle
+    "vocab_zipf_fit",  # Zipf slope of the vocabulary (collection health)
+    "source_vocab_divergence",  # per-source KL vs corpus unigram dist
     # --- plans changed this round: re-earn the green row
     "embedding_near_dup",  # chunked bucket verify
     "doc_paragraph_dedup",  # O(p) fallback branch for pathological docs
