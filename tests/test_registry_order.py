@@ -47,6 +47,7 @@ MUST_BE_IN_WINDOW = {
     "simhash_near_dup_portable",
     "vocab_zipf_fit",
     "source_vocab_divergence",
+    "part_basket_lift",
     # queries whose PLANS changed this round: re-earn the green row
     "minhash_dedup_pairs",
     "ngram_jaccard_pairs",

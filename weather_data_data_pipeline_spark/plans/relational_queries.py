@@ -972,3 +972,90 @@ def bloom_pruned_urgent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_orderkey").alias("orderkey"))
         .agg(F.round(F.sum(_revenue()), 2).cast("double").alias("revenue"))
     )
+
+
+@register(
+    "part_basket_lift",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    top_parts AS (
+      SELECT l_partkey, count(*) AS n_orders
+      FROM li GROUP BY l_partkey
+      ORDER BY n_orders DESC, l_partkey LIMIT 40
+    ),
+    rt AS (
+      SELECT li.l_orderkey, li.l_partkey, tp.n_orders
+      FROM li JOIN top_parts tp USING (l_partkey)
+    ),
+    total AS (SELECT count(DISTINCT l_orderkey) AS n_total FROM lineitem),
+    co AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             a.n_orders AS n_a, b.n_orders AS n_b,
+             count(*) AS n_both
+      FROM rt a JOIN rt b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT part_a, part_b, n_both,
+           round(CAST(n_both AS DOUBLE) * n_total
+                 / (CAST(n_a AS DOUBLE) * n_b), 4) AS lift
+    FROM co CROSS JOIN total
+    WHERE n_both >= 3
+    """,
+    doc="Market-basket co-purchase lift over the 40 most-ordered parts: "
+    "P(a,b together) / (P(a)·P(b)) per pair — the relational twin of "
+    "term_cooccurrence_lift (same vocabulary-restricted self-join "
+    "shape: restricting to the top-k head BEFORE the pair join bounds "
+    "the quadratic at k²/2 regardless of order count, and the "
+    "order-keyed join shuffles only the restricted postings). The "
+    "n>=3 support floor mirrors standard association-rule mining.",
+    tags=("relational", "aggregate", "join"),
+)
+def part_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).dropDuplicates()
+    top_parts = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("l_partkey"))
+        .limit(40)
+    )
+    rt = li.join(F.broadcast(top_parts), "l_partkey").select(
+        "l_orderkey", "l_partkey", "n_orders"
+    )
+    total = load(spark, sf_dir, "lineitem").agg(
+        F.count_distinct("l_orderkey").alias("n_total")
+    )
+    a = rt.select(
+        F.col("l_orderkey"),
+        F.col("l_partkey").alias("part_a"),
+        F.col("n_orders").alias("n_a"),
+    )
+    b = rt.select(
+        F.col("l_orderkey"),
+        F.col("l_partkey").alias("part_b"),
+        F.col("n_orders").alias("n_b"),
+    )
+    co = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    return (
+        co.crossJoin(F.broadcast(total))
+        .where(F.col("n_both") >= 3)
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            F.round(
+                F.col("n_both") * F.col("n_total")
+                / (F.col("n_a") * F.col("n_b")),
+                4,
+            ).alias("lift"),
+        )
+    )

@@ -94,6 +94,7 @@ _PRIORITY: tuple[str, ...] = (
     "simhash_near_dup_portable",  # md5 two-half 64-bit family, full oracle
     "vocab_zipf_fit",  # Zipf slope of the vocabulary (collection health)
     "source_vocab_divergence",  # per-source KL vs corpus unigram dist
+    "part_basket_lift",  # market-basket co-purchase lift (top-k head)
     # --- plans changed this round: re-earn the green row
     "embedding_near_dup",  # chunked bucket verify
     "doc_paragraph_dedup",  # O(p) fallback branch for pathological docs
