@@ -48,6 +48,7 @@ MUST_BE_IN_WINDOW = {
     "vocab_zipf_fit",
     "source_vocab_divergence",
     "part_basket_lift",
+    "ann_ivf_topk_seeded",
     # queries whose PLANS changed this round: re-earn the green row
     "minhash_dedup_pairs",
     "ngram_jaccard_pairs",

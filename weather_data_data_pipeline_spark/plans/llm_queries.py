@@ -2268,3 +2268,111 @@ def simhash_near_dup_portable_query(spark: SparkSession, sf_dir: str) -> DataFra
     return simhash_near_dup_pairs_portable(
         docs, "doc_id", "text", max_hamming=3
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "ann_ivf_topk_seeded",
+    # The kmeans-assign trick applied to IVF: seed centroids are the 16
+    # lowest-id embeddings VERBATIM (no Lloyd iterations), so DuckDB
+    # replays cell assignment, the 4-cell probe, and the exact re-rank —
+    # with this, all three approximate-search families (LSH top-k,
+    # SimHash near-dup, IVF top-k) have a fully hash-checked variant
+    # beside their production (trained/xxhash) forms.
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+             embedding AS cvec
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    cscore AS (
+      SELECT e.vec_id, c.cell,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_DCOS.format(a="e.embedding", b="c.cvec")} DESC,
+                        c.cell) AS rn
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    cc AS (SELECT vec_id, cell FROM cscore WHERE rn = 1),
+    qc AS (SELECT vec_id, cell FROM cscore WHERE rn <= 4 AND vec_id < 10),
+    scored AS (
+      SELECT qc.vec_id AS query_id, cc.vec_id AS neighbor_id,
+             {_DCOS.format(a="qe.embedding", b="ce.embedding")} AS cosine_raw
+      FROM qc
+      JOIN cc ON cc.cell = qc.cell AND cc.vec_id <> qc.vec_id
+      JOIN embeddings qe ON qe.vec_id = qc.vec_id
+      JOIN embeddings ce ON ce.vec_id = cc.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine_raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine_raw DESC, neighbor_id) AS rn
+      FROM scored)
+    SELECT query_id, neighbor_id, round(cosine_raw, 4) AS cosine,
+           CAST(rn AS INTEGER) AS rn
+    FROM ranked WHERE rn <= 10
+    """,
+    doc="IVF ANN top-k under FIXED seed centroids (the embeddings of the "
+    "16 lowest vec_ids — no Lloyd training, so the coarse quantizer is "
+    "engine-replayable): corpus assigned to its max-cosine cell via a "
+    "broadcast centroid join, queries probe their 4 nearest cells, "
+    "exact cosine re-rank inside probed cells. Same physical shape as "
+    "the trained ann_ivf_topk (which stays rows-only + recall-tested: "
+    "Lloyd's float iterations are not SQL-replayable) — candidates per "
+    "query are corpus/n_cells x n_probe, vectors never fan out beyond "
+    "the cell join. Hash-checked end-to-end by the DuckDB replay.",
+    tags=("llm", "similarity"),
+)
+def ann_ivf_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.similarity import cosine
+
+    emb = load(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(16).collect()
+    )
+    centroids_df = spark.createDataFrame(
+        [(i, [float(x) for x in r["embedding"]]) for i, r in enumerate(seeds)],
+        "cell int, cvec array<double>",
+    )
+
+    def assign(df, id_out: str, n_probe: int):
+        scored = df.select(
+            F.col("vec_id").alias(id_out), F.col("embedding").alias(f"_v_{id_out}")
+        ).join(F.broadcast(centroids_df)).select(
+            id_out,
+            f"_v_{id_out}",
+            "cell",
+            cosine(F.col(f"_v_{id_out}"), F.col("cvec")).alias("_csim"),
+        )
+        w = Window.partitionBy(id_out).orderBy(F.desc("_csim"), F.asc("cell"))
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= n_probe)
+            .select(id_out, f"_v_{id_out}", "cell")
+        )
+
+    cc = assign(emb, "neighbor_id", 1)
+    qc = assign(emb.where(F.col("vec_id") < 10), "query_id", 4)
+    scored = (
+        qc.join(cc, "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(
+                F.col("_v_query_id"), F.col("_v_neighbor_id")
+            ).alias("cosine_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_raw"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine_raw", 4).alias("cosine"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
