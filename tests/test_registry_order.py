@@ -49,6 +49,7 @@ MUST_BE_IN_WINDOW = {
     "source_vocab_divergence",
     "part_basket_lift",
     "ann_ivf_topk_seeded",
+    "embedding_health_report",
     # queries whose PLANS changed this round: re-earn the green row
     "minhash_dedup_pairs",
     "ngram_jaccard_pairs",

@@ -2376,3 +2376,78 @@ def ann_ivf_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("rn"),
         )
     )
+
+
+@register(
+    "embedding_health_report",
+    oracle="""
+    WITH norms AS (
+      SELECT vec_id,
+             CAST(len(embedding) AS INTEGER) AS dim,
+             sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT count(*) AS n_vecs,
+             CAST(count(DISTINCT dim) AS BIGINT) AS n_distinct_dims,
+             avg(nrm) AS mu,
+             stddev_samp(nrm) AS sigma,
+             CAST(count(*) FILTER (WHERE nrm = 0) AS BIGINT) AS n_zero_vectors
+      FROM norms
+    )
+    SELECT s.n_vecs, s.n_distinct_dims, s.n_zero_vectors,
+           round(s.mu, 4) AS norm_mean,
+           round(s.sigma, 4) AS norm_std,
+           CAST(count(*) FILTER (WHERE abs(n.nrm - s.mu) > 3 * s.sigma)
+                AS BIGINT) AS n_norm_outliers
+    FROM norms n CROSS JOIN stats s
+    GROUP BY s.n_vecs, s.n_distinct_dims, s.n_zero_vectors, s.mu, s.sigma
+    """,
+    doc="Embedding-table health screening — the pre-flight a pipeline "
+    "runs before any ANN/dedup consumes a new embedding batch: row "
+    "count, dimension consistency (n_distinct_dims must be 1), "
+    "zero-vector count (a broken encoder emits them), norm mean/std, "
+    "and 3-sigma norm outliers (exploded activations). Two aggregate "
+    "passes: one over the norms, one outlier count with the 1-row "
+    "stats attached by broadcast — O(1) driver output at any corpus "
+    "size.",
+    tags=("llm", "similarity", "quality"),
+)
+def embedding_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.similarity import with_norm
+
+    emb = load(spark, sf_dir, "embeddings")
+    norms = with_norm(emb, "embedding", "nrm").select(
+        F.size("embedding").alias("dim"), "nrm"
+    )
+    stats = norms.agg(
+        F.count("*").alias("n_vecs"),
+        F.count_distinct("dim").alias("n_distinct_dims"),
+        F.avg("nrm").alias("mu"),
+        F.stddev_samp("nrm").alias("sigma"),
+        F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero_vectors"),
+    )
+    return (
+        norms.crossJoin(F.broadcast(stats))
+        .groupBy("n_vecs", "n_distinct_dims", "n_zero_vectors", "mu", "sigma")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("nrm") - F.col("mu")) > 3 * F.col("sigma"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_norm_outliers")
+        )
+        .select(
+            "n_vecs",
+            "n_distinct_dims",
+            "n_zero_vectors",
+            F.round("mu", 4).alias("norm_mean"),
+            F.round("sigma", 4).alias("norm_std"),
+            "n_norm_outliers",
+        )
+    )

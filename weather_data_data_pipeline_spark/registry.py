@@ -96,6 +96,7 @@ _PRIORITY: tuple[str, ...] = (
     "source_vocab_divergence",  # per-source KL vs corpus unigram dist
     "part_basket_lift",  # market-basket co-purchase lift (top-k head)
     "ann_ivf_topk_seeded",  # IVF with seed centroids — full oracle
+    "embedding_health_report",  # embedding-table pre-flight screening
     # --- plans changed this round: re-earn the green row
     "embedding_near_dup",  # chunked bucket verify
     "doc_paragraph_dedup",  # O(p) fallback branch for pathological docs
