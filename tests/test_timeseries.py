@@ -127,3 +127,41 @@ def test_asof_join_forward_ties_and_boundaries(spark):
     assert out[5] == (7, "b")      # nearest following
     assert out[7] == (7, "b")      # tie at equal ts matches
     assert out[100] == (None, None)  # nothing follows → NULL
+
+
+def test_resample_deterministic_under_equal_ts_duplicates(spark):
+    """ADVICE r3: with tiebreak_col=None, duplicate (key, ts) rows must
+    resolve deterministically — the max VALUE wins (struct(ts, value)
+    ordering), not whichever row the scan saw last."""
+
+    from pyspark.sql import functions as F
+
+    from weather_data_data_pipeline_spark.operators.timeseries import (
+        resample_interpolate,
+        resample_locf,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("k", t0, 5.0),
+        ("k", t0, 9.0),  # same key, same ts, different value
+        ("k", t0, 1.0),
+        ("k", t0 + dt.timedelta(seconds=60), 2.0),
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, value double")
+    for fn, vcol in (
+        (resample_locf, "value"),
+        (resample_interpolate, "value_interp"),
+    ):
+        outs = [
+            sorted(
+                (r["grid_ts"], r[vcol])
+                for r in fn(
+                    df.orderBy(F.rand(seed)), ["key"], "ts", "value", 30
+                ).collect()
+            )
+            for seed in (1, 2, 3)
+        ]
+        assert outs[0] == outs[1] == outs[2]
+        # the t0 grid point carries the max duplicate value, 9.0
+        assert outs[0][0] == (t0, 9.0)

@@ -760,6 +760,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus by embedding, find cosine
@@ -779,12 +780,33 @@ def semantic_dedup(
     join, no shuffle); pairwise scoring is one applyInPandas GEMM per
     cluster, chunked (`_pairs_above_threshold`) so a degenerate cluster
     costs O(chunk × m) memory; components are the same bounded
-    min-label propagation as text dedup. Total work is O(Σ m_c²/chunk)
+    min-label propagation as text dedup. Total work is O(Σ m_c²)
     GEMM flops instead of O(n²) — the k-fold reduction that makes
     pairwise semantic comparison feasible at corpus scale. Cross-
     cluster near-duplicates are missed BY DESIGN (the SemDeDup trade:
     k-means cells approximate the neighborhood structure); raise k for
     cheaper cells, lower it for better recall.
+
+    ``max_cell_size`` bounds the per-task FLOPs the same way
+    ``max_bucket_size`` bounds MinHash buckets
+    (functions/dedup.py: minhash_lsh_candidates): a cell with more
+    members than the cap emits STAR edges — every member scored against
+    the cell's min-id hub only, O(m·d) FLOPs instead of O(m²·d) — so
+    one adversarially hot cell (all of Common Crawl's boilerplate
+    landing in one k-means cell) cannot turn a single applyInPandas
+    task into an unbounded GEMM.
+
+    Contract, precisely (mirrors the MinHash star-edge contract): for
+    an oversized cell, members whose cosine to the hub ≥ threshold
+    form ONE component with the hub — their mutual links are implied
+    transitively, so components among hub-similar members are
+    preserved exactly. A member whose hub cosine < threshold loses any
+    links it had to non-hub members (the elided dense pairs): the cap
+    IS a recall trade on hub-dissimilar near-dup pairs inside hot
+    cells, not a free lunch. Hot cells are by construction dense
+    neighborhoods of their centroid, which is what makes the hub a
+    good proxy in practice. ``max_cell_size=None`` (default) keeps
+    exact within-cell enumeration.
     """
     import numpy as np
 
@@ -814,6 +836,18 @@ def semantic_dedup(
         V = np.stack(
             [np.asarray(v, dtype=np.float64) for v in pdf["_v"].iloc[order]]
         )
+        if max_cell_size is not None and len(ids) > max_cell_size:
+            # hot cell: star edges to the min-id hub, O(m·d) not O(m²·d)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            cos = Vn[1:] @ Vn[0]
+            hit = cos >= threshold
+            return pd.DataFrame(
+                {
+                    "id_a": np.full(int(hit.sum()), ids[0], dtype=ids.dtype),
+                    "id_b": ids[1:][hit],
+                    "cosine_raw": cos[hit],
+                }
+            )
         id_a, id_b, cos = _pairs_above_threshold(ids, V, threshold, chunk_rows)
         return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine_raw": cos})
 

@@ -395,6 +395,33 @@ def normalize_for_dedup(col: str | "F.Column") -> "F.Column":
     return F.trim(out)
 
 
+def _check_sep_portable(sep: str) -> None:
+    """Reject separator regexes whose meaning differs between Java
+    (``F.split``, the HOF path) and Python ``re`` (the pandas fallback)
+    — ADVICE r3: a document's output must not depend on which path its
+    paragraph count routes it to. The portable subset (literals,
+    classes, alternation, bounded/greedy/lazy quantifiers, ``\\s \\d
+    \\w`` etc.) passes; engine-specific escapes and constructs raise."""
+    import re as _re
+
+    problems = [
+        (r"\\[RhvVHQEpP]", "Java-only escape (\\R \\h \\v \\Q \\E \\p{...})"),
+        (r"(?<!\\)[*+?}]\+", "possessive quantifier (Java-only)"),
+        (r"\(\?>", "atomic group (Java-only)"),
+        (r"\(\?P[<=]", "Python-only named group/backref"),
+        (r"\(\?\(", "Python-only conditional"),
+    ]
+    for pat, why in problems:
+        if _re.search(pat, sep):
+            raise ValueError(
+                f"dedup_paragraphs sep {sep!r} is not portable between the "
+                f"Java-regex HOF path and the Python-re fallback: {why}. "
+                "Use the shared dialect subset (see docstring)."
+            )
+    # both engines must also accept it at all
+    _re.compile(sep)
+
+
 def dedup_paragraphs(
     df: DataFrame,
     text_col: str,
@@ -424,12 +451,21 @@ def dedup_paragraphs(
       below confines it to the oversized rows.)
 
     Both paths treat ``sep`` as a regex for splitting (Spark's
-    ``split`` semantics) and a literal when rejoining. Results are
-    identical across paths (regression-tested)."""
+    ``split`` semantics) and a literal when rejoining. The HOF path
+    splits with JAVA regex, the pandas fallback with PYTHON ``re`` —
+    so ``sep`` is restricted to the dialect-portable subset (ADVICE
+    r3): constructs whose semantics differ or exist in only one engine
+    (``\\R \\h \\v \\Q \\E \\p{...}``, possessive quantifiers, atomic
+    groups, Python named groups/conditionals) raise ``ValueError`` up
+    front instead of letting a document's output depend on which path
+    its paragraph count routes it to. Results are identical across
+    paths (regression-tested with a non-trivial separator)."""
     import re
 
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
+
+    _check_sep_portable(sep)
 
     paras = F.split(F.col(text_col), sep)
     # NULL text → size() is NULL, which would drop the row from BOTH

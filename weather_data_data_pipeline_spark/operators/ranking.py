@@ -234,6 +234,7 @@ def grouped_topk(
     """
     from pyspark.sql import Window
 
+    _warn_if_no_window_group_limit(df.sparkSession)
     tb = tiebreak_cols or []
     direction = F.asc if ascending else F.desc
     order = [direction(order_col)] + [F.asc(c) for c in tb]
@@ -242,3 +243,39 @@ def grouped_topk(
         df.withColumn(rank_col, F.row_number().over(w).cast("int"))
         .where(F.col(rank_col) <= k)
     )
+
+
+_WGL_WARNED = False
+
+
+def _warn_if_no_window_group_limit(spark) -> None:
+    """ADVICE r3: grouped_topk's scale contract rests entirely on
+    SPARK-37099 (WindowGroupLimit, Spark ≥ 3.5). On an older runtime —
+    or with the rule excluded via ``spark.sql.optimizer.excludedRules``
+    — the same plan silently reverts to shuffling WHOLE groups. Warn
+    once per process so library consumers outside this repo's test
+    suite (which pins the executed plan) aren't silently unprotected."""
+    global _WGL_WARNED
+    if _WGL_WARNED:
+        return
+    _WGL_WARNED = True
+    import warnings
+
+    try:
+        major, minor = (int(x) for x in spark.version.split(".")[:2])
+        old = (major, minor) < (3, 5)
+    except Exception:
+        old = False
+    excluded = (
+        spark.conf.get("spark.sql.optimizer.excludedRules", "") or ""
+    )
+    if old or "WindowGroupLimit" in excluded:
+        warnings.warn(
+            "grouped_topk: WindowGroupLimit (SPARK-37099) is unavailable "
+            f"(spark={spark.version}, excludedRules={excluded!r}); the "
+            "rank-limit window will shuffle entire groups instead of "
+            "map-side-truncating to k rows per group. Upgrade to Spark "
+            ">= 3.5 or re-enable the rule before running at scale.",
+            RuntimeWarning,
+            stacklevel=3,
+        )

@@ -185,7 +185,9 @@ def resample_locf(
       ``sequence()`` + explode — executor-side, never a driver loop;
       grid size is bounded by span/step per key.
     - observation dedup: at most one row per (key, ts) via
-      ``max_by(value, tiebreak)`` (deterministic under ties).
+      ``max_by(value, tiebreak)``; with no tiebreak column the
+      ordering defaults to struct(ts, value), so equal-timestamp
+      duplicates resolve to the max value deterministically.
     - the fill itself is :func:`asof_join`'s union + last-ignorenulls
       merge-scan — ONE shuffle on the key, cost independent of how many
       observations precede each grid point. A naive
@@ -195,8 +197,17 @@ def resample_locf(
     Grid start is floored to the step boundary so grids are phase-
     aligned across keys (cross-key joins on grid_ts line up).
     """
+    # Deterministic under equal-timestamp duplicates (ADVICE r3): with
+    # no tiebreak column the ordering key is struct(ts, value) — ts ties
+    # within the group, so the max VALUE wins reproducibly instead of
+    # whichever row the scan happened to see last.
+    tiebreak = (
+        F.col(tiebreak_col)
+        if tiebreak_col is not None
+        else F.struct(F.col(ts_col), F.col(value_col))
+    )
     obs = df.groupBy(*keys, F.col(ts_col).alias("_ots")).agg(
-        F.max_by(value_col, tiebreak_col or ts_col).alias(value_col)
+        F.max_by(value_col, tiebreak).alias(value_col)
     )
     spans = df.groupBy(*keys).agg(
         F.min(ts_col).alias("_min_ts"), F.max(ts_col).alias("_max_ts")
@@ -289,8 +300,17 @@ def resample_interpolate(
     itself is a codegen'd arithmetic projection on microsecond epochs
     (exact: both engines compute the same doubles from the same
     integer micros)."""
+    # Deterministic under equal-timestamp duplicates (ADVICE r3): with
+    # no tiebreak column the ordering key is struct(ts, value) — ts ties
+    # within the group, so the max VALUE wins reproducibly instead of
+    # whichever row the scan happened to see last.
+    tiebreak = (
+        F.col(tiebreak_col)
+        if tiebreak_col is not None
+        else F.struct(F.col(ts_col), F.col(value_col))
+    )
     obs = df.groupBy(*keys, F.col(ts_col).alias("_ots")).agg(
-        F.max_by(value_col, tiebreak_col or ts_col).alias(value_col)
+        F.max_by(value_col, tiebreak).alias(value_col)
     )
     spans = df.groupBy(*keys).agg(
         F.min(ts_col).alias("_min_ts"), F.max(ts_col).alias("_max_ts")

@@ -278,34 +278,56 @@ def table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("maintenance", "jdbc"),
 )
 def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
 
     from weather_data_data_pipeline_spark.operators.joins import anti_join_dedup
     from weather_data_data_pipeline_spark.sources import jdbc
 
+    import os
+
     tmp = tempfile.mkdtemp(prefix="jdbc_roundtrip_")
     try:
-        # keep derby.log inside the scratch dir, not the process cwd
-        spark.sparkContext._jvm.java.lang.System.setProperty(
-            "derby.system.home", tmp
-        )
+        # keep derby.log out of the process cwd — but only claim the
+        # process-global JVM property if nobody set it, and point it at
+        # a STABLE singleton dir, not this call's scratch (ADVICE r3: a
+        # registered gate query must not mutate global state per call,
+        # and Derby's logger re-creates whatever dir the property names)
+        jvm_sys = spark.sparkContext._jvm.java.lang.System
+        if jvm_sys.getProperty("derby.system.home") is None:
+            home = os.path.join(tempfile.gettempdir(), "derby_system_home")
+            os.makedirs(home, exist_ok=True)
+            jvm_sys.setProperty("derby.system.home", home)
     except Exception:
         pass
     url = f"jdbc:derby:{tmp}/roundtrip;create=true"
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
-    nation = load(spark, sf_dir, "nation")
-    jdbc.append(nation, url, "nation_dest", props)
-    # the reference's idempotency contract: re-running the load must not
-    # duplicate destination rows (anti-join on the key before the append)
-    existing = jdbc.read_table(spark, url, "nation_dest", props)
-    fresh = anti_join_dedup(nation, existing, ["n_nationkey"])
-    jdbc.append(fresh, url, "nation_dest", props)
-    back = jdbc.read_table(spark, url, "nation_dest", props)
-    return back.groupBy(F.col("n_regionkey").alias("region_key")).agg(
-        F.count("*").alias("n_nations"),
-        F.sum("n_nationkey").alias("sum_key"),
-        F.min("n_name").alias("first_name"),
-    )
+    try:
+        nation = load(spark, sf_dir, "nation")
+        jdbc.append(nation, url, "nation_dest", props)
+        # the reference's idempotency contract: re-running the load must
+        # not duplicate destination rows (anti-join on the key first)
+        existing = jdbc.read_table(spark, url, "nation_dest", props)
+        fresh = anti_join_dedup(nation, existing, ["n_nationkey"])
+        jdbc.append(fresh, url, "nation_dest", props)
+        back = jdbc.read_table(spark, url, "nation_dest", props)
+        # materialize the aggregate (5 rows) BEFORE tearing the scratch
+        # database down, so the returned DataFrame no longer needs Derby
+        return back.groupBy(F.col("n_regionkey").alias("region_key")).agg(
+            F.count("*").alias("n_nations"),
+            F.sum("n_nationkey").alias("sum_key"),
+            F.min("n_name").alias("first_name"),
+        ).localCheckpoint(eager=True)
+    finally:
+        try:
+            # embedded Derby signals a CLEAN shutdown with SQLException
+            # 08006 — reaching the exception handler is the success path
+            spark.sparkContext._jvm.java.sql.DriverManager.getConnection(
+                f"jdbc:derby:{tmp}/roundtrip;shutdown=true"
+            )
+        except Exception:
+            pass
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @register(

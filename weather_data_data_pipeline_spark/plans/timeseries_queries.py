@@ -145,6 +145,7 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "daily_distinct_users_hll",
+    verified_by="daily_distinct_users_exact",
     oracle=None,  # sketch estimate by design; accuracy contract in tests
     doc="HyperLogLog++ distinct-user cardinality per day: O(KB) of "
     "mergeable state per group instead of shuffling every distinct key — "
@@ -331,6 +332,7 @@ def event_value_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "event_value_quantiles",
+    verified_by="event_value_quantiles_exact",
     oracle=None,  # sketch estimate by design; rank-error contract in tests
     doc="p50/p90/p99 of event value per event type via a mergeable "
     "quantile sketch (percentile_approx): one pass, no global sort. "
@@ -406,6 +408,7 @@ def event_value_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "weekly_distinct_users_hll_merge",
+    verified_by="daily_distinct_users_exact",
     oracle=None,  # sketch estimate by design; merge==direct equality in units
     doc="Two-level mergeable-sketch rollup, the pattern that makes "
     "distinct counts incrementally maintainable at 100 TB: per-day "
@@ -438,6 +441,7 @@ def weekly_distinct_users_hll_merge(spark: SparkSession, sf_dir: str) -> DataFra
 
 @register(
     "user_event_counts_cms",
+    verified_by="tests/test_sketches.py",
     oracle=None,  # hash-family specific; never-underestimate + merge==direct
     # + error-bound contracts are pytest-verified (tests/test_sketches.py)
     doc="Count-min sketch point estimates of per-user event counts: a "

@@ -27,6 +27,15 @@ class Query:
     oracle: str | None  # ANSI SQL twin for DuckDB; None → rows-only check
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # For oracle=None queries ONLY (engine-specific hash families, float
+    # iteration): the machine-readable closure argument — either the name
+    # of an oracle-checked registered TWIN query that replays the same
+    # algorithm portably (e.g. minhash_dedup_pairs →
+    # minhash_dedup_pairs_portable), or a "tests/<file>" path whose units
+    # pin the operator to ground truth / error bounds. A unit test
+    # (tests/test_registry_order.py) asserts every rows-only query
+    # declares one and that it resolves.
+    verified_by: str | None = None
 
 
 _REGISTRY: dict[str, Query] = {}
@@ -47,121 +56,91 @@ _loaded = False
 
 # Driver-facing registration order. The correctness driver verifies a
 # bounded prefix of the registry (~50 queries per round), so ordering is
-# the verification schedule: queries without a green CORRECTNESS row from
-# a prior round list first, previously-verified ones rotate to the back.
-# Round 3 (VERDICT r2 #1): the 15 queries that sat at positions 51+ both
-# rounds lead — oracle-bearing first — followed by queries NEW this round
-# and queries whose plans CHANGED this round (re-verification), then the
-# previously-green rotation. Names absent from this list keep their
-# module registration order after the prioritized prefix.
-_PRIORITY: tuple[str, ...] = (
-    # --- never driver-verified (r1+r2 window overflow), oracles first
-    "doc_fingerprint",
-    "doc_quality_filter",
-    "term_cooccurrence_lift",
-    "vocab_top_terms",
-    "embedding_kmeans_assign",
-    "training_mix_rates",
-    "sequence_packing",
-    "span_dedup_profile",
-    "ann_lsh_topk",  # flipped rows-only → oracle this round (plane replay)
-    # --- never driver-verified, rows-only
-    "frequent_tokens_mg",
-    "ann_ivf_topk",
-    "embedding_kmeans_clusters",
-    "embedding_pca_project",
-    "embedding_pca_variance",
-    "doc_pagerank",
-    # --- new queries this round
-    "minhash_dedup_pairs_portable",  # md5-portable MinHash, full oracle
-    "jdbc_roundtrip",  # Derby append + idempotent re-append + read-back
-    "semantic_dedup_keep",  # SemDeDup: cluster → within-cell cosine → CC
-    "corpus_drift_psi",  # PSI distribution drift between time windows
-    "scd2_point_in_time_join",  # PIT lookup via merge-scan as-of join
-    "data_expectations_report",  # Deequ-style batch expectation suite
-    "dataset_card_by_source",  # per-source release-card summary
-    "doc_unigram_logppl",  # model-free perplexity-filter proxy
-    "contrastive_triplets",  # anchor/positive/portable-negative mining
-    "training_pipeline_e2e",  # whole curation pipeline, one plan, audit rows
-    "events_locf_15min",  # gap-fill resampling (LOCF via merge-scan as-of)
-    "events_interp_15min",  # linear interpolation between bracketing obs
-    "weekly_cohort_retention",  # cohort triangle: first-week × offset
-    "conversion_funnel",  # ordered view→click→purchase completion
-    "value_changepoint_cusum",  # CUSUM level-shift detection
-    "video_frame_dedup",  # real demux → frame hash → global dedup
-    "audio_dedup_fingerprint",  # real WAV decode → window-sum fingerprint
-    "customer_rfm_segments",  # RFM quartiles on the distributed ntile
-    "simhash_near_dup_portable",  # md5 two-half 64-bit family, full oracle
-    "vocab_zipf_fit",  # Zipf slope of the vocabulary (collection health)
-    "source_vocab_divergence",  # per-source KL vs corpus unigram dist
-    "part_basket_lift",  # market-basket co-purchase lift (top-k head)
-    "ann_ivf_topk_seeded",  # IVF with seed centroids — full oracle
-    "embedding_health_report",  # embedding-table pre-flight screening
-    # --- plans changed this round: re-earn the green row
-    "embedding_near_dup",  # chunked bucket verify
-    "doc_paragraph_dedup",  # O(p) fallback branch for pathological docs
-    "minhash_dedup_pairs",  # verification stage factored out
-    "dedup_incremental_batch",
-    "ngram_jaccard_pairs",
-    "simhash_near_dup",
-    # --- previously-green rotation. North-star families (dedup /
-    # similarity / multimodal / reference-e2e) stay INSIDE the ~50-query
-    # window every round (tests/test_registry_order.py pins this);
-    # twice-verified relational/timeseries greens rotate to the back.
-    "embedding_cosine_topk",
-    "dedup_clusters",
-    "dedup_kept_corpus",
-    "doc_chunks",
-    "multimodal_decode_stats",
-    "multimodal_frame_counts",
-    "multimodal_real_decode",
-    "weather_weekly_avg_temp",
-    "weather_avg_humidity_range",
-    "bm25_search_topk",
-    "pii_scrub_events",
-    "user_sessions",
-    "asof_click_view",
-    "bloom_pruned_urgent_revenue",
-    "training_mix_weighted_sample",
-    "dedup_exact_normalized",
-    "source_quota_sample",
-    "doc_quality_deciles",
-    "tfidf_top_terms",
-    "training_mix_sample_portable",
-    "training_mix_sample",
-    "lang_source_rollup",
-    "language_id_pred",
-    "corpus_contamination",
-    "doc_repetition_quality",
-    "range_join_incidents",
-    "daily_distinct_users_hll",
-    "daily_distinct_users_exact",
-    "events_15min_rollup",
-    "latest_event_per_user",
-    "rolling_hour_user_avg",
-    "event_value_quantiles_exact",
-    "event_value_quantiles",
-    "event_value_robust_stats",
-    "weekly_distinct_users_hll_merge",
-    "user_event_counts_cms",
-    "top_events_per_user_pruned",
-    "merge_upsert_orders",
-    "scd2_user_values",
-    "referential_integrity_checks",
-    "window_function_suite",
-    "table_diff_orders",
-    "event_value_stats",
-    "event_value_histogram",
+# the verification schedule. Since round 4 (VERDICT r3 ask #3) the
+# schedule is MECHANICAL, not hand-ordered:
+#
+#   _PRIORITY = _ROUND_HEAD                      (new/changed this round)
+#             + never-green queries              (no ledger row)
+#             + everything else, least-recently-verified first
+#
+# where "verified" comes from ``verification_ledger.json`` — a
+# machine-derived map {query: last green driver round} regenerated from
+# the repo-root CORRECTNESS_r*.json files by ``scripts/update_ledger.py``
+# after each round. Ties within a round break alphabetically so the order
+# is deterministic. Names the ledger and head both miss keep module
+# registration order after the computed prefix (see ``_ordered``).
+
+# Hand-maintained per round: queries that are NEW this round or whose
+# PLAN/ORACLE changed this round and must (re-)earn a green row. Keep
+# tests/test_registry_order.py's ROUND_HEAD copy in sync.
+_ROUND_HEAD: tuple[str, ...] = (
+    # r4: oracle type fix (CAST s0..s3 AS BIGINT — the one red r3 row) +
+    # engine-side vectorization of the residue fingerprints
+    "audio_dedup_fingerprint",
+    # r4: hot-cell star-edge cap added to the SemDeDup cell scan
+    "semantic_dedup_keep",
+    # r4 new: the capped SemDeDup path exercised FOR REAL (cap forced low
+    # enough to trigger at sf0.01) with the star-edge contract replayed
+    # in the oracle — proves the hot-cell treatment is value-correct, not
+    # just bounded.
+    "semantic_dedup_keep_capped",
+    # r4 new: ANN quality measurement — LSH candidate recall vs
+    # brute-force cosine top-k ground truth, both sides replayed in SQL.
+    "embedding_ann_recall_report",
 )
 
 
+def _load_ledger() -> dict[str, int]:
+    import json
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parent / "verification_ledger.json"
+    try:
+        return {str(k): int(v) for k, v in json.loads(path.read_text()).items()}
+    except (OSError, ValueError):
+        return {}
+
+
+def _compute_priority(registered: list[str] | None = None) -> tuple[str, ...]:
+    """Head + never-green + least-recently-verified-first.
+
+    ``registered`` (module registration order) supplies names the ledger
+    has never seen — they sort to the front (right after the head),
+    because a query with no green driver row ever is the most urgent to
+    verify. With ``registered=None`` only head + ledger names are ordered
+    (enough for the common case where every registered query is one or
+    the other).
+    """
+    ledger = _load_ledger()
+    head = [n for n in _ROUND_HEAD]
+    seen = set(head)
+    never_green = [
+        n for n in (registered or []) if n not in ledger and n not in seen
+    ]
+    seen.update(never_green)
+    tail = sorted(
+        (n for n in ledger if n not in seen),
+        key=lambda n: (ledger[n], n),
+    )
+    return tuple(head + never_green + tail)
+
+
+_PRIORITY: tuple[str, ...] = _compute_priority()
+
+
 def register(
-    name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, ...] = ()
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+    verified_by: str | None = None,
 ) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        _REGISTRY[name] = Query(name, fn, oracle, doc or (fn.__doc__ or ""), tags)
+        _REGISTRY[name] = Query(
+            name, fn, oracle, doc or (fn.__doc__ or ""), tags, verified_by
+        )
         return fn
 
     return deco
@@ -176,9 +155,10 @@ def _ensure_loaded() -> None:
 
 
 def _ordered() -> list[Query]:
-    """Registry values in driver-facing order: _PRIORITY prefix, then the rest."""
-    prioritized = [_REGISTRY[n] for n in _PRIORITY if n in _REGISTRY]
-    rest = [q for q in _REGISTRY.values() if q.name not in set(_PRIORITY)]
+    """Registry values in driver-facing order (see _compute_priority)."""
+    order = _compute_priority(list(_REGISTRY))
+    prioritized = [_REGISTRY[n] for n in order if n in _REGISTRY]
+    rest = [q for q in _REGISTRY.values() if q.name not in set(order)]
     return prioritized + rest
 
 
