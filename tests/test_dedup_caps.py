@@ -311,3 +311,35 @@ def test_semantic_dedup_hot_cell_cap(spark):
     assert capped[101] == (101, True)
     # every input row labeled exactly once
     assert len(capped) == 52
+
+
+def test_portable_minhash_bucket_cap_star_edges(spark):
+    """The md5-portable family's bucket cap (added after the r4 volume
+    stress) must mirror minhash_lsh_candidates' contract: identical
+    docs land in one bucket per band; above the cap the bucket emits
+    star edges to the min-id member, and verification (identical text
+    → jaccard 1.0) keeps every hub edge, so components survive."""
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        connected_components,
+        minhash_dedup_pairs_portable,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(i, text) for i in range(40)], "doc_id long, text string"
+    )
+    capped = minhash_dedup_pairs_portable(
+        df, "doc_id", "text", max_bucket_size=10
+    )
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(0, i) for i in range(1, 40)}  # star edges only
+    cc = connected_components(
+        spark.createDataFrame(sorted(got), "id_a long, id_b long")
+    )
+    assert cc.select("cluster_id").distinct().count() == 1
+
+    # uncapped (max_bucket_size=None): full clique of verified pairs
+    exact = minhash_dedup_pairs_portable(
+        df, "doc_id", "text", max_bucket_size=None
+    )
+    assert exact.count() == 40 * 39 // 2

@@ -25,6 +25,7 @@ ROUND_HEAD = (
     "semantic_dedup_keep",
     "semantic_dedup_keep_capped",
     "embedding_ann_recall_report",
+    "minhash_dedup_pairs_portable",
 )
 
 

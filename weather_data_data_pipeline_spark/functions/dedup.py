@@ -491,18 +491,34 @@ def minhash_dedup_pairs_portable(
     threshold: float = 0.5,
     num_perm: int = 32,
     bands: int = 16,
+    max_bucket_size: int | None = 32,
 ) -> DataFrame:
     """Two-stage MinHash near-dedup with the engine-portable md5 hash
-    family (:func:`minhash_signatures_portable`): banded LSH candidates
-    (band bucket = the band's min-hashes concatenated — tuple equality,
-    no engine-specific band hash), then exact-Jaccard verification via
-    :func:`verify_jaccard_pairs`. Same physical shape as
-    :func:`minhash_dedup_pairs` — signatures shuffle once per doc,
-    buckets self-join on the band key, only candidates re-shingle —
-    with a wider bucket key (hex strings instead of one long): the
-    portability tax. Defaults (32 perms, 16 bands × 2 rows) put the
-    S-curve's high-recall region at the 0.5 threshold:
-    1-(1-0.5²)¹⁶ ≈ 0.99 candidate recall for true near-dups."""
+    family (:func:`minhash_signatures_portable`): banded LSH candidates,
+    then exact-Jaccard verification via :func:`verify_jaccard_pairs`.
+    Same physical shape as :func:`minhash_dedup_pairs` — signatures
+    shuffle once per doc, buckets self-join on the band key, only
+    candidates re-shingle. Defaults (32 perms, 16 bands × 2 rows) put
+    the S-curve's high-recall region at the 0.5 threshold:
+    1-(1-0.5²)¹⁶ ≈ 0.99 candidate recall for true near-dups.
+
+    Two scale guards added after the r4 10× volume stress measured the
+    uncapped form's shuffle growing 22× for 10× docs
+    (scripts/scale_stress.py, SCALE.md):
+
+    - the band bucket is ``md5(h_i || '|' || h_j)`` — 32 hex chars —
+      instead of the raw concatenation (num_perm/bands × 33 chars).
+      Same equality semantics (md5 collisions are negligible and the
+      oracle replays the identical expression); the banded self-join's
+      shuffle rows shrink ~2× at 2 rows/band and more for wider bands.
+    - ``max_bucket_size`` (default 32) caps the per-bucket pair blow-up
+      with the same star-edge contract as
+      :func:`minhash_lsh_candidates`: a corpus where min-hashes
+      concentrate (closed vocabulary, boilerplate floods) grows bucket
+      sizes ∝ corpus, and Σm² candidate pairs grow quadratically while
+      TRUE near-dup pairs don't. Star members whose hub edge fails
+      verification lose elided dense links — the stated recall trade;
+      ``None`` restores exact candidate enumeration."""
     sigs = minhash_signatures_portable(
         df, id_col, text_col, n, num_perm
     ).localCheckpoint(eager=True)
@@ -510,8 +526,14 @@ def minhash_dedup_pairs_portable(
     structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.concat_ws(
-                "|", *[F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)]
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"h{b * rows_per_band + j}")
+                        for j in range(rows_per_band)
+                    ],
+                )
             ).alias("bucket"),
         )
         for b in range(bands)
@@ -519,18 +541,40 @@ def minhash_dedup_pairs_portable(
     banded = sigs.select(
         F.col(id_col), F.explode(F.array(*structs)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    if max_bucket_size is None:
+        a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+        b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+        cand = (
+            a.join(b, ["band", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates()
+        )
+    else:
+        # one window pass tags size + min-id hub (single shuffle on the
+        # bucket key — same shape as minhash_lsh_candidates)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bucket")
+        tagged = banded.withColumn("_m", F.count("*").over(w)).withColumn(
+            "_rep", F.min(id_col).over(w)
+        )
+        small = tagged.where(F.col("_m") <= max_bucket_size)
+        a = small.select(F.col(id_col).alias("id_a"), "band", "bucket")
+        b = small.select(F.col(id_col).alias("id_b"), "band", "bucket")
+        dense = (
+            a.join(b, ["band", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        star = tagged.where(
+            (F.col("_m") > max_bucket_size) & (F.col(id_col) != F.col("_rep"))
+        ).select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
+        cand = dense.union(star).dropDuplicates()
     # Materialized: verification consumes cand twice (the id semi-join
     # and the pair join), and the banded self-join would re-execute per
     # consumer — same reasoning as minhash_dedup_pairs.
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates()
-        .localCheckpoint(eager=True)
-    )
+    cand = cand.localCheckpoint(eager=True)
     return verify_jaccard_pairs(df, cand, id_col, text_col, n, threshold)
 
 

@@ -319,12 +319,17 @@ def minhash_dedup_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_portable_oracle_sql(
-    num_perm: int = 32, bands: int = 16, threshold: float = 0.5
+    num_perm: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_bucket_size: int = 32,
 ) -> str:
     """DuckDB twin of minhash_dedup_pairs_portable: identical md5
     permutation family (min over lowercase hex strings — lexicographic
     == numeric for fixed-width hex, rendered identically by every
-    engine), identical band buckets (concatenated min-hashes), identical
+    engine), identical band buckets (md5 of the band's concatenated
+    min-hashes), identical star-edge bucket cap (dense pairs in buckets
+    ≤ cap, hub edges to the min-id member above it), identical
     candidate join and exact-Jaccard verification over distinct word
     3-gram shingles."""
     rows_per_band = num_perm // bands
@@ -332,7 +337,7 @@ def _minhash_portable_oracle_sql(
         f"min(md5('{i}:' || s)) AS h{i}" for i in range(num_perm)
     )
     band_branches = "\n      UNION ALL\n      ".join(
-        "SELECT doc_id, {b} AS band, {expr} AS bucket FROM sig".format(
+        "SELECT doc_id, {b} AS band, md5({expr}) AS bucket FROM sig".format(
             b=b,
             expr=" || '|' || ".join(
                 f"h{b * rows_per_band + j}" for j in range(rows_per_band)
@@ -351,10 +356,24 @@ def _minhash_portable_oracle_sql(
     bands AS (
       {band_branches}
     ),
+    bsz AS (
+      SELECT band, bucket, count(*) AS m, min(doc_id) AS hub
+      FROM bands GROUP BY band, bucket
+    ),
     cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bsz s ON s.band = a.band AND s.bucket = a.bucket
+                  AND s.m <= {max_bucket_size}
+        JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                    AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT s.hub AS id_a, a.doc_id AS id_b
+        FROM bands a
+        JOIN bsz s ON s.band = a.band AND s.bucket = a.bucket
+                  AND s.m > {max_bucket_size} AND a.doc_id <> s.hub
+      )
     ),
     cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     pj AS (
@@ -375,15 +394,17 @@ def _minhash_portable_oracle_sql(
 
 @register(
     "minhash_dedup_pairs_portable",
-    oracle=_minhash_portable_oracle_sql(32, 16, 0.5),
+    oracle=_minhash_portable_oracle_sql(32, 16, 0.5, 32),
     doc="Two-stage MinHash near-dedup with the engine-portable md5 "
-    "permutation family (min over hex strings, band bucket = the band's "
-    "min-hashes concatenated): the whole pipeline — signatures, banding, "
-    "candidate join, exact-Jaccard verify — is replayed verbatim by the "
-    "DuckDB oracle, closing the VERDICT r2 #2 ask for a hash-checked "
-    "MinHash row. Same physical shape as minhash_dedup_pairs (the "
-    "xxhash64 production family, which stays rows-only because DuckDB "
-    "lacks XXH64); the md5-per-shingle cost is the portability tax.",
+    "permutation family (min over hex strings, band bucket = md5 of the "
+    "band's concatenated min-hashes, star-edge bucket cap at 32): the "
+    "whole pipeline — signatures, banding, capped candidate join, "
+    "exact-Jaccard verify — is replayed verbatim by the DuckDB oracle, "
+    "closing the VERDICT r2 #2 ask for a hash-checked MinHash row. Same "
+    "physical shape as minhash_dedup_pairs (the xxhash64 production "
+    "family, which stays rows-only because DuckDB lacks XXH64); the "
+    "md5-per-shingle cost is the portability tax. The r4 10x volume "
+    "stress (SCALE.md) motivated the compact bucket key and the cap.",
     tags=("llm", "dedup", "bench"),
 )
 def minhash_dedup_pairs_portable_query(
@@ -395,7 +416,8 @@ def minhash_dedup_pairs_portable_query(
 
     docs = load_fanout(spark, sf_dir, "documents")
     return minhash_dedup_pairs_portable(
-        docs, "doc_id", "text", n=3, threshold=0.5, num_perm=32, bands=16
+        docs, "doc_id", "text", n=3, threshold=0.5, num_perm=32, bands=16,
+        max_bucket_size=32,
     ).orderBy("id_a", "id_b")
 
 

@@ -87,6 +87,9 @@ _ROUND_HEAD: tuple[str, ...] = (
     # r4 new: ANN quality measurement — LSH candidate recall vs
     # brute-force cosine top-k ground truth, both sides replayed in SQL.
     "embedding_ann_recall_report",
+    # r4 plan+oracle change: compact md5 band bucket + star-edge bucket
+    # cap, both motivated by the 10x volume stress (SCALE.md)
+    "minhash_dedup_pairs_portable",
 )
 
 
