@@ -341,12 +341,17 @@ def minhash_lsh_candidates(
         )
     # bucket size + representative via ONE window pass (single shuffle on
     # the bucket key) instead of aggregate-then-rejoin (two shuffles of
-    # the same banded rows — measured 0.2s slower at sf0.1)
+    # the same banded rows — measured 0.2s slower at sf0.1).
+    # Materialized: three consumers (both dense-join sides + the star
+    # branch) would otherwise each re-run the explode+window pipeline —
+    # the r4 stress caught the portable twin paying 3× the shuffle.
     from pyspark.sql import Window
 
     w = Window.partitionBy("band", "bucket")
-    tagged = banded.withColumn("_m", F.count("*").over(w)).withColumn(
-        "_rep", F.min(id_col).over(w)
+    tagged = (
+        banded.withColumn("_m", F.count("*").over(w))
+        .withColumn("_rep", F.min(id_col).over(w))
+        .localCheckpoint(eager=True)
     )
     small = tagged.where(F.col("_m") <= max_bucket_size)
     a = small.select(F.col(id_col).alias("id_a"), "band", "bucket")
@@ -552,12 +557,18 @@ def minhash_dedup_pairs_portable(
         )
     else:
         # one window pass tags size + min-id hub (single shuffle on the
-        # bucket key — same shape as minhash_lsh_candidates)
+        # bucket key — same shape as minhash_lsh_candidates).
+        # Materialized: THREE consumers read it (both dense-join sides
+        # and the star branch) and without the checkpoint each re-runs
+        # the explode+window pipeline — measured 3× the shuffle bytes
+        # at sf0.1 (plan showed 3 identical Exchanges, 0 reused).
         from pyspark.sql import Window
 
         w = Window.partitionBy("band", "bucket")
-        tagged = banded.withColumn("_m", F.count("*").over(w)).withColumn(
-            "_rep", F.min(id_col).over(w)
+        tagged = (
+            banded.withColumn("_m", F.count("*").over(w))
+            .withColumn("_rep", F.min(id_col).over(w))
+            .localCheckpoint(eager=True)
         )
         small = tagged.where(F.col("_m") <= max_bucket_size)
         a = small.select(F.col(id_col).alias("id_a"), "band", "bucket")

@@ -883,7 +883,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "batched GEMM, the approx side shuffles (id, table, bucket) triples "
     "only; the recall join touches q×k rows. Both constituent plans are "
     "independently oracle-green; here their COMPOSITION is hash-checked.",
-    tags=("llm", "similarity"),
+    tags=("llm", "similarity", "bench"),
 )
 def embedding_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_data_data_pipeline_spark.functions.similarity import (
@@ -1256,7 +1256,7 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recall trade, here hash-checked against a DuckDB replay of the "
     "same branch selection. Twin of: semantic_dedup_keep (uncapped "
     "exact enumeration).",
-    tags=("llm", "dedup", "similarity"),
+    tags=("llm", "dedup", "similarity", "bench"),
 )
 def semantic_dedup_keep_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_data_data_pipeline_spark.functions.similarity import (
