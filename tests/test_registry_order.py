@@ -26,6 +26,8 @@ ROUND_HEAD = (
     "semantic_dedup_keep_capped",
     "embedding_ann_recall_report",
     "minhash_dedup_pairs_portable",
+    "span_dedup_removal",
+    "train_holdout_split",
 )
 
 

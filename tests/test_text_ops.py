@@ -294,3 +294,35 @@ def test_dedup_paragraphs_rejects_nonportable_sep(spark):
     for bad in (r"\R", r"\h+", r"a*+", r"(?>ab)", r"(?P<x>a)"):
         with pytest.raises(ValueError, match="not portable"):
             dedup_paragraphs(df, "text", "clean", sep=bad)
+
+
+def test_holdout_split_stable_under_growth(spark):
+    """A document's split must be a pure function of its id: appending
+    new documents (corpus growth) may never migrate an existing doc
+    between train/val/test — the leakage mode random splits have."""
+    from weather_data_data_pipeline_spark.functions.text import holdout_split
+
+    small = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    grown = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    col = holdout_split("doc_id", "split-v1")
+    before = {
+        r["doc_id"]: r["s"] for r in small.select("doc_id", col.alias("s")).collect()
+    }
+    after = {
+        r["doc_id"]: r["s"] for r in grown.select("doc_id", col.alias("s")).collect()
+    }
+    assert all(after[i] == s for i, s in before.items())
+    # every split is populated and proportions are in the right ballpark
+    from collections import Counter
+
+    c = Counter(after.values())
+    assert set(c) == {"train", "val", "test"}
+    assert 0.85 <= c["train"] / 2000 <= 0.95
+    # a different salt reshuffles (the split is salt-keyed, not id-magic)
+    other = {
+        r["doc_id"]: r["s"]
+        for r in grown.select(
+            "doc_id", holdout_split("doc_id", "split-v2").alias("s")
+        ).collect()
+    }
+    assert any(other[i] != after[i] for i in after)

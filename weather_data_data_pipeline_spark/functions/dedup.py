@@ -1128,3 +1128,91 @@ def incremental_near_dedup_indexed(
         F.col("doc_id").alias(id_col)
     )
     return survivors.join(drop, id_col, "left_anti")
+
+
+def span_dedup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup transform (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): per document, the
+    token-interval UNION of every positional n-gram whose exact text
+    occurs >= min_count times in the whole corpus — i.e. how much of the
+    document an exact-substring deduper would cut, and how much survives.
+    span_dedup_profile reports the per-doc *signal* (distinct shared
+    shingles); this computes the *removal* itself: positional spans,
+    overlapping duplicate spans merged gaps-and-islands style, so a run
+    of k consecutive duplicated n-grams costs k + n - 1 tokens, not
+    k * n.
+
+    Pipeline (all built-in expressions, no Python in the hot path):
+      1. positional n-grams via posexplode — (id, pos, xxhash64(gram)),
+         grams hashed AFTER the explode so the hash stays inside
+         whole-stage codegen;
+      2. corpus-frequency count on the 8-byte hash (one map-side-combined
+         shuffle) and an inverted-index join back to the positions —
+         identical shape to span_dedup_profile, no pairwise blowup;
+      3. duplicated positions -> islands with one per-doc window pass
+         (lag + running sum over pos); fixed-width spans overlap iff
+         pos - prev_pos < n, and an island's token cost is
+         max(pos) - min(pos) + n.
+
+    At scale: the window partitions by document (bounded by max doc
+    length, not corpus size); the only corpus-wide state is the gram
+    frequency aggregate, which is mergeable and carries longs.
+
+    Output: (id, n_tokens, dup_tokens, kept_tokens, dup_frac, n_islands),
+    one row per input document (docs shorter than n tokens keep
+    everything).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_t")
+    ).withColumn("_len", F.size("_t"))
+    grams = (
+        toks.where(F.col("_len") >= n)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("_len") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice("_t", i, n)),
+                )
+            ).alias("pos", "gram"),
+        )
+        .select(id_col, "pos", F.xxhash64("gram").alias("h"))
+    )
+    freq = grams.groupBy("h").agg(F.count("*").alias("_c"))
+    dup = grams.join(freq.where(F.col("_c") >= min_count), "h").select(
+        id_col, "pos"
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev = F.lag("pos").over(w)
+    marked = dup.withColumn(
+        "_new",
+        F.when(prev.isNull() | (F.col("pos") - prev >= n), 1).otherwise(0),
+    )
+    islands = marked.withColumn("_isl", F.sum("_new").over(w))
+    per_isl = islands.groupBy(id_col, "_isl").agg(
+        (F.max("pos") - F.min("pos") + n).alias("_dup_len")
+    )
+    per_doc = per_isl.groupBy(id_col).agg(
+        F.sum("_dup_len").alias("dup_tokens"),
+        F.count("*").alias("n_islands"),
+    )
+    base = toks.select(id_col, F.col("_len").cast("bigint").alias("n_tokens"))
+    dup_tokens = F.coalesce("dup_tokens", F.lit(0)).cast("bigint")
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        dup_tokens.alias("dup_tokens"),
+        (F.col("n_tokens") - dup_tokens).cast("bigint").alias("kept_tokens"),
+        F.round(
+            dup_tokens.cast("double") / F.greatest("n_tokens", F.lit(1)), 4
+        ).alias("dup_frac"),
+        F.coalesce("n_islands", F.lit(0)).cast("bigint").alias("n_islands"),
+    )

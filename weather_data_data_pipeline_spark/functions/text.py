@@ -500,3 +500,30 @@ def dedup_paragraphs(
         out_col, dedup_udf(F.col(text_col))
     )
     return small.unionByName(large)
+
+
+def holdout_split(
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+    bounds: tuple[tuple[str, float], ...] = (
+        ("train", 0.90),
+        ("val", 0.95),
+    ),
+    rest: str = "test",
+) -> Column:
+    """Deterministic train/val/test assignment — the split every training
+    pipeline needs to be REPRODUCIBLE and leakage-free: a document's
+    split is a pure function of md5(salt || id), so re-running on a
+    grown corpus never moves an old document between splits (no eval
+    contamination from re-shuffling), and any engine with an md5 builtin
+    re-derives the identical assignment (same literal-threshold trick as
+    :func:`md5_threshold`). ``bounds`` are cumulative upper fractions in
+    ascending order; everything above the last bound falls into
+    ``rest``. Pure codegen'd row expression: no shuffle, no state,
+    scales with the scan."""
+    digest = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    expr = None
+    for name, upper in bounds:
+        cond = (digest < F.lit(md5_threshold(upper)), F.lit(name))
+        expr = F.when(*cond) if expr is None else expr.when(*cond)
+    return expr.otherwise(F.lit(rest)) if expr is not None else F.lit(rest)

@@ -1749,6 +1749,132 @@ def span_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "span_dedup_removal",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) - 6),
+                          i -> struct_pack(pos := i - 1,
+                               gram := array_to_string(t[i:i+7], ' ')))) AS u
+            FROM toks WHERE len(t) >= 8
+        )
+    ),
+    freq AS (SELECT gram, count(*) AS c FROM spans GROUP BY gram),
+    dup AS (
+        SELECT doc_id, pos FROM spans JOIN freq USING (gram)
+        WHERE freq.c >= 2
+    ),
+    marked AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER w IS NULL
+                      OR pos - lag(pos) OVER w >= 8 THEN 1 ELSE 0
+               END AS new_isl
+        FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    islands AS (
+        SELECT doc_id, pos,
+               sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        FROM marked
+    ),
+    per_isl AS (
+        SELECT doc_id, isl, max(pos) - min(pos) + 8 AS dup_len
+        FROM islands GROUP BY doc_id, isl
+    ),
+    per_doc AS (
+        SELECT doc_id, sum(dup_len) AS dup_tokens, count(*) AS n_islands
+        FROM per_isl GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(len(string_split(d.text, ' '))
+                - coalesce(p.dup_tokens, 0) AS BIGINT) AS kept_tokens,
+           round(CAST(coalesce(p.dup_tokens, 0) AS DOUBLE)
+                 / greatest(len(string_split(d.text, ' ')), 1), 4)
+               AS dup_frac,
+           CAST(coalesce(p.n_islands, 0) AS BIGINT) AS n_islands
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+    doc="Exact-substring dedup REMOVAL (Lee et al. 2022 semantics, "
+    "8-gram granularity): span_dedup_profile reports the duplicated-"
+    "span signal; this computes what the deduper would actually cut — "
+    "per document, the merged token-interval union of every positional "
+    "8-gram occurring >= 2 times corpus-wide (a run of k consecutive "
+    "duplicated grams costs k+7 tokens, not 8k), via one per-doc "
+    "gaps-and-islands window pass (functions/dedup.py: "
+    "span_dedup_stats). Corpus-wide state is only the gram-frequency "
+    "aggregate on 8-byte hashes; the window partitions by document, so "
+    "task cost is bounded by max doc length at any corpus size.",
+    tags=("llm", "dedup", "quality", "bench"),
+)
+def span_dedup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        span_dedup_stats,
+    )
+
+    docs = load_fanout(spark, sf_dir, "documents")
+    return span_dedup_stats(docs, "doc_id", "text", n=8, min_count=2)
+
+
+@register(
+    "train_holdout_split",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT CASE
+                 WHEN md5('split-v1' || CAST(doc_id AS VARCHAR))
+                      < '{md5_threshold(0.90)}' THEN 'train'
+                 WHEN md5('split-v1' || CAST(doc_id AS VARCHAR))
+                      < '{md5_threshold(0.95)}' THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               source,
+               len(string_split(text, ' ')) AS n_tok,
+               n_chars
+        FROM documents
+    )
+    SELECT split, source,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS tokens,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM tagged GROUP BY split, source
+    """,
+    doc="Deterministic 90/5/5 train/val/test holdout "
+    "(functions/text.py: holdout_split): a document's split is a pure "
+    "function of md5(salt || doc_id) against literal hex thresholds, so "
+    "the assignment is reproducible on any engine, partition-invariant, "
+    "and STABLE under corpus growth — re-running on an appended corpus "
+    "never migrates an old document across splits (the leakage mode "
+    "random splits have). Reported as per-(split, source) doc/token/"
+    "char budgets — the sanity table checked before every training run. "
+    "Zero-shuffle assignment; the only exchange is the final partial-"
+    "aggregated rollup.",
+    tags=("llm", "sampling", "bench"),
+)
+def train_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.text import holdout_split
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            holdout_split("doc_id", "split-v1").alias("split"),
+            "source",
+            F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+            "n_chars",
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("tokens"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+        )
+    )
+
+
+@register(
     "dedup_incremental_batch",
     verified_by="tests/test_dedup_caps.py",
     oracle=None,  # MinHash-family specific; invariants + batch-equivalence

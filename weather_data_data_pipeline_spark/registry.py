@@ -90,6 +90,12 @@ _ROUND_HEAD: tuple[str, ...] = (
     # r4 plan+oracle change: compact md5 band bucket + star-edge bucket
     # cap, both motivated by the 10x volume stress (SCALE.md)
     "minhash_dedup_pairs_portable",
+    # r4 new: exact-substring dedup REMOVAL (Lee et al. semantics) —
+    # positional 8-grams, corpus-frequency join, gaps-and-islands merge
+    "span_dedup_removal",
+    # r4 new: deterministic md5-bucketed 90/5/5 train/val/test split —
+    # growth-stable, engine-portable, zero-shuffle assignment
+    "train_holdout_split",
 )
 
 
