@@ -38,6 +38,9 @@ QUERIES = (
     "dedup_clusters",
     "semantic_dedup_keep",
     "training_pipeline_e2e",
+    # r4: exact-substring removal — corpus-frequency join + per-doc
+    # window; expected ~linear (gram count scales with token count)
+    "span_dedup_removal",
 )
 
 
