@@ -41,6 +41,11 @@ QUERIES = (
     # r4: exact-substring removal — corpus-frequency join + per-doc
     # window; expected ~linear (gram count scales with token count)
     "span_dedup_removal",
+    # r4: the hot-cell cap under volume — with fixed seed centroids,
+    # 10x vectors means 10x-bigger cells and ~100x uncapped per-cell
+    # GEMM FLOPs (measured: semantic_dedup_keep wall grows superlinear
+    # at sf1); the star-edge cell cap must flatten that
+    "semantic_dedup_keep_capped",
 )
 
 
