@@ -1,0 +1,85 @@
+"""Distributed BPE trainer pinned EXACTLY against the pure-Python
+Sennrich reference (same (freq desc, pair asc) tie-break), plus encoder
+round-trip and scale-shape invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from weather_data_data_pipeline_spark.functions.bpe import (
+    END,
+    bpe_encode_expr,
+    bpe_train,
+    python_bpe_reference,
+    word_frequency_table,
+)
+
+CORPUS = [
+    "low low low low low",
+    "lower lower newest newest",
+    "newest newest newest newest",
+    "widest widest widest",
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], ["doc_id", "text"]
+    )
+
+
+def test_trainer_matches_python_reference_exactly(spark):
+    docs = _docs(spark)
+    wf = {
+        r["word"]: r["cnt"]
+        for r in word_frequency_table(docs, "text").collect()
+    }
+    expect = python_bpe_reference(wf, num_merges=10)
+    got = bpe_train(docs, "text", num_merges=10)
+    assert got == expect
+    # the classic example learns 'est</w>' pieces from newest/widest
+    merged = {l + r for l, r, _ in got}
+    assert any("est" in m for m in merged)
+
+
+def test_trainer_deterministic_under_repartition(spark):
+    docs = _docs(spark)
+    a = bpe_train(docs, "text", num_merges=6)
+    b = bpe_train(docs.repartition(7), "text", num_merges=6)
+    assert a == b
+
+
+def test_min_freq_stops_early(spark):
+    docs = spark.createDataFrame([(0, "ab cd")], ["doc_id", "text"])
+    # every pair occurs once — nothing reaches min_freq=2
+    assert bpe_train(docs, "text", num_merges=5) == []
+
+
+def test_encoder_applies_merges_greedily(spark):
+    docs = _docs(spark)
+    merges = bpe_train(docs, "text", num_merges=10)
+    out = (
+        _docs(spark)
+        .select(bpe_encode_expr("text", merges).alias("toks"))
+        .collect()
+    )
+    toks = [r["toks"] for r in out]
+    # every token stream reconstructs its document exactly
+    for text, ts in zip(CORPUS, toks):
+        assert "".join(ts).replace(END, " ").strip() == text
+    # with 10 merges over this tiny corpus, frequent words collapse to
+    # far fewer symbols than their character count
+    flat = [t for ts in toks for t in ts]
+    assert len(flat) < sum(len(w) + 1 for t in CORPUS for w in t.split())
+
+
+def test_corpus_touched_once_then_compact(spark):
+    """Scale-shape invariant: the merge loop's working table has one row
+    per DISTINCT word, not per corpus occurrence."""
+    docs = _docs(spark)
+    wf = word_frequency_table(docs, "text")
+    assert wf.count() == 4  # low lower newest widest
+    assert (
+        wf.agg(F.sum("cnt")).collect()[0][0]
+        == sum(len(t.split()) for t in CORPUS)
+    )

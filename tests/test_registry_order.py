@@ -28,6 +28,7 @@ ROUND_HEAD = (
     "minhash_dedup_pairs_portable",
     "span_dedup_removal",
     "train_holdout_split",
+    "bpe_merge_table",
 )
 
 

@@ -1,0 +1,196 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016) — the
+tokenizer-fitting step of a training-data pipeline, run where the data
+is instead of sampling it down.
+
+Scale shape (the part that matters at 100 TB):
+- The corpus is touched EXACTLY ONCE: one groupBy collapses it to the
+  distinct-word frequency table. Natural-language corpora obey Heaps'
+  law — distinct words grow ~n^0.5 — so the working table the merge
+  loop iterates over is orders of magnitude smaller than the corpus,
+  and it only shrinks in rows as merges proceed.
+- Each merge iteration is ONE map-side-combinable pair-count aggregate
+  over that compact table plus one argmax; only a single (pair, count)
+  row ever reaches the driver per iteration.
+- The merge application is an Arrow-batched pandas transform on the
+  symbol arrays (a per-element adjacent-pair rewrite has no clean
+  built-in HOF form); the frame it runs over is the distinct-word
+  table, NOT the corpus.
+- Lineage is cut with localCheckpoint each iteration (the k-means /
+  PageRank pattern) so the plan does not grow with num_merges.
+
+Determinism: ties in pair frequency break lexicographically on
+(left, right), so the learned merge table is unique given the corpus —
+pinned against a pure-Python reference implementation in
+tests/test_bpe.py.
+
+The reference has no tokenizer operator; this extends the engine for
+the LLM-training-data north star alongside span dedup and the
+quality/sampling stack.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+END = "</w>"
+
+
+def word_frequency_table(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, cnt) over whitespace-split tokens — the ONLY corpus-scale
+    pass in BPE training (one shuffle on the word)."""
+    return (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _initial_symbols(wf: DataFrame) -> DataFrame:
+    """Split each word into characters + the end-of-word marker."""
+    return wf.select(
+        F.concat(
+            F.split(F.col("word"), ""), F.array(F.lit(END))
+        ).alias("syms"),
+        "cnt",
+    )
+
+
+def _pair_counts(work: DataFrame) -> DataFrame:
+    """Adjacent-pair frequencies, weighted by word count — one exploded
+    projection + one map-side-combinable aggregate."""
+    # fully-merged words (one symbol) emit no pairs; the where-guard
+    # also keeps sequence() ascending (Spark descends when start > stop)
+    pairs = work.where(F.size("syms") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("syms") - 2),
+                lambda i: F.struct(
+                    F.col("syms")[i].alias("left"),
+                    F.col("syms")[i + 1].alias("right"),
+                ),
+            )
+        ).alias("p"),
+        "cnt",
+    )
+    return pairs.groupBy("p.left", "p.right").agg(F.sum("cnt").alias("freq"))
+
+
+def _merge_adjacent(syms: list, left: str, right: str) -> list:
+    out = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _merge_udf(left: str, right: str):
+    """Arrow-batched rewrite of one learned merge over symbol arrays
+    (closure-captured pair — pandas_udf signatures admit only the
+    Series parameter)."""
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def apply_merge(s: pd.Series) -> pd.Series:
+        return s.map(lambda syms: _merge_adjacent(list(syms), left, right))
+
+    return apply_merge
+
+
+def bpe_train(
+    df: DataFrame, text_col: str, num_merges: int, min_freq: int = 2
+) -> list[tuple[str, str, int]]:
+    """Learn ``num_merges`` BPE merges; returns [(left, right, freq)] in
+    learned order. Stops early when the best pair's frequency falls
+    below ``min_freq`` (merging hapax pairs memorizes noise)."""
+    work = _initial_symbols(word_frequency_table(df, text_col))
+    work = work.localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(int(num_merges)):
+        best = (
+            _pair_counts(work)
+            .where(F.col("left") != END)
+            .orderBy(F.desc("freq"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["freq"] < min_freq:
+            break
+        left, right = best[0]["left"], best[0]["right"]
+        merges.append((left, right, int(best[0]["freq"])))
+
+        apply_merge = _merge_udf(left, right)
+
+        # the rewrite runs over the DISTINCT-WORD table, not the corpus;
+        # localCheckpoint keeps the plan O(1) across iterations
+        work = work.select(
+            apply_merge("syms").alias("syms"), "cnt"
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_encode_expr(
+    text_col: str, merges: Iterable[tuple[str, str, int]]
+):
+    """Arrow-batched encoder applying a learned merge list to raw text;
+    returns an array<string> column of BPE tokens. Merges are applied in
+    learned order (the standard greedy encode); the closure ships the
+    merge table (a few KB) to executors with the task."""
+    table = [(l, r) for l, r, *_ in merges]
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def encode(s: pd.Series) -> pd.Series:
+        def one(text: str) -> list:
+            out: list[str] = []
+            for w in text.split(" "):
+                if not w:
+                    continue
+                syms = list(w) + [END]
+                for l, r in table:
+                    if len(syms) < 2:
+                        break
+                    syms = _merge_adjacent(syms, l, r)
+                out.extend(syms)
+            return out
+
+        return s.map(one)
+
+    return encode(text_col)
+
+
+def python_bpe_reference(
+    word_counts: dict[str, int], num_merges: int, min_freq: int = 2
+) -> list[tuple[str, str, int]]:
+    """Pure-Python ground truth (Sennrich Algorithm 1) used by the unit
+    tests to pin the distributed trainer exactly — same tie-break."""
+    vocab = {tuple(list(w) + [END]): c for w, c in word_counts.items()}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(int(num_merges)):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                if a == END:
+                    continue
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        if not counts:
+            break
+        (left, right), freq = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if freq < min_freq:
+            break
+        merges.append((left, right, freq))
+        vocab = {
+            tuple(_merge_adjacent(list(s), left, right)): c
+            for s, c in vocab.items()
+        }
+    return merges

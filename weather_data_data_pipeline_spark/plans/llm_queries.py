@@ -1875,6 +1875,35 @@ def train_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_merge_table",
+    verified_by="tests/test_bpe.py",
+    oracle=None,  # iterative argmax loop — not SQL-expressible; the
+    # trainer is pinned EXACTLY (same tie-break) against the pure-Python
+    # Sennrich reference in tests/test_bpe.py
+    doc="Distributed BPE tokenizer training (Sennrich 2016) over the "
+    "corpus (functions/bpe.py): the corpus is touched once (word-"
+    "frequency groupBy); each of the 12 merge iterations is one "
+    "map-side-combinable pair-count aggregate over the compact "
+    "distinct-word table plus a single-row argmax to the driver, with "
+    "lineage cut per iteration (the k-means/PageRank pattern). Output "
+    "is the learned merge table (rank, left, right, merged, freq) — "
+    "deterministic via the (freq desc, pair asc) tie-break.",
+    tags=("llm", "text", "rows-only"),
+)
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.bpe import bpe_train
+
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", num_merges=12)
+    rows = [
+        (i + 1, l, r, l + r, f) for i, (l, r, f) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, merged string, freq bigint"
+    )
+
+
+@register(
     "dedup_incremental_batch",
     verified_by="tests/test_dedup_caps.py",
     oracle=None,  # MinHash-family specific; invariants + batch-equivalence

@@ -96,6 +96,9 @@ _ROUND_HEAD: tuple[str, ...] = (
     # r4 new: deterministic md5-bucketed 90/5/5 train/val/test split —
     # growth-stable, engine-portable, zero-shuffle assignment
     "train_holdout_split",
+    # r4 new: distributed BPE tokenizer training (rows-only; pinned
+    # exactly against the pure-Python Sennrich reference in tests)
+    "bpe_merge_table",
 )
 
 
