@@ -46,6 +46,10 @@ INTENTIONAL = {
     ("doc_unigram_logppl", "BroadcastNestedLoopJoin"):
         "single-ROW build side: the corpus token total attaches to the "
         "token table — O(n × 1) scalar attach",
+    ("doc_bigram_logppl", "BroadcastNestedLoopJoin"):
+        "single-ROW build side: the vocab-size aggregate attaches to the "
+        "bigram table for the add-one denominator — O(n × 1) scalar "
+        "attach, same shape as doc_unigram_logppl",
     ("conversion_funnel", "BroadcastNestedLoopJoin"):
         "single-ROW build side: the distinct-user total attaches to the "
         "three per-step count rows — O(3 × 1) scalar attach",

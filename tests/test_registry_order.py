@@ -29,6 +29,7 @@ ROUND_HEAD = (
     "span_dedup_removal",
     "train_holdout_split",
     "bpe_merge_table",
+    "doc_bigram_logppl",
 )
 
 

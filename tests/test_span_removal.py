@@ -77,3 +77,78 @@ def test_intra_doc_repeat_counts(spark):
     a = "r1 r2 r3 r4 r5 r6 r7 r8"
     got = _stats(spark, [(1, f"{a} m1 m2 m3 m4 m5 m6 m7 m8 {a}")])
     assert got[1] == (24, 16, 8, 2)
+
+
+# --- property: distributed result == pure-Python reference ------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+
+# tiny alphabet + short docs maximize collisions (duplicated spans,
+# self-overlaps, whole-doc dups) in few examples; n=3 keeps grams per
+# doc meaningful at these lengths
+_DOC = st.lists(
+    st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12
+).map(" ".join)
+_CORPUS = st.lists(_DOC, min_size=1, max_size=8)
+
+
+def _python_reference(texts, n=3, min_count=2):
+    from collections import Counter
+
+    grams = Counter()
+    positional = []
+    for text in texts:
+        toks = text.split(" ")
+        pos = []
+        for i in range(len(toks) - n + 1):
+            g = " ".join(toks[i : i + n])
+            grams[g] += 1
+            pos.append((i, g))
+        positional.append((toks, pos))
+    out = []
+    for doc_id, (toks, pos) in enumerate(positional):
+        dup = sorted(i for i, g in pos if grams[g] >= min_count)
+        islands = 0
+        covered = 0
+        prev_end = None
+        for i in dup:
+            if prev_end is None or i >= prev_end:
+                islands += 1
+                covered += n
+            else:
+                covered += i + n - prev_end
+            prev_end = max(prev_end or 0, i + n)
+        out.append((doc_id, len(toks), covered, len(toks) - covered, islands))
+    return out
+
+
+@_SETTINGS
+@given(corpus=_CORPUS)
+def test_matches_python_reference(spark, corpus):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["dup_tokens"],
+            r["kept_tokens"],
+            r["n_islands"],
+        )
+        for r in span_dedup_stats(df, "doc_id", "text", n=3).collect()
+    }
+    for doc_id, n_tokens, dup, kept, islands in _python_reference(corpus):
+        assert got[doc_id] == (n_tokens, dup, kept, islands), (
+            f"doc {doc_id} {corpus[doc_id]!r}: "
+            f"spark={got[doc_id]} python={(n_tokens, dup, kept, islands)}"
+        )

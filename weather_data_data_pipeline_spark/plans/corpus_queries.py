@@ -416,6 +416,86 @@ def doc_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_bigram_logppl",
+    oracle="""
+    WITH arrs AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    bi AS (
+      SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                      i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS u
+        FROM arrs WHERE len(t) >= 2
+      )
+    ),
+    uni AS (
+      SELECT u AS w1, count(*) AS c1
+      FROM (SELECT unnest(t) AS u FROM arrs) GROUP BY u
+    ),
+    v AS (SELECT count(*) AS vs FROM uni),
+    bg AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2)
+    SELECT bi.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(-ln((bg.c2 + 1.0) / (uni.c1 + v.vs))), 4) AS logppl
+    FROM bi JOIN bg USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+    GROUP BY bi.doc_id
+    """,
+    doc="Bigram-LM perplexity proxy with add-one smoothing: per-document "
+    "mean negative log P(w2|w1) under the corpus's own bigram counts — "
+    "the conditional-probability upgrade of doc_unigram_logppl (word-"
+    "ORDER anomalies now score high, not just rare words). Three "
+    "aggregates (unigram counts, bigram counts, vocab size) + two hash "
+    "joins back to the exploded bigrams; both count tables are "
+    "Zipf-small relative to the corpus, and the per-doc average is a "
+    "partial+final combine — the same bounded-state shape as the "
+    "unigram query at any corpus size.",
+    tags=("llm", "text", "quality", "bench"),
+)
+def doc_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    arr = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    arrs = docs.select("doc_id", arr.alias("t"))
+    bi = arrs.where(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.struct(
+                    F.col("t")[i].alias("w1"), F.col("t")[i + 1].alias("w2")
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    uni = (
+        arrs.select(F.explode("t").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    v = uni.agg(F.count("*").alias("vs"))
+    bg = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    return (
+        bi.join(bg, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    -F.log(
+                        (F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("vs"))
+                    )
+                ),
+                4,
+            ).alias("logppl"),
+        )
+    )
+
+
+@register(
     "vocab_zipf_fit",
     oracle="""
     WITH toks AS (

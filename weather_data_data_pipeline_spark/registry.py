@@ -99,6 +99,9 @@ _ROUND_HEAD: tuple[str, ...] = (
     # r4 new: distributed BPE tokenizer training (rows-only; pinned
     # exactly against the pure-Python Sennrich reference in tests)
     "bpe_merge_table",
+    # r4 new: bigram-LM perplexity proxy (conditional-probability
+    # upgrade of the unigram filter; add-one smoothing)
+    "doc_bigram_logppl",
 )
 
 
