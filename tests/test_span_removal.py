@@ -152,3 +152,61 @@ def test_matches_python_reference(spark, corpus):
             f"doc {doc_id} {corpus[doc_id]!r}: "
             f"spark={got[doc_id]} python={(n_tokens, dup, kept, islands)}"
         )
+
+
+# --- applied form: clean_text reconstruction ---------------------------
+
+from weather_data_data_pipeline_spark.functions.dedup import span_dedup_clean
+
+
+def _clean(spark, rows, n=8):
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    return {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["kept_tokens"])
+        for r in span_dedup_clean(df, "doc_id", "text", n=n).collect()
+    }
+
+
+def test_clean_removes_shared_prefix_keeps_rest(spark):
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e f g h x y"),
+    ]
+    got = _clean(spark, rows)
+    assert got[1] == ("i j", 10, 2)
+    assert got[2] == ("x y", 10, 2)
+
+
+def test_clean_disjoint_islands_keep_middle(spark):
+    a = "a1 a2 a3 a4 a5 a6 a7 a8"
+    c = "c1 c2 c3 c4 c5 c6 c7 c8"
+    mid = "u1 u2 u3 u4 u5 u6 u7 u8"
+    got = _clean(spark, [(1, f"{a} {mid} {c}"), (2, f"{a} v1 v2 v3 v4 v5 v6 v7 v8 {c}")])
+    assert got[1] == (mid, 24, 8)
+
+
+def test_clean_untouched_docs_pass_through_verbatim(spark):
+    rows = [(1, "too short"), (2, "q w e r t y u i o")]
+    got = _clean(spark, rows)
+    assert got[1] == ("too short", 2, 2)
+    assert got[2] == ("q w e r t y u i o", 9, 9)
+
+
+def test_clean_kept_tokens_agree_with_stats(spark):
+    """clean and stats are two projections of the same removal: the
+    reconstructed text's token count must equal stats' kept_tokens on
+    every document of a random-ish corpus."""
+    rows = [
+        (i, " ".join("abc"[(i * 7 + j) % 3] for j in range(4 + (i % 9))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    stats = {
+        r["doc_id"]: r["kept_tokens"]
+        for r in span_dedup_stats(df, "doc_id", "text", n=3).collect()
+    }
+    clean = {
+        r["doc_id"]: r["kept_tokens"]
+        for r in span_dedup_clean(df, "doc_id", "text", n=3).collect()
+    }
+    assert stats == clean

@@ -1216,3 +1216,87 @@ def span_dedup_stats(
         ).alias("dup_frac"),
         F.coalesce("n_islands", F.lit(0)).cast("bigint").alias("n_islands"),
     )
+
+
+def span_dedup_clean(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """The applied form of :func:`span_dedup_stats`: returns each
+    document with its duplicated spans REMOVED — (id, clean_text,
+    n_tokens, kept_tokens). Token i survives iff no corpus-duplicated
+    n-gram's interval [start, start+n) covers it.
+
+    Same distributed shape as the stats pass (one corpus-frequency
+    aggregate on 8-byte gram hashes, one per-doc window), plus one
+    groupBy(id) to collect the merged islands into an array literal and
+    a codegen'd higher-order filter that rebuilds the text — the
+    reconstruction never shuffles tokens, only (id, islands) pairs.
+    Documents shorter than n tokens pass through untouched.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.split(F.col(text_col), " ").alias("_t"),
+    ).withColumn("_len", F.size("_t"))
+    grams = (
+        toks.where(F.col("_len") >= n)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("_len") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice("_t", i, n)),
+                )
+            ).alias("pos", "gram"),
+        )
+        .select(id_col, "pos", F.xxhash64("gram").alias("h"))
+    )
+    freq = grams.groupBy("h").agg(F.count("*").alias("_c"))
+    dup = grams.join(freq.where(F.col("_c") >= min_count), "h").select(
+        id_col, "pos"
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev = F.lag("pos").over(w)
+    islands = (
+        dup.withColumn(
+            "_new",
+            F.when(prev.isNull() | (F.col("pos") - prev >= n), 1).otherwise(0),
+        )
+        .withColumn("_isl", F.sum("_new").over(w))
+        .groupBy(id_col, "_isl")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + n).alias("e"))
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("s", "e")).alias("_spans"))
+    )
+    covered = lambda i: F.exists(  # noqa: E731 — bound per token index
+        F.col("_spans"), lambda sp: (i >= sp["s"]) & (i < sp["e"])
+    )
+    kept = F.filter(
+        F.zip_with(
+            F.col("_t"),
+            F.sequence(F.lit(0), F.col("_len") - 1),
+            lambda tok, i: F.struct(tok.alias("tok"), i.alias("i")),
+        ),
+        lambda p: ~covered(p["i"]),
+    )
+    return (
+        toks.join(islands, id_col, "left")
+        .withColumn(
+            "_kept",
+            F.when(F.col("_spans").isNull(), F.col("_t")).otherwise(
+                F.transform(kept, lambda p: p["tok"])
+            ),
+        )
+        .select(
+            id_col,
+            F.concat_ws(" ", F.col("_kept")).alias("clean_text"),
+            F.col("_len").cast("bigint").alias("n_tokens"),
+            F.size("_kept").cast("bigint").alias("kept_tokens"),
+        )
+    )
