@@ -180,7 +180,10 @@ def test_grouped_topk_warns_when_rule_excluded(spark):
     try:
         spark.conf.set(
             "spark.sql.optimizer.excludedRules",
-            "org.apache.spark.sql.catalyst.optimizer.InsertWindowGroupLimit",
+            # the real Spark >= 3.5 rule (verified against the installed
+            # spark-catalyst jar); a wrong name here would leave the rule
+            # ACTIVE and the test would only be checking the warning path
+            "org.apache.spark.sql.catalyst.optimizer.InferWindowGroupLimit",
         )
         ranking._WGL_WARNED = False
         with warnings.catch_warnings(record=True) as w:

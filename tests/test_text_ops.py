@@ -326,3 +326,26 @@ def test_holdout_split_stable_under_growth(spark):
         ).collect()
     }
     assert any(other[i] != after[i] for i in after)
+
+
+def test_md5_threshold_boundary_fractions(spark):
+    """fraction=1.0 must keep EVERYTHING: format(2**32) is 9 hex chars
+    and the length mismatch silently broke the lexicographic compare
+    (kept ~6%); the sentinel 'g…' sorts above every hex digest."""
+    from weather_data_data_pipeline_spark.functions.text import (
+        deterministic_sample_portable,
+        holdout_split,
+        md5_threshold,
+    )
+
+    t = md5_threshold(1.0)
+    assert len(t) == 32 and t > "f" * 32
+    assert md5_threshold(0.0) == "0" * 32
+    docs = spark.range(0, 300).withColumnRenamed("id", "doc_id").withColumn(
+        "lang", F.lit("en")
+    )
+    assert deterministic_sample_portable(docs, {"en": 1.0}).count() == 300
+    splits = docs.select(
+        holdout_split("doc_id", "x", bounds=(("train", 1.0),)).alias("s")
+    ).distinct().collect()
+    assert [r["s"] for r in splits] == ["train"]

@@ -523,7 +523,12 @@ def minhash_dedup_pairs_portable(
       sizes ∝ corpus, and Σm² candidate pairs grow quadratically while
       TRUE near-dup pairs don't. Star members whose hub edge fails
       verification lose elided dense links — the stated recall trade;
-      ``None`` restores exact candidate enumeration."""
+      ``None`` restores exact candidate enumeration. The cap is ON by
+      default here (unlike :func:`semantic_dedup`'s opt-in cell cap)
+      because this function IS the shipped scale path for near-dedup —
+      the stress measured the uncapped default quadratic, and a
+      scale-path default that degrades at volume is the wrong default;
+      exact enumeration remains one explicit argument away."""
     sigs = minhash_signatures_portable(
         df, id_col, text_col, n, num_perm
     ).localCheckpoint(eager=True)
@@ -1129,120 +1134,27 @@ def incremental_near_dedup_indexed(
     )
     return survivors.join(drop, id_col, "left_anti")
 
-
-def span_dedup_stats(
-    df: DataFrame,
+def _span_islands(
+    df: "DataFrame",
     id_col: str,
     text_col: str,
-    n: int = 8,
-    min_count: int = 2,
-) -> DataFrame:
-    """Exact-substring dedup transform (Lee et al., "Deduplicating
-    Training Data Makes Language Models Better"): per document, the
-    token-interval UNION of every positional n-gram whose exact text
-    occurs >= min_count times in the whole corpus — i.e. how much of the
-    document an exact-substring deduper would cut, and how much survives.
-    span_dedup_profile reports the per-doc *signal* (distinct shared
-    shingles); this computes the *removal* itself: positional spans,
-    overlapping duplicate spans merged gaps-and-islands style, so a run
-    of k consecutive duplicated n-grams costs k + n - 1 tokens, not
-    k * n.
+    n: int,
+    min_count: int,
+):
+    """Shared core of span_dedup_stats / span_dedup_clean: (toks, islands).
 
-    Pipeline (all built-in expressions, no Python in the hot path):
-      1. positional n-grams via posexplode — (id, pos, xxhash64(gram)),
-         grams hashed AFTER the explode so the hash stays inside
-         whole-stage codegen;
-      2. corpus-frequency count on the 8-byte hash (one map-side-combined
-         shuffle) and an inverted-index join back to the positions —
-         identical shape to span_dedup_profile, no pairwise blowup;
-      3. duplicated positions -> islands with one per-doc window pass
-         (lag + running sum over pos); fixed-width spans overlap iff
-         pos - prev_pos < n, and an island's token cost is
-         max(pos) - min(pos) + n.
-
-    At scale: the window partitions by document (bounded by max doc
-    length, not corpus size); the only corpus-wide state is the gram
-    frequency aggregate, which is mergeable and carries longs.
-
-    Output: (id, n_tokens, dup_tokens, kept_tokens, dup_frac, n_islands),
-    one row per input document (docs shorter than n tokens keep
-    everything).
-    """
+    ``toks`` is (id, _t token array, _len); ``islands`` is one row per
+    merged duplicate interval (id, _isl, s, e) — positional n-grams
+    hashed AFTER the posexplode (whole-stage codegen), one map-side-
+    combined corpus-frequency aggregate on the 8-byte hash, an
+    inverted-index join back to positions, and a per-doc lag/running-sum
+    window merging overlapping fixed-width spans (overlap iff
+    pos - prev_pos < n). Both public faces project from THIS frame, so
+    their removal semantics cannot diverge."""
     from pyspark.sql import Window
 
     toks = df.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("_t")
-    ).withColumn("_len", F.size("_t"))
-    grams = (
-        toks.where(F.col("_len") >= n)
-        .select(
-            id_col,
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), F.col("_len") - (n - 1)),
-                    lambda i: F.concat_ws(" ", F.slice("_t", i, n)),
-                )
-            ).alias("pos", "gram"),
-        )
-        .select(id_col, "pos", F.xxhash64("gram").alias("h"))
-    )
-    freq = grams.groupBy("h").agg(F.count("*").alias("_c"))
-    dup = grams.join(freq.where(F.col("_c") >= min_count), "h").select(
-        id_col, "pos"
-    )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    prev = F.lag("pos").over(w)
-    marked = dup.withColumn(
-        "_new",
-        F.when(prev.isNull() | (F.col("pos") - prev >= n), 1).otherwise(0),
-    )
-    islands = marked.withColumn("_isl", F.sum("_new").over(w))
-    per_isl = islands.groupBy(id_col, "_isl").agg(
-        (F.max("pos") - F.min("pos") + n).alias("_dup_len")
-    )
-    per_doc = per_isl.groupBy(id_col).agg(
-        F.sum("_dup_len").alias("dup_tokens"),
-        F.count("*").alias("n_islands"),
-    )
-    base = toks.select(id_col, F.col("_len").cast("bigint").alias("n_tokens"))
-    dup_tokens = F.coalesce("dup_tokens", F.lit(0)).cast("bigint")
-    return base.join(per_doc, id_col, "left").select(
-        id_col,
-        "n_tokens",
-        dup_tokens.alias("dup_tokens"),
-        (F.col("n_tokens") - dup_tokens).cast("bigint").alias("kept_tokens"),
-        F.round(
-            dup_tokens.cast("double") / F.greatest("n_tokens", F.lit(1)), 4
-        ).alias("dup_frac"),
-        F.coalesce("n_islands", F.lit(0)).cast("bigint").alias("n_islands"),
-    )
-
-
-def span_dedup_clean(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    n: int = 8,
-    min_count: int = 2,
-) -> DataFrame:
-    """The applied form of :func:`span_dedup_stats`: returns each
-    document with its duplicated spans REMOVED — (id, clean_text,
-    n_tokens, kept_tokens). Token i survives iff no corpus-duplicated
-    n-gram's interval [start, start+n) covers it.
-
-    Same distributed shape as the stats pass (one corpus-frequency
-    aggregate on 8-byte gram hashes, one per-doc window), plus one
-    groupBy(id) to collect the merged islands into an array literal and
-    a codegen'd higher-order filter that rebuilds the text — the
-    reconstruction never shuffles tokens, only (id, islands) pairs.
-    Documents shorter than n tokens pass through untouched.
-    """
-    from pyspark.sql import Window
-
-    toks = df.select(
-        F.col(id_col),
-        F.col(text_col),
-        F.split(F.col(text_col), " ").alias("_t"),
     ).withColumn("_len", F.size("_t"))
     grams = (
         toks.where(F.col("_len") >= n)
@@ -1271,8 +1183,72 @@ def span_dedup_clean(
         .withColumn("_isl", F.sum("_new").over(w))
         .groupBy(id_col, "_isl")
         .agg(F.min("pos").alias("s"), (F.max("pos") + n).alias("e"))
-        .groupBy(id_col)
-        .agg(F.collect_list(F.struct("s", "e")).alias("_spans"))
+    )
+    return toks, islands
+
+
+def span_dedup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup transform (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): per document, the
+    token-interval UNION of every positional n-gram whose exact text
+    occurs >= min_count times in the whole corpus — i.e. how much of the
+    document an exact-substring deduper would cut, and how much survives.
+    span_dedup_profile reports the per-doc *signal* (distinct shared
+    shingles); this computes the *removal* itself: positional spans,
+    overlapping duplicate spans merged gaps-and-islands style, so a run
+    of k consecutive duplicated n-grams costs k + n - 1 tokens, not
+    k * n. Pipeline shape and scale notes: see :func:`_span_islands`.
+
+    Output: (id, n_tokens, dup_tokens, kept_tokens, dup_frac, n_islands),
+    one row per input document (docs shorter than n tokens keep
+    everything).
+    """
+    toks, islands = _span_islands(df, id_col, text_col, n, min_count)
+    per_doc = islands.groupBy(id_col).agg(
+        F.sum(F.col("e") - F.col("s")).alias("dup_tokens"),
+        F.count("*").alias("n_islands"),
+    )
+    base = toks.select(id_col, F.col("_len").cast("bigint").alias("n_tokens"))
+    dup_tokens = F.coalesce("dup_tokens", F.lit(0)).cast("bigint")
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        dup_tokens.alias("dup_tokens"),
+        (F.col("n_tokens") - dup_tokens).cast("bigint").alias("kept_tokens"),
+        F.round(
+            dup_tokens.cast("double") / F.greatest("n_tokens", F.lit(1)), 4
+        ).alias("dup_frac"),
+        F.coalesce("n_islands", F.lit(0)).cast("bigint").alias("n_islands"),
+    )
+
+
+def span_dedup_clean(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """The applied form of :func:`span_dedup_stats`: returns each
+    document with its duplicated spans REMOVED — (id, clean_text,
+    n_tokens, kept_tokens). Token i survives iff no corpus-duplicated
+    n-gram's interval [start, start+n) covers it.
+
+    Projects from the same :func:`_span_islands` frame as the stats
+    pass, plus one groupBy(id) collecting the merged islands into an
+    array and a codegen'd higher-order filter rebuilding the text — the
+    reconstruction never shuffles tokens, only (id, islands) pairs.
+    Documents shorter than n tokens pass through untouched.
+    """
+    toks, islands = _span_islands(df, id_col, text_col, n, min_count)
+    spans = islands.groupBy(id_col).agg(
+        F.collect_list(F.struct("s", "e")).alias("_spans")
     )
     covered = lambda i: F.exists(  # noqa: E731 — bound per token index
         F.col("_spans"), lambda sp: (i >= sp["s"]) & (i < sp["e"])
@@ -1286,7 +1262,7 @@ def span_dedup_clean(
         lambda p: ~covered(p["i"]),
     )
     return (
-        toks.join(islands, id_col, "left")
+        toks.join(spans, id_col, "left")
         .withColumn(
             "_kept",
             F.when(F.col("_spans").isNull(), F.col("_t")).otherwise(

@@ -268,9 +268,14 @@ def md5_threshold(fraction: float) -> str:
     lexicographically == comparing the 128-bit values numerically, and
     every engine renders md5 identically — so the same literal threshold
     reproduces the same sample anywhere (Spark, DuckDB, MySQL, ...).
-    Quantized to 8 hex digits (error < 2^-32)."""
+    Quantized to 8 hex digits (error < 2^-32). fraction=1.0 returns a
+    sentinel lexicographically ABOVE every hex digest ('g' > 'f') —
+    format(2**32) would be 9 chars and the length mismatch silently
+    breaks the string comparison (keeps ~6% instead of all)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
+    if fraction >= 1.0:
+        return "g" + "0" * 31
     return format(int(fraction * (1 << 32)), "08x") + "0" * 24
 
 
@@ -401,7 +406,15 @@ def _check_sep_portable(sep: str) -> None:
     — ADVICE r3: a document's output must not depend on which path its
     paragraph count routes it to. The portable subset (literals,
     classes, alternation, bounded/greedy/lazy quantifiers, ``\\s \\d
-    \\w`` etc.) passes; engine-specific escapes and constructs raise."""
+    \\w`` etc.) passes; engine-specific escapes and constructs raise.
+
+    DELIBERATELY CONSERVATIVE: the scan is textual, not a parse, so a
+    few genuinely portable patterns are rejected too — e.g. an escaped
+    backslash followed by R (``\\\\R`` meaning literal-backslash-then-R)
+    trips the ``\\R`` rule, and a class like ``[}+]`` trips the
+    possessive-quantifier rule. The failure mode is a loud ValueError
+    (rewrite the sep, e.g. ``[\\\\]R``), never a silent cross-dialect
+    divergence — the right trade for a correctness guard."""
     import re as _re
 
     problems = [

@@ -105,15 +105,27 @@ _ROUND_HEAD: tuple[str, ...] = (
 )
 
 
+_LEDGER_CACHE: dict[str, int] | None = None
+
+
 def _load_ledger() -> dict[str, int]:
+    # the ledger only changes between rounds (scripts/update_ledger.py),
+    # never within a process — cache it so queries()/query_names() in a
+    # driver or bench loop don't re-read and re-parse the file per call
+    global _LEDGER_CACHE
+    if _LEDGER_CACHE is not None:
+        return _LEDGER_CACHE
     import json
     from pathlib import Path
 
     path = Path(__file__).resolve().parent / "verification_ledger.json"
     try:
-        return {str(k): int(v) for k, v in json.loads(path.read_text()).items()}
+        _LEDGER_CACHE = {
+            str(k): int(v) for k, v in json.loads(path.read_text()).items()
+        }
     except (OSError, ValueError):
-        return {}
+        _LEDGER_CACHE = {}
+    return _LEDGER_CACHE
 
 
 def _compute_priority(registered: list[str] | None = None) -> tuple[str, ...]:
