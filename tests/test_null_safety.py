@@ -204,3 +204,44 @@ def test_round3_operators_on_empty_and_degenerate_inputs(spark):
 
     edocs = spark.createDataFrame([], "id long, body string")
     assert dedup_paragraphs(edocs, "body", "d").count() == 0
+
+
+def test_round4_operators_on_null_empty_and_degenerate_inputs(spark):
+    """span removal (stats + clean), holdout split, and the BPE trainer
+    on null text, empty text, empty corpus, and all-duplicate corpus."""
+    from weather_data_data_pipeline_spark.functions.bpe import bpe_train
+    from weather_data_data_pipeline_spark.functions.text import holdout_split
+
+    docs = _docs(spark)  # includes None and "" texts
+
+    # stats: one row per input doc, no throw; null text -> null counts,
+    # short/empty -> everything kept
+    stats = {r["doc_id"]: r for r in
+             D.span_dedup_stats(docs, "doc_id", "text", n=3).collect()}
+    assert set(stats) == {1, 2, 3, 4, 5}
+    assert stats[2]["n_tokens"] is None and stats[2]["dup_tokens"] == 0
+    assert stats[3]["dup_tokens"] == 0 and stats[4]["dup_tokens"] == 0
+    assert stats[1]["dup_tokens"] == stats[1]["n_tokens"]  # doc 5 twin
+
+    clean = {r["doc_id"]: r for r in
+             D.span_dedup_clean(docs, "doc_id", "text", n=3).collect()}
+    assert set(clean) == {1, 2, 3, 4, 5}
+    assert clean[1]["clean_text"] == "" and clean[5]["clean_text"] == ""
+    assert clean[4]["clean_text"] == "short"
+
+    # empty corpus: empty result frames, no throw
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert D.span_dedup_stats(empty, "doc_id", "text").count() == 0
+    assert D.span_dedup_clean(empty, "doc_id", "text").count() == 0
+    assert bpe_train(empty, "text", num_merges=3) == []
+
+    # BPE skips null/empty texts (explode of null array yields nothing)
+    merges = bpe_train(docs, "text", num_merges=3)
+    assert all(f >= 2 for _, _, f in merges)
+
+    # holdout on null id: md5(concat(salt, NULL)) is NULL -> rest bucket,
+    # deterministic, no throw
+    nulls = spark.createDataFrame([(None,), (7,)], "doc_id long")
+    out = {r["doc_id"]: r["s"] for r in nulls.select(
+        "doc_id", holdout_split("doc_id").alias("s")).collect()}
+    assert out[7] in {"train", "val", "test"} and out[None] == "test"
