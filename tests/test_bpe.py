@@ -83,3 +83,44 @@ def test_corpus_touched_once_then_compact(spark):
         wf.agg(F.sum("cnt")).collect()[0][0]
         == sum(len(t.split()) for t in CORPUS)
     )
+
+
+def test_vocab_ids_stable_and_encoder_ids_roundtrip(spark):
+    from weather_data_data_pipeline_spark.functions.bpe import (
+        bpe_encode_ids_expr,
+        bpe_token_budget,
+        bpe_vocab,
+    )
+
+    docs = _docs(spark)
+    merges = bpe_train(docs, "text", num_merges=6)
+    base = {c for t in CORPUS for w in t.split() for c in w}
+    vocab = bpe_vocab(merges, base)
+    # stable ids: training more merges never renumbers existing tokens
+    more = bpe_train(docs, "text", num_merges=10)
+    vocab_more = bpe_vocab(more, base)
+    assert all(vocab_more[t] == i for t, i in vocab.items())
+    # ids invert back to the string-token encoding; no OOV on the
+    # training corpus itself
+    inv = {i: t for t, i in vocab_more.items()}
+    ids = docs.select(
+        bpe_encode_ids_expr("text", more, vocab_more).alias("ids")
+    ).collect()
+    toks = docs.select(bpe_encode_expr("text", more).alias("t")).collect()
+    for ri, rt in zip(ids, toks):
+        assert -1 not in ri["ids"]
+        assert [inv[i] for i in ri["ids"]] == rt["t"]
+
+
+def test_token_budget_compresses_vs_character_count(spark):
+    from weather_data_data_pipeline_spark.functions.bpe import bpe_token_budget
+
+    docs = _docs(spark).withColumn("source", F.lit("s0"))
+    merges = bpe_train(docs, "text", num_merges=10)
+    row = bpe_token_budget(docs, "text", merges, ["source"]).collect()[0]
+    n_chars_plus_end = sum(len(w) + 1 for t in CORPUS for w in t.split())
+    assert row["n_docs"] == len(CORPUS)
+    # learned merges compress below the char-level ceiling but cannot
+    # go under one token per word
+    assert sum(len(t.split()) for t in CORPUS) <= row["bpe_tokens"]
+    assert row["bpe_tokens"] < n_chars_plus_end

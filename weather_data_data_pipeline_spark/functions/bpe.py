@@ -35,7 +35,7 @@ from typing import Iterable
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, IntegerType, StringType
 
 END = "</w>"
 
@@ -194,3 +194,73 @@ def python_bpe_reference(
             for s, c in vocab.items()
         }
     return merges
+
+
+def bpe_vocab(
+    merges: Iterable[tuple[str, str, int]], base_symbols: Iterable[str]
+) -> dict[str, int]:
+    """Token→id table: base symbols (characters + END) first in sorted
+    order, then merged symbols in learned order — the layout real BPE
+    vocabs use (stable ids: appending merges never renumbers existing
+    tokens)."""
+    vocab: dict[str, int] = {}
+    for s in sorted(set(base_symbols) | {END}):
+        vocab[s] = len(vocab)
+    for l, r, *_ in merges:
+        tok = l + r
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+    return vocab
+
+
+def bpe_encode_ids_expr(
+    text_col: str,
+    merges: Iterable[tuple[str, str, int]],
+    vocab: dict[str, int],
+):
+    """array<int> token ids for ``text_col`` under the learned merges;
+    unknown symbols map to -1 (the caller's OOV policy decides). Same
+    Arrow-batched shape as :func:`bpe_encode_expr` — the merge table and
+    vocab (a few KB) ship with the task closure."""
+    table = [(l, r) for l, r, *_ in merges]
+    v = dict(vocab)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode(s: pd.Series) -> pd.Series:
+        def one(text: str) -> list:
+            ids: list[int] = []
+            for w in text.split(" "):
+                if not w:
+                    continue
+                syms = list(w) + [END]
+                for l, r in table:
+                    if len(syms) < 2:
+                        break
+                    syms = _merge_adjacent(syms, l, r)
+                ids.extend(v.get(t, -1) for t in syms)
+            return ids
+
+        return s.map(one)
+
+    return encode(text_col)
+
+
+def bpe_token_budget(
+    df: DataFrame,
+    text_col: str,
+    merges: Iterable[tuple[str, str, int]],
+    group_cols: Iterable[str] = ("source",),
+) -> DataFrame:
+    """Per-group corpus token counts under the LEARNED tokenizer — the
+    number that actually prices a training run (whitespace token counts
+    under- or over-state it by the merge compression factor). One
+    Arrow-batched encode pass + one partial-aggregated rollup."""
+    toks = F.size(bpe_encode_expr(text_col, list(merges)))
+    return (
+        df.select(*group_cols, toks.alias("_n"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_n").cast("bigint").alias("bpe_tokens"),
+        )
+    )
