@@ -190,12 +190,176 @@ def run() -> None:
     spark.stop()
 
 
+# ---------------------------------------------------------------------
+# Second decade (r4): sf10-equivalent set for the CAPPED/LINEAR family
+# only — 500k docs / 200k vectors, seed 778, vectorized generation
+# (the sf1 gen() above is kept byte-reproducible for its recorded run).
+# Two measured decades of linearity is the scale argument the 100 TB
+# claims rest on; the exact-Jaccard quadratic paths are excluded by
+# design (SCALE.md documents why, and sf10 would cost hours there).
+# ---------------------------------------------------------------------
+
+OUT_DIR_10 = os.path.join(REPO, ".scale_stress", "sf10")
+SEED_10 = 778
+N_DOCS_10 = 500_000
+N_VECS_10 = 200_000
+QUERIES_10 = (
+    "minhash_dedup_pairs_portable",
+    "span_dedup_removal",
+    "semantic_dedup_keep_capped",
+)
+
+
+def gen10() -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(SEED_10)
+    docs = pq.read_table(os.path.join(SRC_DIR, "documents.parquet"))
+    texts = docs.column("text").to_pylist()
+    from collections import Counter
+
+    tok_counts = Counter()
+    lengths = []
+    for t in texts:
+        toks = t.split(" ")
+        lengths.append(len(toks))
+        tok_counts.update(toks)
+    vocab = np.array(sorted(tok_counts))
+    freqs = np.array([tok_counts[v] for v in vocab], dtype=np.float64)
+    freqs /= freqs.sum()
+
+    n_lens = rng.choice(np.array(lengths), size=N_DOCS_10)
+    # one vectorized draw for every token in the corpus, then split
+    total = int(n_lens.sum())
+    flat = rng.choice(vocab, size=total, p=freqs)
+    bounds = np.cumsum(n_lens)[:-1]
+    out_texts = [" ".join(seg) for seg in np.split(flat, bounds)]
+    n_dups = int(round(N_DOCS_10 * 8 / 5000))
+    dup_dst = rng.choice(N_DOCS_10, size=n_dups, replace=False)
+    dup_src = rng.choice(N_DOCS_10, size=n_dups)
+    for d, s in zip(dup_dst, dup_src):
+        out_texts[int(d)] = out_texts[int(s)]
+
+    langs = docs.column("lang").to_pylist()
+    lang_vals, lang_counts = np.unique(langs, return_counts=True)
+    lang_p = lang_counts / lang_counts.sum()
+    sources = sorted({s for s in docs.column("source").to_pylist()})
+    os.makedirs(OUT_DIR_10, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(N_DOCS_10), type=pa.int64()),
+                "text": pa.array(out_texts, type=pa.string()),
+                "lang": pa.array(
+                    list(rng.choice(lang_vals, size=N_DOCS_10, p=lang_p)),
+                    type=pa.string(),
+                ),
+                "source": pa.array(
+                    [f"src{i % len(sources)}" for i in range(N_DOCS_10)],
+                    type=pa.string(),
+                ),
+                "n_chars": pa.array(
+                    [len(t) for t in out_texts], type=pa.int64()
+                ),
+            }
+        ),
+        os.path.join(OUT_DIR_10, "documents.parquet"),
+        row_group_size=N_DOCS_10 // 32,
+    )
+
+    emb = pq.read_table(os.path.join(SRC_DIR, "embeddings.parquet"))
+    label_vals, label_counts = np.unique(
+        emb.column("label").to_pylist(), return_counts=True
+    )
+    label_p = label_counts / label_counts.sum()
+    V = rng.standard_normal((N_VECS_10, 64)).astype(np.float32)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(N_VECS_10), type=pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in V], type=pa.list_(pa.float32())
+                ),
+                "label": pa.array(
+                    [int(x) for x in rng.choice(label_vals, size=N_VECS_10, p=label_p)],
+                    type=pa.int32(),
+                ),
+            }
+        ),
+        os.path.join(OUT_DIR_10, "embeddings.parquet"),
+        row_group_size=N_VECS_10 // 32,
+    )
+    print(f"wrote {OUT_DIR_10}: {N_DOCS_10} documents, {N_VECS_10} embeddings (seed {SEED_10})")
+
+
+def run10() -> None:
+    """Second decade: sf1 -> sf10 on the linear family only."""
+    sys.path.insert(0, REPO)
+    import math
+
+    from bench import (
+        persistent_ids,
+        release_transients,
+        run_query,
+        shuffle_bytes_for_group,
+    )
+    from weather_data_data_pipeline_spark import registry
+    from weather_data_data_pipeline_spark.session import get_spark
+    from weather_data_data_pipeline_spark.sources.tables import (
+        DOC_FANOUT,
+        clear_cache,
+        warm_cache,
+    )
+
+    spark = get_spark(app_name="scale_stress10")
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict[str, dict] = {}
+    for label, sf_dir in (("sf1", OUT_DIR), ("sf10", OUT_DIR_10)):
+        warm_cache(spark, sf_dir, ("embeddings",))
+        warm_cache(spark, sf_dir, ("documents",), partitions=DOC_FANOUT)
+        keep = persistent_ids(spark)
+        for name in QUERIES_10:
+            fn = registry.get_query(name).fn
+            run_query(spark, fn, sf_dir)  # untimed warmup
+            release_transients(spark, keep)
+            group = f"stress10_{label}_{name}"
+            spark.sparkContext.setJobGroup(group, name)
+            wall = run_query(spark, fn, sf_dir)
+            spark.sparkContext.setJobGroup(None, None)
+            sb = shuffle_bytes_for_group(spark, group)
+            release_transients(spark, keep)
+            results.setdefault(name, {})[label] = {
+                "wall_sec": round(wall, 3),
+                "shuffle_bytes": sb,
+            }
+            print(f"{label:6s} {name:32s} {wall:7.2f}s  {sb:>12,} B", file=sys.stderr)
+        clear_cache()
+        release_transients(spark, set())
+    for name, r in results.items():
+        t0, t1 = r["sf1"]["wall_sec"], r["sf10"]["wall_sec"]
+        b0, b1 = r["sf1"]["shuffle_bytes"], r["sf10"]["shuffle_bytes"]
+        r["wall_exponent"] = round(math.log(t1 / t0) / math.log(10), 2)
+        r["shuffle_exponent"] = (
+            round(math.log(b1 / b0) / math.log(10), 2) if b0 and b1 else None
+        )
+    print(json.dumps({"seed": SEED_10, "n_docs": N_DOCS_10,
+                      "n_vecs": N_VECS_10, "queries": results}))
+    spark.stop()
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "run"
     if cmd == "gen":
         gen()
     elif cmd == "run":
         run()
+    elif cmd == "gen10":
+        gen10()
+    elif cmd == "run10":
+        run10()
     else:
-        print("usage: scale_stress.py [gen|run]")
+        print("usage: scale_stress.py [gen|run|gen10|run10]")
         sys.exit(2)
