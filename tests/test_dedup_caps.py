@@ -343,3 +343,37 @@ def test_portable_minhash_bucket_cap_star_edges(spark):
         df, "doc_id", "text", max_bucket_size=None
     )
     assert exact.count() == 40 * 39 // 2
+
+
+def test_lsh_bucket_stats_detects_saturation(spark):
+    """The occupancy probe behind SCALE.md's second-decade analysis: on
+    a diverse corpus mean occupancy ~1; on a degenerate corpus (every
+    doc identical) all banded rows land in ONE bucket per band and the
+    probe reports the capped star edges the candidate stage would emit."""
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        lsh_bucket_stats,
+        lsh_candidate_recall,
+    )
+
+    diverse = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i} q{i}") for i in range(60)],
+        ["doc_id", "text"],
+    )
+    d = lsh_bucket_stats(diverse, "doc_id", "text").collect()[0]
+    assert d["banded_rows"] == 60 * 16
+    assert d["mean_occupancy"] <= 1.1 and d["star_edges"] == 0
+
+    degenerate = spark.createDataFrame(
+        [(i, "a b c d e f") for i in range(60)], ["doc_id", "text"]
+    )
+    g = lsh_bucket_stats(degenerate, "doc_id", "text").collect()[0]
+    assert g["buckets"] == 16  # one bucket per band
+    assert g["max_bucket"] == 60
+    assert g["dense_pairs"] == 0  # all over the cap
+    assert g["star_edges"] == 16 * 59
+    assert g["mean_occupancy"] == 60.0
+
+    # the S-curve calculator matches the closed forms quoted in SCALE.md
+    assert abs(lsh_candidate_recall(0.5, 32, 16) - (1 - (1 - 0.5**2) ** 16)) < 1e-12
+    assert abs(lsh_candidate_recall(0.5, 32, 8) - (1 - (1 - 0.5**4) ** 8)) < 1e-12
+    assert lsh_candidate_recall(1.0, 32, 8) == 1.0  # exact dups always collide

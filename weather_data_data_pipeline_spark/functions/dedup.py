@@ -1276,3 +1276,68 @@ def span_dedup_clean(
             F.size("_kept").cast("bigint").alias("kept_tokens"),
         )
     )
+
+
+def lsh_candidate_recall(threshold: float, num_perm: int, bands: int) -> float:
+    """Probability that a doc pair at exactly ``threshold`` Jaccard
+    collides in at least one band: 1 - (1 - t^r)^b with r = num_perm //
+    bands. THE tuning number for the bands/rows trade — e.g. 32 perms:
+    16 bands x 2 rows gives 0.99 at t=0.5; 8 bands x 4 rows gives 0.42
+    (but ~10x fewer diffuse collisions on a saturating corpus — the
+    second-decade stress analysis in SCALE.md)."""
+    r = num_perm // bands
+    return 1.0 - (1.0 - threshold**r) ** bands
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 16,
+    max_bucket_size: int = 32,
+) -> DataFrame:
+    """One-row bucket-occupancy diagnostic for the portable LSH family —
+    the saturation detector behind SCALE.md's second-decade analysis.
+
+    Returns (banded_rows, buckets, max_bucket, dense_pairs, star_edges,
+    mean_occupancy): ``dense_pairs`` is what the <= max_bucket_size
+    buckets will enumerate, ``star_edges`` what the capped tail emits.
+    Operational contract: track mean_occupancy across ingests — on a
+    healthy (Heaps-law) corpus it stays ~1 as the corpus grows; if it
+    CLIMBS, the per-band signature space is saturating and candidate
+    volume is entering the birthday-quadratic regime — widen the bands
+    (fewer bands x more rows, see :func:`lsh_candidate_recall` for the
+    recall price) before the candidate join becomes the bottleneck.
+    Cost: the signature pipeline + one aggregate — no candidate join,
+    so the probe is safe to run even when the real query would not be.
+    """
+    sigs = minhash_signatures_portable(df, id_col, text_col, n, num_perm)
+    rows_per_band = num_perm // bands
+    buckets = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"h{b * rows_per_band + i}") for i in range(rows_per_band)],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(F.posexplode(buckets).alias("band", "bucket"))
+    occ = banded.groupBy("band", "bucket").agg(F.count("*").alias("m"))
+    m = F.col("m")
+    return occ.agg(
+        F.sum("m").cast("bigint").alias("banded_rows"),
+        F.count("*").cast("bigint").alias("buckets"),
+        F.max("m").cast("bigint").alias("max_bucket"),
+        F.sum(F.when(m <= max_bucket_size, m * (m - 1) / 2).otherwise(0))
+        .cast("bigint")
+        .alias("dense_pairs"),
+        F.sum(F.when(m > max_bucket_size, m - 1).otherwise(0))
+        .cast("bigint")
+        .alias("star_edges"),
+        F.round(F.sum("m") / F.count("*"), 4).alias("mean_occupancy"),
+    )
