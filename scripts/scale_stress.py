@@ -134,8 +134,14 @@ def gen() -> None:
     print(f"wrote {OUT_DIR}: {N_DOCS} documents, {N_VECS} embeddings (seed {SEED})")
 
 
-def run() -> None:
+def _measure(pairs, queries, group_prefix: str, app_name: str):
+    """Shared measurement loop for every stress decade: warm, one
+    untimed warmup per query, timed run with per-group shuffle bytes,
+    exponents from the (base, upper) label pair. One implementation so
+    decade results stay methodologically comparable."""
     sys.path.insert(0, REPO)
+    import math
+
     from bench import (
         persistent_ids,
         release_transients,
@@ -146,21 +152,22 @@ def run() -> None:
     from weather_data_data_pipeline_spark.session import get_spark
     from weather_data_data_pipeline_spark.sources.tables import (
         DOC_FANOUT,
+        clear_cache,
         warm_cache,
     )
 
-    spark = get_spark(app_name="scale_stress")
+    spark = get_spark(app_name=app_name)
     spark.sparkContext.setLogLevel("ERROR")
     results: dict[str, dict] = {}
-    for label, sf_dir in (("sf0.1", SRC_DIR), ("sf1", OUT_DIR)):
+    for label, sf_dir in pairs:
         warm_cache(spark, sf_dir, ("embeddings",))
         warm_cache(spark, sf_dir, ("documents",), partitions=DOC_FANOUT)
         keep = persistent_ids(spark)
-        for name in QUERIES:
+        for name in queries:
             fn = registry.get_query(name).fn
             run_query(spark, fn, sf_dir)  # one untimed warmup (JIT)
             release_transients(spark, keep)
-            group = f"stress_{label}_{name}"
+            group = f"{group_prefix}_{label}_{name}"
             spark.sparkContext.setJobGroup(group, name)
             wall = run_query(spark, fn, sf_dir)
             spark.sparkContext.setJobGroup(None, None)
@@ -172,19 +179,23 @@ def run() -> None:
             }
             print(f"{label:6s} {name:32s} {wall:7.2f}s  {sb:>12,} B", file=sys.stderr)
         # drop this SF's cached tables before warming the next
-        from weather_data_data_pipeline_spark.sources.tables import clear_cache
-
         clear_cache()
         release_transients(spark, set())
-    import math
-
+    base, upper = pairs[0][0], pairs[1][0]
     for name, r in results.items():
-        t0, t1 = r["sf0.1"]["wall_sec"], r["sf1"]["wall_sec"]
-        b0, b1 = r["sf0.1"]["shuffle_bytes"], r["sf1"]["shuffle_bytes"]
+        t0, t1 = r[base]["wall_sec"], r[upper]["wall_sec"]
+        b0, b1 = r[base]["shuffle_bytes"], r[upper]["shuffle_bytes"]
         r["wall_exponent"] = round(math.log(t1 / t0) / math.log(10), 2)
         r["shuffle_exponent"] = (
             round(math.log(b1 / b0) / math.log(10), 2) if b0 and b1 else None
         )
+    return results, spark
+
+
+def run() -> None:
+    results, spark = _measure(
+        (("sf0.1", SRC_DIR), ("sf1", OUT_DIR)), QUERIES, "stress", "scale_stress"
+    )
     print(json.dumps({"seed": SEED, "n_docs": N_DOCS, "n_vecs": N_VECS,
                       "queries": results}))
     spark.stop()
@@ -297,54 +308,12 @@ def gen10() -> None:
 
 def run10() -> None:
     """Second decade: sf1 -> sf10 on the linear family only."""
-    sys.path.insert(0, REPO)
-    import math
-
-    from bench import (
-        persistent_ids,
-        release_transients,
-        run_query,
-        shuffle_bytes_for_group,
+    results, spark = _measure(
+        (("sf1", OUT_DIR), ("sf10", OUT_DIR_10)),
+        QUERIES_10,
+        "stress10",
+        "scale_stress10",
     )
-    from weather_data_data_pipeline_spark import registry
-    from weather_data_data_pipeline_spark.session import get_spark
-    from weather_data_data_pipeline_spark.sources.tables import (
-        DOC_FANOUT,
-        clear_cache,
-        warm_cache,
-    )
-
-    spark = get_spark(app_name="scale_stress10")
-    spark.sparkContext.setLogLevel("ERROR")
-    results: dict[str, dict] = {}
-    for label, sf_dir in (("sf1", OUT_DIR), ("sf10", OUT_DIR_10)):
-        warm_cache(spark, sf_dir, ("embeddings",))
-        warm_cache(spark, sf_dir, ("documents",), partitions=DOC_FANOUT)
-        keep = persistent_ids(spark)
-        for name in QUERIES_10:
-            fn = registry.get_query(name).fn
-            run_query(spark, fn, sf_dir)  # untimed warmup
-            release_transients(spark, keep)
-            group = f"stress10_{label}_{name}"
-            spark.sparkContext.setJobGroup(group, name)
-            wall = run_query(spark, fn, sf_dir)
-            spark.sparkContext.setJobGroup(None, None)
-            sb = shuffle_bytes_for_group(spark, group)
-            release_transients(spark, keep)
-            results.setdefault(name, {})[label] = {
-                "wall_sec": round(wall, 3),
-                "shuffle_bytes": sb,
-            }
-            print(f"{label:6s} {name:32s} {wall:7.2f}s  {sb:>12,} B", file=sys.stderr)
-        clear_cache()
-        release_transients(spark, set())
-    for name, r in results.items():
-        t0, t1 = r["sf1"]["wall_sec"], r["sf10"]["wall_sec"]
-        b0, b1 = r["sf1"]["shuffle_bytes"], r["sf10"]["shuffle_bytes"]
-        r["wall_exponent"] = round(math.log(t1 / t0) / math.log(10), 2)
-        r["shuffle_exponent"] = (
-            round(math.log(b1 / b0) / math.log(10), 2) if b0 and b1 else None
-        )
     print(json.dumps({"seed": SEED_10, "n_docs": N_DOCS_10,
                       "n_vecs": N_VECS_10, "queries": results}))
     spark.stop()

@@ -124,3 +124,29 @@ def test_token_budget_compresses_vs_character_count(spark):
     # go under one token per word
     assert sum(len(t.split()) for t in CORPUS) <= row["bpe_tokens"]
     assert row["bpe_tokens"] < n_chars_plus_end
+
+
+def test_encoders_propagate_null_text(spark):
+    from weather_data_data_pipeline_spark.functions.bpe import (
+        bpe_encode_ids_expr,
+        bpe_token_budget,
+        bpe_vocab,
+    )
+
+    merges = bpe_train(_docs(spark), "text", num_merges=4)
+    base = {c for t in CORPUS for w in t.split() for c in w}
+    vocab = bpe_vocab(merges, base)
+    mixed = spark.createDataFrame(
+        [(1, "low low", "s0"), (2, None, "s0"), (3, "", "s0")],
+        "doc_id long, text string, source string",
+    )
+    toks = {r["doc_id"]: r["t"] for r in
+            mixed.select("doc_id", bpe_encode_expr("text", merges).alias("t")).collect()}
+    ids = {r["doc_id"]: r["i"] for r in
+           mixed.select("doc_id", bpe_encode_ids_expr("text", merges, vocab).alias("i")).collect()}
+    assert toks[2] is None and ids[2] is None
+    assert toks[3] == [] and ids[3] == []
+    assert toks[1] is not None and len(ids[1]) == len(toks[1])
+    # the budget rollup still counts the null-text doc, sums over the rest
+    row = bpe_token_budget(mixed, "text", merges, ["source"]).collect()[0]
+    assert row["n_docs"] == 3 and row["bpe_tokens"] == len(toks[1])

@@ -377,3 +377,18 @@ def test_lsh_bucket_stats_detects_saturation(spark):
     assert abs(lsh_candidate_recall(0.5, 32, 16) - (1 - (1 - 0.5**2) ** 16)) < 1e-12
     assert abs(lsh_candidate_recall(0.5, 32, 8) - (1 - (1 - 0.5**4) ** 8)) < 1e-12
     assert lsh_candidate_recall(1.0, 32, 8) == 1.0  # exact dups always collide
+
+
+def test_band_shape_validation():
+    """bands must divide num_perm with >= 1 row per band: r=0 would make
+    the S-curve 1.0 everywhere and the probe hash zero columns."""
+    import pytest
+
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        lsh_candidate_recall,
+    )
+
+    for num_perm, bands in ((32, 10), (8, 16), (32, 0)):
+        with pytest.raises(ValueError):
+            lsh_candidate_recall(0.5, num_perm, bands)
+    assert 0 < lsh_candidate_recall(0.5, 32, 8) < 1

@@ -210,3 +210,15 @@ def test_clean_kept_tokens_agree_with_stats(spark):
         for r in span_dedup_clean(df, "doc_id", "text", n=3).collect()
     }
     assert stats == clean
+
+
+def test_clean_preserves_null_text(spark):
+    """NULL text must stay NULL — concat_ws would fold it to \"\",
+    indistinguishable from a fully-deduplicated document."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["clean_text"]
+           for r in span_dedup_clean(df, "doc_id", "text", n=3).collect()}
+    assert got[1] is None
+    assert got[2] == "a b c"

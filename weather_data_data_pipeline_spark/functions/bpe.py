@@ -138,31 +138,38 @@ def bpe_train(
     return merges
 
 
+def _greedy_encode(text, table):
+    """The ONE greedy-encode loop both encoders share (string tokens out,
+    id mapping layered on top) — NULL text propagates as None, matching
+    the engine-wide null contract (degrade per row, never throw)."""
+    if text is None:
+        return None
+    out = []
+    for w in text.split(" "):
+        if not w:
+            continue
+        syms = list(w) + [END]
+        for l, r in table:
+            if len(syms) < 2:
+                break
+            syms = _merge_adjacent(syms, l, r)
+        out.extend(syms)
+    return out
+
+
 def bpe_encode_expr(
     text_col: str, merges: Iterable[tuple[str, str, int]]
 ):
     """Arrow-batched encoder applying a learned merge list to raw text;
-    returns an array<string> column of BPE tokens. Merges are applied in
-    learned order (the standard greedy encode); the closure ships the
-    merge table (a few KB) to executors with the task."""
+    returns an array<string> column of BPE tokens (NULL text -> NULL).
+    Merges are applied in learned order (the standard greedy encode);
+    the closure ships the merge table (a few KB) to executors with the
+    task."""
     table = [(l, r) for l, r, *_ in merges]
 
     @F.pandas_udf(ArrayType(StringType()))
     def encode(s: pd.Series) -> pd.Series:
-        def one(text: str) -> list:
-            out: list[str] = []
-            for w in text.split(" "):
-                if not w:
-                    continue
-                syms = list(w) + [END]
-                for l, r in table:
-                    if len(syms) < 2:
-                        break
-                    syms = _merge_adjacent(syms, l, r)
-                out.extend(syms)
-            return out
-
-        return s.map(one)
+        return s.map(lambda text: _greedy_encode(text, table))
 
     return encode(text_col)
 
@@ -219,7 +226,8 @@ def bpe_encode_ids_expr(
     vocab: dict[str, int],
 ):
     """array<int> token ids for ``text_col`` under the learned merges;
-    unknown symbols map to -1 (the caller's OOV policy decides). Same
+    unknown symbols map to -1 (the caller's OOV policy decides;
+    NULL text -> NULL). Same
     Arrow-batched shape as :func:`bpe_encode_expr` — the merge table and
     vocab (a few KB) ship with the task closure."""
     table = [(l, r) for l, r, *_ in merges]
@@ -227,18 +235,11 @@ def bpe_encode_ids_expr(
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def encode(s: pd.Series) -> pd.Series:
-        def one(text: str) -> list:
-            ids: list[int] = []
-            for w in text.split(" "):
-                if not w:
-                    continue
-                syms = list(w) + [END]
-                for l, r in table:
-                    if len(syms) < 2:
-                        break
-                    syms = _merge_adjacent(syms, l, r)
-                ids.extend(v.get(t, -1) for t in syms)
-            return ids
+        def one(text):
+            toks = _greedy_encode(text, table)
+            if toks is None:
+                return None
+            return [v.get(t, -1) for t in toks]
 
         return s.map(one)
 

@@ -1271,7 +1271,11 @@ def span_dedup_clean(
         )
         .select(
             id_col,
-            F.concat_ws(" ", F.col("_kept")).alias("clean_text"),
+            # NULL text stays NULL (concat_ws would fold it to "" —
+            # indistinguishable from a fully-deduplicated document)
+            F.when(
+                F.col("_t").isNull(), F.lit(None).cast("string")
+            ).otherwise(F.concat_ws(" ", F.col("_kept"))).alias("clean_text"),
             F.col("_len").cast("bigint").alias("n_tokens"),
             F.size("_kept").cast("bigint").alias("kept_tokens"),
         )
@@ -1282,11 +1286,26 @@ def lsh_candidate_recall(threshold: float, num_perm: int, bands: int) -> float:
     """Probability that a doc pair at exactly ``threshold`` Jaccard
     collides in at least one band: 1 - (1 - t^r)^b with r = num_perm //
     bands. THE tuning number for the bands/rows trade — e.g. 32 perms:
-    16 bands x 2 rows gives 0.99 at t=0.5; 8 bands x 4 rows gives 0.42
+    16 bands x 2 rows gives 0.99 at t=0.5; 8 bands x 4 rows gives 0.40
     (but ~10x fewer diffuse collisions on a saturating corpus — the
     second-decade stress analysis in SCALE.md)."""
+    _check_band_shape(num_perm, bands)
     r = num_perm // bands
     return 1.0 - (1.0 - threshold**r) ** bands
+
+
+def _check_band_shape(num_perm: int, bands: int) -> None:
+    """bands must divide num_perm with >= 1 row per band: a silent
+    floor would drop leftover permutations, and r = 0 makes the S-curve
+    return 1.0 for every threshold while the bucket key hashes ZERO
+    columns (every doc in one bucket per band) — the saturation probe
+    would report total saturation on a healthy corpus, inverting the
+    signal it exists to give."""
+    if bands < 1 or num_perm < bands or num_perm % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_perm ({num_perm}) with at "
+            "least one row per band"
+        )
 
 
 def lsh_bucket_stats(
@@ -1313,6 +1332,7 @@ def lsh_bucket_stats(
     Cost: the signature pipeline + one aggregate — no candidate join,
     so the probe is safe to run even when the real query would not be.
     """
+    _check_band_shape(num_perm, bands)
     sigs = minhash_signatures_portable(df, id_col, text_col, n, num_perm)
     rows_per_band = num_perm // bands
     buckets = F.array(
