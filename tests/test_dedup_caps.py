@@ -392,3 +392,29 @@ def test_band_shape_validation():
         with pytest.raises(ValueError):
             lsh_candidate_recall(0.5, num_perm, bands)
     assert 0 < lsh_candidate_recall(0.5, 32, 8) < 1
+
+
+def test_lsh_swap_reproduces_exact_pairs_on_corpus(spark):
+    """SCALE.md's prescribed saturation remedy — swap jaccard_pairs for
+    the capped LSH family — is one line BECAUSE the two agree where it
+    matters: on the sf0.001 corpus both minhash families recover exactly
+    the exact-Jaccard pair set at threshold 0.5 (the hash family is
+    deterministic, so this is a stable pin, not a probabilistic one),
+    hence identical connected components and identical kept corpora."""
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        connected_components,
+        minhash_dedup_pairs_portable,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    exact_set = {tuple(r) for r in exact.select("id_a", "id_b").collect()}
+    for fn in (minhash_dedup_pairs, minhash_dedup_pairs_portable):
+        lsh = fn(docs, "doc_id", "text", n=3, threshold=0.5)
+        lsh_set = {tuple(r) for r in lsh.select("id_a", "id_b").collect()}
+        assert lsh_set == exact_set
+        reps_exact = {
+            tuple(r) for r in connected_components(exact).collect()
+        }
+        reps_lsh = {tuple(r) for r in connected_components(lsh).collect()}
+        assert reps_exact == reps_lsh
