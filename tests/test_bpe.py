@@ -150,3 +150,82 @@ def test_encoders_propagate_null_text(spark):
     # the budget rollup still counts the null-text doc, sums over the rest
     row = bpe_token_budget(mixed, "text", merges, ["source"]).collect()[0]
     assert row["n_docs"] == 3 and row["bpe_tokens"] == len(toks[1])
+
+
+def test_rank_priority_encode_matches_sequential_reference(spark):
+    """ADVICE r4 #3: the encoder switched from sequential learned-order
+    application (O(len x num_merges) per word) to rank-priority encode
+    (merge the lowest-ranked pair present, repeatedly). For any table
+    produced by BPE TRAINING the two are provably identical (each merge
+    creates a distinct token string); pin that equivalence on every
+    training word, unseen words, affix overlaps, and repeats."""
+    from weather_data_data_pipeline_spark.functions.bpe import (
+        _make_encoder,
+        _rank_encode_word,
+        _sequential_encode_word,
+    )
+
+    docs = _docs(spark)
+    merges = bpe_train(docs, "text", num_merges=10)
+    table = [(l, r) for l, r, _ in merges]
+    ranks = {p: i for i, p in enumerate(table)}
+    words = {w for t in CORPUS for w in t.split()} | {
+        "lowest", "newer", "wide", "west", "low", "owlowl", "ll",
+        "slowest", "newestnewest", "x", "",
+    }
+    for w in sorted(words):
+        assert _rank_encode_word(w, ranks) == _sequential_encode_word(
+            w, table
+        ), w
+    # and the dispatcher picked the fast path for this trained table
+    enc = _make_encoder(table)
+    assert enc("low lowest newest") == (
+        _sequential_encode_word("low", table)
+        + _sequential_encode_word("lowest", table)
+        + _sequential_encode_word("newest", table)
+    )
+
+
+def test_duplicate_token_table_falls_back_to_sequential():
+    """A hand-built table where two merges yield the same token string
+    ('ab'+'c' and 'a'+'bc' both make 'abc') violates the rank-priority
+    precondition: the dispatcher must detect it and stay on the exact
+    sequential path rather than silently diverge."""
+    from weather_data_data_pipeline_spark.functions.bpe import (
+        _make_encoder,
+        _sequential_encode_word,
+    )
+
+    table = [("a", "b"), ("b", "c"), ("ab", "c"), ("a", "bc")]
+    enc = _make_encoder(table)
+    for w in ("abc", "aabbcc", "abcabc", "bca"):
+        assert enc(w) == _sequential_encode_word(w, table), w
+
+
+def test_encoder_word_memo_is_correct_and_bounded():
+    """The per-task word->tokens memo must return the same answer for a
+    repeated word (cache hit) as for its first sight, and must stop
+    growing at the cap instead of holding an unbounded dict on an
+    all-distinct adversarial corpus."""
+    import weather_data_data_pipeline_spark.functions.bpe as B
+
+    table = [("l", "o"), ("lo", "w")]
+    enc = B._make_encoder(table)
+    first = enc("low low low")
+    assert first == ["low", B.END] * 3
+    assert enc("low") == ["low", B.END]  # hit path
+    old = B._ENCODE_CACHE_MAX
+    try:
+        B._ENCODE_CACHE_MAX = 4
+        enc2 = B._make_encoder(table)
+        # 10 distinct words; the closure's cache must not exceed the cap
+        out = enc2(" ".join(f"w{i}low" for i in range(10)))
+        assert len(out) > 0
+        caches = [
+            c.cell_contents
+            for c in enc2.__closure__
+            if isinstance(c.cell_contents, dict)
+        ]
+        assert caches and all(len(c) <= 4 for c in caches)
+    finally:
+        B._ENCODE_CACHE_MAX = old

@@ -349,3 +349,29 @@ def test_md5_threshold_boundary_fractions(spark):
         holdout_split("doc_id", "x", bounds=(("train", 1.0),)).alias("s")
     ).distinct().collect()
     assert [r["s"] for r in splits] == ["train"]
+
+
+def test_holdout_split_validates_bounds(spark):
+    """ADVICE r4 #2: mis-ordered/duplicate/out-of-range bounds silently
+    made later splits unreachable — the function must refuse them."""
+    import pytest
+
+    from weather_data_data_pipeline_spark.functions.text import holdout_split
+
+    for bad in (
+        (("train", 0.95), ("val", 0.90)),  # descending
+        (("train", 0.90), ("val", 0.90)),  # duplicate threshold
+        (("train", 0.0),),                 # zero fraction
+        (("train", 1.5),),                 # above 1
+        (("train", -0.1), ("val", 0.5)),   # negative
+    ):
+        with pytest.raises(ValueError, match="ascending"):
+            holdout_split("doc_id", bounds=bad)
+
+    # NULL id: every when-arm compares NULL and falls through -> the row
+    # lands in `rest`, i.e. never in train (documented routing)
+    df = spark.createDataFrame(
+        [(None,), ("d1",)], "doc_id string"
+    ).select("doc_id", holdout_split("doc_id").alias("s"))
+    got = {r["doc_id"]: r["s"] for r in df.collect()}
+    assert got[None] == "test"

@@ -138,23 +138,94 @@ def bpe_train(
     return merges
 
 
-def _greedy_encode(text, table):
-    """The ONE greedy-encode loop both encoders share (string tokens out,
-    id mapping layered on top) — NULL text propagates as None, matching
-    the engine-wide null contract (degrade per row, never throw)."""
-    if text is None:
-        return None
-    out = []
-    for w in text.split(" "):
-        if not w:
-            continue
-        syms = list(w) + [END]
-        for l, r in table:
-            if len(syms) < 2:
-                break
-            syms = _merge_adjacent(syms, l, r)
-        out.extend(syms)
-    return out
+def _sequential_encode_word(w: str, table) -> list[str]:
+    """Sennrich-order reference: apply every learned merge to the word in
+    learned order. O(len × num_merges) — correct for ANY merge list, but
+    quadratic pain at production vocabularies (10k–30k merges). Kept as
+    the ground truth the rank-priority fast path is pinned against
+    (tests/test_bpe.py) and as the fallback when the fast path's
+    precondition fails."""
+    syms = list(w) + [END]
+    for l, r in table:
+        if len(syms) < 2:
+            break
+        syms = _merge_adjacent(syms, l, r)
+    return syms
+
+
+def _rank_encode_word(w: str, ranks: dict) -> list[str]:
+    """Rank-priority encode (the GPT-2 encoder shape): repeatedly merge
+    the LOWEST-ranked adjacent pair present until none remains. Work is
+    O(len × merges-applied-to-this-word) — independent of merge-table
+    size, which is what makes 10k–30k-merge vocabularies affordable
+    (the sequential form scans the whole table per word).
+
+    Equivalent to sequential learned-order application whenever each
+    merged token string is produced by exactly ONE merge rule — true for
+    any table emitted by BPE training on a single corpus (a pair stops
+    being counted once its token exists). :func:`_make_encoder` checks
+    that precondition and falls back to the sequential form if a table
+    violates it, so the two paths can never silently disagree."""
+    syms = list(w) + [END]
+    while len(syms) >= 2:
+        best = None
+        best_rank = None
+        for pair in zip(syms, syms[1:]):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best = r, pair
+        if best is None:
+            break
+        syms = _merge_adjacent(syms, best[0], best[1])
+    return syms
+
+
+# per-task word→tokens memo bound: corpora repeat words (Zipf), so the
+# hit rate is high; the cap keeps executor memory bounded on adversarial
+# all-distinct corpora.
+_ENCODE_CACHE_MAX = 65536
+
+
+def _make_encoder(table):
+    """Build the text→tokens closure both encoders share (string tokens
+    out, id mapping layered on top) — NULL text propagates as None,
+    matching the engine-wide null contract (degrade per row, never
+    throw). Chooses the rank-priority fast path when every merge creates
+    a distinct token string (always true for trained tables; see
+    :func:`_rank_encode_word`), else the sequential reference. Encoded
+    words are memoized per task (word frequencies are Zipfian — the
+    cache turns the per-row cost into the per-DISTINCT-word cost, the
+    same economics the trainer's word-frequency table exploits)."""
+    tokens = [l + r for l, r in table]
+    if len(set(tokens)) == len(tokens):
+        ranks = {pair: i for i, pair in enumerate(table)}
+
+        def encode_word(w):
+            return _rank_encode_word(w, ranks)
+
+    else:  # duplicate token strings: rank order is ambiguous — stay exact
+
+        def encode_word(w):
+            return _sequential_encode_word(w, table)
+
+    cache: dict[str, list[str]] = {}
+
+    def encode_text(text):
+        if text is None:
+            return None
+        out = []
+        for w in text.split(" "):
+            if not w:
+                continue
+            toks = cache.get(w)
+            if toks is None:
+                toks = encode_word(w)
+                if len(cache) < _ENCODE_CACHE_MAX:
+                    cache[w] = toks
+            out.extend(toks)
+        return out
+
+    return encode_text
 
 
 def bpe_encode_expr(
@@ -162,14 +233,17 @@ def bpe_encode_expr(
 ):
     """Arrow-batched encoder applying a learned merge list to raw text;
     returns an array<string> column of BPE tokens (NULL text -> NULL).
-    Merges are applied in learned order (the standard greedy encode);
-    the closure ships the merge table (a few KB) to executors with the
-    task."""
+    Rank-priority encode with a per-task word memo (see
+    :func:`_make_encoder`) — per-word cost scales with merges APPLIED,
+    not merge-table size; the closure ships the merge table to
+    executors with the task."""
     table = [(l, r) for l, r, *_ in merges]
+
+    enc = _make_encoder(table)  # built once; memo persists across batches
 
     @F.pandas_udf(ArrayType(StringType()))
     def encode(s: pd.Series) -> pd.Series:
-        return s.map(lambda text: _greedy_encode(text, table))
+        return s.map(enc)
 
     return encode(text_col)
 
@@ -233,10 +307,12 @@ def bpe_encode_ids_expr(
     table = [(l, r) for l, r, *_ in merges]
     v = dict(vocab)
 
+    enc = _make_encoder(table)  # built once; memo persists across batches
+
     @F.pandas_udf(ArrayType(IntegerType()))
     def encode(s: pd.Series) -> pd.Series:
         def one(text):
-            toks = _greedy_encode(text, table)
+            toks = enc(text)
             if toks is None:
                 return None
             return [v.get(t, -1) for t in toks]

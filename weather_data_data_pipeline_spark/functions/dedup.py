@@ -496,7 +496,7 @@ def minhash_dedup_pairs_portable(
     threshold: float = 0.5,
     num_perm: int = 32,
     bands: int = 16,
-    max_bucket_size: int | None = 32,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Two-stage MinHash near-dedup with the engine-portable md5 hash
     family (:func:`minhash_signatures_portable`): banded LSH candidates,
@@ -516,19 +516,21 @@ def minhash_dedup_pairs_portable(
       Same equality semantics (md5 collisions are negligible and the
       oracle replays the identical expression); the banded self-join's
       shuffle rows shrink ~2× at 2 rows/band and more for wider bands.
-    - ``max_bucket_size`` (default 32) caps the per-bucket pair blow-up
-      with the same star-edge contract as
-      :func:`minhash_lsh_candidates`: a corpus where min-hashes
-      concentrate (closed vocabulary, boilerplate floods) grows bucket
-      sizes ∝ corpus, and Σm² candidate pairs grow quadratically while
-      TRUE near-dup pairs don't. Star members whose hub edge fails
-      verification lose elided dense links — the stated recall trade;
-      ``None`` restores exact candidate enumeration. The cap is ON by
-      default here (unlike :func:`semantic_dedup`'s opt-in cell cap)
-      because this function IS the shipped scale path for near-dedup —
-      the stress measured the uncapped default quadratic, and a
-      scale-path default that degrades at volume is the wrong default;
-      exact enumeration remains one explicit argument away."""
+    - ``max_bucket_size`` caps the per-bucket pair blow-up with the
+      same star-edge contract as :func:`minhash_lsh_candidates`: a
+      corpus where min-hashes concentrate (closed vocabulary,
+      boilerplate floods) grows bucket sizes ∝ corpus, and Σm²
+      candidate pairs grow quadratically while TRUE near-dup pairs
+      don't. Star members whose hub edge fails verification lose
+      elided dense links — the stated recall trade. The LIBRARY
+      default is ``None`` (exact candidate enumeration — no silent
+      recall change for existing callers; matches
+      :func:`semantic_dedup`'s opt-in cell cap); the registered
+      scale-path query passes ``max_bucket_size=32`` explicitly
+      because the r4 10× stress measured the uncapped form's shuffle
+      quadratic on saturated corpora (SCALE.md). Callers working at
+      volume should do the same; :func:`lsh_bucket_stats` is the
+      cheap probe that says whether a corpus needs the cap."""
     sigs = minhash_signatures_portable(
         df, id_col, text_col, n, num_perm
     ).localCheckpoint(eager=True)
@@ -1353,7 +1355,15 @@ def lsh_bucket_stats(
         F.sum("m").cast("bigint").alias("banded_rows"),
         F.count("*").cast("bigint").alias("buckets"),
         F.max("m").cast("bigint").alias("max_bucket"),
-        F.sum(F.when(m <= max_bucket_size, m * (m - 1) / 2).otherwise(0))
+        # m*(m-1) is even, so shiftright-by-1 is EXACT integer halving;
+        # the obvious m*(m-1)/2 is double division in Spark and loses
+        # exactness past 2^26-member buckets — the saturated-corpus
+        # regime this diagnostic exists for (count() is already bigint,
+        # so the product stays integral end to end).
+        F.sum(
+            F.when(m <= max_bucket_size, F.shiftright(m * (m - 1), 1))
+            .otherwise(F.lit(0))
+        )
         .cast("bigint")
         .alias("dense_pairs"),
         F.sum(F.when(m > max_bucket_size, m - 1).otherwise(0))

@@ -533,7 +533,25 @@ def holdout_split(
     :func:`md5_threshold`). ``bounds`` are cumulative upper fractions in
     ascending order; everything above the last bound falls into
     ``rest``. Pure codegen'd row expression: no shuffle, no state,
-    scales with the scan."""
+    scales with the scan.
+
+    Validation: bounds must satisfy 0 < b1 < b2 < ... <= 1 — mis-ordered
+    or duplicate bounds would silently make later splits unreachable
+    (every digest below a later threshold is already claimed by an
+    earlier ``when`` arm), exactly the kind of quiet
+    train/eval-contamination bug a split function must refuse to ship.
+    NULL ids: md5(NULL) is NULL, every ``<`` comparison is NULL, so all
+    ``when`` arms fall through and a NULL id lands in ``rest`` — routed
+    deliberately AWAY from ``train`` (pinned in
+    tests/test_text_ops.py::test_holdout_split_validates_bounds)."""
+    ups = [float(u) for _, u in bounds]
+    if any(not (0.0 < u <= 1.0) for u in ups) or any(
+        a >= b for a, b in zip(ups, ups[1:])
+    ):
+        raise ValueError(
+            "holdout_split bounds must be strictly ascending fractions "
+            f"in (0, 1]; got {ups}"
+        )
     digest = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
     expr = None
     for name, upper in bounds:
