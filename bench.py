@@ -175,20 +175,50 @@ def main() -> None:
                 spark.conf.set("spark.sql.shuffle.partitions", base_parts)
         timings[name] = round(min(runs), 3)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    # Diagnostics go to a side file: the driver keeps only the LAST 2000
+    # characters of stdout and json-parses the final line, so the final
+    # line must stay compact (r3/r4 recorded parsed=null because
+    # shuffle_bytes inline pushed the line past the tail window).
+    details = {
+        "shuffle_bytes": shuffle_bytes,
+        "warm_cache_sec": warm_sec,
+        "aqe": aqe_on,
+        "sf": _sf_from_dir(SF_DIR),
+        "total_sec": total,
+        "queries": timings,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "scripts", "bench_details.json"),
+        "w",
+    ) as f:
+        json.dump(details, f, indent=1, sort_keys=True)
+    line = json.dumps(
+        {
+            "metric": "bench_total_wall_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": _sf_from_dir(SF_DIR),
+        },
+        separators=(",", ":"),
+    )
+    shown = dict(timings)
+    while len(line) > 1900 and shown:  # stay inside the driver's tail
+        # drop the cheapest entries first — the expensive ones carry the
+        # signal; full per-query detail stays in scripts/bench_details.json
+        shown.pop(min(shown, key=shown.get))
+        line = json.dumps(
             {
                 "metric": "bench_total_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "shuffle_bytes": shuffle_bytes,
-                "warm_cache_sec": warm_sec,
-                "aqe": aqe_on,
+                "queries": shown,
                 "sf": _sf_from_dir(SF_DIR),
-            }
+            },
+            separators=(",", ":"),
         )
-    )
+    print(line)
     spark.stop()
 
 

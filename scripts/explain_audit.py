@@ -50,6 +50,13 @@ INTENTIONAL = {
         "single-ROW build side: the vocab-size aggregate attaches to the "
         "bigram table for the add-one denominator — O(n × 1) scalar "
         "attach, same shape as doc_unigram_logppl",
+    ("dsir_importance_weights", "BroadcastNestedLoopJoin"):
+        "single-ROW build sides: the two model totals (tot_r, tot_t) "
+        "cross-join onto the 256-row bucket-ratio table — O(256 × 1) "
+        "scalar attach, same shape as doc_unigram_logppl",
+    ("dsir_select_topk", "BroadcastNestedLoopJoin"):
+        "single-ROW build sides: same weights pipeline as "
+        "dsir_importance_weights feeding the Gumbel top-k",
     ("conversion_funnel", "BroadcastNestedLoopJoin"):
         "single-ROW build side: the distinct-user total attaches to the "
         "three per-step count rows — O(3 × 1) scalar attach",

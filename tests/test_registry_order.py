@@ -21,15 +21,11 @@ WINDOW = 50
 # Mirror of registry._ROUND_HEAD — a deliberate copy so that editing the
 # head without thinking about the verification window fails a test.
 ROUND_HEAD = (
-    "audio_dedup_fingerprint",
-    "semantic_dedup_keep",
-    "semantic_dedup_keep_capped",
-    "embedding_ann_recall_report",
-    "minhash_dedup_pairs_portable",
-    "span_dedup_removal",
-    "train_holdout_split",
-    "bpe_merge_table",
-    "doc_bigram_logppl",
+    "dsir_importance_weights",
+    "dsir_select_topk",
+    "span_dedup_clean_corpus",
+    "bpe_token_budget",
+    "ngram_containment_pairs",
 )
 
 

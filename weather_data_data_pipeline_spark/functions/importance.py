@@ -1,0 +1,241 @@
+"""DSIR-style data selection: hashed n-gram importance resampling
+(Xie et al. 2023, "Data Selection for Language Models via Importance
+Resampling") — pick raw-corpus documents that look like a TARGET
+distribution, the selection step between dedup and training-mix in an
+LLM data pipeline.
+
+Algorithm, re-expressed Spark-first:
+
+1. Featurize every document as a bag of HASHED n-grams (unigrams +
+   bigrams → md5 buckets, ``num_buckets`` total). Hashing fixes the
+   feature space ahead of time, so the corpus-wide state is two
+   ``num_buckets``-row count tables no matter how many TB of text flow
+   through — the property that makes DSIR viable at scale where a full
+   vocabulary would not be.
+2. Fit two categorical bag-of-hashed-ngrams models with add-one
+   smoothing: ``p`` on the target slice, ``q`` on the raw corpus.
+3. Per document, the log importance weight is
+   ``log w(x) = Σ_b count_b(x) · ln(p_b / q_b)``.
+4. Select: Gumbel-top-k on ``log w`` — equivalent to sampling without
+   replacement proportionally to ``w`` (the paper's importance
+   resampling), with the Gumbel noise derived from
+   :func:`~..functions.text.portable_uniform` so any engine with md5
+   reproduces the exact same sample.
+
+Determinism contract (what makes the whole thing oracle-checkable):
+the per-BUCKET log-ratio is computed once from integer counts and
+rounded to 6 decimals BEFORE the per-document accumulation, and the
+accumulation itself is ``Σ count_b · r_b`` in exact decimal
+arithmetic — so the per-doc weight is invariant to partial-aggregation
+order (a raw double Σ over grams is not). Only ``num_buckets`` ln()
+calls ever hit floating point, not one per gram.
+
+Scale shape: the corpus text is read ONCE — target flag carried
+through the gram explode, one map-side-combinable (id, bucket) count
+shuffle, and everything downstream (both bucket models, their totals,
+the per-doc weight sum) derives from that small localCheckpointed
+table. The num_buckets-row ratio table broadcasts back. No shuffle
+ever carries text past the explode.
+
+The reference has no selection operator; this extends the engine for
+the LLM-training-data north star (BASELINE.json) alongside the dedup /
+quality / sampling stack.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import portable_uniform
+
+# decimal(28,6): 6-dp per-bucket log-ratios scaled by up-to-2^63 gram
+# counts stay exact; the final read-out casts the exact decimal straight
+# to double (no re-rounding — half-way rounding of doubles is
+# engine-dependent, decimal->double conversion is not).
+_RATIO_DECIMAL = "decimal(28,6)"
+
+
+def hashed_gram_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_buckets: int = 256,
+    include_bigrams: bool = True,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, *carry, bucket) — one row per word unigram (and bigram)
+    occurrence, hashed into ``num_buckets`` md5 buckets. The md5 family
+    is the engine-portable choice (DuckDB replays it verbatim:
+    ``CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % num_buckets``);
+    the first 8 hex chars are 32 bits, so the modulus is bias-free for
+    any realistic bucket count and never negative. ``carry`` columns
+    (constant per document, e.g. a target flag) ride through the explode
+    so downstream models never need to join back to the corpus."""
+    toks = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.filter(
+            F.split(F.col(text_col), " "), lambda t: t != F.lit("")
+        ).alias("_t"),
+    )
+    frames = [toks.select(id_col, *carry, F.explode("_t").alias("g"))]
+    if include_bigrams:
+        bi = toks.where(F.size("_t") >= 2).select(
+            id_col,
+            *carry,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_t") - 2),
+                    lambda i: F.concat_ws(
+                        " ", F.col("_t")[i], F.col("_t")[i + 1]
+                    ),
+                )
+            ).alias("g"),
+        )
+        frames.append(bi)
+    out = frames[0] if len(frames) == 1 else frames[0].unionByName(frames[1])
+    bucket = (
+        F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
+        % F.lit(num_buckets)
+    )
+    return out.select(id_col, *carry, bucket.alias("bucket"))
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_filter,
+    num_buckets: int = 256,
+    include_bigrams: bool = True,
+) -> DataFrame:
+    """Per-document DSIR log importance weight under hashed n-gram
+    bag models: (id, n_grams, log_w).
+
+    ``target_filter`` is a boolean Column selecting the TARGET slice of
+    ``df`` (e.g. ``F.col('lang') == 'en'``); the raw model ``q`` is fit
+    on all of ``df``. Smoothing is add-one over ``num_buckets``.
+    Documents with no grams (NULL or empty text) get n_grams=0,
+    log_w=0.0 — an empty bag is equally likely under both models. A
+    degenerate EMPTY target slice leaves tot_t NULL and every weight
+    NULL-propagated to 0.0 via the final coalesce — callers should
+    validate their target predicate matches something.
+
+    The per-bucket ratio ``r_b = round(ln(p_b/q_b), 6)`` is decimal from
+    there on, so the per-doc Σ count_b·r_b is exact regardless of
+    aggregation order — the determinism contract in the module
+    docstring.
+
+    Scale shape: the corpus text is touched ONCE — the target flag rides
+    through the gram explode, the (id, bucket) counts aggregate in one
+    map-side-combinable shuffle, and the raw/target bucket models, their
+    totals, and the per-doc accumulation all derive from that
+    ≤ |docs|·num_buckets-row table (localCheckpointed so its three
+    consumers reuse one materialization instead of re-running the
+    explode per consumer)."""
+    flagged = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.coalesce(target_filter.cast("boolean"), F.lit(False)).alias(
+            "_tgt"
+        ),
+    )
+    grams = hashed_gram_buckets(
+        df=flagged,
+        id_col=id_col,
+        text_col=text_col,
+        num_buckets=num_buckets,
+        include_bigrams=include_bigrams,
+        carry=("_tgt",),
+    )
+    per_bucket = (
+        grams.groupBy(id_col, "_tgt", "bucket")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    raw = per_bucket.groupBy("bucket").agg(F.sum("n").alias("cr"))
+    tgt = (
+        per_bucket.where("_tgt")
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("ct"))
+    )
+    totals = raw.agg(F.sum("cr").alias("tot_r"))
+    tgt_total = tgt.agg(F.sum("ct").alias("tot_t"))
+    nb = F.lit(num_buckets)
+    ratios = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(tgt_total))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce("ct", F.lit(0)) + 1)
+                        / (F.col("tot_t") + nb)
+                    )
+                    / ((F.col("cr") + 1) / (F.col("tot_r") + nb))
+                ),
+                6,
+            )
+            .cast(_RATIO_DECIMAL)
+            .alias("r"),
+        )
+    )
+    per_doc = (
+        per_bucket.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").cast("bigint").alias("n_grams"),
+            # the decimal sum is EXACT; cast it to double with NO
+            # re-rounding — both engines convert the same exact decimal
+            # to the same nearest double, whereas round(double, 4)
+            # straddles half-way boundaries differently per engine
+            # (measured: 0.70205 → Spark 0.7021, DuckDB 0.702)
+            F.sum(F.col("n") * F.col("r")).cast("double").alias("log_w"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("log_w", F.lit(0.0)).alias("log_w"),
+        )
+    )
+
+
+def dsir_select_topk(
+    weights: DataFrame,
+    id_col: str,
+    k: int,
+    salt: str = "dsir-v1",
+    log_w_col: str = "log_w",
+) -> DataFrame:
+    """Gumbel-top-k importance RESAMPLING over precomputed log weights:
+    score = log_w + Gumbel(0,1), take the k largest — distributionally
+    identical to sampling k documents without replacement with
+    probability ∝ exp(log_w) (Gumbel-max trick), but expressed as a
+    deterministic, engine-portable expression: the Gumbel draw is
+    ``-ln(-ln(u))`` with u from md5(salt || id)
+    (:func:`~..functions.text.portable_uniform`), so reruns and other
+    engines reproduce the exact same selection. Working in log space
+    sidesteps exp(log_w) overflow entirely.
+
+    Output: (id, log_w, score) for the k winners. One global top-k —
+    Spark's TakeOrderedAndProject, no full sort."""
+    u = portable_uniform(id_col, salt)
+    score = F.col(log_w_col) + (-F.log(-F.log(u)))
+    return (
+        weights.select(
+            id_col,
+            F.col(log_w_col),
+            F.round(score, 4).alias("score"),
+            score.alias("_s"),
+        )
+        .orderBy(F.desc("_s"), F.asc(id_col))
+        .limit(int(k))
+        .drop("_s")
+    )

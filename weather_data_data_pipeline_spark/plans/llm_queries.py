@@ -290,6 +290,51 @@ def ngram_jaccard_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ngram_containment_pairs",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+           FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) _l(i)
+           WHERE len(t) >= 3),
+    hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 100),
+    sh AS (SELECT * FROM sh0 ANTI JOIN hot USING (s)),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+    SELECT id_a, id_b, n_common,
+           round(CAST(n_common AS DOUBLE) / ca.n, 4) AS containment_a,
+           round(CAST(n_common AS DOUBLE) / cb.n, 4) AS containment_b
+    FROM pair
+    JOIN cnt ca ON ca.doc_id = id_a
+    JOIN cnt cb ON cb.doc_id = id_b
+    WHERE greatest(round(CAST(n_common AS DOUBLE) / ca.n, 4),
+                   round(CAST(n_common AS DOUBLE) / cb.n, 4)) >= 0.55
+    """,
+    doc="Asymmetric n-gram CONTAINMENT near-dup pairs (Broder's "
+    "containment coefficient, functions/dedup.py:containment_pairs) — "
+    "the duplication class symmetric Jaccard systematically misses: a "
+    "short document quoted whole inside a much longer one has tiny "
+    "Jaccard (the union is huge) but containment ≈ 1 from the short "
+    "side. Same inverted-index self-join core and df>100 stop-shingle "
+    "cut as ngram_jaccard_pairs (shared _pair_overlap — the capped "
+    "vocabulary is the feature space, mirrored in the oracle); only the "
+    "final measure differs: C(A→B) = |S_A∩S_B| / |S_A| per direction, "
+    "kept when either direction ≥ 0.55.",
+    tags=("llm", "dedup", "bench", "shuffle16"),
+)
+def ngram_containment_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        containment_pairs,
+    )
+
+    docs = load_fanout(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.55, max_df=100
+    )
+
+
+@register(
     "minhash_dedup_pairs",
     verified_by="minhash_dedup_pairs_portable",
     # rows-only BY NECESSITY, not neglect (VERDICT r2 #2 asked for a

@@ -1,0 +1,282 @@
+"""Round-5 data-SELECTION queries: DSIR importance resampling, the
+applied exact-substring cleaner, and tokenizer-priced corpus budgets —
+the "which documents, and how many tokens are they worth" layer that
+sits between dedup/quality filtering and the training mix.
+
+The reference has no selection surface (its pipeline keeps everything
+it fetches, ref: src/weather_report_pipeline/
+weather_report_data_full_load_pipeline.py:160-171 keeps every non-dup
+row); these extend the engine for the LLM-training-data north star in
+BASELINE.json, alongside the dedup/quality/sampling stack.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_data_data_pipeline_spark.registry import register
+from weather_data_data_pipeline_spark.sources.tables import load, load_fanout
+
+_DSIR_BUCKETS = 256
+_DSIR_TARGET_LANG = "en"
+
+# Shared oracle CTE chain: hashed uni+bi gram buckets → target/raw
+# bucket models (add-one smoothing) → per-bucket 6-dp decimal log
+# ratios → per-doc exact decimal Σ count·ratio. Mirrors
+# functions/importance.py:dsir_log_weights expression for expression;
+# the decimal contract makes the per-doc sum aggregation-order-proof
+# (module docstring there).
+_DSIR_WEIGHTS_CTES = f"""
+    toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    gram_strings AS (
+      SELECT doc_id, u AS g
+      FROM (SELECT doc_id, unnest(t) AS u FROM toks)
+      UNION ALL
+      SELECT doc_id, u AS g FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i + 1])) AS u
+        FROM toks WHERE len(t) >= 2
+      )
+    ),
+    grams AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(g), 1, 8) AS BIGINT)
+               % {_DSIR_BUCKETS} AS bucket
+      FROM gram_strings
+    ),
+    tgt AS (
+      SELECT bucket, count(*) AS ct
+      FROM grams JOIN documents USING (doc_id)
+      WHERE documents.lang = '{_DSIR_TARGET_LANG}'
+      GROUP BY bucket
+    ),
+    rawm AS (SELECT bucket, count(*) AS cr FROM grams GROUP BY bucket),
+    tots AS (
+      SELECT (SELECT sum(cr) FROM rawm) AS tot_r,
+             (SELECT sum(ct) FROM tgt) AS tot_t
+    ),
+    ratios AS (
+      SELECT rawm.bucket,
+             CAST(round(ln(
+                 ((coalesce(ct, 0) + 1) / (tot_t + {_DSIR_BUCKETS}))
+               / ((cr + 1) / (tot_r + {_DSIR_BUCKETS}))
+             ), 6) AS DECIMAL(28,6)) AS r
+      FROM rawm LEFT JOIN tgt USING (bucket) CROSS JOIN tots
+    ),
+    per_bucket AS (
+      SELECT doc_id, bucket, count(*) AS n
+      FROM grams GROUP BY doc_id, bucket
+    ),
+    weights AS (
+      SELECT d.doc_id,
+             CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+             coalesce(a.log_w, 0.0) AS log_w
+      FROM documents d
+      LEFT JOIN (
+        SELECT per_bucket.doc_id,
+               sum(n) AS n_grams,
+               -- exact decimal sum cast straight to double (NO round():
+               -- half-way rounding of doubles differs per engine)
+               CAST(sum(n * r) AS DOUBLE) AS log_w
+        FROM per_bucket JOIN ratios USING (bucket)
+        GROUP BY per_bucket.doc_id
+      ) a USING (doc_id)
+    )
+"""
+
+
+def _weights_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.importance import (
+        dsir_log_weights,
+    )
+
+    docs = load_fanout(spark, sf_dir, "documents")
+    return dsir_log_weights(
+        docs,
+        "doc_id",
+        "text",
+        F.col("lang") == _DSIR_TARGET_LANG,
+        num_buckets=_DSIR_BUCKETS,
+    )
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH {_DSIR_WEIGHTS_CTES}
+    SELECT doc_id, n_grams, log_w FROM weights
+    """,
+    doc="DSIR data selection, scoring pass (Xie et al. 2023, hashed "
+    "n-gram importance resampling; functions/importance.py): bag-of-"
+    "hashed-uni+bigram models with add-one smoothing fit on the target "
+    "slice (lang='en') and the raw corpus, per-document log importance "
+    "weight Σ count_b·ln(p_b/q_b). Corpus-wide state is two 256-row "
+    "bucket tables regardless of corpus size (the hashing is what "
+    "makes DSIR 100TB-viable); per-bucket ratios are rounded to 6dp "
+    "and accumulated in exact decimal, so the per-doc sum is "
+    "aggregation-order-proof and the md5 bucket family replays "
+    "verbatim in the oracle.",
+    tags=("llm", "selection", "quality", "bench"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _weights_df(spark, sf_dir)
+
+
+@register(
+    "dsir_select_topk",
+    oracle=f"""
+    WITH {_DSIR_WEIGHTS_CTES},
+    scored AS (
+      SELECT doc_id, log_w,
+             log_w + (-ln(-ln(
+               (CAST('0x' || substr(md5('dsir-v1' || CAST(doc_id AS VARCHAR)),
+                                    1, 13) AS BIGINT)
+                + 0.5) / 4503599627370496.0
+             ))) AS s
+      FROM weights
+    )
+    SELECT doc_id, log_w, round(s, 4) AS score
+    FROM scored ORDER BY s DESC, doc_id LIMIT 64
+    """,
+    doc="DSIR data selection, resampling pass: Gumbel-top-k over the "
+    "importance log weights — score = log_w - ln(-ln(u)), u from "
+    "md5(salt||id) (functions/importance.py:dsir_select_topk) — "
+    "distributionally identical to sampling 64 docs without "
+    "replacement ∝ exp(log_w) (Gumbel-max trick) yet fully "
+    "deterministic and engine-portable; log-space scoring sidesteps "
+    "exp overflow. One global top-k: Spark plans "
+    "TakeOrderedAndProject, never a full sort.",
+    tags=("llm", "selection", "sampling", "bench"),
+)
+def dsir_select_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.importance import (
+        dsir_select_topk,
+    )
+
+    return dsir_select_topk(
+        _weights_df(spark, sf_dir), "doc_id", k=64, salt="dsir-v1"
+    )
+
+
+@register(
+    "span_dedup_clean_corpus",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) - 6),
+                          i -> struct_pack(pos := i - 1,
+                               gram := array_to_string(t[i:i+7], ' ')))) AS u
+            FROM toks WHERE len(t) >= 8
+        )
+    ),
+    freq AS (SELECT gram, count(*) AS c FROM spans GROUP BY gram),
+    dup AS (
+        SELECT doc_id, pos FROM spans JOIN freq USING (gram)
+        WHERE freq.c >= 2
+    ),
+    marked AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER w IS NULL
+                      OR pos - lag(pos) OVER w >= 8 THEN 1 ELSE 0
+               END AS new_isl
+        FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    islands AS (
+        SELECT doc_id, pos,
+               sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        FROM marked
+    ),
+    per_isl AS (
+        SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+        FROM islands GROUP BY doc_id, isl
+    ),
+    tok_pos AS (
+        SELECT doc_id, u.i AS i, u.tok AS tok FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) + 1),
+                          i -> struct_pack(i := i - 1, tok := t[i]))) AS u
+            FROM toks
+        )
+    ),
+    kept AS (
+        SELECT tp.doc_id, tp.i, tp.tok
+        FROM tok_pos tp
+        WHERE NOT EXISTS (
+            SELECT 1 FROM per_isl b
+            WHERE b.doc_id = tp.doc_id AND tp.i >= b.s AND tp.i < b.e
+        )
+    ),
+    clean AS (
+        SELECT doc_id,
+               string_agg(tok, ' ' ORDER BY i) AS clean_text,
+               count(*) AS kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE coalesce(c.clean_text, '') END AS clean_text,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE CAST(coalesce(c.kept, 0) AS BIGINT) END AS kept_tokens
+    FROM documents d LEFT JOIN clean c USING (doc_id)
+    """,
+    doc="The APPLIED form of exact-substring dedup (Lee et al. 2022): "
+    "span_dedup_removal reports what would be cut; this returns every "
+    "document with its corpus-duplicated 8-gram spans actually REMOVED "
+    "(functions/dedup.py:span_dedup_clean) — doc_id, rebuilt "
+    "clean_text, n_tokens, kept_tokens. Same _span_islands frame as "
+    "the stats pass (the two faces cannot diverge), plus one "
+    "collect_list(islands) per doc and a codegen'd higher-order filter "
+    "rebuilding the text: tokens never shuffle for the reconstruction, "
+    "only (id, islands) pairs do, and the oracle rebuilds the exact "
+    "same strings via an interval anti-join.",
+    tags=("llm", "dedup", "quality", "bench"),
+)
+def span_dedup_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        span_dedup_clean,
+    )
+
+    docs = load_fanout(spark, sf_dir, "documents")
+    return span_dedup_clean(docs, "doc_id", "text", n=8, min_count=2)
+
+
+@register(
+    "bpe_token_budget",
+    verified_by="tests/test_bpe.py",
+    oracle=None,  # the encode applies a TRAINED merge table (itself the
+    # output of the iterative argmax loop) — not SQL-expressible; the
+    # trainer AND the rank-priority encoder are pinned exactly against
+    # the pure-Python Sennrich reference in tests/test_bpe.py
+    doc="Per-source corpus token budget under the LEARNED BPE tokenizer "
+    "(functions/bpe.py:bpe_token_budget): trains 12 merges (corpus "
+    "touched once via the word-frequency groupBy), then one Arrow-"
+    "batched rank-priority encode pass + a partial-aggregated rollup — "
+    "(source, n_docs, bpe_tokens). Whitespace token counts mis-state "
+    "training cost by the merge compression factor; this is the number "
+    "that actually prices a run. The encode memoizes per distinct word "
+    "per task, so the hot path pays per-VOCABULARY cost, not "
+    "per-corpus.",
+    tags=("llm", "text", "rows-only"),
+)
+def bpe_token_budget_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.bpe import (
+        bpe_token_budget,
+        bpe_train,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", num_merges=12)
+    return bpe_token_budget(
+        load_fanout(spark, sf_dir, "documents"), "text", merges, ["source"]
+    ).orderBy("source")

@@ -50,6 +50,7 @@ _QUERY_MODULES = (
     "weather_data_data_pipeline_spark.plans.maintenance_queries",
     "weather_data_data_pipeline_spark.plans.timeseries_queries",
     "weather_data_data_pipeline_spark.plans.weather_queries",
+    "weather_data_data_pipeline_spark.plans.selection_queries",
 )
 
 _loaded = False
@@ -74,34 +75,24 @@ _loaded = False
 # PLAN/ORACLE changed this round and must (re-)earn a green row. Keep
 # tests/test_registry_order.py's ROUND_HEAD copy in sync.
 _ROUND_HEAD: tuple[str, ...] = (
-    # r4: oracle type fix (CAST s0..s3 AS BIGINT — the one red r3 row) +
-    # engine-side vectorization of the residue fingerprints
-    "audio_dedup_fingerprint",
-    # r4: hot-cell star-edge cap added to the SemDeDup cell scan
-    "semantic_dedup_keep",
-    # r4 new: the capped SemDeDup path exercised FOR REAL (cap forced low
-    # enough to trigger at sf0.01) with the star-edge contract replayed
-    # in the oracle — proves the hot-cell treatment is value-correct, not
-    # just bounded.
-    "semantic_dedup_keep_capped",
-    # r4 new: ANN quality measurement — LSH candidate recall vs
-    # brute-force cosine top-k ground truth, both sides replayed in SQL.
-    "embedding_ann_recall_report",
-    # r4 plan+oracle change: compact md5 band bucket + star-edge bucket
-    # cap, both motivated by the 10x volume stress (SCALE.md)
-    "minhash_dedup_pairs_portable",
-    # r4 new: exact-substring dedup REMOVAL (Lee et al. semantics) —
-    # positional 8-grams, corpus-frequency join, gaps-and-islands merge
-    "span_dedup_removal",
-    # r4 new: deterministic md5-bucketed 90/5/5 train/val/test split —
-    # growth-stable, engine-portable, zero-shuffle assignment
-    "train_holdout_split",
-    # r4 new: distributed BPE tokenizer training (rows-only; pinned
-    # exactly against the pure-Python Sennrich reference in tests)
-    "bpe_merge_table",
-    # r4 new: bigram-LM perplexity proxy (conditional-probability
-    # upgrade of the unigram filter; add-one smoothing)
-    "doc_bigram_logppl",
+    # r5 new: DSIR hashed-ngram importance weights (Xie et al. 2023) —
+    # per-bucket 6dp decimal log-ratios make the per-doc sum
+    # aggregation-order-proof; md5 bucket family replayed in the oracle
+    "dsir_importance_weights",
+    # r5 new: Gumbel-top-k importance RESAMPLING over those weights —
+    # portable-uniform Gumbel draw, log-space scores, oracle replay
+    "dsir_select_topk",
+    # r5 new: the APPLIED exact-substring cleaner — rebuilt clean_text
+    # per document, oracle reconstructs the identical strings via an
+    # interval anti-join
+    "span_dedup_clean_corpus",
+    # r5 new: per-source token budget under the learned BPE tokenizer
+    # (rows-only; trainer + rank-priority encoder pinned exactly in
+    # tests/test_bpe.py)
+    "bpe_token_budget",
+    # r5 new: asymmetric containment near-dup (Broder coefficient) —
+    # shares the jaccard inverted-index core; full oracle replay
+    "ngram_containment_pairs",
 )
 
 
