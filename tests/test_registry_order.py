@@ -26,6 +26,7 @@ ROUND_HEAD = (
     "span_dedup_clean_corpus",
     "bpe_token_budget",
     "ngram_containment_pairs",
+    "quality_classifier_scores",
 )
 
 

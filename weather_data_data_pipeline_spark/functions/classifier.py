@@ -1,0 +1,122 @@
+"""Learned quality classifier: the fastText-style filter every modern
+LLM data pipeline runs (DCLM, Llama, GPT-3's Wikipedia-vs-crawl LR) —
+label a curated slice positive, the raw crawl negative, train a linear
+classifier over hashed bag-of-words features, keep documents the model
+scores curated-like.
+
+Spark-first: this is the one place the engine reaches for Spark MLlib
+instead of hand-rolling the operator, because MLlib's pipeline IS the
+idiomatic expression of it at scale:
+
+- ``HashingTF`` is the feature-hashing trick — a fixed-width sparse
+  vector per document with ZERO corpus-wide vocabulary state, the same
+  property that makes DSIR's hashed n-grams (functions/importance.py)
+  100 TB-viable. No fit step, no dictionary broadcast, no OOV problem.
+- ``LogisticRegression`` trains with L-BFGS where each iteration is one
+  ``treeAggregate`` over the instance cache — O(max_iter) distributed
+  passes over vectors that were featurized ONCE (MLlib persists the
+  instance RDD for the duration of the fit). Driver state is the
+  (num_features+1)-float coefficient vector, independent of corpus
+  size.
+
+Determinism: featurization is a pure function of the text; L-BFGS over
+a fixed instance partitioning is deterministic, so re-running the fit
+in one session reproduces identical coefficients and scores (the
+rows-only driver contract). Across partitioning changes the float
+treeAggregate may differ in final ULPs — scores are rounded to 6 dp at
+the query surface so downstream thresholds are stable.
+
+The reference has no learned operators (its pipeline is pure ETL,
+ref: src/weather_report_pipeline/weather_report_data_full_load_pipeline
+.py); this extends the engine for the LLM-training-data north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.classification import LogisticRegression
+from pyspark.ml.feature import HashingTF, RegexTokenizer
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_NUM_FEATURES = 1 << 12  # 4096 hashed unigram buckets
+
+
+def quality_classifier_fit(
+    train: DataFrame,
+    text_col: str,
+    label_col: str,
+    num_features: int = DEFAULT_NUM_FEATURES,
+    reg_param: float = 1e-3,
+    max_iter: int = 30,
+) -> PipelineModel:
+    """Fit tokenize → HashingTF → LogisticRegression on ``train``.
+
+    ``label_col`` must be numeric 0.0/1.0 (1.0 = curated/positive).
+    NULL text is treated as the empty document (all-zero feature
+    vector) rather than an error — at corpus scale a fit must never
+    die on one bad row.
+    """
+    train = train.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+    pipeline = Pipeline(
+        stages=[
+            RegexTokenizer(
+                inputCol=text_col,
+                outputCol="_toks",
+                pattern="\\s+",
+                toLowercase=True,
+            ),
+            HashingTF(
+                inputCol="_toks",
+                outputCol="_features",
+                numFeatures=num_features,
+            ),
+            LogisticRegression(
+                featuresCol="_features",
+                labelCol=label_col,
+                regParam=reg_param,
+                elasticNetParam=0.0,  # L2: every hashed bucket keeps a
+                # coefficient; L1 sparsity saves nothing when the vector
+                # is already fixed-width
+                maxIter=max_iter,
+                standardization=False,  # raw TF counts are already
+                # same-scale; standardizing would densify the sparse
+                # vectors' statistics pass
+            ),
+        ]
+    )
+    return pipeline.fit(train)
+
+
+def quality_classifier_score(
+    model: PipelineModel,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Score every document: (id, *keep_cols, prob_pos, pred).
+
+    ``prob_pos`` is P(label=1) rounded to 6 dp — the rounding makes
+    downstream threshold filters stable against final-ULP float drift
+    between partitionings (module docstring). One distributed map over
+    the corpus; the model broadcast is the coefficient vector.
+    """
+    scored = model.transform(
+        df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+    )
+    prob_pos = _vector_element(F.col("probability"), 1)
+    return scored.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.round(prob_pos, 6).alias("prob_pos"),
+        F.col("prediction").cast("int").alias("pred"),
+    )
+
+
+def _vector_element(vec: Column, i: int) -> Column:
+    """Element i of an ML Vector column, JVM-side (no Python UDF):
+    Spark 3.1+ ships the ``vector_to_array`` SQL function."""
+    from pyspark.ml.functions import vector_to_array
+
+    return vector_to_array(vec)[i]

@@ -269,6 +269,51 @@ def span_dedup_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-corpus.",
     tags=("llm", "text", "rows-only"),
 )
+@register(
+    "quality_classifier_scores",
+    verified_by="tests/test_classifier.py",
+    oracle=None,  # the scores are L-BFGS-fitted logistic-regression
+    # outputs — an iterative optimizer, not SQL-expressible; the
+    # pipeline is pinned in tests/test_classifier.py (separable-corpus
+    # accuracy, same-session determinism, NULL-text survival, scoring
+    # parity with a hand-computed sigmoid(w·x + b))
+    doc="Learned quality filter, the fastText/DCLM pattern "
+    "(functions/classifier.py): label a curated slice positive "
+    "(sources src0-src3 stand in for the 'Wikipedia/books' side), the "
+    "rest negative, fit HashingTF(4096) → LogisticRegression on a "
+    "deterministic md5-bucketed 70% of the corpus, score EVERYTHING — "
+    "(doc_id, label, prob_pos, pred). Feature hashing keeps zero "
+    "corpus-wide vocabulary state and L-BFGS keeps driver state at one "
+    "4097-float vector, so the same fit runs at 100 TB; the corpus is "
+    "featurized once (MLlib persists the instance cache across "
+    "iterations).",
+    tags=("llm", "selection", "quality", "bench"),
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.classifier import (
+        quality_classifier_fit,
+        quality_classifier_score,
+    )
+    from weather_data_data_pipeline_spark.functions.text import md5_threshold
+
+    docs = load_fanout(spark, sf_dir, "documents").withColumn(
+        "label",
+        F.col("source").isin("src0", "src1", "src2", "src3")
+        .cast("double"),
+    )
+    # deterministic, growth-stable 70% training slice — same md5 device
+    # as holdout_split, so train membership never shifts when the
+    # corpus grows
+    train = docs.where(
+        F.md5(F.concat(F.lit("qc-v1|"), F.col("doc_id").cast("string")))
+        < F.lit(md5_threshold(0.7))
+    )
+    model = quality_classifier_fit(train, "text", "label")
+    return quality_classifier_score(
+        model, docs, "doc_id", "text", keep_cols=("label",)
+    )
+
+
 def bpe_token_budget_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_data_data_pipeline_spark.functions.bpe import (
         bpe_token_budget,

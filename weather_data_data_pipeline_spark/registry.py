@@ -93,6 +93,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     # r5 new: asymmetric containment near-dup (Broder coefficient) —
     # shares the jaccard inverted-index core; full oracle replay
     "ngram_containment_pairs",
+    # r5 new: learned fastText/DCLM-style quality filter via MLlib
+    # HashingTF → LogisticRegression (rows-only; accuracy, determinism
+    # and sigmoid-parity pinned in tests/test_classifier.py)
+    "quality_classifier_scores",
 )
 
 
