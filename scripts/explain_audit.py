@@ -57,6 +57,10 @@ INTENTIONAL = {
     ("dsir_select_topk", "BroadcastNestedLoopJoin"):
         "single-ROW build sides: same weights pipeline as "
         "dsir_importance_weights feeding the Gumbel top-k",
+    ("doremi_domain_weights", "BroadcastNestedLoopJoin"):
+        "single-ROW build sides: the corpus totals (total, vs), the "
+        "token-share denominator, and the mix normalizer each attach to "
+        "a ≤|sources|-row frame — O(20 × 1) scalar attaches",
     ("conversion_funnel", "BroadcastNestedLoopJoin"):
         "single-ROW build side: the distinct-user total attaches to the "
         "three per-step count rows — O(3 × 1) scalar attach",

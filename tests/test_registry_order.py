@@ -27,6 +27,7 @@ ROUND_HEAD = (
     "bpe_token_budget",
     "ngram_containment_pairs",
     "quality_classifier_scores",
+    "doremi_domain_weights",
 )
 
 

@@ -270,6 +270,212 @@ def span_dedup_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text", "rows-only"),
 )
 @register(
+    "doremi_domain_weights",
+    oracle="""
+    WITH arrs AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    toks AS (
+      SELECT source, u AS tok FROM (SELECT source, unnest(t) AS u FROM arrs)
+    ),
+    uni AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    n AS (SELECT count(*) AS total FROM toks),
+    v AS (SELECT count(*) AS vs FROM uni),
+    bi AS (
+      SELECT source, u.w1 AS w1, u.w2 AS w2 FROM (
+        SELECT source,
+               unnest(list_transform(range(1, len(t)),
+                      i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS u
+        FROM arrs WHERE len(t) >= 2
+      )
+    ),
+    bg AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
+    ref_loss AS (
+      SELECT source, count(*) AS n_tokens,
+             round(CAST(sum(CAST(round(-ln(uni.c / n.total), 6)
+                                 AS DECIMAL(38,6))) AS DOUBLE)
+                   / count(*), 4) AS ref_loss
+      FROM toks JOIN uni USING (tok) CROSS JOIN n
+      GROUP BY source
+    ),
+    proxy_loss AS (
+      SELECT source,
+             round(CAST(sum(CAST(round(-ln((bg.c2 + 1.0) / (uni.c + v.vs)), 6)
+                                 AS DECIMAL(38,6))) AS DOUBLE)
+                   / count(*), 4) AS proxy_loss
+      FROM bi JOIN bg USING (w1, w2) JOIN uni ON uni.tok = bi.w1 CROSS JOIN v
+      GROUP BY source
+    ),
+    docs AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    per_src AS (
+      SELECT d.source, d.n_docs,
+             CAST(r.n_tokens AS BIGINT) AS n_tokens, r.ref_loss,
+             coalesce(p.proxy_loss, r.ref_loss) AS proxy_loss,
+             round(greatest(coalesce(p.proxy_loss, r.ref_loss) - r.ref_loss,
+                            0.0), 4) AS excess
+      FROM docs d
+      JOIN ref_loss r USING (source)
+      LEFT JOIN proxy_loss p USING (source)
+    ),
+    terms AS (
+      SELECT *,
+             CAST(round((n_tokens / (SELECT CAST(sum(n_tokens) AS DOUBLE)
+                                     FROM per_src))
+                        * exp(excess / 0.5), 9) AS DECIMAL(38,9)) AS term
+      FROM per_src
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+           ref_loss, proxy_loss, excess,
+           round(CAST(term AS DOUBLE)
+                 / CAST((SELECT sum(term) FROM terms) AS DOUBLE), 6)
+             AS mix_weight
+    FROM terms
+    """,
+    doc="DoReMi-style training-mix reweighting from MEASURED per-domain "
+    "excess loss (Xie et al. 2023 DoReMi, the 'lite' closed-form pass): "
+    "per source, reference loss = unigram logppl, proxy loss = add-one "
+    "bigram logppl (both corpus-self-trained, same models as "
+    "doc_unigram_logppl / doc_bigram_logppl), excess = max(0, proxy - "
+    "ref), and mix_weight ∝ token_share · exp(excess/τ) normalized over "
+    "sources — domains whose word ORDER is hard relative to their "
+    "vocabulary get upweighted. All corpus passes are the bounded-state "
+    "logppl aggregates (Zipf-small count tables); the reweighting "
+    "itself touches one row per source. Per-token losses are rounded "
+    "to 6dp decimal before the per-source sum, so every average is "
+    "aggregation-order-proof (the DSIR determinism contract).",
+    tags=("llm", "selection", "sampling", "bench"),
+)
+def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_fanout(spark, sf_dir, "documents")
+    arr = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    arrs = docs.select("source", arr.alias("t"))
+    # The corpus is exploded exactly TWICE (tokens, bigrams) and each
+    # explode is immediately collapsed to a per-(source, gram) count
+    # table — Zipf-small — which is localCheckpointed because THREE
+    # consumers each would otherwise re-run the explode (the DSIR
+    # lesson: 22 exchanges → 9). A per-occurrence sum of the rounded
+    # per-gram loss equals count × rounded-loss exactly in decimal, so
+    # collapsing to counts changes nothing the oracle can see.
+    tok_counts = (
+        arrs.select("source", F.explode("t").alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("m"))
+        .localCheckpoint(eager=False)
+    )
+    uni = (
+        tok_counts.groupBy("tok")
+        .agg(F.sum("m").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    totals = uni.agg(
+        F.sum("c").alias("total"), F.count("*").alias("vs")
+    )
+    big_counts = (
+        arrs.where(F.size("t") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 2),
+                    lambda i: F.struct(
+                        F.col("t")[i].alias("w1"),
+                        F.col("t")[i + 1].alias("w2"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("source", "p.w1", "p.w2")
+        .groupBy("source", "w1", "w2")
+        .agg(F.count("*").alias("m"))
+        .localCheckpoint(eager=False)
+    )
+    bg = big_counts.groupBy("w1", "w2").agg(F.sum("m").alias("c2"))
+
+    def _davg6(loss_col):
+        # count × 6dp-decimal per-gram loss, exact sum, 4dp average:
+        # aggregation-order-proof (functions/importance.py contract)
+        return F.round(
+            F.sum(
+                F.col("m") * F.round(loss_col, 6).cast("decimal(38,6)")
+            ).cast("double")
+            / F.sum("m"),
+            4,
+        )
+
+    ref = (
+        tok_counts.join(uni, "tok")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("source")
+        .agg(
+            F.sum("m").cast("bigint").alias("n_tokens"),
+            _davg6(-F.log(F.col("c") / F.col("total"))).alias("ref_loss"),
+        )
+    )
+    proxy = (
+        big_counts.join(bg, ["w1", "w2"])
+        .join(uni.withColumnRenamed("tok", "w1"), "w1")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("source")
+        .agg(
+            _davg6(
+                -F.log((F.col("c2") + F.lit(1.0)) / (F.col("c") + F.col("vs")))
+            ).alias("proxy_loss")
+        )
+    )
+    n_docs = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    per_src = (
+        n_docs.join(ref, "source")
+        .join(proxy, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "ref_loss",
+            F.coalesce("proxy_loss", "ref_loss").alias("proxy_loss"),
+            F.round(
+                F.greatest(
+                    F.coalesce("proxy_loss", "ref_loss") - F.col("ref_loss"),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("excess"),
+        )
+    )
+    tok_total = per_src.agg(
+        F.sum("n_tokens").cast("double").alias("_tok_total")
+    )
+    terms = per_src.crossJoin(F.broadcast(tok_total)).withColumn(
+        "term",
+        F.round(
+            (F.col("n_tokens") / F.col("_tok_total"))
+            * F.exp(F.col("excess") / F.lit(0.5)),
+            9,
+        ).cast("decimal(38,9)"),
+    )
+    term_total = terms.agg(F.sum("term").alias("_term_total"))
+    return (
+        terms.crossJoin(F.broadcast(term_total))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "ref_loss",
+            "proxy_loss",
+            "excess",
+            F.round(
+                F.col("term").cast("double")
+                / F.col("_term_total").cast("double"),
+                6,
+            ).alias("mix_weight"),
+        )
+    )
+
+
+@register(
     "quality_classifier_scores",
     verified_by="tests/test_classifier.py",
     oracle=None,  # the scores are L-BFGS-fitted logistic-regression

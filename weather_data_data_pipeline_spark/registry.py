@@ -97,6 +97,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     # HashingTF → LogisticRegression (rows-only; accuracy, determinism
     # and sigmoid-parity pinned in tests/test_classifier.py)
     "quality_classifier_scores",
+    # r5 new: DoReMi-lite training-mix reweighting from measured
+    # per-domain excess loss — full oracle replay incl. the 6dp-decimal
+    # order-proof per-source loss averages
+    "doremi_domain_weights",
 )
 
 
