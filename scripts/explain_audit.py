@@ -57,6 +57,10 @@ INTENTIONAL = {
     ("dsir_select_topk", "BroadcastNestedLoopJoin"):
         "single-ROW build sides: same weights pipeline as "
         "dsir_importance_weights feeding the Gumbel top-k",
+    ("ann_pq_topk_seeded", "BroadcastNestedLoopJoin"):
+        "ADC scoring IS a broadcast(query-LUTs) × corpus-codes scan — "
+        "10 tiny LUT rows against the code table, m decimal lookups "
+        "per candidate; the PQ analog of embedding_cosine_topk's shape",
     ("doremi_domain_weights", "BroadcastNestedLoopJoin"):
         "single-ROW build sides: the corpus totals (total, vs), the "
         "token-share denominator, and the mix normalizer each attach to "

@@ -28,6 +28,7 @@ ROUND_HEAD = (
     "ngram_containment_pairs",
     "quality_classifier_scores",
     "doremi_domain_weights",
+    "ann_pq_topk_seeded",
 )
 
 

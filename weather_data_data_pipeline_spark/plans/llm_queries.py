@@ -2810,6 +2810,96 @@ def ann_ivf_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_pq_topk_seeded",
+    # Same seed-codebook device as ann_ivf_topk_seeded: codewords are
+    # subvectors of the 16 lowest-id embeddings VERBATIM (no Lloyd),
+    # so encode, LUT, ADC and ranking all replay in DuckDB. A trained
+    # codebook (kmeans_fit per subspace) drops in unchanged.
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+             embedding AS cvec
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    subs AS (SELECT unnest(range(0, 8)) AS j),
+    enc0 AS (
+      SELECT e.vec_id, s.j, c.cell,
+             list_sum(list_transform(range(1, 9), i ->
+               (CAST(e.embedding[s.j*8 + i] AS DOUBLE)
+                  - CAST(c.cvec[s.j*8 + i] AS DOUBLE))
+               * (CAST(e.embedding[s.j*8 + i] AS DOUBLE)
+                  - CAST(c.cvec[s.j*8 + i] AS DOUBLE)))) AS d
+      FROM embeddings e CROSS JOIN subs s CROSS JOIN cents c
+    ),
+    codes AS (
+      SELECT vec_id, j, cell AS code FROM (
+        SELECT vec_id, j, cell,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY d, cell) AS rn
+        FROM enc0
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT q.vec_id AS query_id, s.j, c.cell,
+             CAST(round(list_sum(list_transform(range(1, 9), i ->
+               (CAST(q.embedding[s.j*8 + i] AS DOUBLE)
+                  - CAST(c.cvec[s.j*8 + i] AS DOUBLE))
+               * (CAST(q.embedding[s.j*8 + i] AS DOUBLE)
+                  - CAST(c.cvec[s.j*8 + i] AS DOUBLE)))), 6)
+               AS DECIMAL(38,6)) AS d
+      FROM embeddings q CROSS JOIN subs s CROSS JOIN cents c
+      WHERE q.vec_id < 10
+    ),
+    adc AS (
+      SELECT l.query_id, co.vec_id AS neighbor_id, sum(l.d) AS dist
+      FROM codes co JOIN lut l ON l.j = co.j AND l.cell = co.code
+      WHERE co.vec_id <> l.query_id
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist, neighbor_id) AS rn
+      FROM adc
+    )
+    SELECT query_id, neighbor_id,
+           CAST(dist AS DOUBLE) AS adc_dist, CAST(rn AS INTEGER) AS rn
+    FROM ranked WHERE rn <= 10
+    """,
+    doc="Product-quantization ANN top-k (Jégou et al. 2011; "
+    "functions/pq.py) under FIXED seed codebooks — each 64-dim vector "
+    "compressed to m=8 subspace codes (32× smaller than the float "
+    "corpus), queries scored against the CODES via a broadcast per-"
+    "query lookup table: m decimal lookups + adds per candidate "
+    "instead of D float multiplies, and nothing corpus-sized ever "
+    "shuffles. LUT entries are 6-dp decimals so the ADC sum is exact "
+    "and the ranking bit-deterministic; the seed codebook (subvectors "
+    "of the 16 lowest-id embeddings) makes encode+LUT+ADC+ranking "
+    "fully DuckDB-replayable, with a Lloyd-trained codebook as the "
+    "drop-in production path.",
+    tags=("llm", "similarity", "bench"),
+)
+def ann_pq_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.pq import (
+        pq_adc_topk,
+        pq_encode,
+        split_codebooks,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(16).collect()
+    )
+    codebooks = split_codebooks(
+        [[float(x) for x in r["embedding"]] for r in seeds], m=8
+    )
+    codes = pq_encode(emb, "vec_id", "embedding", codebooks)
+    return pq_adc_topk(
+        codes, emb.where(F.col("vec_id") < 10), codebooks, k=10
+    )
+
+
+@register(
     "embedding_health_report",
     oracle="""
     WITH norms AS (

@@ -101,6 +101,9 @@ _ROUND_HEAD: tuple[str, ...] = (
     # per-domain excess loss — full oracle replay incl. the 6dp-decimal
     # order-proof per-source loss averages
     "doremi_domain_weights",
+    # r5 new: product-quantization ANN (third approximate family beside
+    # LSH/IVF) — seed codebooks make encode+LUT+ADC fully replayable
+    "ann_pq_topk_seeded",
 )
 
 
