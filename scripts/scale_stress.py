@@ -319,6 +319,38 @@ def run10() -> None:
     spark.stop()
 
 
+# ---------------------------------------------------------------------
+# r5 additions: the round-5 operator family over BOTH decades. All are
+# designed-linear (hashed-bucket DSIR models, span-clean's capped gram
+# join, HashingTF+LBFGS, Zipf-small DoReMi count tables, PQ's broadcast
+# LUT scan); the containment query is EXCLUDED like exact Jaccard — the
+# closed 31-token stress vocabulary makes every df-capped posting
+# vanish / the uncapped ones quadratic, a workload property SCALE.md
+# already documents for the shingle family.
+# ---------------------------------------------------------------------
+
+QUERIES_R5 = (
+    "dsir_importance_weights",
+    "span_dedup_clean_corpus",
+    "quality_classifier_scores",
+    "doremi_domain_weights",
+    "ann_pq_topk_seeded",
+)
+
+
+def runr5() -> None:
+    d1, spark = _measure(
+        (("sf0.1", SRC_DIR), ("sf1", OUT_DIR)), QUERIES_R5, "r5d1", "scale_r5"
+    )
+    spark.stop()
+    d2, spark = _measure(
+        (("sf1", OUT_DIR), ("sf10", OUT_DIR_10)), QUERIES_R5, "r5d2",
+        "scale_r5b",
+    )
+    print(json.dumps({"decade1_sf01_sf1": d1, "decade2_sf1_sf10": d2}))
+    spark.stop()
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "run"
     if cmd == "gen":
@@ -329,6 +361,8 @@ if __name__ == "__main__":
         gen10()
     elif cmd == "run10":
         run10()
+    elif cmd == "runr5":
+        runr5()
     else:
-        print("usage: scale_stress.py [gen|run|gen10|run10]")
+        print("usage: scale_stress.py [gen|run|gen10|run10|runr5]")
         sys.exit(2)

@@ -118,3 +118,53 @@ def test_topk_is_take_ordered_not_full_sort(spark):
     w = dsir_log_weights(docs, "doc_id", "text", F.col("kind") == "code")
     plan = dsir_select_topk(w, "doc_id", k=3)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_frozen_model_score_matches_fused_fit_and_score(spark):
+    """dsir_score_frozen against dsir_model_ratios must reproduce the
+    fused dsir_log_weights bit-for-bit — the contract the streaming
+    sink's stream==batch equivalence rests on."""
+    from weather_data_data_pipeline_spark.functions.importance import (
+        dsir_model_ratios,
+        dsir_score_frozen,
+    )
+
+    docs = _docs(spark)
+    tgt = F.col("kind") == "code"
+    fused = {
+        r["doc_id"]: (r["n_grams"], r["log_w"])
+        for r in dsir_log_weights(docs, "doc_id", "text", tgt).collect()
+    }
+    ratios = dsir_model_ratios(docs, "doc_id", "text", tgt)
+    frozen = {
+        r["doc_id"]: (r["n_grams"], r["log_w"])
+        for r in dsir_score_frozen(docs, ratios, "doc_id", "text").collect()
+    }
+    assert fused == frozen
+
+
+def test_frozen_score_independent_of_batch_split(spark):
+    """Scoring half the corpus at a time against the frozen model must
+    equal scoring it all at once — per-doc weights depend only on the
+    model, and the decimal sums close over any partitioning."""
+    from weather_data_data_pipeline_spark.functions.importance import (
+        dsir_model_ratios,
+        dsir_score_frozen,
+    )
+
+    docs = _docs(spark)
+    ratios = dsir_model_ratios(
+        docs, "doc_id", "text", F.col("kind") == "code"
+    )
+    whole = {
+        r["doc_id"]: (r["n_grams"], r["log_w"])
+        for r in dsir_score_frozen(docs, ratios, "doc_id", "text").collect()
+    }
+    split = {}
+    for part in (
+        docs.where(F.col("doc_id") < 100),
+        docs.where(F.col("doc_id") >= 100),
+    ):
+        for r in dsir_score_frozen(part, ratios, "doc_id", "text").collect():
+            split[r["doc_id"]] = (r["n_grams"], r["log_w"])
+    assert whole == split

@@ -598,3 +598,57 @@ def test_drift_monitor_stream_matches_batch_psi(spark, tmp_path):
         n_rows, got_psi = got[bid]
         assert n_rows == len(batch_rows)
         assert abs(got_psi - round(psi, 5)) < 1e-9, (bid, got_psi, psi)
+
+
+def test_dsir_score_stream_matches_batch_frozen_scoring(spark, tmp_path):
+    """The streaming DSIR sink must score each micro-batch's documents
+    bit-identically to the batch frozen-model scorer — the model is
+    frozen and the weight sums are exact decimals, so the equality is
+    exact, not approximate."""
+    from weather_data_data_pipeline_spark.functions.importance import (
+        dsir_model_ratios,
+        dsir_score_frozen,
+    )
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text", "lang")
+    ratios = dsir_model_ratios(
+        docs, "doc_id", "text", F.col("lang") == "en"
+    ).localCheckpoint()
+
+    # two single-file micro-batches
+    rows = docs.collect()
+    half = len(rows) // 2
+    src = str(tmp_path / "dsir_src")
+    spark.createDataFrame(rows[:half], docs.schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows[half:], docs.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    out = str(tmp_path / "dsir_out")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    q = (
+        S.dsir_score_sink(stream, ratios, out, str(tmp_path / "dsir_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["doc_id"]: (r["n_grams"], r["log_w"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_grams"], r["log_w"])
+        for r in dsir_score_frozen(docs, ratios, "doc_id", "text").collect()
+    }
+    assert got == want
+    # and the stream really ran as >1 micro-batch
+    n_batches = (
+        spark.read.parquet(out).select("batch_id").distinct().count()
+    )
+    assert n_batches >= 2

@@ -154,6 +154,37 @@ def dsir_log_weights(
         .agg(F.count("*").alias("n"))
         .localCheckpoint(eager=False)
     )
+    ratios = _ratios_from_per_bucket(per_bucket, num_buckets)
+    per_doc = (
+        per_bucket.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").cast("bigint").alias("n_grams"),
+            # the decimal sum is EXACT; cast it to double with NO
+            # re-rounding — both engines convert the same exact decimal
+            # to the same nearest double, whereas round(double, 4)
+            # straddles half-way boundaries differently per engine
+            # (measured: 0.70205 → Spark 0.7021, DuckDB 0.702)
+            F.sum(F.col("n") * F.col("r")).cast("double").alias("log_w"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("log_w", F.lit(0.0)).alias("log_w"),
+        )
+    )
+
+
+def _ratios_from_per_bucket(per_bucket: DataFrame, num_buckets: int) -> DataFrame:
+    """(bucket, r): 6-dp decimal log-ratio per bucket from the
+    (id, _tgt, bucket, n) count table — both bucket models, their
+    totals, and the add-one-smoothed ratio derive from this one small
+    frame. Shared by the fused fit+score path and the frozen-model
+    fit."""
     raw = per_bucket.groupBy("bucket").agg(F.sum("n").alias("cr"))
     tgt = (
         per_bucket.where("_tgt")
@@ -163,7 +194,7 @@ def dsir_log_weights(
     totals = raw.agg(F.sum("cr").alias("tot_r"))
     tgt_total = tgt.agg(F.sum("ct").alias("tot_t"))
     nb = F.lit(num_buckets)
-    ratios = (
+    return (
         raw.join(tgt, "bucket", "left")
         .crossJoin(F.broadcast(totals))
         .crossJoin(F.broadcast(tgt_total))
@@ -183,16 +214,73 @@ def dsir_log_weights(
             .alias("r"),
         )
     )
+
+
+def dsir_model_ratios(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_filter,
+    num_buckets: int = 256,
+    include_bigrams: bool = True,
+) -> DataFrame:
+    """The FROZEN DSIR model: the ``num_buckets``-row (bucket, r) table
+    of 6-dp decimal log-ratios fit on ``df`` — what a serving pipeline
+    persists after a fit and broadcasts to score fresh corpora or a
+    stream (:func:`dsir_score_frozen`,
+    streaming/incremental.py:dsir_score_sink). Same fit as
+    :func:`dsir_log_weights` (which fuses fit + score into one corpus
+    pass); buckets no gram ever hit are absent, and score-time treats
+    absent as ratio 0 — consistent with scoring a gram family the fit
+    never saw."""
+    flagged = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.coalesce(target_filter.cast("boolean"), F.lit(False)).alias(
+            "_tgt"
+        ),
+    )
+    grams = hashed_gram_buckets(
+        df=flagged,
+        id_col=id_col,
+        text_col=text_col,
+        num_buckets=num_buckets,
+        include_bigrams=include_bigrams,
+        carry=("_tgt",),
+    )
+    per_bucket = (
+        grams.groupBy(id_col, "_tgt", "bucket")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    return _ratios_from_per_bucket(per_bucket, num_buckets)
+
+
+def dsir_score_frozen(
+    df: DataFrame,
+    ratios: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_buckets: int = 256,
+    include_bigrams: bool = True,
+) -> DataFrame:
+    """Score ``df`` against a FROZEN (bucket, r) ratio table:
+    (id, n_grams, log_w) with exactly :func:`dsir_log_weights`'s
+    decimal contract — so scoring the same documents against the same
+    frozen model yields bit-identical weights no matter how the corpus
+    is split into batches. That invariance is what makes the streaming
+    twin exact (stream == batch, per micro-batch), not approximate.
+    One gram pass over ``df``; the model broadcasts."""
+    grams = hashed_gram_buckets(
+        df, id_col, text_col, num_buckets, include_bigrams
+    )
     per_doc = (
-        per_bucket.join(F.broadcast(ratios), "bucket")
+        grams.groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("n"))
+        .join(F.broadcast(ratios), "bucket")
         .groupBy(id_col)
         .agg(
             F.sum("n").cast("bigint").alias("n_grams"),
-            # the decimal sum is EXACT; cast it to double with NO
-            # re-rounding — both engines convert the same exact decimal
-            # to the same nearest double, whereas round(double, 4)
-            # straddles half-way boundaries differently per engine
-            # (measured: 0.70205 → Spark 0.7021, DuckDB 0.702)
             F.sum(F.col("n") * F.col("r")).cast("double").alias("log_w"),
         )
     )

@@ -10,33 +10,37 @@ table lookups + adds per candidate instead of D multiplies. The
 codebook (m × k_cw × d_sub floats) broadcasts; nothing corpus-sized
 ever shuffles.
 
-Spark-first shapes, zero Python in the hot path:
+Physical shapes:
 
-- encode: per subspace, distances to the k_cw codewords are literal
-  higher-order-function folds; argmin via ``array_min`` over
-  (dist, codeword) structs — lexicographic struct ordering gives the
-  lowest-index tie-break for free.
-- ADC: the per-query LUT (m × k_cw subspace distances) is computed on
-  the QUERY side, broadcast, and folded against each candidate's code
-  array with ``zip_with`` + ``aggregate`` — a fixed-order fold, and the
-  LUT entries are 6-dp decimals so the m-term sum is exact: the ranking
-  key is bit-deterministic under any partitioning (the
-  functions/importance.py decimal contract).
+- encode / LUT build: the per-row math is m × k_cw small GEMM-like
+  kernels — exactly the workload the repo's similarity GEMMs run as
+  vectorized Arrow-batched numpy (``mapInPandas``), and for the same
+  reason: expanding m·k_cw·d_sub distance terms as literal Catalyst
+  expressions was measured to blow the whole-stage-codegen 64 KB
+  method limit and fall back to per-row interpretation (6× slower than
+  the numpy kernel at sf0.1). FAISS makes the same call (BLAS kernels,
+  not scalar code).
+- ADC scoring + ranking: relational — broadcast the (tiny) per-query
+  LUTs, fold each candidate's m codes with an explicit chain of
+  ``element_at`` adds (small, codegen-friendly), rank per query.
 
-Codebooks here are caller-supplied. ``ann_pq_topk_seeded`` feeds the
-subvectors of the 16 lowest-id embeddings verbatim (the same
-seed-centroid trick as ann_ivf_topk_seeded / embedding_kmeans_assign),
-which makes the WHOLE pipeline — encode, LUT, ADC, ranking — replayable
-in the DuckDB oracle; a Lloyd-trained codebook (functions/clustering.py
-kmeans_fit per subspace) drops in unchanged for the production path.
+Determinism contract: every distance is accumulated in a PINNED
+sequential order (t₁+t₂+…+t_d for subspace distances, lut₁+…+lut_m for
+ADC) in float64 — the same left fold DuckDB's ``list_sum`` and Spark's
+``aggregate`` produce — so engines agree on every double, ranking ties
+break on ids, and the whole pipeline (encode → LUT → ADC → top-k)
+replays in the DuckDB oracle when the codebook is fixed.
+``ann_pq_topk_seeded`` feeds the subvectors of the 16 lowest-id
+embeddings verbatim (the same seed-centroid trick as
+ann_ivf_topk_seeded); a Lloyd-trained codebook
+(functions/clustering.py per subspace) drops in unchanged for the
+production path.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-
-_ADC_DECIMAL = "decimal(38,6)"
 
 
 def split_codebooks(
@@ -56,22 +60,35 @@ def split_codebooks(
     ]
 
 
-def _sub(vec: Column, j: int, d_sub: int) -> Column:
-    return F.slice(vec, j * d_sub + 1, d_sub)
+def _subspace_sqdists(X, codebooks):
+    """(B, m, k_cw) float64 squared L2 distances from each row's
+    subvectors to every codeword, accumulated dimension-by-dimension in
+    a PINNED sequential order (t₁+t₂+…): each step is one vectorized
+    float64 op across the batch, so the kernel is numpy-fast yet
+    bit-identical to a scalar left fold — the module's determinism
+    contract."""
+    import numpy as np
+
+    m = len(codebooks)
+    k_cw = len(codebooks[0])
+    d_sub = len(codebooks[0][0])
+    out = np.empty((X.shape[0], m, k_cw), dtype=np.float64)
+    for j in range(m):
+        for c, w in enumerate(codebooks[j]):
+            x = X[:, j * d_sub].astype(np.float64) - w[0]
+            d = x * x
+            for t in range(1, d_sub):
+                x = X[:, j * d_sub + t].astype(np.float64) - w[t]
+                d = d + x * x
+            out[:, j, c] = d
+    return out
 
 
-def _sqdist_to_lit(sub: Column, codeword: list[float]) -> Column:
-    """Squared L2 distance from a (float) subvector column to a literal
-    codeword — a fixed-order JVM fold, deterministic to the bit."""
-    cw = F.array(*[F.lit(x) for x in codeword])
-    return F.aggregate(
-        F.zip_with(
-            sub,
-            cw,
-            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def _vec_matrix(series):
+    import numpy as np
+
+    return np.array(
+        [np.asarray(v, dtype=np.float32) for v in series], dtype=np.float32
     )
 
 
@@ -82,26 +99,64 @@ def pq_encode(
     codebooks: list[list[list[float]]],
 ) -> DataFrame:
     """(id, codes) — codes[j] = index of the nearest codeword of
-    subspace j (squared-L2, ties to the lowest index via struct
-    ordering). One narrow projection over the corpus; the codebook is
-    a literal in the plan."""
+    subspace j (squared-L2; ties to the lowest index, numpy argmin's
+    first-minimum rule). One Arrow-batched vectorized pass over the
+    corpus; the codebook is a closure constant. Rows with NULL vectors
+    are dropped (nothing to encode)."""
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def encode(batches):
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if len(pdf) == 0:
+                continue
+            X = _vec_matrix(pdf[vec_col])
+            codes = _subspace_sqdists(X, codebooks).argmin(axis=2)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "codes": list(codes.astype("int32")),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        encode, schema=f"{id_col} {id_type}, codes array<int>"
+    )
+
+
+def pq_query_luts(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """(query_id, lut) — the flattened m·k_cw asymmetric-distance
+    lookup table per query: lut[j·k_cw + c] = sqdist(q_subⱼ,
+    codeword_jc), same pinned-order kernel as the encoder."""
+    import pandas as pd
+
     m = len(codebooks)
-    d_sub = len(codebooks[0][0])
-    code_cols = []
-    for j in range(m):
-        sub = _sub(F.col(vec_col), j, d_sub)
-        cands = F.array(
-            *[
-                F.struct(
-                    _sqdist_to_lit(sub, cw).alias("d"),
-                    F.lit(c).alias("c"),
-                )
-                for c, cw in enumerate(codebooks[j])
-            ]
-        )
-        code_cols.append(F.array_min(cands)["c"])
-    return df.select(
-        F.col(id_col), F.array(*code_cols).alias("codes")
+    k_cw = len(codebooks[0])
+    id_type = queries.schema[id_col].dataType.simpleString()
+
+    def build(batches):
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if len(pdf) == 0:
+                continue
+            X = _vec_matrix(pdf[vec_col])
+            luts = _subspace_sqdists(X, codebooks).reshape(-1, m * k_cw)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf[id_col].values,
+                    "lut": list(luts),
+                }
+            )
+
+    return queries.select(id_col, vec_col).mapInPandas(
+        build, schema=f"query_id {id_type}, lut array<double>"
     )
 
 
@@ -115,53 +170,26 @@ def pq_adc_topk(
 ) -> DataFrame:
     """Asymmetric-distance top-k: (query_id, neighbor_id, adc_dist, rn).
 
-    The per-query LUT — round(sqdist(q_j, codeword), 6) as decimal — is
-    built on the (tiny) query side and broadcast; each candidate costs
-    one zip_with/aggregate fold over its m codes. adc_dist surfaces as
-    the exact decimal sum cast straight to double (no re-rounding), and
-    the ranking orders by that exact decimal, so top-k membership never
-    depends on float summation order."""
+    The per-query LUTs broadcast; each candidate costs m ``element_at``
+    lookups + adds, folded in an explicit left-associated chain (small,
+    codegen-friendly, pinned order). Ranking orders by the raw double
+    distance with id tie-breaks; ``adc_dist`` surfaces rounded to 4 dp
+    for display, like the cosine family."""
     m = len(codebooks)
-    d_sub = len(codebooks[0][0])
-    lut = F.array(
-        *[
-            F.array(
-                *[
-                    F.round(
-                        _sqdist_to_lit(
-                            _sub(F.col("q_vec"), j, d_sub), cw
-                        ),
-                        6,
-                    ).cast(_ADC_DECIMAL)
-                    for cw in codebooks[j]
-                ]
-            )
-            for j in range(m)
-        ]
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-    ).select("query_id", lut.alias("_lut"))
+    k_cw = len(codebooks[0])
+    q = pq_query_luts(queries, id_col, vec_col, codebooks)
+    dist = F.element_at(F.col("lut"), F.col("codes")[0] + F.lit(1))
+    for j in range(1, m):
+        dist = dist + F.element_at(
+            F.col("lut"), F.col("codes")[j] + F.lit(j * k_cw + 1)
+        )
     scored = (
         corpus_codes.select(
             F.col(id_col).alias("neighbor_id"), "codes"
         )
         .join(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.aggregate(
-                F.zip_with(
-                    "codes",
-                    "_lut",
-                    lambda c, row: F.element_at(row, c + F.lit(1)),
-                ),
-                F.lit(0).cast(_ADC_DECIMAL),
-                lambda acc, x: acc + x,
-            ).alias("_dist"),
-        )
+        .select("query_id", "neighbor_id", dist.alias("_dist"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("_dist"), F.asc("neighbor_id")
@@ -172,7 +200,7 @@ def pq_adc_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.col("_dist").cast("double").alias("adc_dist"),
+            F.round("_dist", 4).alias("adc_dist"),
             F.col("rn").cast("int").alias("rn"),
         )
     )

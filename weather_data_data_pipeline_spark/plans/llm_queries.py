@@ -2841,17 +2841,17 @@ def ann_ivf_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     lut AS (
       SELECT q.vec_id AS query_id, s.j, c.cell,
-             CAST(round(list_sum(list_transform(range(1, 9), i ->
+             list_sum(list_transform(range(1, 9), i ->
                (CAST(q.embedding[s.j*8 + i] AS DOUBLE)
                   - CAST(c.cvec[s.j*8 + i] AS DOUBLE))
                * (CAST(q.embedding[s.j*8 + i] AS DOUBLE)
-                  - CAST(c.cvec[s.j*8 + i] AS DOUBLE)))), 6)
-               AS DECIMAL(38,6)) AS d
+                  - CAST(c.cvec[s.j*8 + i] AS DOUBLE)))) AS d
       FROM embeddings q CROSS JOIN subs s CROSS JOIN cents c
       WHERE q.vec_id < 10
     ),
     adc AS (
-      SELECT l.query_id, co.vec_id AS neighbor_id, sum(l.d) AS dist
+      SELECT l.query_id, co.vec_id AS neighbor_id,
+             list_sum(list(l.d ORDER BY l.j)) AS dist
       FROM codes co JOIN lut l ON l.j = co.j AND l.cell = co.code
       WHERE co.vec_id <> l.query_id
       GROUP BY 1, 2
@@ -2863,20 +2863,21 @@ def ann_ivf_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM adc
     )
     SELECT query_id, neighbor_id,
-           CAST(dist AS DOUBLE) AS adc_dist, CAST(rn AS INTEGER) AS rn
+           round(dist, 4) AS adc_dist, CAST(rn AS INTEGER) AS rn
     FROM ranked WHERE rn <= 10
     """,
     doc="Product-quantization ANN top-k (Jégou et al. 2011; "
     "functions/pq.py) under FIXED seed codebooks — each 64-dim vector "
     "compressed to m=8 subspace codes (32× smaller than the float "
-    "corpus), queries scored against the CODES via a broadcast per-"
-    "query lookup table: m decimal lookups + adds per candidate "
-    "instead of D float multiplies, and nothing corpus-sized ever "
-    "shuffles. LUT entries are 6-dp decimals so the ADC sum is exact "
-    "and the ranking bit-deterministic; the seed codebook (subvectors "
-    "of the 16 lowest-id embeddings) makes encode+LUT+ADC+ranking "
-    "fully DuckDB-replayable, with a Lloyd-trained codebook as the "
-    "drop-in production path.",
+    "corpus) by a vectorized Arrow-batched kernel whose float64 "
+    "accumulation order is PINNED to the scalar left fold, then "
+    "queries scored against the CODES via broadcast per-query lookup "
+    "tables: m element_at lookups + adds per candidate instead of D "
+    "float multiplies, and nothing corpus-sized ever shuffles. The "
+    "pinned order makes every distance double engine-identical, so "
+    "with the seed codebook (subvectors of the 16 lowest-id "
+    "embeddings) encode+LUT+ADC+ranking replay fully in DuckDB — a "
+    "Lloyd-trained codebook is the drop-in production path.",
     tags=("llm", "similarity", "bench"),
 )
 def ann_pq_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:

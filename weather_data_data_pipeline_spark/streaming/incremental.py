@@ -451,6 +451,59 @@ def streaming_twin_matches_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def dsir_score_sink(
+    stream: DataFrame,
+    ratios: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 256,
+    include_bigrams: bool = True,
+) -> DataStreamWriter:
+    """Streaming DSIR scoring: score arriving documents against a
+    FROZEN importance model (the (bucket, r) ratio table from
+    functions/importance.py:dsir_model_ratios) and append
+    (batch_id, doc_id, n_grams, log_w) per micro-batch — the live twin
+    of the batch ``dsir_importance_weights`` scoring pass, i.e. how a
+    serving pipeline admits fresh crawl against the model it fit at
+    training time.
+
+    Because the model is frozen and the per-doc weight is an exact
+    decimal Σ count_b·r_b (the importance-module contract), a
+    document's score is independent of WHICH micro-batch carried it:
+    stream output == batch output on the same rows, bit-for-bit — the
+    equivalence tests/test_streaming.py pins. State is the broadcast
+    256-row model; nothing grows with the stream.
+    """
+    from weather_data_data_pipeline_spark.functions.importance import (
+        dsir_score_frozen,
+    )
+
+    frozen = ratios.select("bucket", "r")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        scored = dsir_score_frozen(
+            batch_df,
+            frozen,
+            id_col,
+            text_col,
+            num_buckets=num_buckets,
+            include_bigrams=include_bigrams,
+        )
+        scored.withColumn("batch_id", F.lit(int(batch_id))).select(
+            "batch_id", id_col, "n_grams", "log_w"
+        ).write.mode("append").parquet(out_path)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+
+
 def drift_monitor_sink(
     stream: DataFrame,
     reference_hist: DataFrame,
