@@ -114,6 +114,30 @@ def test_scores_match_hand_computed_sigmoid(spark):
     assert abs(got - expected) <= 1e-6
 
 
+def test_scores_survive_observed_write(spark, tmp_path):
+    """VERDICT r5 #1 regression: after any observed write in the session
+    the JVM ObservationManager is not Serializable; a fitted model that
+    still holds its trainingSummary (→ SparkSession) dies with
+    NotSerializableException on the first collect of model.transform
+    output. quality_classifier_fit strips the summary via a write/load
+    round-trip — scoring must survive an observe-first session."""
+    from weather_data_data_pipeline_spark.sources.observability import (
+        observed_append,
+    )
+
+    docs = _corpus(spark)
+    metrics = observed_append(
+        docs.select("doc_id", "label"),
+        str(tmp_path / "audit_out"),
+        [F.count("doc_id").alias("n")],
+    )
+    assert metrics["n"] == len(POS) + len(NEG)
+    model = quality_classifier_fit(docs, "text", "label", num_features=256)
+    rows = quality_classifier_score(model, docs, "doc_id", "text").collect()
+    assert len(rows) == len(POS) + len(NEG)
+    assert all(r["prob_pos"] is not None for r in rows)
+
+
 def test_registered_query_shape(spark):
     from weather_data_data_pipeline_spark import registry
 

@@ -119,6 +119,20 @@ def test_ordering_preserves_full_surface():
     assert set(registry.oracle_sql()) <= set(names)
 
 
+def test_each_name_binds_distinct_function():
+    """Guard against stacked @register decorators binding two names to
+    one function (the r5 bpe_token_budget/doremi_domain_weights mixup —
+    ADVICE r5 #1). registry.register also raises at import time; this
+    pins the invariant over the loaded surface."""
+    seen: dict[int, str] = {}
+    for name in registry.query_names():
+        fn = registry.get_query(name).fn
+        assert id(fn) not in seen, (
+            f"{name} and {seen[id(fn)]} are bound to the same function"
+        )
+        seen[id(fn)] = name
+
+
 def test_rows_only_queries_declare_resolvable_closure():
     """VERDICT r3 ask #5: every oracle-less query must name either an
     oracle-checked registered TWIN (portable replay of the same

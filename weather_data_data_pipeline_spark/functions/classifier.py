@@ -56,6 +56,18 @@ def quality_classifier_fit(
     NULL text is treated as the empty document (all-zero feature
     vector) rather than an error — at corpus scale a fit must never
     die on one bad row.
+
+    The fitted model is round-tripped through ``write()/load()`` before
+    being returned, which drops the ``trainingSummary``. This is a
+    correctness requirement, not hygiene: the summary retains the
+    ``SparkSession``, and in any session that has attached a
+    ``DataFrame.observe`` to a write (sources/observability.py) the
+    session's JVM ``ObservationManager`` is not ``Serializable`` —
+    ``model.transform``'s ScalaUDF would then drag
+    ``model → trainingSummary → SparkSession → observationManager``
+    into every task closure and die with ``NotSerializableException``
+    on the first collect of the scored frame (VERDICT r5 #1; regression
+    test: tests/test_classifier.py::test_scores_survive_observed_write).
     """
     train = train.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     pipeline = Pipeline(
@@ -85,7 +97,26 @@ def quality_classifier_fit(
             ),
         ]
     )
-    return pipeline.fit(train)
+    model = pipeline.fit(train)
+    return _strip_training_summary(model)
+
+
+def _strip_training_summary(model: PipelineModel) -> PipelineModel:
+    """Round-trip the fitted pipeline through disk: ``PipelineModel.load``
+    reconstructs the LR stage from its saved coefficients with
+    ``trainingSummary = None``, severing the model → SparkSession edge
+    (see quality_classifier_fit docstring). The artifact is tiny — the
+    (num_features+1)-float coefficient vector plus JSON metadata — and
+    load() reads it eagerly, so the temp dir is deleted immediately."""
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="qclf_model_")
+    try:
+        model.write().overwrite().save(d + "/model")
+        return PipelineModel.load(d + "/model")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def quality_classifier_score(

@@ -252,24 +252,6 @@ def span_dedup_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "bpe_token_budget",
-    verified_by="tests/test_bpe.py",
-    oracle=None,  # the encode applies a TRAINED merge table (itself the
-    # output of the iterative argmax loop) — not SQL-expressible; the
-    # trainer AND the rank-priority encoder are pinned exactly against
-    # the pure-Python Sennrich reference in tests/test_bpe.py
-    doc="Per-source corpus token budget under the LEARNED BPE tokenizer "
-    "(functions/bpe.py:bpe_token_budget): trains 12 merges (corpus "
-    "touched once via the word-frequency groupBy), then one Arrow-"
-    "batched rank-priority encode pass + a partial-aggregated rollup — "
-    "(source, n_docs, bpe_tokens). Whitespace token counts mis-state "
-    "training cost by the merge compression factor; this is the number "
-    "that actually prices a run. The encode memoizes per distinct word "
-    "per task, so the hot path pays per-VOCABULARY cost, not "
-    "per-corpus.",
-    tags=("llm", "text", "rows-only"),
-)
-@register(
     "doremi_domain_weights",
     oracle="""
     WITH arrs AS (
@@ -520,6 +502,24 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bpe_token_budget",
+    verified_by="tests/test_bpe.py",
+    oracle=None,  # the encode applies a TRAINED merge table (itself the
+    # output of the iterative argmax loop) — not SQL-expressible; the
+    # trainer AND the rank-priority encoder are pinned exactly against
+    # the pure-Python Sennrich reference in tests/test_bpe.py
+    doc="Per-source corpus token budget under the LEARNED BPE tokenizer "
+    "(functions/bpe.py:bpe_token_budget): trains 12 merges (corpus "
+    "touched once via the word-frequency groupBy), then one Arrow-"
+    "batched rank-priority encode pass + a partial-aggregated rollup — "
+    "(source, n_docs, bpe_tokens). Whitespace token counts mis-state "
+    "training cost by the merge compression factor; this is the number "
+    "that actually prices a run. The encode memoizes per distinct word "
+    "per task, so the hot path pays per-VOCABULARY cost, not "
+    "per-corpus.",
+    tags=("llm", "text", "rows-only"),
+)
 def bpe_token_budget_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_data_data_pipeline_spark.functions.bpe import (
         bpe_token_budget,

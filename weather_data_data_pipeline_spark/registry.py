@@ -167,6 +167,15 @@ def register(
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
+        for other in _REGISTRY.values():
+            if other.fn is fn:
+                # stacked @register decorators bind two names to ONE
+                # function — the r5 bpe_token_budget/doremi mixup; each
+                # registered name must map to a distinct callable
+                raise ValueError(
+                    f"query {name!r} would re-register the same function "
+                    f"already bound to {other.name!r}"
+                )
         _REGISTRY[name] = Query(
             name, fn, oracle, doc or (fn.__doc__ or ""), tags, verified_by
         )
