@@ -76,6 +76,13 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    only = set(sys.argv[2:])  # optional query names to restrict the run
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"unknown query names: {sorted(unknown)}")
+            return 1
+        qs = {n: f for n, f in qs.items() if n in only}
     failures = []
     for name, fn in qs.items():
         t0 = time.perf_counter()

@@ -145,6 +145,71 @@ def quality_classifier_score(
     )
 
 
+def score_frozen_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: list[float],
+    intercept: float,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Score with FROZEN literal coefficients over md5 token buckets:
+    (id, *keep_cols, margin, prob_pos, pred).
+
+    The production deployment mode of a learned quality filter — fit
+    once, freeze, score every new shard with zero model state beyond
+    the coefficient literals baked into the plan. Differences from
+    :func:`quality_classifier_score`:
+
+    - buckets come from the portable md5 device
+      (``conv(substr(md5(tok),1,8),16,10) % len(weights)``, the same
+      formula as functions/importance.py:hashed_gram_buckets), NOT
+      MLlib's HashingTF murmur3 — so a DuckDB oracle can replay the
+      whole path (HashingTF's murmur variant has no SQL twin);
+    - the margin ``b + Σ_tok w[bucket(tok)]`` accumulates in
+      decimal(38,6) via a higher-order ``aggregate`` over the token
+      array — exact regardless of token order, zero shuffle, the plan
+      stays scan-shaped;
+    - ``prob_pos = round(sigmoid(margin), 6)`` and
+      ``pred = margin > 0`` (the 0.5-probability threshold).
+
+    Provenance of the literals: scripts/fit_frozen_classifier.py
+    (deterministic full-batch GD at dev time).
+    """
+    nb = len(weights)
+    warr = F.array(
+        *[F.lit(f"{w:.6f}").cast("decimal(10,6)") for w in weights]
+    )
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    margin = F.aggregate(
+        toks,
+        F.lit(f"{intercept:.6f}").cast("decimal(38,6)"),
+        lambda acc, t: acc
+        + F.element_at(
+            warr,
+            (
+                F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+                % F.lit(nb)
+                + 1
+            ).cast("int"),
+        ),
+    ).cast("decimal(38,6)")
+    out = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        margin.alias("margin"),
+    )
+    md = F.col("margin").cast("double")
+    return out.select(
+        "*",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-md)), 6).alias("prob_pos"),
+        (md > 0).cast("int").alias("pred"),
+    )
+
+
 def _vector_element(vec: Column, i: int) -> Column:
     """Element i of an ML Vector column, JVM-side (no Python UDF):
     Spark 3.1+ ships the ``vector_to_array`` SQL function."""
