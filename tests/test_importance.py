@@ -143,6 +143,52 @@ def test_frozen_model_score_matches_fused_fit_and_score(spark):
     assert fused == frozen
 
 
+def test_frozen_score_counts_unseen_buckets_as_ratio_zero(spark):
+    """ADVICE r5 #2: a fresh corpus can hash grams into buckets absent
+    from the fit-time model — those grams must score ratio 0 yet still
+    count toward n_grams. (An inner join silently dropped them from the
+    denominator; the fix is a left join + decimal-0 fill.)"""
+    from decimal import Decimal
+
+    from weather_data_data_pipeline_spark.functions.importance import (
+        dsir_score_frozen,
+    )
+
+    docs = _docs(spark)
+    # a frozen model that knows only ONE bucket: every other bucket a
+    # gram lands in is "unseen"
+    ratios = spark.createDataFrame(
+        [(0, Decimal("0.5"))], "bucket bigint, r decimal(28,6)"
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["log_w"])
+        for r in dsir_score_frozen(
+            docs, ratios, "doc_id", "text", num_buckets=64
+        ).collect()
+    }
+    # n_grams must equal the FULL gram count per doc (uni + bigrams),
+    # independent of the model's bucket coverage
+    full = {
+        r["doc_id"]: r["n"]
+        for r in hashed_gram_buckets(docs, "doc_id", "text", num_buckets=64)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == full
+    # log_w = 0.5 * (grams in bucket 0), everything else contributes 0
+    in_b0 = {
+        r["doc_id"]: r["n"]
+        for r in hashed_gram_buckets(docs, "doc_id", "text", num_buckets=64)
+        .where(F.col("bucket") == 0)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for doc_id, (_, log_w) in got.items():
+        assert abs(log_w - 0.5 * in_b0.get(doc_id, 0)) < 1e-12
+
+
 def test_frozen_score_independent_of_batch_split(spark):
     """Scoring half the corpus at a time against the frozen model must
     equal scoring it all at once — per-doc weights depend only on the

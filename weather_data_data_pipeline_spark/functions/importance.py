@@ -277,7 +277,15 @@ def dsir_score_frozen(
     per_doc = (
         grams.groupBy(id_col, "bucket")
         .agg(F.count("*").alias("n"))
-        .join(F.broadcast(ratios), "bucket")
+        # LEFT join + ratio-0 fill: a fresh corpus can hash grams into
+        # buckets absent from the fit-time model; score-time treats the
+        # absent bucket as ratio 0 (dsir_model_ratios contract) but its
+        # grams must still count toward n_grams — an inner join would
+        # silently shrink the denominator (ADVICE r5 #2)
+        .join(F.broadcast(ratios), "bucket", "left")
+        .withColumn(
+            "r", F.coalesce(F.col("r"), F.lit(0).cast(_RATIO_DECIMAL))
+        )
         .groupBy(id_col)
         .agg(
             F.sum("n").cast("bigint").alias("n_grams"),

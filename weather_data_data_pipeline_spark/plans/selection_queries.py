@@ -27,7 +27,11 @@ _DSIR_TARGET_LANG = "en"
 # functions/importance.py:dsir_log_weights expression for expression;
 # the decimal contract makes the per-doc sum aggregation-order-proof
 # (module docstring there).
-_DSIR_WEIGHTS_CTES = f"""
+def _dsir_gram_ctes(num_buckets: int) -> str:
+    """toks → uni+bigram strings → md5 buckets: the gram CTE prefix
+    shared by the fit-and-score oracle (dsir_importance_weights) and
+    the frozen-model oracle (dsir_score_frozen)."""
+    return f"""
     toks AS (
       SELECT doc_id, lang,
              list_filter(string_split(text, ' '), x -> x <> '') AS t
@@ -47,9 +51,13 @@ _DSIR_WEIGHTS_CTES = f"""
     grams AS (
       SELECT doc_id,
              CAST('0x' || substr(md5(g), 1, 8) AS BIGINT)
-               % {_DSIR_BUCKETS} AS bucket
+               % {num_buckets} AS bucket
       FROM gram_strings
-    ),
+    )"""
+
+
+_DSIR_WEIGHTS_CTES = f"""
+    {_dsir_gram_ctes(_DSIR_BUCKETS)},
     tgt AS (
       SELECT bucket, count(*) AS ct
       FROM grams JOIN documents USING (doc_id)
@@ -162,6 +170,146 @@ def dsir_select_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select_topk(
         _weights_df(spark, sf_dir), "doc_id", k=64, salt="dsir-v1"
     )
+
+
+# Frozen DSIR model — fitted ONCE at dev time by scripts/fit_frozen_dsir.py
+# (dsir_model_ratios on sf0.001, target slice lang='en', 64 md5 buckets).
+# The production DSIR deployment mode: the model is a 64-row literal
+# table; every new shard is scored against it with zero fit work, and
+# the DuckDB oracle replays only the scoring path.
+_FROZEN_DSIR_RATIOS = [
+    (0, "-0.061862"),
+    (1, "0.044201"),
+    (2, "0.067877"),
+    (3, "-0.019884"),
+    (4, "0.016377"),
+    (5, "0.016253"),
+    (6, "0.002847"),
+    (7, "-0.006393"),
+    (8, "-0.024646"),
+    (9, "-0.076876"),
+    (10, "0.054807"),
+    (11, "-0.067798"),
+    (12, "0.010601"),
+    (13, "0.007334"),
+    (14, "-0.087888"),
+    (15, "0.040127"),
+    (16, "0.027055"),
+    (17, "0.003525"),
+    (18, "0.095573"),
+    (19, "-0.030999"),
+    (20, "0.050093"),
+    (21, "0.015221"),
+    (22, "0.009394"),
+    (23, "-0.028929"),
+    (24, "0.109447"),
+    (25, "0.013221"),
+    (26, "-0.026779"),
+    (27, "-0.039882"),
+    (28, "0.038549"),
+    (29, "0.000496"),
+    (30, "-0.025217"),
+    (31, "-0.045902"),
+    (32, "0.050819"),
+    (33, "-0.048953"),
+    (34, "-0.068144"),
+    (35, "-0.006798"),
+    (36, "-0.043453"),
+    (37, "0.069863"),
+    (38, "-0.012986"),
+    (39, "0.004212"),
+    (40, "0.021120"),
+    (41, "-0.044299"),
+    (42, "-0.022216"),
+    (43, "0.000257"),
+    (44, "-0.109804"),
+    (45, "0.012252"),
+    (46, "0.012029"),
+    (47, "0.097790"),
+    (48, "0.037761"),
+    (49, "0.038718"),
+    (50, "-0.056923"),
+    (51, "-0.004637"),
+    (52, "-0.022332"),
+    (53, "0.038599"),
+    (54, "-0.043563"),
+    (55, "-0.034268"),
+    (56, "0.009419"),
+    (57, "-0.029228"),
+    (58, "-0.012386"),
+    (59, "-0.019465"),
+    (60, "0.016630"),
+    (61, "0.031718"),
+    (62, "-0.077149"),
+    (63, "-0.033970"),
+]
+
+_FROZEN_DSIR_NB = 64
+_FROZEN_DSIR_VALUES = ",\n      ".join(
+    f"({b}, CAST({r} AS DECIMAL(28,6)))" for b, r in _FROZEN_DSIR_RATIOS
+)
+
+_FROZEN_DSIR_ORACLE = f"""
+    WITH {_dsir_gram_ctes(_FROZEN_DSIR_NB)},
+    fr(bucket, r) AS (VALUES
+      {_FROZEN_DSIR_VALUES}
+    ),
+    per_bucket AS (
+      SELECT doc_id, bucket, count(*) AS n
+      FROM grams GROUP BY doc_id, bucket
+    ),
+    agg AS (
+      SELECT per_bucket.doc_id,
+             sum(n) AS n_grams,
+             -- absent buckets score ratio 0 but still count toward
+             -- n_grams (dsir_model_ratios contract; ADVICE r5 #2) —
+             -- exact decimal sum cast straight to double, no round()
+             CAST(sum(n * coalesce(r, CAST(0 AS DECIMAL(28,6))))
+                  AS DOUBLE) AS log_w
+      FROM per_bucket LEFT JOIN fr USING (bucket)
+      GROUP BY per_bucket.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+           coalesce(a.log_w, 0.0) AS log_w
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register(
+    "dsir_score_frozen",
+    oracle=_FROZEN_DSIR_ORACLE,
+    doc="FROZEN-model DSIR scoring — the production deployment mode "
+    "(fit the hashed-n-gram importance model once on a curated dev "
+    "slice, freeze the 64-row (bucket, log-ratio) table, score every "
+    "incoming shard against it forever): "
+    "functions/importance.py:dsir_score_frozen over a literal ratio "
+    "table — (doc_id, n_grams, log_w). Scoring is one gram pass with "
+    "the model broadcast; the decimal contract makes per-doc sums "
+    "batch-split-proof, which is what the streaming twin "
+    "(tests/test_streaming.py::"
+    "test_dsir_score_stream_matches_batch_frozen_scoring) rests on. "
+    "Grams hashing into buckets absent from the frozen table score 0 "
+    "but still count toward n_grams. Provenance of the literals: "
+    "scripts/fit_frozen_dsir.py.",
+    tags=("llm", "selection", "quality", "bench"),
+)
+def dsir_score_frozen_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from decimal import Decimal
+
+    from weather_data_data_pipeline_spark.functions.importance import (
+        dsir_score_frozen,
+    )
+
+    ratios = spark.createDataFrame(
+        [(b, Decimal(r)) for b, r in _FROZEN_DSIR_RATIOS],
+        "bucket bigint, r decimal(28,6)",
+    )
+    docs = load_fanout(spark, sf_dir, "documents")
+    return dsir_score_frozen(
+        docs, ratios, "doc_id", "text", num_buckets=_FROZEN_DSIR_NB
+    )
+
 
 
 @register(
