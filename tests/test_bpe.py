@@ -202,6 +202,34 @@ def test_duplicate_token_table_falls_back_to_sequential():
         assert enc(w) == _sequential_encode_word(w, table), w
 
 
+def test_non_topological_table_falls_back_to_sequential():
+    """ADVICE r5 #3: distinct token strings are NOT sufficient for the
+    rank path — [("ab","c"), ("a","b")] has distinct tokens ('abc',
+    'ab') yet consumes 'ab' before producing it: sequential encodes
+    'abc' as ['ab','c'] while rank-priority would yield ['abc']. The
+    dispatcher must detect the topological violation and stay exact."""
+    from weather_data_data_pipeline_spark.functions.bpe import (
+        _make_encoder,
+        _rank_path_safe,
+        _sequential_encode_word,
+    )
+
+    table = [("ab", "c"), ("a", "b")]
+    assert not _rank_path_safe(table)
+    enc = _make_encoder(table)
+    for w in ("abc", "ab", "abcab"):
+        assert enc(w) == _sequential_encode_word(w, table), w
+    # sanity: the specific divergence the advice names really exists
+    assert enc("abc") == ["ab", "c", "</w>"]
+    # and a properly ordered version of the same rules takes the fast
+    # path and still agrees with sequential application
+    ordered = [("a", "b"), ("ab", "c")]
+    assert _rank_path_safe(ordered)
+    enc2 = _make_encoder(ordered)
+    for w in ("abc", "ab", "abcab"):
+        assert enc2(w) == _sequential_encode_word(w, ordered), w
+
+
 def test_encoder_word_memo_is_correct_and_bounded():
     """The per-task word->tokens memo must return the same answer for a
     repeated word (cache hit) as for its first sight, and must stop

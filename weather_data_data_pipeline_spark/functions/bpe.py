@@ -160,12 +160,13 @@ def _rank_encode_word(w: str, ranks: dict) -> list[str]:
     size, which is what makes 10k–30k-merge vocabularies affordable
     (the sequential form scans the whole table per word).
 
-    Equivalent to sequential learned-order application whenever each
-    merged token string is produced by exactly ONE merge rule — true for
-    any table emitted by BPE training on a single corpus (a pair stops
-    being counted once its token exists). :func:`_make_encoder` checks
-    that precondition and falls back to the sequential form if a table
-    violates it, so the two paths can never silently disagree."""
+    Equivalent to sequential learned-order application whenever the
+    table is topologically ordered and each merged token string is
+    produced by exactly ONE merge rule (:func:`_rank_path_safe`) — both
+    true for any table emitted by BPE training on a single corpus.
+    :func:`_make_encoder` checks that precondition and falls back to
+    the sequential form if a table violates it, so the two paths can
+    never silently disagree."""
     syms = list(w) + [END]
     while len(syms) >= 2:
         best = None
@@ -186,24 +187,48 @@ def _rank_encode_word(w: str, ranks: dict) -> list[str]:
 _ENCODE_CACHE_MAX = 65536
 
 
+def _rank_path_safe(table) -> bool:
+    """Precondition for rank-priority ≡ sequential equivalence
+    (ADVICE r5 #3): distinct merged-token strings alone are NOT enough —
+    the table must also be TOPOLOGICALLY ordered, i.e. each merge's
+    operands are base symbols (single characters or the END sentinel)
+    or the product of an EARLIER merge. A distinct-token table like
+    [("ab","c"), ("a","b")] consumes 'ab' before producing it: the
+    sequential encoder never fires the first rule on 'abc' while
+    rank-priority does. Tables from bpe_train always satisfy both
+    conditions (a pair stops being counted once its token exists, and
+    merges are created before being consumed); only externally supplied
+    merge lists can fail and they fall back to the sequential form."""
+    produced: set[str] = set()
+    for l, r in table:
+        for operand in (l, r):
+            if len(operand) > 1 and operand != END and operand not in produced:
+                return False
+        tok = l + r
+        if tok in produced:  # duplicate token: rank is ambiguous
+            return False
+        produced.add(tok)
+    return True
+
+
 def _make_encoder(table):
     """Build the text→tokens closure both encoders share (string tokens
     out, id mapping layered on top) — NULL text propagates as None,
     matching the engine-wide null contract (degrade per row, never
-    throw). Chooses the rank-priority fast path when every merge creates
-    a distinct token string (always true for trained tables; see
-    :func:`_rank_encode_word`), else the sequential reference. Encoded
+    throw). Chooses the rank-priority fast path when the table is
+    topologically ordered with distinct token strings
+    (:func:`_rank_path_safe`; always true for trained tables), else the
+    sequential reference. Encoded
     words are memoized per task (word frequencies are Zipfian — the
     cache turns the per-row cost into the per-DISTINCT-word cost, the
     same economics the trainer's word-frequency table exploits)."""
-    tokens = [l + r for l, r in table]
-    if len(set(tokens)) == len(tokens):
+    if _rank_path_safe(table):
         ranks = {pair: i for i, pair in enumerate(table)}
 
         def encode_word(w):
             return _rank_encode_word(w, ranks)
 
-    else:  # duplicate token strings: rank order is ambiguous — stay exact
+    else:  # precondition violated: rank order is ambiguous — stay exact
 
         def encode_word(w):
             return _sequential_encode_word(w, table)
