@@ -116,3 +116,157 @@ def test_pq_recall_beats_random_on_clustered_data(spark):
     )
     # 10 neighbors × 8 queries; chance level would be ~1/8 of 80 = 10
     assert same_cluster >= 70
+
+
+def _clustered(spark, n=160, dim=16, n_clusters=8, seed=11, spread=0.05):
+    import random
+
+    rng = random.Random(seed)
+    centers = [
+        [rng.uniform(-5, 5) for _ in range(dim)] for _ in range(n_clusters)
+    ]
+    rows = [
+        (
+            i,
+            [
+                x + rng.uniform(-spread, spread)
+                for x in centers[i % n_clusters]
+            ],
+        )
+        for i in range(n)
+    ]
+    return _vecs(spark, rows), centers
+
+
+def test_trained_codebooks_reduce_quantization_error(spark):
+    """Lloyd-trained codebooks (the production path) must quantize with
+    lower total squared error than the seed codebooks they replace —
+    the whole point of training. Error measured over the full frame via
+    the same pinned-order kernel the encoder uses."""
+    import numpy as np
+
+    from weather_data_data_pipeline_spark.functions.pq import (
+        _subspace_sqdists,
+        pq_train_codebooks,
+        split_codebooks,
+    )
+
+    df, _ = _clustered(spark, seed=23, spread=1.0)
+    rows = df.orderBy("vec_id").collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    seeds = split_codebooks([list(r["embedding"]) for r in rows[:16]], m=4)
+    trained = pq_train_codebooks(
+        df, m=4, k_cw=16, sample_size=160, iters=10
+    )
+
+    def qerr(cbs):
+        return float(_subspace_sqdists(X, cbs).min(axis=2).sum())
+
+    assert qerr(trained) < qerr(seeds)
+
+
+def test_trained_codebooks_deterministic(spark):
+    from weather_data_data_pipeline_spark.functions.pq import (
+        pq_train_codebooks,
+    )
+
+    df, _ = _clustered(spark)
+    a = pq_train_codebooks(df, m=4, k_cw=8, sample_size=64, iters=5)
+    b = pq_train_codebooks(
+        df.repartition(13), m=4, k_cw=8, sample_size=64, iters=5
+    )
+    assert a == b  # bounded sample is by lowest ids — partition-proof
+
+
+def test_brute_force_l2_topk_matches_direct_computation(spark):
+    """The GEMM-expanded ||c||² − 2c·q + ||q||² distances and the
+    per-batch top-k containment must reproduce a direct python
+    computation exactly (ranking order (dist asc, id asc))."""
+    import numpy as np
+
+    from weather_data_data_pipeline_spark.functions.pq import (
+        brute_force_l2_topk,
+    )
+
+    df, _ = _clustered(spark, n=60, seed=5)
+    rows = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in df.collect()}
+    got = brute_force_l2_topk(
+        df.repartition(7), df.where(F.col("vec_id") < 3), k=5
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rn"], r["neighbor_id"], r["l2_dist"])
+        )
+    for qid in (0, 1, 2):
+        q = rows[qid]
+        want = sorted(
+            (float(((v - q) ** 2).sum()), i)
+            for i, v in rows.items()
+            if i != qid
+        )[:5]
+        got_q = sorted(by_q[qid])
+        assert [n for _, n, _ in got_q] == [i for _, i in want]
+        for (_, _, d), (wd, _) in zip(got_q, want):
+            assert abs(d - round(wd, 4)) < 1e-9
+
+
+def test_ivf_pq_shape_and_recall_floor(spark):
+    """IVF-PQ on tightly clustered data: every query returns exactly k
+    unique neighbors, and recall@10 against the exact L2 truth clears a
+    floor no random pruning could (clusters are tight, so the probed
+    cells contain the true neighbors)."""
+    from weather_data_data_pipeline_spark.functions.pq import (
+        brute_force_l2_topk,
+        ivf_pq_topk,
+    )
+
+    df, _ = _clustered(spark, n=160, seed=11)
+    q = df.where(F.col("vec_id") < 8)
+    approx = ivf_pq_topk(
+        df, q, k=10, n_cells=8, n_probe=2, m=4, k_cw=16,
+        sample_size=160, iters=8,
+    ).collect()
+    per_q = {}
+    for r in approx:
+        per_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(per_q) == set(range(8))
+    assert all(len(v) == 10 for v in per_q.values())
+    truth = brute_force_l2_topk(df, q, k=10).collect()
+    t_q = {}
+    for r in truth:
+        t_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(per_q[i] & t_q[i]) for i in range(8))
+    assert hits >= 64  # ≥ 0.8 recall@10 over 8 queries
+
+
+def test_ivf_pq_full_probe_matches_flat_residual_pq(spark):
+    """n_probe = n_cells degrades to flat PQ over residuals: pruning
+    disappears, so every corpus vector is scored for every query and
+    the result must be the SAME top-k as scoring all cells directly —
+    the graceful-degradation contract in the docstring."""
+    from weather_data_data_pipeline_spark.functions.pq import (
+        ivf_pq_topk,
+        pq_train_residual_codebooks,
+        train_coarse_centroids,
+    )
+
+    df, _ = _clustered(spark, n=80, seed=3)
+    q = df.where(F.col("vec_id") < 4)
+    cents = train_coarse_centroids(df, n_cells=4, sample_size=80, iters=5)
+    cbs = pq_train_residual_codebooks(
+        df, cents, m=4, k_cw=8, sample_size=80, iters=5
+    )
+    full = sorted(map(tuple, ivf_pq_topk(
+        df, q, k=5, n_probe=4, centroids=cents, codebooks=cbs
+    ).collect()))
+    again = sorted(map(tuple, ivf_pq_topk(
+        df.repartition(9), q, k=5, n_probe=4,
+        centroids=cents, codebooks=cbs,
+    ).collect()))
+    assert full == again  # deterministic under repartition
+    per_q = {}
+    for r in full:
+        per_q.setdefault(r[0], []).append(r)
+    assert all(len(v) == 5 for v in per_q.values())

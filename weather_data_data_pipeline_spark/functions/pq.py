@@ -178,11 +178,7 @@ def pq_adc_topk(
     m = len(codebooks)
     k_cw = len(codebooks[0])
     q = pq_query_luts(queries, id_col, vec_col, codebooks)
-    dist = F.element_at(F.col("lut"), F.col("codes")[0] + F.lit(1))
-    for j in range(1, m):
-        dist = dist + F.element_at(
-            F.col("lut"), F.col("codes")[j] + F.lit(j * k_cw + 1)
-        )
+    dist = _adc_dist_expr(m, k_cw)
     scored = (
         corpus_codes.select(
             F.col(id_col).alias("neighbor_id"), "codes"
@@ -201,6 +197,356 @@ def pq_adc_topk(
             "query_id",
             "neighbor_id",
             F.round("_dist", 4).alias("adc_dist"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+
+
+# --- production path: Lloyd-trained codebooks and the IVF-PQ composition
+# (the FAISS IVFPQ shape promised by the module docstring). Training
+# follows FAISS's posture: codebooks fit on a BOUNDED deterministic
+# sample (the k-means state a 100 TB index needs is a few MB of sample,
+# never the corpus), then encode/LUT/ADC reuse the pinned-order kernels
+# above unchanged.
+
+
+def _bounded_sample(
+    corpus: DataFrame, id_col: str, vec_col: str, sample_size: int
+):
+    """Deterministic bounded training sample (lowest ids): the only data
+    that ever reaches the driver — O(sample × dim) float64, the same
+    contract as similarity.py:train_ivf_centroids."""
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(int(sample_size))
+        .collect()
+    )
+    return np.array([r["v"] for r in rows], dtype=np.float64)
+
+
+def _lloyd_l2(X, k: int, iters: int):
+    """Plain squared-L2 Lloyd in numpy: init = first ``k`` sample rows,
+    empty clusters keep their centroid — deterministic for a fixed
+    sample. (The coarse IVF quantizer here is L2, NOT the spherical
+    variant in similarity.py: ADC distances are squared-L2, so the
+    residual geometry must be too.)"""
+    import numpy as np
+
+    cents = X[: int(k)].copy()
+    for _ in range(int(iters)):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cents)):
+            members = X[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k_cw: int = 16,
+    sample_size: int = 2048,
+    iters: int = 10,
+):
+    """Lloyd-trained PQ codebooks — the production replacement for the
+    seed codebooks of ``ann_pq_topk_seeded``: per-subspace k-means on a
+    bounded sample. Returns codebooks[m][k_cw][d_sub], drop-in for
+    :func:`pq_encode` / :func:`pq_adc_topk`."""
+    X = _bounded_sample(corpus, id_col, vec_col, sample_size)
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    return [
+        [
+            [float(x) for x in c]
+            for c in _lloyd_l2(X[:, j * d_sub : (j + 1) * d_sub], k_cw, iters)
+        ]
+        for j in range(m)
+    ]
+
+
+def train_coarse_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    sample_size: int = 2048,
+    iters: int = 10,
+):
+    """L2 coarse quantizer for IVF-PQ (cells the residuals are taken
+    against); same bounded-sample contract as the PQ codebooks."""
+    X = _bounded_sample(corpus, id_col, vec_col, sample_size)
+    return [[float(x) for x in c] for c in _lloyd_l2(X, n_cells, iters)]
+
+
+def pq_train_residual_codebooks(
+    corpus: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k_cw: int = 16,
+    sample_size: int = 2048,
+    iters: int = 10,
+):
+    """PQ codebooks over IVF RESIDUALS (vector − its nearest coarse
+    centroid) — what IVF-PQ actually quantizes; residuals concentrate
+    near 0 so the same codeword budget spends on much less variance
+    than raw vectors (Jégou et al. §IV)."""
+    import numpy as np
+
+    X = _bounded_sample(corpus, id_col, vec_col, sample_size)
+    C = np.asarray(centroids, dtype=np.float64)
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    R = X - C[d2.argmin(axis=1)]
+    dim = R.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    return [
+        [
+            [float(x) for x in c]
+            for c in _lloyd_l2(R[:, j * d_sub : (j + 1) * d_sub], k_cw, iters)
+        ]
+        for j in range(m)
+    ]
+
+
+def ivf_pq_encode(
+    corpus: DataFrame,
+    centroids,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF-PQ index: (id, cell, codes) — nearest coarse cell by
+    squared-L2, PQ codes of the RESIDUAL vector − centroid[cell]. One
+    Arrow-batched kernel does assign + residual + encode per batch (the
+    m × k_cw × d_sub distance expansion stays in numpy for the codegen
+    reason in the module docstring); the corpus never shuffles — the
+    index rows are 1 int + m bytes-worth of codes per vector."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def encode(batches):
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if len(pdf) == 0:
+                continue
+            X = _vec_matrix(pdf[vec_col]).astype(np.float64)
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            cells = d2.argmin(axis=1)
+            R = X - C[cells]
+            codes = _subspace_sqdists(R, codebooks).argmin(axis=2)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "cell": cells.astype("int32"),
+                    "codes": list(codes.astype("int32")),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        encode, schema=f"{id_col} {id_type}, cell int, codes array<int>"
+    )
+
+
+def ivf_pq_query_luts(
+    queries: DataFrame,
+    centroids,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """(query_id, cell, lut): for each query, its ``n_probe`` nearest
+    coarse cells (squared-L2, ties to the lowest cell id) and the ADC
+    lookup table of the query's residual AGAINST THAT CELL — n_probe
+    small rows per query, broadcast to the index join."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    k_cw = len(codebooks[0])
+    id_type = queries.schema[id_col].dataType.simpleString()
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def build(batches):
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if len(pdf) == 0:
+                continue
+            X = _vec_matrix(pdf[vec_col]).astype(np.float64)
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            probes = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+            ids, cells, luts = [], [], []
+            for row in range(len(X)):
+                R = X[row][None, :] - C[probes[row]]
+                L = _subspace_sqdists(R, codebooks).reshape(-1, m * k_cw)
+                ids.extend([pdf[id_col].values[row]] * len(probes[row]))
+                cells.extend(probes[row].astype("int32"))
+                luts.extend(list(L))
+            yield pd.DataFrame(
+                {"query_id": ids, "cell": cells, "lut": luts}
+            )
+
+    return queries.select(id_col, vec_col).mapInPandas(
+        build, schema=f"query_id {id_type}, cell int, lut array<double>"
+    )
+
+
+def _adc_dist_expr(m: int, k_cw: int):
+    """The ADC fold: lut[codes[0]] + lut[k_cw + codes[1]] + … — an
+    explicit left-associated chain of m element_at adds (small,
+    codegen-friendly, pinned order; shared by flat PQ and IVF-PQ)."""
+    dist = F.element_at(F.col("lut"), F.col("codes")[0] + F.lit(1))
+    for j in range(1, m):
+        dist = dist + F.element_at(
+            F.col("lut"), F.col("codes")[j] + F.lit(j * k_cw + 1)
+        )
+    return dist
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    k_cw: int = 16,
+    sample_size: int = 2048,
+    iters: int = 10,
+    centroids=None,
+    codebooks=None,
+) -> DataFrame:
+    """IVF-PQ ANN top-k (the FAISS IVFPQ composition): coarse cells
+    prune the candidate set to ~n_probe/n_cells of the corpus, PQ codes
+    shrink what remains 32×, ADC scores it with m lookups per
+    candidate — (query_id, neighbor_id, adc_dist, rn).
+
+    Scale shape: the index build is one corpus pass emitting (id, cell,
+    codes); queries broadcast n_probe LUT rows each; the join hits only
+    probed cells and each (query, neighbor) pair occurs exactly once
+    (a vector lives in one cell), so no dedup pass is needed. Pass
+    pretrained ``centroids``/``codebooks`` to reuse a persisted index
+    across query batches; otherwise both train on a bounded sample
+    (:func:`train_coarse_centroids` / :func:`pq_train_residual_codebooks`).
+    ``n_probe = n_cells`` degrades gracefully to flat PQ over residuals.
+    """
+    if centroids is None:
+        centroids = train_coarse_centroids(
+            corpus, id_col, vec_col, n_cells, sample_size, iters
+        )
+    if codebooks is None:
+        codebooks = pq_train_residual_codebooks(
+            corpus, centroids, id_col, vec_col, m, k_cw, sample_size, iters
+        )
+    index = ivf_pq_encode(corpus, centroids, codebooks, id_col, vec_col)
+    luts = ivf_pq_query_luts(
+        queries, centroids, codebooks, id_col, vec_col, n_probe
+    )
+    scored = (
+        index.select(F.col(id_col).alias("neighbor_id"), "cell", "codes")
+        .join(F.broadcast(luts), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _adc_dist_expr(len(codebooks), len(codebooks[0])).alias("_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("_dist", 4).alias("adc_dist"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+
+
+def brute_force_l2_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact squared-L2 top-k — the ground truth PQ recall is measured
+    against (ADC approximates L2, so measuring it against the cosine
+    truth would conflate quantization loss with metric mismatch). Same
+    GEMM-free-corpus shape as similarity.py:brute_force_topk_gemm:
+    queries ship as a closure matrix, the corpus streams through Arrow
+    batches, only per-batch top-k candidates survive (provably contains
+    the global top-k under the (dist asc, id asc) total order)."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype="int64")
+    Q = np.stack([np.asarray(r[1], dtype="float64") for r in q_rows])
+
+    def score(batches):
+        for b in batches:
+            ids = b[id_col].to_numpy()
+            C = np.stack(
+                [np.asarray(v, dtype="float64") for v in b[vec_col]]
+            )
+            # ||c-q||² expanded via GEMM: ||c||² - 2c·q + ||q||²
+            D = (
+                (C * C).sum(axis=1)[:, None]
+                - 2.0 * (C @ Q.T)
+                + (Q * Q).sum(axis=1)[None, :]
+            )
+            out_q, out_n, out_d = [], [], []
+            for j, qid in enumerate(q_ids):
+                col = D[:, j].copy()
+                col[ids == qid] = np.inf  # exclude self-match
+                order = np.lexsort((ids, col))[: min(k, len(ids))]
+                order = order[np.isfinite(col[order])]
+                out_q.append(np.full(len(order), qid, dtype="int64"))
+                out_n.append(ids[order])
+                out_d.append(col[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "l2_raw": np.concatenate(out_d),
+                }
+            )
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, l2_raw double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("l2_raw"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("l2_raw", 4).alias("l2_dist"),
             F.col("rn").cast("int").alias("rn"),
         )
     )

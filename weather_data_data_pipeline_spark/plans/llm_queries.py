@@ -2901,6 +2901,94 @@ def ann_pq_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_pq_recall_report",
+    oracle=None,  # both codebook families are Lloyd-TRAINED (iterative
+    # argmin loops on a bounded sample) — not SQL-expressible; the
+    # trainer, the L2 ground truth, and the IVF-PQ composition are each
+    # pinned in tests/test_pq.py (quantization-error reduction vs seed
+    # codebooks, GEMM-L2 == direct computation, recall floors,
+    # full-probe degradation, determinism under repartition)
+    verified_by="tests/test_pq.py",
+    doc="PQ PRODUCTION-path quality report (VERDICT r5 ask #3): "
+    "per-query recall@10 of (a) flat PQ under Lloyd-TRAINED codebooks "
+    "(functions/pq.py:pq_train_codebooks — per-subspace k-means on a "
+    "bounded lowest-id sample, the FAISS training posture) and (b) the "
+    "IVF-PQ composition (coarse L2 cells + PQ over residuals, "
+    "functions/pq.py:ivf_pq_topk), both measured against the EXACT "
+    "squared-L2 top-10 (brute_force_l2_topk — ADC approximates L2, so "
+    "cosine truth would conflate quantization loss with metric "
+    "mismatch). Output (family, query_id, n_true, n_hit, recall). The "
+    "measurement a deployment runs before routing retrieval through a "
+    "compressed index; ann_pq_topk_seeded stays the oracle-replayed "
+    "twin of the scoring machinery.",
+    tags=("llm", "similarity", "rows-only"),
+)
+def ann_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.pq import (
+        brute_force_l2_topk,
+        ivf_pq_topk,
+        pq_adc_topk,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    truth = brute_force_l2_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    cbs = pq_train_codebooks(emb, m=8, k_cw=16, sample_size=256, iters=10)
+    flat = pq_adc_topk(
+        pq_encode(emb, "vec_id", "embedding", cbs), queries, cbs, k=10
+    ).select(
+        F.lit("pq_trained").alias("family"), "query_id",
+        F.col("neighbor_id").alias("a_neighbor"),
+    )
+    ivfpq = ivf_pq_topk(
+        emb, queries, k=10, n_cells=16, n_probe=4, m=8, k_cw=16,
+        sample_size=256, iters=10,
+    ).select(
+        F.lit("ivf_pq").alias("family"), "query_id",
+        F.col("neighbor_id").alias("a_neighbor"),
+    )
+    return _pq_recall_rollup(truth, flat.unionByName(ivfpq))
+
+
+def _pq_recall_rollup(truth: DataFrame, approx: DataFrame) -> DataFrame:
+    """(family, query_id, n_true, n_hit, recall): truth pairs joined
+    per family against the approximate pairs — count hits per query."""
+    families = approx.select("family").distinct()
+    t = truth.crossJoin(F.broadcast(families))
+    return (
+        t.join(
+            approx.withColumnRenamed("a_neighbor", "neighbor_id"),
+            ["family", "query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("family", "query_id")
+        .agg(F.count("*").alias("n_hit"))
+        .join(
+            t.groupBy("family", "query_id").agg(
+                F.count("*").alias("n_true")
+            ),
+            ["family", "query_id"],
+            "right",
+        )
+        .select(
+            "family",
+            "query_id",
+            "n_true",
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)).cast("double")
+                / F.col("n_true").cast("double"),
+                4,
+            ).alias("recall"),
+        )
+    )
+
+
+@register(
     "embedding_health_report",
     oracle="""
     WITH norms AS (
