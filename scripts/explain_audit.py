@@ -62,9 +62,10 @@ INTENTIONAL = {
         "10 tiny LUT rows against the code table, m decimal lookups "
         "per candidate; the PQ analog of embedding_cosine_topk's shape",
     ("doremi_domain_weights", "BroadcastNestedLoopJoin"):
-        "single-ROW build sides: the corpus totals (total, vs), the "
-        "token-share denominator, and the mix normalizer each attach to "
-        "a ≤|sources|-row frame — O(20 × 1) scalar attaches",
+        "single-ROW build side: the corpus totals (total, vs) attach to "
+        "the Zipf-small gram-stats frame — O(n × 1) scalar attach (the "
+        "r6 rework moved the token-share and mix normalizers to window "
+        "sums over the ≤|sources|-row frame)",
     ("conversion_funnel", "BroadcastNestedLoopJoin"):
         "single-ROW build side: the distinct-user total attaches to the "
         "three per-step count rows — O(3 × 1) scalar attach",

@@ -478,130 +478,139 @@ def span_dedup_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "selection", "sampling", "bench"),
 )
 def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     docs = load_fanout(spark, sf_dir, "documents")
     arr = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
     arrs = docs.select("source", arr.alias("t"))
-    # The corpus is exploded exactly TWICE (tokens, bigrams) and each
-    # explode is immediately collapsed to a per-(source, gram) count
-    # table — Zipf-small — which is localCheckpointed because THREE
-    # consumers each would otherwise re-run the explode (the DSIR
-    # lesson: 22 exchanges → 9). A per-occurrence sum of the rounded
-    # per-gram loss equals count × rounded-loss exactly in decimal, so
-    # collapsing to counts changes nothing the oracle can see.
-    tok_counts = (
-        arrs.select("source", F.explode("t").alias("tok"))
-        .groupBy("source", "tok")
+    # ONE corpus explode covers BOTH models: unigram strings plus
+    # "w1 w2" bigram strings in the same gram column (the r5 plan ran
+    # two explodes and re-aggregated each branch separately — 25
+    # exchanges; VERDICT r5 #3). The collapsed (source, g) count table
+    # is Zipf-small and localCheckpointed: every downstream consumer
+    # (uni model, bigram model, both loss passes) reads it, the corpus
+    # is never touched again. The size>=2 guard matters: sequence(0,
+    # size-2) DESCENDS for 1-token docs.
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - 2),
+            lambda i: F.concat_ws(" ", F.col("t")[i], F.col("t")[i + 1]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gram_counts = (
+        arrs.select("source", F.explode(F.concat("t", bigrams)).alias("g"))
+        .groupBy("source", "g")
         .agg(F.count("*").alias("m"))
         .localCheckpoint(eager=False)
     )
+    is_big = F.col("g").contains(" ")
     uni = (
-        tok_counts.groupBy("tok")
+        gram_counts.where(~is_big)
+        .groupBy("g")
         .agg(F.sum("m").alias("c"))
+        # three consumers (bigram first-word counts, gram_stats union,
+        # totals) — checkpoint or each re-runs the vocab aggregation
         .localCheckpoint(eager=False)
     )
-    totals = uni.agg(
-        F.sum("c").alias("total"), F.count("*").alias("vs")
+    bg = gram_counts.where(is_big).groupBy("g").agg(F.sum("m").alias("c2"))
+    totals = uni.agg(F.sum("c").alias("total"), F.count("*").alias("vs"))
+    # one per-GRAM stats table: token rows carry the unigram count c,
+    # bigram rows carry (pair count c2, first-word count cw1) — so ONE
+    # join and ONE per-source aggregation produce both losses
+    bg2 = bg.join(
+        uni.select(F.col("g").alias("_w1"), F.col("c").alias("cw1")),
+        F.split_part(F.col("g"), F.lit(" "), F.lit(1)) == F.col("_w1"),
+    ).select(
+        "g",
+        F.lit(None).cast("bigint").alias("c"),
+        "c2",
+        "cw1",
     )
-    big_counts = (
-        arrs.where(F.size("t") >= 2)
-        .select(
-            "source",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("t") - 2),
-                    lambda i: F.struct(
-                        F.col("t")[i].alias("w1"),
-                        F.col("t")[i + 1].alias("w2"),
-                    ),
-                )
-            ).alias("p"),
-        )
-        .select("source", "p.w1", "p.w2")
-        .groupBy("source", "w1", "w2")
-        .agg(F.count("*").alias("m"))
-        .localCheckpoint(eager=False)
+    gram_stats = uni.select(
+        "g",
+        "c",
+        F.lit(None).cast("bigint").alias("c2"),
+        F.lit(None).cast("bigint").alias("cw1"),
+    ).unionByName(bg2)
+
+    def _dec6(loss_col):
+        # 6dp-decimal per-gram loss (the aggregation-order-proof
+        # contract shared with functions/importance.py)
+        return F.round(loss_col, 6).cast("decimal(38,6)")
+
+    ref_loss = -F.log(F.col("c") / F.col("total"))
+    proxy_loss = -F.log(
+        (F.col("c2") + F.lit(1.0)) / (F.col("cw1") + F.col("vs"))
     )
-    bg = big_counts.groupBy("w1", "w2").agg(F.sum("m").alias("c2"))
-
-    def _davg6(loss_col):
-        # count × 6dp-decimal per-gram loss, exact sum, 4dp average:
-        # aggregation-order-proof (functions/importance.py contract)
-        return F.round(
-            F.sum(
-                F.col("m") * F.round(loss_col, 6).cast("decimal(38,6)")
-            ).cast("double")
-            / F.sum("m"),
-            4,
-        )
-
-    ref = (
-        tok_counts.join(uni, "tok")
+    per_src_loss = (
+        gram_counts.join(gram_stats, "g")
         .crossJoin(F.broadcast(totals))
         .groupBy("source")
         .agg(
-            F.sum("m").cast("bigint").alias("n_tokens"),
-            _davg6(-F.log(F.col("c") / F.col("total"))).alias("ref_loss"),
-        )
-    )
-    proxy = (
-        big_counts.join(bg, ["w1", "w2"])
-        .join(uni.withColumnRenamed("tok", "w1"), "w1")
-        .crossJoin(F.broadcast(totals))
-        .groupBy("source")
-        .agg(
-            _davg6(
-                -F.log((F.col("c2") + F.lit(1.0)) / (F.col("c") + F.col("vs")))
-            ).alias("proxy_loss")
+            F.sum(F.when(~is_big, F.col("m")))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.round(
+                F.sum(F.when(~is_big, F.col("m") * _dec6(ref_loss)))
+                .cast("double")
+                / F.sum(F.when(~is_big, F.col("m"))),
+                4,
+            ).alias("ref_loss"),
+            # NULL when a source has no bigrams (all 1-token docs) —
+            # coalesced to ref_loss below, same as the old left join
+            F.round(
+                F.sum(F.when(is_big, F.col("m") * _dec6(proxy_loss)))
+                .cast("double")
+                / F.sum(F.when(is_big, F.col("m"))),
+                4,
+            ).alias("proxy_loss"),
         )
     )
     n_docs = docs.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs")
     )
-    per_src = (
-        n_docs.join(ref, "source")
-        .join(proxy, "source", "left")
-        .select(
-            "source",
-            "n_docs",
-            "n_tokens",
-            "ref_loss",
-            F.coalesce("proxy_loss", "ref_loss").alias("proxy_loss"),
-            F.round(
-                F.greatest(
-                    F.coalesce("proxy_loss", "ref_loss") - F.col("ref_loss"),
-                    F.lit(0.0),
-                ),
-                4,
-            ).alias("excess"),
-        )
+    per_src = n_docs.join(per_src_loss, "source").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "ref_loss",
+        F.coalesce("proxy_loss", "ref_loss").alias("proxy_loss"),
+        F.round(
+            F.greatest(
+                F.coalesce("proxy_loss", "ref_loss") - F.col("ref_loss"),
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("excess"),
     )
-    tok_total = per_src.agg(
-        F.sum("n_tokens").cast("double").alias("_tok_total")
-    )
-    terms = per_src.crossJoin(F.broadcast(tok_total)).withColumn(
+    # both normalizers as window sums over the ≤|sources|-row frame —
+    # one SinglePartition exchange replaces the r5 plan's two scalar
+    # agg+crossJoin chains (tok_total, term_total)
+    w_all = Window.partitionBy()
+    terms = per_src.withColumn(
         "term",
         F.round(
-            (F.col("n_tokens") / F.col("_tok_total"))
+            (
+                F.col("n_tokens")
+                / F.sum("n_tokens").over(w_all).cast("double")
+            )
             * F.exp(F.col("excess") / F.lit(0.5)),
             9,
         ).cast("decimal(38,9)"),
     )
-    term_total = terms.agg(F.sum("term").alias("_term_total"))
-    return (
-        terms.crossJoin(F.broadcast(term_total))
-        .select(
-            "source",
-            "n_docs",
-            "n_tokens",
-            "ref_loss",
-            "proxy_loss",
-            "excess",
-            F.round(
-                F.col("term").cast("double")
-                / F.col("_term_total").cast("double"),
-                6,
-            ).alias("mix_weight"),
-        )
+    return terms.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "ref_loss",
+        "proxy_loss",
+        "excess",
+        F.round(
+            F.col("term").cast("double")
+            / F.sum("term").over(w_all).cast("double"),
+            6,
+        ).alias("mix_weight"),
     )
 
 
