@@ -64,3 +64,80 @@ def test_partition_for_decode_splits(media):
     out = partition_for_decode(media, target_bytes_per_task=300)
     assert out.rdd.getNumPartitions() >= 3
     assert out.count() == 10
+
+
+def test_image_dhash_known_bits(spark):
+    """dHash of a hand-built 9×8 image: a single bright column at x=3
+    sets exactly the (x=2 rising) bits and clears the (x=3 falling)
+    comparisons — recompute the four band ints by hand."""
+    import numpy as np
+
+    from weather_data_data_pipeline_spark.multimodal import codecs
+    from weather_data_data_pipeline_spark.multimodal.binary import (
+        image_dhash_signatures,
+    )
+
+    luma = np.zeros((8, 9), dtype=np.uint8)
+    luma[:, 3] = 100
+    px = np.repeat(luma[:, :, None], 3, axis=2)
+    media = spark.createDataFrame(
+        [("1", bytearray(codecs.encode_ppm(px)))],
+        "media_id string, content binary",
+    )
+    row = image_dhash_signatures(media).collect()[0]
+    # per row: bit x=2 (luma[3] > luma[2]) set, all others clear
+    bits = [1 if x == 2 else 0 for x in range(8)]
+    want = []
+    flat = bits * 8  # 8 identical rows, bit index y*8+x
+    for j in range(4):
+        want.append(sum(b << i for i, b in enumerate(flat[16 * j : 16 * (j + 1)])))
+    assert [row["b0"], row["b1"], row["b2"], row["b3"]] == want
+
+
+def test_image_dhash_banding_complete_vs_all_pairs(spark):
+    """The banded candidate join must find EXACTLY the pairs an
+    all-pairs Hamming ≤ 3 scan finds (4-band pigeonhole guarantee) —
+    including pairs differing in 3 bits spread over 3 bands."""
+    import itertools
+
+    import numpy as np
+
+    from weather_data_data_pipeline_spark.multimodal import codecs
+    from weather_data_data_pipeline_spark.multimodal.binary import (
+        image_dhash_near_dup_pairs,
+        image_dhash_signatures,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 200, size=(8, 9)).astype(np.uint8)
+    variants = {0: base}
+    for i, cells in enumerate(
+        [[(0, 1)], [(2, 4), (5, 7)], [(1, 2), (3, 5), (6, 8)], [(0, 1), (1, 3), (4, 5), (7, 7)]],
+        start=1,
+    ):
+        v = base.copy()
+        for (y, x) in cells:
+            v[y, x] = (int(v[y, x]) + 120) % 200
+        variants[i] = v
+    rows = [
+        (str(i), bytearray(codecs.encode_ppm(np.repeat(v[:, :, None], 3, axis=2))))
+        for i, v in variants.items()
+    ]
+    media = spark.createDataFrame(rows, "media_id string, content binary")
+    sigs = image_dhash_signatures(media).withColumn(
+        "media_id", F.col("media_id").cast("long")
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in image_dhash_near_dup_pairs(sigs, "media_id").collect()
+    )
+    sig_rows = {r["media_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+                for r in sigs.collect()}
+    want = []
+    for a, b in itertools.combinations(sorted(sig_rows), 2):
+        h = sum(bin(x ^ y).count("1")
+                for x, y in zip(sig_rows[a], sig_rows[b]))
+        if h <= 3:
+            want.append((a, b, h))
+    assert got == sorted(want)
+    assert len(got) >= 1  # the fixture really produces near-dup pairs

