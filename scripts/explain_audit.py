@@ -160,6 +160,11 @@ def main() -> int:
         "Generated by scripts/explain_audit.py (sf0.01 inputs; plan shape",
         "is scale-independent, AQE re-plans sizes at runtime).",
         "",
+        # the count lives HERE, next to the plans, so prose documents
+        # (SCALE.md) can point at it instead of hand-copying a number
+        # that drifted twice (r4, r5)
+        f"{len(names)} audited plans.",
+        "",
     ]
     if warnings:
         head += ["## ⚠ plan smells", ""] + [f"- {w}" for w in warnings] + [""]

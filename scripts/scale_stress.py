@@ -335,6 +335,16 @@ QUERIES_R5 = (
     "quality_classifier_scores",
     "doremi_domain_weights",
     "ann_pq_topk_seeded",
+    # r6 additions: frozen-model scoring paths (one gram/token pass +
+    # broadcast literal model — designed scan-linear), the trained-PQ +
+    # IVF-PQ recall report (bounded-sample training, broadcast LUTs),
+    # and the banded image dHash (4 ints per image shuffle; pair count
+    # grows with group size² on the synthetic pattern — the banding,
+    # not the verify, is what must stay linear)
+    "dsir_score_frozen",
+    "quality_classifier_frozen_scores",
+    "ann_pq_recall_report",
+    "image_dhash_near_dup",
 )
 
 

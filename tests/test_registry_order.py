@@ -21,14 +21,13 @@ WINDOW = 50
 # Mirror of registry._ROUND_HEAD — a deliberate copy so that editing the
 # head without thinking about the verification window fails a test.
 ROUND_HEAD = (
-    "dsir_importance_weights",
-    "dsir_select_topk",
-    "span_dedup_clean_corpus",
+    "quality_classifier_frozen_scores",
+    "dsir_score_frozen",
+    "image_dhash_near_dup",
+    "ann_pq_recall_report",
     "bpe_token_budget",
-    "ngram_containment_pairs",
     "quality_classifier_scores",
     "doremi_domain_weights",
-    "ann_pq_topk_seeded",
 )
 
 

@@ -75,35 +75,30 @@ _loaded = False
 # PLAN/ORACLE changed this round and must (re-)earn a green row. Keep
 # tests/test_registry_order.py's ROUND_HEAD copy in sync.
 _ROUND_HEAD: tuple[str, ...] = (
-    # r5 new: DSIR hashed-ngram importance weights (Xie et al. 2023) —
-    # per-bucket 6dp decimal log-ratios make the per-doc sum
-    # aggregation-order-proof; md5 bucket family replayed in the oracle
-    "dsir_importance_weights",
-    # r5 new: Gumbel-top-k importance RESAMPLING over those weights —
-    # portable-uniform Gumbel draw, log-space scores, oracle replay
-    "dsir_select_topk",
-    # r5 new: the APPLIED exact-substring cleaner — rebuilt clean_text
-    # per document, oracle reconstructs the identical strings via an
-    # interval anti-join
-    "span_dedup_clean_corpus",
-    # r5 new: per-source token budget under the learned BPE tokenizer
-    # (rows-only; trainer + rank-priority encoder pinned exactly in
-    # tests/test_bpe.py)
+    # r6 new: FROZEN-model quality scoring — literal pinned
+    # coefficients over md5 token buckets, full oracle replay
+    # (tokenize → bucket → dot → sigmoid); closes the r5 gap of a
+    # classifier family with no oracle-checked variant
+    "quality_classifier_frozen_scores",
+    # r6 new: FROZEN-model DSIR scoring — 64-row literal ratio table,
+    # oracle replays the scoring path; left-join unseen-bucket fix
+    "dsir_score_frozen",
+    # r6 new: image perceptual dHash near-dup over real decoded pixels
+    # — 4×16-bit pigeonhole banding, closed-form oracle
+    "image_dhash_near_dup",
+    # r6 new: PQ production-path recall report (Lloyd-trained codebooks
+    # + IVF-PQ vs exact L2 truth; rows-only, pinned in tests/test_pq.py)
+    "ann_pq_recall_report",
+    # r6 FIXED: was silently bound to the doremi function by a stacked
+    # decorator in r5 (ADVICE r6 #1) — its r5 "green" row verified the
+    # wrong query; must earn a real one
     "bpe_token_budget",
-    # r5 new: asymmetric containment near-dup (Broder coefficient) —
-    # shares the jaccard inverted-index core; full oracle replay
-    "ngram_containment_pairs",
-    # r5 new: learned fastText/DCLM-style quality filter via MLlib
-    # HashingTF → LogisticRegression (rows-only; accuracy, determinism
-    # and sigmoid-parity pinned in tests/test_classifier.py)
+    # r6 FIXED: trainingSummary serialization crash after observed
+    # writes (VERDICT r5 #1) — fit now write/load-strips the summary
     "quality_classifier_scores",
-    # r5 new: DoReMi-lite training-mix reweighting from measured
-    # per-domain excess loss — full oracle replay incl. the 6dp-decimal
-    # order-proof per-source loss averages
+    # r6 REPLANNED: 25 exchanges → 6 (one gram frame, one per-source
+    # aggregation, window normalizers) — output unchanged, re-earn
     "doremi_domain_weights",
-    # r5 new: product-quantization ANN (third approximate family beside
-    # LSH/IVF) — seed codebooks make encode+LUT+ADC fully replayable
-    "ann_pq_topk_seeded",
 )
 
 
