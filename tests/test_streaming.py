@@ -652,3 +652,63 @@ def test_dsir_score_stream_matches_batch_frozen_scoring(spark, tmp_path):
         spark.read.parquet(out).select("batch_id").distinct().count()
     )
     assert n_batches >= 2
+
+
+def test_quality_score_stream_matches_batch_frozen_scoring(spark, tmp_path):
+    """The streaming frozen-classifier sink must score each micro-batch
+    bit-identically to the batch query's scorer — the coefficients are
+    literals and the margin folds only the document's own tokens, so
+    the equality is exact."""
+    from weather_data_data_pipeline_spark.functions.classifier import (
+        score_frozen_md5,
+    )
+    from weather_data_data_pipeline_spark.plans.selection_queries import (
+        FROZEN_QC_INTERCEPT,
+        FROZEN_QC_WEIGHTS,
+    )
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    rows = docs.collect()
+    half = len(rows) // 2
+    src = str(tmp_path / "qc_src")
+    spark.createDataFrame(rows[:half], docs.schema).coalesce(1).write.parquet(
+        src
+    )
+    spark.createDataFrame(rows[half:], docs.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    out = str(tmp_path / "qc_out")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    q = (
+        S.quality_score_sink(
+            stream,
+            FROZEN_QC_WEIGHTS,
+            FROZEN_QC_INTERCEPT,
+            out,
+            str(tmp_path / "qc_ck"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["doc_id"]: (str(r["margin"]), r["prob_pos"], r["pred"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["doc_id"]: (str(r["margin"]), r["prob_pos"], r["pred"])
+        for r in score_frozen_md5(
+            docs, "doc_id", "text", FROZEN_QC_WEIGHTS, FROZEN_QC_INTERCEPT
+        ).collect()
+    }
+    assert got == want
+    assert (
+        spark.read.parquet(out).select("batch_id").distinct().count() >= 2
+    )

@@ -504,6 +504,52 @@ def dsir_score_sink(
     )
 
 
+def quality_score_sink(
+    stream: DataFrame,
+    weights: list[float],
+    intercept: float,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataStreamWriter:
+    """Streaming FROZEN-classifier quality scoring: score arriving
+    documents with the literal pinned coefficients
+    (functions/classifier.py:score_frozen_md5) and append
+    (batch_id, id, margin, prob_pos, pred) per micro-batch — the live
+    twin of the batch ``quality_classifier_frozen_scores`` query, i.e.
+    how a serving pipeline quality-gates fresh crawl with the filter it
+    fit at training time.
+
+    The margin is a per-document decimal fold over that document's own
+    tokens — no corpus state at all — so a document's score is
+    independent of WHICH micro-batch carried it: stream output == batch
+    output on the same rows, bit-for-bit (pinned in
+    tests/test_streaming.py). State is the coefficient literals baked
+    into the plan; nothing grows with the stream.
+    """
+    from weather_data_data_pipeline_spark.functions.classifier import (
+        score_frozen_md5,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        scored = score_frozen_md5(
+            batch_df, id_col, text_col, weights, intercept
+        )
+        scored.withColumn("batch_id", F.lit(int(batch_id))).select(
+            "batch_id", id_col, "margin", "prob_pos", "pred"
+        ).write.mode("append").parquet(out_path)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+
+
+
 def drift_monitor_sink(
     stream: DataFrame,
     reference_hist: DataFrame,
