@@ -270,3 +270,44 @@ def test_ivf_pq_full_probe_matches_flat_residual_pq(spark):
     for r in full:
         per_q.setdefault(r[0], []).append(r)
     assert all(len(v) == 5 for v in per_q.values())
+
+
+def test_ivf_pq_persisted_index_matches_inline(spark, tmp_path):
+    """build → load → query must reproduce the inline ivf_pq_topk
+    exactly (same sample-trained model, same codes, same ADC), and the
+    codes table must be partitioned by cell on disk."""
+    import os
+
+    from weather_data_data_pipeline_spark.functions.pq import (
+        build_ivf_pq_index,
+        ivf_pq_topk,
+        ivf_pq_topk_from_index,
+        load_ivf_pq_model,
+        pq_train_residual_codebooks,
+        train_coarse_centroids,
+    )
+
+    df, _ = _clustered(spark, n=80, seed=3)
+    q = df.where(F.col("vec_id") < 4)
+    path = str(tmp_path / "ivfpq")
+    build_ivf_pq_index(
+        df, path, n_cells=4, m=4, k_cw=8, sample_size=80, iters=5
+    )
+    assert any(
+        d.startswith("cell=") for d in os.listdir(path + "/codes")
+    )
+    cents, cbs = load_ivf_pq_model(spark, path, m=4, k_cw=8)
+    want = sorted(map(tuple, ivf_pq_topk(
+        df, q, k=5, n_probe=2, centroids=cents, codebooks=cbs
+    ).collect()))
+    got = sorted(map(tuple, ivf_pq_topk_from_index(
+        spark, path, q, k=5, n_probe=2, m=4, k_cw=8
+    ).collect()))
+    assert got == want
+    # the loaded model round-trips the training output exactly
+    assert cents == train_coarse_centroids(
+        df, n_cells=4, sample_size=80, iters=5
+    )
+    assert cbs == pq_train_residual_codebooks(
+        df, cents, m=4, k_cw=8, sample_size=80, iters=5
+    )

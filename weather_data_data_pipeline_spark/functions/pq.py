@@ -550,3 +550,101 @@ def brute_force_l2_topk(
             F.col("rn").cast("int").alias("rn"),
         )
     )
+
+
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    m: int = 8,
+    k_cw: int = 16,
+    sample_size: int = 2048,
+    iters: int = 10,
+) -> None:
+    """Materialize an IVF-PQ index — the artifact a 100 TB vector-search
+    deployment actually serves (similarity.py:build_ivf_index is the
+    uncompressed sibling): ``<path>/model`` holds the coarse centroids
+    AND the residual codebooks as one tiny parquet; ``<path>/codes`` is
+    the (id, codes) table parquet-partitioned by cell, 32× smaller than
+    the float corpus, so a probe of p cells file-prunes to p
+    directories. Rebuild cadence: the model is sample-trained and
+    drift-stable; codes append incrementally by running
+    :func:`ivf_pq_encode` on new batches with the SAME persisted model.
+    """
+    spark = corpus.sparkSession
+    centroids = train_coarse_centroids(
+        corpus, id_col, vec_col, n_cells, sample_size, iters
+    )
+    codebooks = pq_train_residual_codebooks(
+        corpus, centroids, id_col, vec_col, m, k_cw, sample_size, iters
+    )
+    model = [("centroid", i, c) for i, c in enumerate(centroids)] + [
+        ("codebook", j * k_cw + c, codebooks[j][c])
+        for j in range(m)
+        for c in range(k_cw)
+    ]
+    spark.createDataFrame(
+        model, "kind string, idx int, vec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/model")
+    ivf_pq_encode(corpus, centroids, codebooks, id_col, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{path}/codes")
+
+
+def load_ivf_pq_model(spark, path: str, m: int, k_cw: int):
+    """(centroids, codebooks) back from ``<path>/model`` — a few KB."""
+    rows = spark.read.parquet(f"{path}/model").collect()
+    cents = {r["idx"]: list(r["vec"]) for r in rows if r["kind"] == "centroid"}
+    cws = {r["idx"]: list(r["vec"]) for r in rows if r["kind"] == "codebook"}
+    centroids = [cents[i] for i in range(len(cents))]
+    codebooks = [
+        [cws[j * k_cw + c] for c in range(k_cw)] for j in range(m)
+    ]
+    return centroids, codebooks
+
+
+def ivf_pq_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+    m: int = 8,
+    k_cw: int = 16,
+) -> DataFrame:
+    """Query a persisted IVF-PQ index (same output contract as
+    :func:`ivf_pq_topk`). Only the query batch touches float math at
+    query time — the corpus side is the pre-encoded codes table, and
+    the cell partition column prunes unprobed cells at file listing."""
+    centroids, codebooks = load_ivf_pq_model(spark, path, m, k_cw)
+    codes = spark.read.parquet(f"{path}/codes")
+    luts = ivf_pq_query_luts(
+        queries, centroids, codebooks, id_col, vec_col, n_probe
+    )
+    scored = (
+        codes.select(F.col(id_col).alias("neighbor_id"), "cell", "codes")
+        .join(F.broadcast(luts), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _adc_dist_expr(m, k_cw).alias("_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("_dist", 4).alias("adc_dist"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
