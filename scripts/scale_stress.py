@@ -336,15 +336,21 @@ QUERIES_R5 = (
     "doremi_domain_weights",
     "ann_pq_topk_seeded",
     # r6 additions: frozen-model scoring paths (one gram/token pass +
-    # broadcast literal model — designed scan-linear), the trained-PQ +
-    # IVF-PQ recall report (bounded-sample training, broadcast LUTs),
-    # and the banded image dHash (4 ints per image shuffle; pair count
-    # grows with group size² on the synthetic pattern — the banding,
-    # not the verify, is what must stay linear)
+    # broadcast literal model — designed scan-linear) and the
+    # trained-PQ + IVF-PQ recall report (bounded-sample training,
+    # broadcast LUTs). image_dhash_near_dup is EXCLUDED like exact
+    # Jaccard/containment, and for the same fixture-shaped reason: its
+    # fabricated corpus puts docs into doc_id % 100 base-pattern
+    # groups, so group size — and therefore the TRUE near-dup pair
+    # count — grows linearly with the corpus and the output is
+    # quadratic by construction (measured sf0.1→sf1: 23.7 MB → 1.95 GB
+    # shuffle, ~82× bytes for 10× docs, ~all of it the pair rows
+    # themselves). The banding adds nothing beyond the real pair
+    # density; on a corpus with scale-invariant duplicate density the
+    # candidate volume is linear.
     "dsir_score_frozen",
     "quality_classifier_frozen_scores",
     "ann_pq_recall_report",
-    "image_dhash_near_dup",
 )
 
 

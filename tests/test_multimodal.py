@@ -141,3 +141,64 @@ def test_image_dhash_banding_complete_vs_all_pairs(spark):
             want.append((a, b, h))
     assert got == sorted(want)
     assert len(got) >= 1  # the fixture really produces near-dup pairs
+
+
+def test_image_dhash_band_bucket_cap_preserves_components(spark):
+    """max_band_bucket: a flood of identical images exceeds the cap, so
+    its bucket emits star edges instead of m² dense pairs — the pair
+    LIST shrinks but the connected components (what dedup clustering
+    consumes) must be identical to the uncapped run."""
+    import numpy as np
+
+    from weather_data_data_pipeline_spark.multimodal import codecs
+    from weather_data_data_pipeline_spark.multimodal.binary import (
+        image_dhash_near_dup_pairs,
+        image_dhash_signatures,
+    )
+
+    rng = np.random.default_rng(13)
+    flood = rng.integers(0, 200, size=(8, 9)).astype(np.uint8)
+    other = rng.integers(0, 200, size=(8, 9)).astype(np.uint8)
+    rows = []
+    for i in range(12):  # one 12-member flood bucket
+        rows.append((str(i), bytearray(codecs.encode_ppm(
+            np.repeat(flood[:, :, None], 3, axis=2)))))
+    for i in range(100, 103):  # a separate small group
+        rows.append((str(i), bytearray(codecs.encode_ppm(
+            np.repeat(other[:, :, None], 3, axis=2)))))
+    media = spark.createDataFrame(rows, "media_id string, content binary")
+    sigs = image_dhash_signatures(media).withColumn(
+        "media_id", F.col("media_id").cast("long")
+    )
+
+    def components(pairs):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in pairs:
+            a, b = find(r["id_a"]), find(r["id_b"])
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+        groups = {}
+        for x in list(parent):
+            groups.setdefault(find(x), set()).add(x)
+        # a SET of frozensets — sorted() would compare frozensets by
+        # the subset partial order, which is not a total order
+        return {frozenset(g) for g in groups.values()}
+
+    uncapped = image_dhash_near_dup_pairs(sigs, "media_id").collect()
+    capped = image_dhash_near_dup_pairs(
+        sigs, "media_id", max_band_bucket=4
+    ).collect()
+    assert len(capped) < len(uncapped)  # the cap really elided pairs
+    # star edges in the flood bucket: exactly m-1 edges from the hub
+    flood_capped = [r for r in capped if r["id_a"] < 100 and r["id_b"] < 100]
+    assert len(flood_capped) == 11
+    assert all(r["id_a"] == 0 for r in flood_capped)
+    assert components(capped) == components(uncapped)

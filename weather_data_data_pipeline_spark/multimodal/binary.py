@@ -352,7 +352,10 @@ def image_dhash_signatures(
 
 
 def image_dhash_near_dup_pairs(
-    sigs: DataFrame, id_col: str = "media_id", max_hamming: int = 3
+    sigs: DataFrame,
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Image near-dup pairs from dHash band signatures: band the four
     16-bit chunks (pigeonhole: Hamming ≤ 3 over 4 bands ⇒ ≥ 1 identical
@@ -361,7 +364,21 @@ def image_dhash_near_dup_pairs(
     (video_frame_dedup exact frames, audio_dedup_fingerprint waveform
     windows); same geometry as simhash_near_dup_pairs so the banded
     candidate set provably contains every pair within ``max_hamming``
-    (for max_hamming ≤ 3)."""
+    (for max_hamming ≤ 3).
+
+    ``max_band_bucket`` is the volume guard for boilerplate-flooded
+    corpora (thumbnails, letterboxed frames, solid-color padding): a
+    band bucket of m images emits m² candidates, so a flood grows the
+    join quadratically while true near-dup DENSITY doesn't. Oversized
+    buckets emit star edges to their min-id hub instead — the same
+    connected-component-preserving contract (and the same recall
+    caveat: a star member whose hub edge fails the Hamming verify
+    loses its elided dense links) as the MinHash family's
+    ``max_bucket_size`` (functions/dedup.py). Default ``None`` = exact
+    enumeration, which the registered query keeps for oracle parity
+    (the r6 stress measured its fabricated corpus quadratic BY
+    CONSTRUCTION — group size grows with the corpus there; a real
+    corpus with scale-invariant dup density stays linear uncapped)."""
     sigs = sigs.localCheckpoint(eager=True)  # both sides of the self-join
     chunks = sigs.select(
         id_col,
@@ -381,18 +398,6 @@ def image_dhash_near_dup_pairs(
             )
         ).alias("c"),
     ).select(id_col, "b0", "b1", "b2", "b3", "c.band_idx", "c.band")
-    a = chunks.select(
-        F.col(id_col).alias("id_a"),
-        *[F.col(f"b{j}").alias(f"a{j}") for j in range(4)],
-        "band_idx",
-        "band",
-    )
-    b = chunks.select(
-        F.col(id_col).alias("id_b"),
-        *[F.col(f"b{j}").alias(f"bb{j}") for j in range(4)],
-        "band_idx",
-        "band",
-    )
     hamming = sum(
         [
             F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"bb{j}")))
@@ -400,11 +405,70 @@ def image_dhash_near_dup_pairs(
         ],
         F.bit_count(F.col("a0").bitwiseXOR(F.col("bb0"))),
     ).cast("int")
+    sig_cols_a = [F.col(f"b{j}").alias(f"a{j}") for j in range(4)]
+    sig_cols_b = [F.col(f"b{j}").alias(f"bb{j}") for j in range(4)]
+    if max_band_bucket is None:
+        a = chunks.select(
+            F.col(id_col).alias("id_a"), *sig_cols_a, "band_idx", "band"
+        )
+        b = chunks.select(
+            F.col(id_col).alias("id_b"), *sig_cols_b, "band_idx", "band"
+        )
+        cand = (
+            a.join(b, ["band_idx", "band"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a", "id_b",
+                "a0", "a1", "a2", "a3", "bb0", "bb1", "bb2", "bb3",
+            )
+        )
+    else:
+        from pyspark.sql import Window
+
+        # one window pass tags bucket size + the min-id hub WITH its
+        # signature (min of a struct = lexicographic = min id), so the
+        # star branch never joins back to the signature table
+        w = Window.partitionBy("band_idx", "band")
+        tagged = (
+            chunks.withColumn("_m", F.count("*").over(w))
+            .withColumn(
+                "_hub",
+                F.min(
+                    F.struct(
+                        F.col(id_col).alias("i"),
+                        *[F.col(f"b{j}").alias(f"s{j}") for j in range(4)],
+                    )
+                ).over(w),
+            )
+            .localCheckpoint(eager=True)
+        )
+        small = tagged.where(F.col("_m") <= max_band_bucket)
+        a = small.select(
+            F.col(id_col).alias("id_a"), *sig_cols_a, "band_idx", "band"
+        )
+        b = small.select(
+            F.col(id_col).alias("id_b"), *sig_cols_b, "band_idx", "band"
+        )
+        dense = (
+            a.join(b, ["band_idx", "band"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a", "id_b",
+                "a0", "a1", "a2", "a3", "bb0", "bb1", "bb2", "bb3",
+            )
+        )
+        star = tagged.where(
+            (F.col("_m") > max_band_bucket)
+            & (F.col(id_col) != F.col("_hub.i"))
+        ).select(
+            F.col("_hub.i").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            *[F.col(f"_hub.s{j}").alias(f"a{j}") for j in range(4)],
+            *[F.col(f"b{j}").alias(f"bb{j}") for j in range(4)],
+        )
+        cand = dense.unionByName(star)
     return (
-        a.join(b, ["band_idx", "band"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "a0", "a1", "a2", "a3", "bb0", "bb1", "bb2", "bb3")
-        .dropDuplicates(["id_a", "id_b"])
+        cand.dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
