@@ -102,19 +102,24 @@ def quality_classifier_fit(
 
 
 def _strip_training_summary(model: PipelineModel) -> PipelineModel:
-    """Round-trip the fitted pipeline through disk: ``PipelineModel.load``
-    reconstructs the LR stage from its saved coefficients with
-    ``trainingSummary = None``, severing the model → SparkSession edge
-    (see quality_classifier_fit docstring). The artifact is tiny — the
-    (num_features+1)-float coefficient vector plus JSON metadata — and
-    load() reads it eagerly, so the temp dir is deleted immediately."""
+    """Round-trip ONLY the LR stage through disk: ``load`` reconstructs
+    it from its saved coefficients with ``trainingSummary = None``,
+    severing the model → SparkSession edge (see quality_classifier_fit
+    docstring). The tokenizer/HashingTF stages hold no session
+    reference and are reused as-is, so the artifact is just the
+    (num_features+1)-float coefficient vector plus JSON metadata
+    (~0.4 s instead of ~1 s for the whole pipeline); load() reads it
+    eagerly, so the temp dir is deleted immediately."""
     import shutil
     import tempfile
 
+    from pyspark.ml.classification import LogisticRegressionModel
+
     d = tempfile.mkdtemp(prefix="qclf_model_")
     try:
-        model.write().overwrite().save(d + "/model")
-        return PipelineModel.load(d + "/model")
+        model.stages[-1].write().overwrite().save(d + "/lr")
+        lr = LogisticRegressionModel.load(d + "/lr")
+        return PipelineModel(stages=[*model.stages[:-1], lr])
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
