@@ -244,6 +244,15 @@ _FROZEN_DSIR_RATIOS = [
     (63, "-0.033970"),
 ]
 
+def _frozen_dsir_ratios_df(spark: SparkSession) -> DataFrame:
+    from decimal import Decimal
+
+    return spark.createDataFrame(
+        [(b, Decimal(r)) for b, r in _FROZEN_DSIR_RATIOS],
+        "bucket bigint, r decimal(28,6)",
+    )
+
+
 _FROZEN_DSIR_NB = 64
 _FROZEN_DSIR_VALUES = ",\n      ".join(
     f"({b}, CAST({r} AS DECIMAL(28,6)))" for b, r in _FROZEN_DSIR_RATIOS
@@ -790,3 +799,250 @@ def bpe_token_budget_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_budget(
         load_fanout(spark, sf_dir, "documents"), "text", merges, ["source"]
     ).orderBy("source")
+
+
+_PIPE_GATE = 0.2
+_PIPE_K = 32
+_PIPE_SALT = "pipe-v1"
+
+_FROZEN_PIPE_ORACLE = f"""
+    WITH qw(bucket, wt) AS (VALUES
+      {{qc_values}}
+    ),
+    qtoks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(coalesce(text, '')), ' '),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ),
+    qtb AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % {{qc_nb}}
+               AS bucket
+      FROM qtoks
+    ),
+    qsums AS (
+      SELECT doc_id, sum(wt) AS s
+      FROM qtb JOIN qw USING (bucket)
+      GROUP BY doc_id
+    ),
+    qscore AS (
+      SELECT d.doc_id,
+             round(1.0 / (1.0 + exp(-CAST(
+               CAST(coalesce(s.s, 0) + {{qc_b}} AS DECIMAL(38,6))
+               AS DOUBLE))), 6) AS prob
+      FROM documents d LEFT JOIN qsums s USING (doc_id)
+    ),
+    gated AS (
+      SELECT d.doc_id, d.text
+      FROM documents d JOIN qscore q USING (doc_id)
+      WHERE q.prob >= {{gate}}
+    ),
+    toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM gated
+    ),
+    spans AS (
+        SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) - 6),
+                          i -> struct_pack(pos := i - 1,
+                               gram := array_to_string(t[i:i+7], ' ')))) AS u
+            FROM toks WHERE len(t) >= 8
+        )
+    ),
+    freq AS (SELECT gram, count(*) AS c FROM spans GROUP BY gram),
+    dup AS (
+        SELECT doc_id, pos FROM spans JOIN freq USING (gram)
+        WHERE freq.c >= 2
+    ),
+    marked AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER w IS NULL
+                      OR pos - lag(pos) OVER w >= 8 THEN 1 ELSE 0
+               END AS new_isl
+        FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    islands AS (
+        SELECT doc_id, pos,
+               sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        FROM marked
+    ),
+    per_isl AS (
+        SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+        FROM islands GROUP BY doc_id, isl
+    ),
+    tok_pos AS (
+        SELECT doc_id, u.i AS i, u.tok AS tok FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) + 1),
+                          i -> struct_pack(i := i - 1, tok := t[i]))) AS u
+            FROM toks
+        )
+    ),
+    surviving AS (
+        SELECT tp.doc_id, tp.i, tp.tok
+        FROM tok_pos tp
+        WHERE NOT EXISTS (
+            SELECT 1 FROM per_isl b
+            WHERE b.doc_id = tp.doc_id AND tp.i >= b.s AND tp.i < b.e
+        )
+    ),
+    clean AS (
+        SELECT doc_id,
+               string_agg(tok, ' ' ORDER BY i) AS clean_text,
+               count(*) AS kept
+        FROM surviving GROUP BY doc_id
+    ),
+    cleaned AS (
+        SELECT g.doc_id,
+               CASE WHEN g.text IS NULL THEN NULL
+                    ELSE coalesce(c.clean_text, '') END AS clean_text,
+               CASE WHEN g.text IS NULL THEN NULL
+                    ELSE CAST(coalesce(c.kept, 0) AS BIGINT) END AS kept_tokens
+        FROM gated g LEFT JOIN clean c USING (doc_id)
+    ),
+    nonempty AS (
+        SELECT * FROM cleaned
+        WHERE clean_text IS NOT NULL AND clean_text <> ''
+    ),
+    winners AS (
+        SELECT min(doc_id) AS doc_id FROM nonempty GROUP BY clean_text
+    ),
+    kept AS (SELECT n.* FROM nonempty n JOIN winners USING (doc_id)),
+    dtoks AS (
+      SELECT doc_id,
+             list_filter(string_split(clean_text, ' '), x -> x <> '') AS t
+      FROM kept
+    ),
+    gram_strings AS (
+      SELECT doc_id, u AS g
+      FROM (SELECT doc_id, unnest(t) AS u FROM dtoks)
+      UNION ALL
+      SELECT doc_id, u AS g FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i + 1])) AS u
+        FROM dtoks WHERE len(t) >= 2
+      )
+    ),
+    grams AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % {{dsir_nb}}
+               AS bucket
+      FROM gram_strings
+    ),
+    fr(bucket, r) AS (VALUES
+      {{dsir_values}}
+    ),
+    per_bucket AS (
+      SELECT doc_id, bucket, count(*) AS n
+      FROM grams GROUP BY doc_id, bucket
+    ),
+    agg AS (
+      SELECT per_bucket.doc_id,
+             CAST(sum(n * coalesce(r, CAST(0 AS DECIMAL(28,6))))
+                  AS DOUBLE) AS log_w
+      FROM per_bucket LEFT JOIN fr USING (bucket)
+      GROUP BY per_bucket.doc_id
+    ),
+    dweights AS (
+      SELECT k.doc_id, k.kept_tokens, coalesce(a.log_w, 0.0) AS log_w
+      FROM kept k LEFT JOIN agg a USING (doc_id)
+    ),
+    gscored AS (
+      SELECT doc_id, kept_tokens, log_w,
+             log_w + (-ln(-ln(
+               (CAST('0x' || substr(md5('{{salt}}' || CAST(doc_id AS VARCHAR)),
+                                    1, 13) AS BIGINT)
+                + 0.5) / 4503599627370496.0
+             ))) AS s
+      FROM dweights
+    )
+    SELECT doc_id, kept_tokens, log_w, round(s, 4) AS score
+    FROM gscored ORDER BY s DESC, doc_id LIMIT {{k}}
+""".format(
+    qc_values=_QC_VALUES,
+    qc_nb=_QC_NB,
+    qc_b=_QC_B,
+    gate=_PIPE_GATE,
+    dsir_nb=_FROZEN_DSIR_NB,
+    dsir_values=_FROZEN_DSIR_VALUES,
+    salt=_PIPE_SALT,
+    k=_PIPE_K,
+)
+
+
+@register(
+    "curation_pipeline_frozen_e2e",
+    oracle=_FROZEN_PIPE_ORACLE,
+    doc="END-TO-END FROZEN curation pipeline — the serving-time shape "
+    "of the whole selection stack, composed from stages that each "
+    "carry their model as literals so the ENTIRE pipeline replays in "
+    "the oracle: (1) frozen-classifier quality gate "
+    "(score_frozen_md5, keep prob_pos ≥ 0.2), (2) exact-substring "
+    "span cleaning WITHIN the gated corpus (duplicated-8-gram "
+    "frequencies recomputed on survivors — cleaning after gating, the "
+    "production order), (3) exact dedup of the cleaned text (sha2 "
+    "digest groupBy, min-id representative), (4) frozen-DSIR scoring "
+    "of the CLEAN text + Gumbel-top-32 resampling (portable-uniform "
+    "draw, salt 'pipe-v1') — (doc_id, kept_tokens, log_w, score). "
+    "Every stage is individually oracle-green "
+    "(quality_classifier_frozen_scores, span_dedup_clean_corpus, "
+    "dedup_exact, dsir_score_frozen, dsir_select_topk); this row "
+    "proves the COMPOSITION: gate→clean→dedup→select on one corpus "
+    "pass per stage with only literal model state, which is exactly "
+    "what admits fresh crawl shards at 100 TB.",
+    tags=("llm", "selection", "dedup", "quality", "bench"),
+)
+def curation_pipeline_frozen_e2e(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as _W  # noqa: F401 (parity with sibling queries)
+
+    from weather_data_data_pipeline_spark.functions.classifier import (
+        score_frozen_md5,
+    )
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        span_dedup_clean,
+    )
+    from weather_data_data_pipeline_spark.functions.importance import (
+        dsir_score_frozen,
+        dsir_select_topk,
+    )
+
+    docs = load_fanout(spark, sf_dir, "documents")
+    gate = (
+        score_frozen_md5(
+            docs, "doc_id", "text", FROZEN_QC_WEIGHTS, FROZEN_QC_INTERCEPT
+        )
+        .where(F.col("prob_pos") >= F.lit(_PIPE_GATE))
+        .select("doc_id")
+    )
+    gated = docs.join(gate, "doc_id", "left_semi")
+    clean = span_dedup_clean(gated, "doc_id", "text", n=8, min_count=2)
+    nonempty = clean.where(
+        F.col("clean_text").isNotNull() & (F.col("clean_text") != "")
+    )
+    # exact dedup on the CLEANED text: the 32-byte digest shuffles for
+    # the winner election, never the strings
+    winners = (
+        nonempty.select("doc_id", F.sha2("clean_text", 256).alias("_d"))
+        .groupBy("_d")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = nonempty.join(winners, "doc_id", "left_semi").localCheckpoint(
+        eager=False
+    )
+    ratios = _frozen_dsir_ratios_df(spark)
+    weights = dsir_score_frozen(
+        kept.select("doc_id", F.col("clean_text").alias("text")),
+        ratios,
+        "doc_id",
+        "text",
+        num_buckets=_FROZEN_DSIR_NB,
+    )
+    sel = dsir_select_topk(weights, "doc_id", k=_PIPE_K, salt=_PIPE_SALT)
+    return sel.join(
+        kept.select("doc_id", "kept_tokens"), "doc_id"
+    ).select("doc_id", "kept_tokens", "log_w", "score")

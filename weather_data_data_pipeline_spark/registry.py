@@ -75,6 +75,9 @@ _loaded = False
 # PLAN/ORACLE changed this round and must (re-)earn a green row. Keep
 # tests/test_registry_order.py's ROUND_HEAD copy in sync.
 _ROUND_HEAD: tuple[str, ...] = (
+    # r6 new: end-to-end frozen curation pipeline (gate → span-clean →
+    # exact-dedup → frozen-DSIR Gumbel-top-32), full-composition oracle
+    "curation_pipeline_frozen_e2e",
     # r6 new: FROZEN-model quality scoring — literal pinned
     # coefficients over md5 token buckets, full oracle replay
     # (tokenize → bucket → dot → sigmoid); closes the r5 gap of a
