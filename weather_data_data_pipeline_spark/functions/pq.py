@@ -338,6 +338,7 @@ def ivf_pq_encode(
 
     id_type = corpus.schema[id_col].dataType.simpleString()
     C = np.asarray(centroids, dtype=np.float64)
+    cell_cb = [[list(map(float, c)) for c in centroids]]
 
     def encode(batches):
         for pdf in batches:
@@ -345,7 +346,10 @@ def ivf_pq_encode(
             if len(pdf) == 0:
                 continue
             X = _vec_matrix(pdf[vec_col]).astype(np.float64)
-            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            # PINNED-order cell distances (one "subspace" spanning the
+            # full dimension) so assignment ties resolve identically in
+            # the DuckDB replay — the module determinism contract
+            d2 = _subspace_sqdists(X, cell_cb)[:, 0, :]
             cells = d2.argmin(axis=1)
             R = X - C[cells]
             codes = _subspace_sqdists(R, codebooks).argmin(axis=2)
@@ -381,6 +385,7 @@ def ivf_pq_query_luts(
     k_cw = len(codebooks[0])
     id_type = queries.schema[id_col].dataType.simpleString()
     C = np.asarray(centroids, dtype=np.float64)
+    cell_cb = [[list(map(float, c)) for c in centroids]]
 
     def build(batches):
         for pdf in batches:
@@ -388,7 +393,8 @@ def ivf_pq_query_luts(
             if len(pdf) == 0:
                 continue
             X = _vec_matrix(pdf[vec_col]).astype(np.float64)
-            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            # pinned-order cell distances — see ivf_pq_encode
+            d2 = _subspace_sqdists(X, cell_cb)[:, 0, :]
             probes = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
             ids, cells, luts = [], [], []
             for row in range(len(X)):

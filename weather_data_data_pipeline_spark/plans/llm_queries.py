@@ -3018,6 +3018,145 @@ def ann_pq_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_pq_topk_seeded",
+    # The seed device applied to the FULL IVF-PQ composition: coarse
+    # centroids are the 16 lowest-id embeddings VERBATIM; the residual
+    # codebooks are subvectors of the NEXT 16 (ids 16..31) — no Lloyd
+    # anywhere, so cell assignment, residual, encode, LUT, ADC and
+    # ranking ALL replay in DuckDB. Every distance is a pinned left
+    # fold ((x−c)−w association preserved on both engines), so the
+    # doubles — and therefore argmin ties — are engine-identical.
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+               AS cell,
+             embedding AS cvec
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    cws AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+               AS cw,
+             embedding AS wvec
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16 OFFSET 16)
+    ),
+    subs AS (SELECT unnest(range(0, 8)) AS j),
+    cell0 AS (
+      SELECT e.vec_id, c.cell,
+             list_sum(list_transform(range(1, 65), i ->
+               (CAST(e.embedding[i] AS DOUBLE)
+                  - CAST(c.cvec[i] AS DOUBLE))
+               * (CAST(e.embedding[i] AS DOUBLE)
+                  - CAST(c.cvec[i] AS DOUBLE)))) AS d
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    cellof AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d, cell) AS rn
+        FROM cell0
+      ) WHERE rn = 1
+    ),
+    enc0 AS (
+      SELECT e.vec_id, s.j, w.cw,
+             list_sum(list_transform(range(1, 9), i ->
+               ((CAST(e.embedding[s.j*8 + i] AS DOUBLE)
+                   - CAST(c.cvec[s.j*8 + i] AS DOUBLE))
+                  - CAST(w.wvec[s.j*8 + i] AS DOUBLE))
+               * ((CAST(e.embedding[s.j*8 + i] AS DOUBLE)
+                   - CAST(c.cvec[s.j*8 + i] AS DOUBLE))
+                  - CAST(w.wvec[s.j*8 + i] AS DOUBLE)))) AS d
+      FROM embeddings e
+      JOIN cellof cf ON cf.vec_id = e.vec_id
+      JOIN cents c ON c.cell = cf.cell
+      CROSS JOIN subs s CROSS JOIN cws w
+    ),
+    codes AS (
+      SELECT vec_id, j, cw AS code FROM (
+        SELECT vec_id, j, cw,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY d, cw) AS rn
+        FROM enc0
+      ) WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d, cell) AS rn
+        FROM cell0 WHERE vec_id < 10
+      ) WHERE rn <= 4
+    ),
+    lut AS (
+      SELECT q.vec_id AS query_id, p.cell, s.j, w.cw,
+             list_sum(list_transform(range(1, 9), i ->
+               ((CAST(q.embedding[s.j*8 + i] AS DOUBLE)
+                   - CAST(c.cvec[s.j*8 + i] AS DOUBLE))
+                  - CAST(w.wvec[s.j*8 + i] AS DOUBLE))
+               * ((CAST(q.embedding[s.j*8 + i] AS DOUBLE)
+                   - CAST(c.cvec[s.j*8 + i] AS DOUBLE))
+                  - CAST(w.wvec[s.j*8 + i] AS DOUBLE)))) AS d
+      FROM embeddings q
+      JOIN qprobe p ON p.vec_id = q.vec_id
+      JOIN cents c ON c.cell = p.cell
+      CROSS JOIN subs s CROSS JOIN cws w
+    ),
+    adc AS (
+      SELECT l.query_id, co.vec_id AS neighbor_id,
+             list_sum(list(l.d ORDER BY l.j)) AS dist
+      FROM codes co
+      JOIN cellof cf ON cf.vec_id = co.vec_id
+      JOIN lut l ON l.cell = cf.cell AND l.j = co.j AND l.cw = co.code
+      WHERE co.vec_id <> l.query_id
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist, neighbor_id) AS rn
+      FROM adc
+    )
+    SELECT query_id, neighbor_id,
+           round(dist, 4) AS adc_dist, CAST(rn AS INTEGER) AS rn
+    FROM ranked WHERE rn <= 10
+    """,
+    doc="The FULL IVF-PQ composition under seed models — coarse cells "
+    "(L2, the 16 lowest-id embeddings), PQ over RESIDUALS (codewords = "
+    "subvectors of ids 16..31), 4-cell probe, per-(query,cell) "
+    "residual LUTs, ADC scoring, global top-k — hash-checked "
+    "end-to-end by the DuckDB replay (functions/pq.py:ivf_pq_topk "
+    "with pretrained literals; the cell-assignment distances use the "
+    "same pinned-order kernel as the subspace distances so argmin "
+    "ties are engine-identical). The Lloyd-trained production twin is "
+    "measured by ann_pq_recall_report; this row proves the "
+    "composition's arithmetic.",
+    tags=("llm", "similarity", "bench"),
+)
+def ann_ivf_pq_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.pq import (
+        ivf_pq_topk,
+        split_codebooks,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    low32 = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(32).collect()
+    )
+    centroids = [[float(x) for x in r["embedding"]] for r in low32[:16]]
+    codebooks = split_codebooks(
+        [[float(x) for x in r["embedding"]] for r in low32[16:]], m=8
+    )
+    return ivf_pq_topk(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        k=10,
+        n_probe=4,
+        centroids=centroids,
+        codebooks=codebooks,
+    )
+
+
+@register(
     "ann_pq_recall_report",
     oracle=None,  # both codebook families are Lloyd-TRAINED (iterative
     # argmin loops on a bounded sample) — not SQL-expressible; the

@@ -75,6 +75,9 @@ _loaded = False
 # PLAN/ORACLE changed this round and must (re-)earn a green row. Keep
 # tests/test_registry_order.py's ROUND_HEAD copy in sync.
 _ROUND_HEAD: tuple[str, ...] = (
+    # r6 new: seeded IVF-PQ — the full composition (cells, residuals,
+    # codes, LUTs, ADC) hash-checked end-to-end in DuckDB
+    "ann_ivf_pq_topk_seeded",
     # r6 new: end-to-end frozen curation pipeline (gate → span-clean →
     # exact-dedup → frozen-DSIR Gumbel-top-32), full-composition oracle
     "curation_pipeline_frozen_e2e",
