@@ -76,6 +76,64 @@ def test_contamination_fractions(spark):
     assert got[4] == (0, 0, 0.0)
 
 
+def test_bloom_contamination_equals_plain_and_prunes(spark):
+    """ngram_contamination_bloom must return the PLAIN form's result
+    exactly (no false negatives; false positives die in the semi-join)
+    while its prescreen really prunes the train side before the
+    distinct+join."""
+    from weather_data_data_pipeline_spark.functions.bloom import (
+        build_bloom,
+        might_contain,
+    )
+    from weather_data_data_pipeline_spark.functions.search import (
+        hashed_shingles,
+        ngram_contamination_bloom,
+        shingle_array,
+    )
+    from weather_data_data_pipeline_spark.sources.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    train = docs.where(F.col("source") != "src0")
+    ev = docs.where(F.col("source") == "src0")
+    plain = sorted(
+        map(tuple, ngram_contamination(train, ev, "doc_id", "text", n=3).collect())
+    )
+    bloomed = sorted(
+        map(
+            tuple,
+            ngram_contamination_bloom(
+                train, ev, "doc_id", "text", n=3
+            ).collect(),
+        )
+    )
+    assert bloomed == plain
+    # the prescreen itself: with a SMALL eval set the surviving train
+    # gram fraction must be well under 1 (here the corpus vocabulary is
+    # closed, so overlap is high — use a synthetic disjoint train side
+    # to see real pruning)
+    t2 = spark.createDataFrame(
+        [(i, f"u{i} v{i} w{i} x{i} y{i}") for i in range(200)],
+        ["doc_id", "text"],
+    )
+    ev2 = spark.createDataFrame([(900, "u1 v1 w1 x1 y1")], ["doc_id", "text"])
+    ev_h = hashed_shingles(ev2, "doc_id", "text", 3).select("h").dropDuplicates()
+    words = build_bloom(ev_h, "h")
+    survivors = (
+        t2.select(F.explode(shingle_array("text", 3)).alias("g"))
+        .select(F.xxhash64("g").alias("h"))
+        .where(might_contain(words, F.col("h")))
+        .count()
+    )
+    total = t2.select(F.explode(shingle_array("text", 3))).count()
+    assert survivors < total * 0.2  # ≥80% of train grams never shuffle
+    # and equality holds on the disjoint-ish fixture too
+    assert sorted(
+        map(tuple, ngram_contamination_bloom(t2, ev2, "doc_id", "text", 3).collect())
+    ) == sorted(
+        map(tuple, ngram_contamination(t2, ev2, "doc_id", "text", 3).collect())
+    )
+
+
 def test_redact_and_match_count(spark):
     df = spark.createDataFrame(
         [

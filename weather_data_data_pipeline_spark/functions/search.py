@@ -150,3 +150,68 @@ def ngram_contamination(
             ).alias("contamination"),
         )
     )
+
+
+def ngram_contamination_bloom(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_bits: int = 1 << 17,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """:func:`ngram_contamination` with a Bloom prescreen on the TRAIN
+    side — the shape that survives decontaminating a 100 TB train
+    corpus against a bounded eval set.
+
+    The plain form runs ``dropDuplicates`` over EVERY train gram — a
+    corpus-sized shuffle — before the eval side probes it. Here the
+    (small) eval set's gram hashes build a Bloom filter in one bounded
+    pass (functions/bloom.py: BIT_OR partial aggregate, ≤ num_bits/64
+    longs to the driver), and the train scan probes it as a codegen'd
+    expression BEFORE any shuffle: only train grams that MIGHT overlap
+    the eval set — a sliver, at production eval/train ratios — reach
+    the distinct+join. Results are IDENTICAL to the plain form: a
+    truly-overlapping gram is never bloom-negative (no false
+    negatives), and false positives die in the exact semi-join. Same
+    oracle, same output, ~zero train-side shuffle.
+    """
+    from weather_data_data_pipeline_spark.functions.bloom import (
+        build_bloom,
+        might_contain,
+    )
+
+    ev_grams = hashed_shingles(eval_df, id_col, text_col, n).localCheckpoint(
+        eager=True
+    )  # consumed by the bloom build AND the hit join
+    words = build_bloom(
+        ev_grams.select("h").dropDuplicates(), "h", num_bits, num_hashes
+    )
+    train_grams = (
+        train.select(F.explode(shingle_array(text_col, n)).alias("g"))
+        .select(F.xxhash64("g").alias("h"))
+        .where(might_contain(words, F.col("h"), num_bits, num_hashes))
+        .dropDuplicates()
+    )
+    hits = (
+        ev_grams.join(train_grams, "h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    totals = eval_df.select(
+        F.col(id_col), F.size(shingle_array(text_col, n)).alias("n_ngrams")
+    )
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_ngrams",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.round(
+                F.coalesce("n_contaminated", F.lit(0))
+                / F.greatest(F.col("n_ngrams"), F.lit(1)),
+                4,
+            ).alias("contamination"),
+        )
+    )

@@ -131,6 +131,71 @@ def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_contamination_bloom",
+    # IDENTICAL semantics (and oracle) to corpus_contamination — the
+    # Bloom prescreen has no false negatives and the exact semi-join
+    # removes its false positives, so the output is provably the same;
+    # what changes is the PLAN: the train side probes a 16 KB
+    # codegen'd filter before any shuffle instead of distinct-ing
+    # every train gram (tests pin result equality + that the prescreen
+    # really prunes).
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(range(1, len(t) - 1),
+                             i -> array_to_string(t[i:i+2], ' '))) AS g
+        FROM toks
+    ),
+    train AS (
+        SELECT DISTINCT unnest(g) AS gram FROM grams WHERE source <> 'src0'
+    ),
+    ev AS (
+        SELECT doc_id, unnest(g) AS gram FROM grams WHERE source = 'src0'
+    ),
+    tot AS (
+        SELECT doc_id, len(g) AS n_ngrams FROM grams WHERE source = 'src0'
+    ),
+    hits AS (
+        SELECT ev.doc_id, count(*) AS n_contaminated
+        FROM ev JOIN train USING (gram) GROUP BY ev.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.n_ngrams AS INTEGER) AS n_ngrams,
+           CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           round(CAST(coalesce(h.n_contaminated, 0) AS DOUBLE)
+                 / greatest(t.n_ngrams, 1), 4) AS contamination
+    FROM tot t LEFT JOIN hits h USING (doc_id)
+    """,
+    doc="Train/eval decontamination with a runtime Bloom prescreen "
+    "(functions/search.py:ngram_contamination_bloom): the eval set's "
+    "gram hashes build a bounded Bloom filter (one BIT_OR pass, "
+    "≤ num_bits/64 longs to the driver), and the 100 TB-side train "
+    "scan probes it as a codegen'd expression BEFORE the "
+    "distinct+join — only might-overlap grams ever shuffle. Output "
+    "bit-identical to corpus_contamination (no false negatives; "
+    "false positives die in the exact semi-join), so the same oracle "
+    "hash-checks the optimized plan.",
+    tags=("llm", "dedup", "quality", "bench"),
+)
+def corpus_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.search import (
+        ngram_contamination_bloom,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return ngram_contamination_bloom(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        "doc_id",
+        "text",
+        n=3,
+    )
+
+
 _SCRUB = [PII_PATTERNS["email"], PII_PATTERNS["ssn"], PII_PATTERNS["number"]]
 
 

@@ -75,6 +75,9 @@ _loaded = False
 # PLAN/ORACLE changed this round and must (re-)earn a green row. Keep
 # tests/test_registry_order.py's ROUND_HEAD copy in sync.
 _ROUND_HEAD: tuple[str, ...] = (
+    # r6 new: bloom-prescreened decontamination — identical output,
+    # train side probes a 16 KB codegen filter before any shuffle
+    "corpus_contamination_bloom",
     # r6 new: seeded IVF-PQ — the full composition (cells, residuals,
     # codes, LUTs, ADC) hash-checked end-to-end in DuckDB
     "ann_ivf_pq_topk_seeded",
