@@ -21,6 +21,8 @@ WINDOW = 50
 # Mirror of registry._ROUND_HEAD — a deliberate copy so that editing the
 # head without thinking about the verification window fails a test.
 ROUND_HEAD = (
+    "gopher_quality_rules",
+    "ccnet_ppl_buckets",
     "corpus_contamination_bloom",
     "ann_ivf_pq_topk_seeded",
     "curation_pipeline_frozen_e2e",

@@ -196,6 +196,191 @@ def corpus_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_MIN_WORDS = 30
+_GOPHER_MAX_WORDS = 100_000
+
+_GOPHER_STOPS_SQL = ", ".join(f"'{s}'" for s in _GOPHER_STOPS)
+
+
+@register(
+    "gopher_quality_rules",
+    oracle=f"""
+    WITH arrs AS (
+      SELECT doc_id,
+             list_filter(string_split(coalesce(text, ''), ' '),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(t) AS n_words,
+             CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE round(CAST(list_sum(list_transform(t, x -> len(x)))
+                                  AS DOUBLE) / len(t), 4) END
+               AS mean_word_len,
+             CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE round(CAST(len(list_filter(t,
+                         x -> regexp_matches(x, '[a-zA-Z]')))
+                                  AS DOUBLE) / len(t), 4) END
+               AS frac_alpha,
+             CAST(len(list_distinct(list_intersect(t,
+                    [{_GOPHER_STOPS_SQL}]))) AS INTEGER) AS n_stop_hits
+      FROM arrs
+    )
+    SELECT doc_id,
+           CAST(n_words AS INTEGER) AS n_words,
+           mean_word_len, frac_alpha, n_stop_hits,
+           n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+             AS ok_words,
+           mean_word_len BETWEEN 3 AND 10 AS ok_word_len,
+           frac_alpha >= 0.8 AS ok_alpha,
+           n_stop_hits >= 2 AS ok_stops,
+           (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+             AND (mean_word_len BETWEEN 3 AND 10)
+             AND frac_alpha >= 0.8 AND n_stop_hits >= 2 AS keep
+    FROM m
+    """,
+    doc="Gopher-style quality RULE BUNDLE (Rae et al. 2021 Table A1 "
+    "machinery): per document — word count band, mean word length "
+    "band [3,10], alphabetic-word fraction ≥ 0.8, ≥ 2 distinct "
+    "canonical stopwords present — each rule surfaced as its own flag "
+    "plus the conjunctive keep decision, the audit-trail form a "
+    "curation pipeline needs (you tune thresholds by looking at what "
+    "each rule rejects, never at the conjunction alone). The word-"
+    "count floor is tuned to this corpus's 10-99-token documents "
+    "(the paper's 50 would reject half the fixture); everything is "
+    "codegen'd higher-order functions over the token array — one "
+    "scan, zero shuffle, zero Python.",
+    tags=("llm", "text", "quality", "bench"),
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+        lambda x: x != F.lit(""),
+    )
+    n_words = F.size(t)
+    mean_len = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.aggregate(
+                t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+            ).cast("double")
+            / n_words,
+            4,
+        )
+    )
+    frac_alpha = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.size(F.filter(t, lambda x: x.rlike("[a-zA-Z]"))).cast("double")
+            / n_words,
+            4,
+        )
+    )
+    n_stops = F.size(
+        F.array_intersect(t, F.array(*[F.lit(s) for s in _GOPHER_STOPS]))
+    ).cast("int")
+    base = docs.select(
+        "doc_id",
+        n_words.cast("int").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha"),
+        n_stops.alias("n_stop_hits"),
+    )
+    ok_words = F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+    ok_len = F.col("mean_word_len").between(3, 10)
+    ok_alpha = F.col("frac_alpha") >= 0.8
+    ok_stops = F.col("n_stop_hits") >= 2
+    return base.select(
+        "*",
+        ok_words.alias("ok_words"),
+        ok_len.alias("ok_word_len"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stops.alias("ok_stops"),
+        (ok_words & ok_len & ok_alpha & ok_stops).alias("keep"),
+    )
+
+
+@register(
+    "ccnet_ppl_buckets",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t.tok AS tok
+      FROM documents, unnest(list_filter(string_split(text, ' '),
+                                         x -> x <> '')) AS t(tok)
+    ),
+    vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    n AS (SELECT count(*) AS total FROM toks),
+    ppl AS (
+      SELECT toks.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             round(avg(-ln(vocab.c / n.total)), 4) AS logppl
+      FROM toks JOIN vocab USING (tok) CROSS JOIN n
+      GROUP BY toks.doc_id
+    ),
+    bucketed AS (
+      SELECT d.doc_id, d.lang, p.n_tokens, p.logppl,
+             ntile(3) OVER (PARTITION BY d.lang
+                            ORDER BY p.logppl, d.doc_id) AS nt
+      FROM documents d JOIN ppl p USING (doc_id)
+    )
+    SELECT doc_id, lang, n_tokens, logppl,
+           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS bucket
+    FROM bucketed
+    """,
+    doc="CCNet-style perplexity bucketing (Wenzek et al. 2020): per "
+    "language, documents split into head/middle/tail terciles of the "
+    "perplexity proxy (the corpus-self-trained unigram logppl that "
+    "doc_unigram_logppl pins) — the partition CCNet uses to keep "
+    "head+middle and drop (or down-weight) the noisy tail per "
+    "language rather than applying one global threshold that would "
+    "gut low-resource languages. ntile runs per-lang (bounded "
+    "partitions), ordered by (rounded logppl, doc_id) so the tercile "
+    "boundaries are engine-deterministic.",
+    tags=("llm", "text", "quality", "selection", "bench"),
+)
+def ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+        ).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    n = toks.agg(F.count("*").alias("total"))
+    ppl = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("total"))), 4).alias(
+                "logppl"
+            ),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("logppl", "doc_id")
+    return (
+        docs.select("doc_id", "lang")
+        .join(ppl, "doc_id")
+        .withColumn("nt", F.ntile(3).over(w))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "logppl",
+            F.when(F.col("nt") == 1, "head")
+            .when(F.col("nt") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )
+
+
 _SCRUB = [PII_PATTERNS["email"], PII_PATTERNS["ssn"], PII_PATTERNS["number"]]
 
 

@@ -75,6 +75,9 @@ _loaded = False
 # PLAN/ORACLE changed this round and must (re-)earn a green row. Keep
 # tests/test_registry_order.py's ROUND_HEAD copy in sync.
 _ROUND_HEAD: tuple[str, ...] = (
+    # r6 new: Gopher rule bundle + CCNet per-lang perplexity terciles
+    "gopher_quality_rules",
+    "ccnet_ppl_buckets",
     # r6 new: bloom-prescreened decontamination — identical output,
     # train side probes a 16 KB codegen filter before any shuffle
     "corpus_contamination_bloom",
