@@ -46,6 +46,10 @@ INTENTIONAL = {
     ("doc_unigram_logppl", "BroadcastNestedLoopJoin"):
         "single-ROW build side: the corpus token total attaches to the "
         "token table — O(n × 1) scalar attach",
+    ("ccnet_ppl_buckets", "BroadcastNestedLoopJoin"):
+        "single-ROW build side: the corpus token total attaches to the "
+        "token table — the doc_unigram_logppl machinery feeding the "
+        "per-lang ntile",
     ("doc_bigram_logppl", "BroadcastNestedLoopJoin"):
         "single-ROW build side: the vocab-size aggregate attaches to the "
         "bigram table for the add-one denominator — O(n × 1) scalar "
