@@ -44,8 +44,11 @@ def main() -> None:
     y = np.zeros(len(rows))
     for i, (_, source, text) in enumerate(rows):
         y[i] = 1.0 if source in POS_SOURCES else 0.0
-        for tok in text.lower().split():
-            X[i, bucket(tok)] += 1.0
+        # split(" "), not split(): single-space tokenization is the
+        # engine-wide contract the scoring path and oracle share
+        for tok in text.lower().split(" "):
+            if tok:
+                X[i, bucket(tok)] += 1.0
     w = np.zeros(NUM_BUCKETS)
     b = 0.0
     n = len(rows)

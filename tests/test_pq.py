@@ -301,9 +301,20 @@ def test_ivf_pq_persisted_index_matches_inline(spark, tmp_path):
         df, q, k=5, n_probe=2, centroids=cents, codebooks=cbs
     ).collect()))
     got = sorted(map(tuple, ivf_pq_topk_from_index(
-        spark, path, q, k=5, n_probe=2, m=4, k_cw=8
+        spark, path, q, k=5, n_probe=2  # m/k_cw come from the meta row
     ).collect()))
     assert got == want
+    # passing MISMATCHED build params must raise, not scramble silently
+    import pytest as _pytest
+
+    from weather_data_data_pipeline_spark.functions.pq import (
+        load_ivf_pq_model,
+    )
+
+    with _pytest.raises(ValueError, match="built with m=4"):
+        load_ivf_pq_model(spark, path, m=8, k_cw=8)
+    with _pytest.raises(ValueError, match="built with k_cw=8"):
+        load_ivf_pq_model(spark, path, m=4, k_cw=16)
     # the loaded model round-trips the training output exactly
     assert cents == train_coarse_centroids(
         df, n_cells=4, sample_size=80, iters=5

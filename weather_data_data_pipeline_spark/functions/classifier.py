@@ -185,8 +185,12 @@ def score_frozen_md5(
     warr = F.array(
         *[F.lit(f"{w:.6f}").cast("decimal(10,6)") for w in weights]
     )
+    # SINGLE-SPACE split, not \\s+: the engine-wide tokenizer contract
+    # (hashed_gram_buckets, gopher/ccnet, every oracle's string_split)
+    # — a regex split would diverge from the DuckDB replay and from the
+    # fit-time featurization on any tab/newline whitespace
     toks = F.filter(
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "),
         lambda t: t != F.lit(""),
     )
     margin = F.aggregate(

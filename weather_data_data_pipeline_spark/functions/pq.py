@@ -220,6 +220,8 @@ def _bounded_sample(
 
     rows = (
         corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .where(F.col("v").isNotNull())  # the encode kernels drop NULL
+        # vectors (pq_encode docstring); training must tolerate them too
         .orderBy("i")
         .limit(int(sample_size))
         .collect()
@@ -235,6 +237,11 @@ def _lloyd_l2(X, k: int, iters: int):
     residual geometry must be too.)"""
     import numpy as np
 
+    if len(X) < int(k):
+        raise ValueError(
+            f"Lloyd init needs at least k={k} sample rows, got {len(X)} — "
+            "raise sample_size or lower k_cw/n_cells"
+        )
     cents = X[: int(k)].copy()
     for _ in range(int(iters)):
         d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
@@ -254,12 +261,17 @@ def pq_train_codebooks(
     k_cw: int = 16,
     sample_size: int = 2048,
     iters: int = 10,
+    sample=None,
 ):
     """Lloyd-trained PQ codebooks — the production replacement for the
     seed codebooks of ``ann_pq_topk_seeded``: per-subspace k-means on a
     bounded sample. Returns codebooks[m][k_cw][d_sub], drop-in for
     :func:`pq_encode` / :func:`pq_adc_topk`."""
-    X = _bounded_sample(corpus, id_col, vec_col, sample_size)
+    X = (
+        sample
+        if sample is not None
+        else _bounded_sample(corpus, id_col, vec_col, sample_size)
+    )
     dim = X.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -280,10 +292,17 @@ def train_coarse_centroids(
     n_cells: int = 16,
     sample_size: int = 2048,
     iters: int = 10,
+    sample=None,
 ):
     """L2 coarse quantizer for IVF-PQ (cells the residuals are taken
-    against); same bounded-sample contract as the PQ codebooks."""
-    X = _bounded_sample(corpus, id_col, vec_col, sample_size)
+    against); same bounded-sample contract as the PQ codebooks. Pass
+    ``sample`` (the _bounded_sample matrix) to share one corpus scan
+    across the coarse and residual trainers."""
+    X = (
+        sample
+        if sample is not None
+        else _bounded_sample(corpus, id_col, vec_col, sample_size)
+    )
     return [[float(x) for x in c] for c in _lloyd_l2(X, n_cells, iters)]
 
 
@@ -296,6 +315,7 @@ def pq_train_residual_codebooks(
     k_cw: int = 16,
     sample_size: int = 2048,
     iters: int = 10,
+    sample=None,
 ):
     """PQ codebooks over IVF RESIDUALS (vector − its nearest coarse
     centroid) — what IVF-PQ actually quantizes; residuals concentrate
@@ -303,7 +323,11 @@ def pq_train_residual_codebooks(
     than raw vectors (Jégou et al. §IV)."""
     import numpy as np
 
-    X = _bounded_sample(corpus, id_col, vec_col, sample_size)
+    X = (
+        sample
+        if sample is not None
+        else _bounded_sample(corpus, id_col, vec_col, sample_size)
+    )
     C = np.asarray(centroids, dtype=np.float64)
     d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
     R = X - C[d2.argmin(axis=1)]
@@ -453,14 +477,18 @@ def ivf_pq_topk(
     (:func:`train_coarse_centroids` / :func:`pq_train_residual_codebooks`).
     ``n_probe = n_cells`` degrades gracefully to flat PQ over residuals.
     """
-    if centroids is None:
-        centroids = train_coarse_centroids(
-            corpus, id_col, vec_col, n_cells, sample_size, iters
-        )
-    if codebooks is None:
-        codebooks = pq_train_residual_codebooks(
-            corpus, centroids, id_col, vec_col, m, k_cw, sample_size, iters
-        )
+    if centroids is None or codebooks is None:
+        # one corpus scan feeds BOTH trainers
+        sample = _bounded_sample(corpus, id_col, vec_col, sample_size)
+        if centroids is None:
+            centroids = train_coarse_centroids(
+                corpus, id_col, vec_col, n_cells, iters=iters, sample=sample
+            )
+        if codebooks is None:
+            codebooks = pq_train_residual_codebooks(
+                corpus, centroids, id_col, vec_col, m, k_cw,
+                iters=iters, sample=sample,
+            )
     index = ivf_pq_encode(corpus, centroids, codebooks, id_col, vec_col)
     luts = ivf_pq_query_luts(
         queries, centroids, codebooks, id_col, vec_col, n_probe
@@ -513,6 +541,9 @@ def brute_force_l2_topk(
 
     def score(batches):
         for b in batches:
+            b = b[b[vec_col].notna()]  # NULL vectors have no distance
+            if len(b) == 0:
+                continue
             ids = b[id_col].to_numpy()
             C = np.stack(
                 [np.asarray(v, dtype="float64") for v in b[vec_col]]
@@ -580,17 +611,25 @@ def build_ivf_pq_index(
     :func:`ivf_pq_encode` on new batches with the SAME persisted model.
     """
     spark = corpus.sparkSession
+    sample = _bounded_sample(corpus, id_col, vec_col, sample_size)
     centroids = train_coarse_centroids(
-        corpus, id_col, vec_col, n_cells, sample_size, iters
+        corpus, id_col, vec_col, n_cells, iters=iters, sample=sample
     )
     codebooks = pq_train_residual_codebooks(
-        corpus, centroids, id_col, vec_col, m, k_cw, sample_size, iters
+        corpus, centroids, id_col, vec_col, m, k_cw,
+        iters=iters, sample=sample,
     )
-    model = [("centroid", i, c) for i, c in enumerate(centroids)] + [
-        ("codebook", j * k_cw + c, codebooks[j][c])
-        for j in range(m)
-        for c in range(k_cw)
-    ]
+    # the meta row makes the artifact self-describing: loading with the
+    # wrong (m, k_cw) would silently scramble codebook reassembly
+    model = (
+        [("meta", 0, [float(m), float(k_cw)])]
+        + [("centroid", i, c) for i, c in enumerate(centroids)]
+        + [
+            ("codebook", j * k_cw + c, codebooks[j][c])
+            for j in range(m)
+            for c in range(k_cw)
+        ]
+    )
     spark.createDataFrame(
         model, "kind string, idx int, vec array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/model")
@@ -599,9 +638,25 @@ def build_ivf_pq_index(
     ).partitionBy("cell").parquet(f"{path}/codes")
 
 
-def load_ivf_pq_model(spark, path: str, m: int, k_cw: int):
-    """(centroids, codebooks) back from ``<path>/model`` — a few KB."""
+def load_ivf_pq_model(spark, path: str, m: int | None = None,
+                      k_cw: int | None = None):
+    """(centroids, codebooks) back from ``<path>/model`` — a few KB.
+
+    ``m``/``k_cw`` come from the artifact's own meta row; passing them
+    explicitly only VALIDATES against it (a mismatch used to scramble
+    codebook reassembly silently — wrong neighbors, no error)."""
     rows = spark.read.parquet(f"{path}/model").collect()
+    meta = [r for r in rows if r["kind"] == "meta"]
+    if not meta:
+        raise ValueError(f"{path}/model has no meta row — rebuild the index")
+    m_saved, k_saved = (int(x) for x in meta[0]["vec"])
+    for name, given, saved in (("m", m, m_saved), ("k_cw", k_cw, k_saved)):
+        if given is not None and int(given) != saved:
+            raise ValueError(
+                f"index at {path} was built with {name}={saved}, "
+                f"caller passed {given}"
+            )
+    m, k_cw = m_saved, k_saved
     cents = {r["idx"]: list(r["vec"]) for r in rows if r["kind"] == "centroid"}
     cws = {r["idx"]: list(r["vec"]) for r in rows if r["kind"] == "codebook"}
     centroids = [cents[i] for i in range(len(cents))]
@@ -619,14 +674,17 @@ def ivf_pq_topk_from_index(
     vec_col: str = "embedding",
     k: int = 10,
     n_probe: int = 4,
-    m: int = 8,
-    k_cw: int = 16,
+    m: int | None = None,
+    k_cw: int | None = None,
 ) -> DataFrame:
     """Query a persisted IVF-PQ index (same output contract as
     :func:`ivf_pq_topk`). Only the query batch touches float math at
     query time — the corpus side is the pre-encoded codes table, and
-    the cell partition column prunes unprobed cells at file listing."""
+    the cell partition column prunes unprobed cells at file listing.
+    ``m``/``k_cw`` come from the index's own meta row (pass them only
+    to validate)."""
     centroids, codebooks = load_ivf_pq_model(spark, path, m, k_cw)
+    m, k_cw = len(codebooks), len(codebooks[0])
     codes = spark.read.parquet(f"{path}/codes")
     luts = ivf_pq_query_luts(
         queries, centroids, codebooks, id_col, vec_col, n_probe

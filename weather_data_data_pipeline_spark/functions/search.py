@@ -105,6 +105,41 @@ def bm25_topk(
     )
 
 
+def _contamination_from_grams(
+    ev_grams: DataFrame,
+    train_grams: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+) -> DataFrame:
+    """Shared scoring tail of :func:`ngram_contamination` and
+    :func:`ngram_contamination_bloom` — the two are contractually
+    output-identical, so the hit count / totals / fraction logic must
+    live exactly once."""
+    hits = (
+        ev_grams.join(train_grams, "h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    totals = eval_df.select(
+        F.col(id_col), F.size(shingle_array(text_col, n)).alias("n_ngrams")
+    )
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_ngrams",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.round(
+                F.coalesce("n_contaminated", F.lit(0))
+                / F.greatest(F.col("n_ngrams"), F.lit(1)),
+                4,
+            ).alias("contamination"),
+        )
+    )
+
+
 def ngram_contamination(
     train: DataFrame,
     eval_df: DataFrame,
@@ -129,26 +164,8 @@ def ngram_contamination(
         .dropDuplicates()
     )
     ev_grams = hashed_shingles(eval_df, id_col, text_col, n)
-    hits = (
-        ev_grams.join(train_grams, "h", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_contaminated"))
-    )
-    totals = eval_df.select(
-        F.col(id_col), F.size(shingle_array(text_col, n)).alias("n_ngrams")
-    )
-    return (
-        totals.join(hits, id_col, "left")
-        .select(
-            id_col,
-            "n_ngrams",
-            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
-            F.round(
-                F.coalesce("n_contaminated", F.lit(0))
-                / F.greatest(F.col("n_ngrams"), F.lit(1)),
-                4,
-            ).alias("contamination"),
-        )
+    return _contamination_from_grams(
+        ev_grams, train_grams, eval_df, id_col, text_col, n
     )
 
 
@@ -194,24 +211,6 @@ def ngram_contamination_bloom(
         .where(might_contain(words, F.col("h"), num_bits, num_hashes))
         .dropDuplicates()
     )
-    hits = (
-        ev_grams.join(train_grams, "h", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_contaminated"))
-    )
-    totals = eval_df.select(
-        F.col(id_col), F.size(shingle_array(text_col, n)).alias("n_ngrams")
-    )
-    return (
-        totals.join(hits, id_col, "left")
-        .select(
-            id_col,
-            "n_ngrams",
-            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
-            F.round(
-                F.coalesce("n_contaminated", F.lit(0))
-                / F.greatest(F.col("n_ngrams"), F.lit(1)),
-                4,
-            ).alias("contamination"),
-        )
+    return _contamination_from_grams(
+        ev_grams, train_grams, eval_df, id_col, text_col, n
     )

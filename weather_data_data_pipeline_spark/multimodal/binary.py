@@ -322,6 +322,17 @@ def image_dhash_signatures(
                         f"dHash needs a decodable image, got {kind!r} — "
                         "wire PIL here for JPEG/PNG corpora"
                     )
+                if px.shape[0] != 8 or px.shape[1] != 9:
+                    # strict: a production deployment resizes into the
+                    # 9×8 grid FIRST (resize_images); hashing a crop of
+                    # a larger image would silently collide visually
+                    # different images, and a smaller one would die in
+                    # an opaque numpy broadcast error
+                    raise ValueError(
+                        f"dHash expects a 9×8 image, got "
+                        f"{px.shape[1]}×{px.shape[0]} for media_id "
+                        f"{mid!r} — resize into the grid first"
+                    )
                 luma = (
                     px[:, :, 0].astype(np.int64) * 299
                     + px[:, :, 1].astype(np.int64) * 587

@@ -304,16 +304,11 @@ _FROZEN_DSIR_ORACLE = f"""
     tags=("llm", "selection", "quality", "bench"),
 )
 def dsir_score_frozen_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from decimal import Decimal
-
     from weather_data_data_pipeline_spark.functions.importance import (
         dsir_score_frozen,
     )
 
-    ratios = spark.createDataFrame(
-        [(b, Decimal(r)) for b, r in _FROZEN_DSIR_RATIOS],
-        "bucket bigint, r decimal(28,6)",
-    )
+    ratios = _frozen_dsir_ratios_df(spark)
     docs = load_fanout(spark, sf_dir, "documents")
     return dsir_score_frozen(
         docs, ratios, "doc_id", "text", num_buckets=_FROZEN_DSIR_NB
