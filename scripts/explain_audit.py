@@ -32,6 +32,10 @@ SMELLS = (
 # (query, needle) pairs where the flagged shape is the operator's design,
 # with the reason recorded in PLANS.md instead of a warning.
 INTENTIONAL = {
+    ("hybrid_search_rrf", "BroadcastNestedLoopJoin"):
+        "two benign shapes: the BM25 branch's single-ROW corpus-stats "
+        "attach, and the dense branch's broadcast(1 query vector) × corpus "
+        "scoring — the exact-cosine baseline retriever; both O(n × 1)",
     ("embedding_cosine_topk", "BroadcastNestedLoopJoin"):
         "brute-force exact baseline: broadcast(queries) × corpus scoring is "
         "the definition of the operator; ann_lsh_topk / ann_ivf_topk are the "

@@ -30,6 +30,7 @@ ROUND_HEAD = (
     "dsir_score_frozen",
     "image_dhash_near_dup",
     "ann_pq_recall_report",
+    "hybrid_search_rrf",
     "bpe_token_budget",
     "quality_classifier_scores",
     "doremi_domain_weights",

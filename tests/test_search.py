@@ -156,3 +156,37 @@ def test_redact_and_match_count(spark):
     # SSN redacted as a unit (most-specific first), pin as a digit run
     assert rows[2] == ("ssn [X] and pin [X]", 4)
     assert rows[3] == ("clean text only", 0)
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from weather_data_data_pipeline_spark.functions.search import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], ["doc_id", "rank"]
+    )
+    dense = spark.createDataFrame(
+        [(20, 1), (40, 2), (10, 3)], ["doc_id", "rank"]
+    )
+    rows = rrf_fuse([lex, dense], "doc_id", k_rrf=60, topk=10).collect()
+    got = {r.doc_id: (r.rrf_score, r.n_lists, r.best_rank) for r in rows}
+    assert got == {
+        10: (round(1 / 61 + 1 / 63, 6), 2, 1),
+        20: (round(1 / 62 + 1 / 61, 6), 2, 1),
+        30: (round(1 / 63, 6), 1, 3),
+        40: (round(1 / 62, 6), 1, 2),
+    }
+    # fused order: docs in both lists beat single-list docs; ties on the
+    # rounded score break by id asc
+    assert [r.doc_id for r in rows] == [20, 10, 40, 30]
+
+
+def test_rrf_fuse_topk_truncates_deterministically(spark):
+    from weather_data_data_pipeline_spark.functions.search import rrf_fuse
+
+    # every doc has the same single-list rank → identical scores; the
+    # topk cut must be id-ascending, not partition-order luck
+    ranks = spark.createDataFrame(
+        [(i, 1) for i in range(9, -1, -1)], ["doc_id", "rank"]
+    )
+    rows = rrf_fuse([ranks], "doc_id", k_rrf=60, topk=4).collect()
+    assert [r.doc_id for r in rows] == [0, 1, 2, 3]

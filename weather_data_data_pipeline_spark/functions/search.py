@@ -26,6 +26,7 @@ Scale design (100 TB corpus):
 from __future__ import annotations
 
 import math
+from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -102,6 +103,76 @@ def bm25_topk(
         scored.select(id_col, F.round("score", 4).alias("score"))
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k_rrf: int = 60,
+    topk: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked lists (Cormack/Clarke/Büttcher,
+    SIGIR 2009): score(d) = Σ_lists 1/(k_rrf + rank_d), summed over the
+    lists that ranked d at all.
+
+    Each input carries (``id_col``, ``rank``) with rank 1-based and
+    already truncated to the caller's candidate depth — RRF only ever
+    sees the per-retriever top-N, so the fusion input is O(N·lists)
+    rows regardless of corpus size. The union + groupBy shuffles that
+    candidate sliver only; at 100 TB the retrievers bound the work, not
+    the fusion.
+
+    Output: (id, rrf_score, n_lists, best_rank), deterministically
+    ordered (rounded score desc, id asc) and truncated to ``topk`` via
+    TakeOrderedAndProject — per-partition heaps, no global sort.
+    """
+    tagged = [
+        r.select(F.col(id_col), F.col("rank").cast("int").alias("rank"))
+        for r in rankings
+    ]
+    unioned = reduce(DataFrame.unionByName, tagged)
+    return (
+        unioned.groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(F.lit(1.0) / (F.lit(k_rrf) + F.col("rank"))), 6
+            ).alias("rrf_score"),
+            F.count("*").cast("int").alias("n_lists"),
+            F.min("rank").cast("int").alias("best_rank"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(topk)
+    )
+
+
+def bm25_rankings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    depth: int = 50,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(id, rank) candidate list for RRF: BM25 scores ranked by
+    (rounded score desc, id asc), truncated to ``depth``.
+
+    Ranks are computed over the 4-dp ROUNDED score so the ordering is
+    bit-stable across engines (matches the bm25_search_topk oracle
+    convention). The rank<=depth predicate compiles to WindowGroupLimit:
+    each partition keeps a depth-sized heap before the single window
+    exchange, so the sort input is O(depth × partitions), not O(corpus).
+    """
+    from pyspark.sql import Window
+
+    scored = bm25_scores(df, id_col, text_col, query_terms, k1, b)
+    w = Window.orderBy(F.desc("s"), F.asc(id_col))
+    return (
+        scored.select(id_col, F.round("score", 4).alias("s"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= depth)
+        .select(id_col, "rank")
     )
 
 

@@ -869,3 +869,108 @@ def source_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("source").agg(
         F.round(F.sum("term"), 4).alias("kl_divergence")
     )
+
+
+# Hybrid retrieval: fuse the lexical (BM25) and dense (cosine) rankers
+# with reciprocal-rank fusion. Candidate depth per retriever and the
+# RRF constant are pinned so the oracle replays the identical fusion.
+_RRF_DEPTH = 50
+_RRF_K = 60
+
+
+@register(
+    "hybrid_search_rrf",
+    oracle=f"""
+    WITH dl AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    stats AS (
+        SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        WHERE term IN ('spark', 'join', 'stream')
+        GROUP BY doc_id, term
+    ),
+    dfreq AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ),
+    bm AS (
+        SELECT doc_id,
+               round(sum(ln(1 + (stats.n_docs - dfreq.df + 0.5)
+                            / (dfreq.df + 0.5))
+                         * (tf.tf * ({_BM25_K1} + 1))
+                         / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                            + {_BM25_B} * dl.dl / stats.avgdl))), 4) AS s
+        FROM tf
+        JOIN dfreq USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats
+        GROUP BY doc_id
+    ),
+    lex AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY s DESC, doc_id) AS rank
+        FROM bm QUALIFY rank <= {_RRF_DEPTH}
+    ),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    dscore AS (
+        SELECT c.vec_id AS doc_id,
+               (list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                / (sqrt(list_sum(list_transform(q.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(c.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))
+                 AS cos
+        FROM embeddings c, q
+        WHERE c.vec_id <> 0
+    ),
+    dense AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY cos DESC, doc_id) AS rank
+        FROM dscore QUALIFY rank <= {_RRF_DEPTH}
+    ),
+    unioned AS (
+        SELECT * FROM lex UNION ALL SELECT * FROM dense
+    )
+    SELECT doc_id,
+           round(sum(1.0 / ({_RRF_K} + rank)), 6) AS rrf_score,
+           CAST(count(*) AS INTEGER) AS n_lists,
+           CAST(min(rank) AS INTEGER) AS best_rank
+    FROM unioned
+    GROUP BY doc_id
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 20
+    """,
+    doc="Hybrid retrieval via reciprocal-rank fusion (Cormack et al. "
+    "2009): BM25 top-50 for the bag-of-terms query fused with cosine "
+    "top-50 against vec_id 0's embedding, score = sum 1/(60+rank). "
+    "Both rankers are truncated BEFORE the fusion, so RRF unions two "
+    "50-row candidate lists no matter the corpus size; ranks come from "
+    "rounded scores so the ordering (and hence the fused output) is "
+    "engine-stable. Oracle replays the full composition: BM25 CTE, "
+    "dense cosine CTE, both row_number rankings, and the RRF sum.",
+    tags=("llm", "search", "bench"),
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.search import (
+        bm25_rankings,
+        rrf_fuse,
+    )
+    from weather_data_data_pipeline_spark.functions.similarity import (
+        brute_force_topk,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    lex = bm25_rankings(
+        docs, "doc_id", "text", _BM25_TERMS, depth=_RRF_DEPTH,
+        k1=_BM25_K1, b=_BM25_B,
+    )
+    dense = brute_force_topk(
+        emb, emb.where(F.col("vec_id") == 0), k=_RRF_DEPTH
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rn").alias("rank"))
+    return rrf_fuse([lex, dense], "doc_id", k_rrf=_RRF_K, topk=20)

@@ -101,6 +101,9 @@ _ROUND_HEAD: tuple[str, ...] = (
     # r6 new: PQ production-path recall report (Lloyd-trained codebooks
     # + IVF-PQ vs exact L2 truth; rows-only, pinned in tests/test_pq.py)
     "ann_pq_recall_report",
+    # r6 new: hybrid retrieval — BM25 top-50 + dense cosine top-50 fused
+    # with reciprocal-rank fusion; full-composition oracle
+    "hybrid_search_rrf",
     # r6 FIXED: was silently bound to the doremi function by a stacked
     # decorator in r5 (ADVICE r6 #1) — its r5 "green" row verified the
     # wrong query; must earn a real one
