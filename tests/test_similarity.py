@@ -248,3 +248,48 @@ def test_persisted_ivf_index_matches_fresh_ivf(spark, tmp_path):
 
     cells = [d for d in os.listdir(f"{path}/postings") if d.startswith("cell=")]
     assert len(cells) > 1
+
+
+def test_group_mean_pairwise_cosine_matches_naive(spark):
+    import itertools
+    import math
+
+    from weather_data_data_pipeline_spark.functions.similarity import (
+        group_mean_pairwise_cosine,
+    )
+
+    groups = {
+        "tight": [[1.0, 0.1, 0.0], [1.0, 0.0, 0.1], [0.9, 0.1, 0.05]],
+        "spread": [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0],
+                   [-1.0, 0.0, 0.0]],
+        "pair": [[1.0, 2.0, 3.0], [3.0, 2.0, 1.0]],
+        "singleton": [[1.0, 1.0, 1.0]],
+        "zeros": [[0.0, 0.0, 0.0], [1.0, 0.0, 0.0]],
+    }
+    rows = [(g, [float(x) for x in v]) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "grp string, embedding array<float>")
+    got = {
+        r.grp: (r.n_vectors, r.mean_cosine)
+        for r in group_mean_pairwise_cosine(df, "grp").collect()
+    }
+
+    def naive(vs):
+        us = []
+        for v in vs:
+            n = math.sqrt(sum(x * x for x in v))
+            if n > 0:
+                us.append([round(x / n, 8) for x in v])
+        pairs = [
+            sum(a * b for a, b in zip(u, w))
+            for u, w in itertools.permutations(us, 2)
+        ]
+        return len(us), round(sum(pairs) / len(pairs), 6)
+
+    # singleton dropped (undefined); zeros group loses its zero vector
+    # and drops below 2 usable vectors → also absent
+    assert set(got) == {"tight", "spread", "pair"}
+    for g in got:
+        n, want = naive(groups[g])
+        assert got[g][0] == n
+        assert abs(got[g][1] - want) < 2e-6, (g, got[g], want)
+    assert got["tight"][1] > 0.9 and got["spread"][1] < 0

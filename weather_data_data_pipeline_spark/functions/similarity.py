@@ -989,3 +989,78 @@ def ivf_topk_from_index(
             F.col("rn").cast("int").alias("rn"),
         )
     )
+
+
+def group_mean_pairwise_cosine(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding diversity: the mean pairwise cosine over all
+    n·(n-1) ordered vector pairs in a group, WITHOUT forming any pair.
+
+    Uses the Gram identity on unit-normalized vectors u_i:
+
+        Σ_{i≠j} cos(v_i, v_j) = ‖Σ_i u_i‖² − Σ_i ‖u_i‖²
+
+    so one pass computes what a naive implementation would need O(n²)
+    dot products for. A low mean cosine means the group's embeddings
+    are spread out (diverse); ~1.0 means near-duplicates — the corpus-
+    level health metric SemDeDup-style pipelines report per source.
+
+    Numerics are order-proof by construction (the driver hash compares
+    against a DuckDB replay): normalized components are quantized to
+    DECIMAL(18,8) (row-local IEEE math only — the same portable fold
+    `embedding_cosine_topk`'s oracle already pins), then every
+    cross-row aggregate is an exact decimal sum; floats reappear only
+    in the final single division. Bound: per-dim component sums need
+    |Σ u_d| < 10^10, i.e. up to ~10 billion vectors per group.
+
+    Physical shape: explode to (group, pos, u) → partial+final combine
+    to (group, pos) → (group). Shuffle is O(groups × dim) rows after
+    map-side combine; the corpus is scanned once and never pair-joined,
+    so the plan survives 100 TB where any pairwise form would not.
+    Groups with fewer than 2 usable (non-zero-norm) vectors are
+    dropped — the statistic is undefined there.
+
+    Returns (group_col, n_vectors, mean_cosine) with mean_cosine
+    rounded to 6 dp.
+    """
+    nrm = _norm(F.col(vec_col))
+    comp = (
+        df.select(F.col(group_col), F.col(vec_col), nrm.alias("nrm"))
+        .where(F.col("nrm") > 0)
+        .select(
+            group_col,
+            F.posexplode(vec_col).alias("pos", "x"),
+            F.col("nrm"),
+        )
+        .select(
+            group_col,
+            "pos",
+            F.round(F.col("x").cast("double") / F.col("nrm"), 8)
+            .cast("decimal(18,8)")
+            .alias("u"),
+        )
+    )
+    dims = comp.groupBy(group_col, "pos").agg(
+        F.sum("u").cast("decimal(18,8)").alias("s"),
+        F.sum(F.col("u") * F.col("u")).alias("s2"),
+        F.count("*").alias("cnt"),
+    )
+    n = F.max("cnt")
+    return (
+        dims.groupBy(group_col)
+        .agg(
+            n.cast("bigint").alias("n_vectors"),
+            F.round(
+                (
+                    F.sum(F.col("s") * F.col("s")).cast("double")
+                    - F.sum("s2").cast("double")
+                )
+                / (n * (n - F.lit(1))).cast("double"),
+                6,
+            ).alias("mean_cosine"),
+        )
+        .where(F.col("n_vectors") >= 2)
+    )

@@ -3317,3 +3317,59 @@ def embedding_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_norm_outliers",
         )
     )
+
+
+@register(
+    "embedding_diversity_by_label",
+    oracle="""
+    WITH base AS (
+      SELECT label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    comp AS (
+      SELECT label, u.pos AS pos,
+             CAST(round(u.x / nrm, 8) AS DECIMAL(18,8)) AS u
+      FROM (
+        SELECT label, nrm,
+               unnest(list_transform(range(len(e)),
+                      i -> struct_pack(pos := i, x := e[i+1]))) AS u
+        FROM base WHERE nrm > 0
+      )
+    ),
+    dims AS (
+      SELECT label, pos,
+             CAST(SUM(u) AS DECIMAL(18,8)) AS s,
+             SUM(u * u) AS s2,
+             COUNT(*) AS cnt
+      FROM comp GROUP BY label, pos
+    )
+    SELECT label,
+           CAST(MAX(cnt) AS BIGINT) AS n_vectors,
+           round((CAST(SUM(s * s) AS DOUBLE) - CAST(SUM(s2) AS DOUBLE))
+                 / (MAX(cnt) * (MAX(cnt) - 1.0)), 6) AS mean_cosine
+    FROM dims GROUP BY label
+    HAVING MAX(cnt) >= 2
+    """,
+    doc="Per-label embedding diversity: mean pairwise cosine over all "
+    "ordered pairs in the label group, computed WITHOUT forming pairs "
+    "via the Gram identity Σ_{i≠j} cos = ‖Σu‖² − Σ‖u‖² on unit vectors "
+    "— one corpus pass and an O(groups × dim) shuffle where the naive "
+    "form is O(n²) dot products. Near-1 means the group is internally "
+    "near-duplicate; low means diverse — the per-source corpus-health "
+    "metric a SemDeDup-style curation pipeline reports. Order-proof: "
+    "components quantized to DECIMAL(18,8), exact decimal sums, one "
+    "final double division (oracle replays bit-for-bit).",
+    tags=("llm", "similarity", "bench"),
+)
+def embedding_diversity_by_label(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.similarity import (
+        group_mean_pairwise_cosine,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return group_mean_pairwise_cosine(emb, "label", "embedding")
