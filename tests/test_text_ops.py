@@ -375,3 +375,46 @@ def test_holdout_split_validates_bounds(spark):
     ).select("doc_id", holdout_split("doc_id").alias("s"))
     got = {r["doc_id"]: r["s"] for r in df.collect()}
     assert got[None] == "test"
+
+
+def test_token_balanced_shards_matches_global_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from weather_data_data_pipeline_spark.functions.text import (
+        token_balanced_shards,
+    )
+
+    rows = [
+        (i, " ".join(["w"] * ((i * 37) % 90 + 1))) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        map(tuple, token_balanced_shards(
+            df, target_tokens=500, bucket_size=7
+        ).collect())
+    )
+    # naive single-window form (the oracle's shape)
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    naive = (
+        df.select(
+            "doc_id", F.size(F.split("text", " ")).cast("long").alias("n")
+        )
+        .select(
+            "doc_id", "n",
+            F.coalesce(F.sum("n").over(w), F.lit(0)).alias("cb"),
+        )
+        .select("doc_id", "n", (F.col("cb") / 500).cast("long").alias("s"))
+        .groupBy("s")
+        .agg(
+            F.count("*").cast("long"), F.sum("n").cast("long"),
+            F.min("doc_id"), F.max("doc_id"),
+        )
+    )
+    assert got == sorted(map(tuple, naive.collect()))
+    # shards tile the id range contiguously and conserve tokens
+    ordered = sorted(map(tuple, got), key=lambda r: r[0])
+    assert [r[0] for r in ordered] == list(range(len(ordered)))
+    for prev, cur in zip(ordered, ordered[1:]):
+        assert cur[3] == prev[4] + 1
+    assert sum(r[2] for r in ordered) == sum((i * 37) % 90 + 1 for i in range(200))

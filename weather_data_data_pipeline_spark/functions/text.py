@@ -558,3 +558,87 @@ def holdout_split(
         cond = (digest < F.lit(md5_threshold(upper)), F.lit(name))
         expr = F.when(*cond) if expr is None else expr.when(*cond)
     return expr.otherwise(F.lit(rest)) if expr is not None else F.lit(rest)
+
+
+def token_balanced_shards(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_tokens: int = 65536,
+    bucket_size: int = 4096,
+) -> "DataFrame":
+    """Token-balanced shard manifest: assign documents (in ``id_col``
+    order) to consecutive shards of ~``target_tokens`` whitespace tokens
+    each — the write-planning step before a training corpus is laid out
+    into fixed-budget files, where balanced shards keep every data-loader
+    worker equally fed.
+
+    shard(d) = floor(cum_tokens_before_d / target_tokens), i.e. a shard
+    closes as soon as it reaches the budget; a single oversized document
+    never splits, so a shard can overshoot by at most one document.
+
+    Scale design — the naive form is a running sum over a GLOBAL order,
+    which in Spark means `Window.orderBy` with no partition key: every
+    row moves to ONE partition, a non-starter at corpus scale. This
+    implements the textbook two-level distributed prefix sum instead:
+
+      1. bucket b = floor(id / bucket_size); per-bucket token totals are
+         a tiny aggregate (corpus_rows / bucket_size rows);
+      2. bucket-level running offsets use the single-partition window on
+         THAT small frame only (~100 MB per 25e9 docs at the default);
+      3. offsets broadcast-join back and a `partitionBy(bucket)` window
+         computes the within-bucket prefix — fully distributed.
+
+    The result is bit-identical to the global window (the DuckDB oracle
+    replays exactly that single-window form) while the full corpus never
+    leaves its partitions for sorting. Output is one row per shard:
+    (shard_id, n_docs, shard_tokens, first_doc, last_doc).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.size(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+        ).cast("long").alias("n_tokens"),
+        (F.col(id_col) / bucket_size).cast("long").alias("b"),
+    )
+    bucket_totals = toks.groupBy("b").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_totals.select(
+        "b",
+        F.coalesce(F.sum("bucket_tokens").over(wb), F.lit(0)).alias(
+            "bucket_offset"
+        ),
+    )
+    ww = (
+        Window.partitionBy("b")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = (
+        toks.join(F.broadcast(offsets), "b")
+        .select(
+            id_col,
+            "n_tokens",
+            (
+                F.col("bucket_offset")
+                + F.coalesce(F.sum("n_tokens").over(ww), F.lit(0))
+            ).alias("cum_before"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("cum_before") / target_tokens).cast("long").alias(
+                "shard_id"
+            ),
+        )
+    )
+    return assigned.groupBy("shard_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("shard_tokens"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
+    )

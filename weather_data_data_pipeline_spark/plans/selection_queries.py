@@ -1041,3 +1041,58 @@ def curation_pipeline_frozen_e2e(
     return sel.join(
         kept.select("doc_id", "kept_tokens"), "doc_id"
     ).select("doc_id", "kept_tokens", "log_w", "score")
+
+
+_SHARD_TOKENS = 2048
+_SHARD_BUCKET = 128
+
+
+@register(
+    "shard_manifest",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM toks
+    )
+    SELECT CAST(cum_before // {_SHARD_TOKENS} AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM cum
+    GROUP BY shard_id
+    ORDER BY shard_id
+    """,
+    doc="Token-balanced shard manifest: documents in doc_id order are "
+    "packed into consecutive shards that close on reaching a "
+    f"{_SHARD_TOKENS}-token budget (an oversized doc never splits) — "
+    "the write-planning step that lays a training corpus out into "
+    "fixed-budget files so every data-loader worker is equally fed. "
+    "The engine computes the running total as a two-level distributed "
+    "prefix sum (per-bucket totals → bucket offsets → within-bucket "
+    "window), bit-identical to the naive global window the oracle "
+    "replays, WITHOUT Spark's all-rows-to-one-partition "
+    "Window.orderBy; only the bucket-totals frame (rows/128) ever "
+    "sees a single-partition window.",
+    tags=("llm", "selection", "bench"),
+)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.text import (
+        token_balanced_shards,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return token_balanced_shards(
+        docs, "doc_id", "text",
+        target_tokens=_SHARD_TOKENS, bucket_size=_SHARD_BUCKET,
+    )
