@@ -418,3 +418,54 @@ def test_token_balanced_shards_matches_global_window(spark):
     for prev, cur in zip(ordered, ordered[1:]):
         assert cur[3] == prev[4] + 1
     assert sum(r[2] for r in ordered) == sum((i * 37) % 90 + 1 for i in range(200))
+
+
+def test_unimax_allocation_matches_iterative_waterfill(spark):
+    from weather_data_data_pipeline_spark.functions.text import (
+        unimax_allocation,
+    )
+
+    def waterfill(caps, budget):
+        """Reference: the paper's iterative form — equal share among
+        remaining groups, cap-and-remove in ascending capacity order."""
+        remaining = dict(caps)
+        alloc = {}
+        left = budget
+        while remaining:
+            share = left / len(remaining)
+            capped = {k: c for k, c in remaining.items() if c <= share}
+            if not capped:
+                for k in remaining:
+                    alloc[k] = share
+                return alloc
+            for k, c in capped.items():
+                alloc[k] = float(c)
+                left -= c
+                del remaining[k]
+        return alloc
+
+    cases = [
+        ({"a": 100, "b": 200, "c": 1000}, 600),   # a,b capped; c leftover
+        ({"a": 100, "b": 200, "c": 1000}, 5000),  # all capped
+        ({"a": 500, "b": 600, "c": 700}, 300),    # none capped
+        ({"a": 90, "b": 90, "c": 90, "d": 5000}, 3000),  # ties
+    ]
+    for toks, budget in cases:
+        df = spark.createDataFrame(
+            [(k, v) for k, v in toks.items()], "k string, n long"
+        )
+        # epoch_cap=1 so cap == n and the reference caps are the inputs
+        got = {
+            r.k: (r.alloc_tokens, r.capped)
+            for r in unimax_allocation(df, "k", "n", budget, 1).collect()
+        }
+        want = waterfill(toks, budget)
+        for k in toks:
+            assert abs(got[k][0] - round(want[k], 2)) < 1e-9, (
+                toks, budget, k, got[k], want[k]
+            )
+            assert got[k][1] == (want[k] == toks[k])
+        assert abs(
+            sum(v for v, _ in got.values())
+            - min(budget, sum(toks.values()))
+        ) < 0.05

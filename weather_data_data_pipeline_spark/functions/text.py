@@ -642,3 +642,91 @@ def token_balanced_shards(
         F.min(id_col).alias("first_doc"),
         F.max(id_col).alias("last_doc"),
     )
+
+
+def unimax_allocation(
+    counts: "DataFrame",
+    key_col: str,
+    tokens_col: str,
+    budget: int,
+    epoch_cap: int,
+) -> "DataFrame":
+    """UniMax budget allocation (Chung et al., 2023): distribute a total
+    token ``budget`` across groups (languages/sources) as uniformly as
+    possible, but never take more than ``epoch_cap`` epochs of any
+    group's ``tokens_col`` tokens — the sampling scheme that replaced
+    temperature mixing for multilingual pretraining because it bounds
+    tail-language repetition explicitly instead of implicitly.
+
+    Waterfilling closed form: with groups in ascending capacity order
+    (cap = epoch_cap·tokens, ties by key), group i is capped iff every
+    group before it is capped AND cap_i·(L−i+1) ≤ budget − Σ_{j<i}cap_j
+    (its capacity is below the equal share of what remains). Capped
+    groups take exactly cap; the rest split the leftover equally. The
+    prefix-AND turns the iterative waterfill into two window passes.
+
+    All comparisons and sums are exact integer math; doubles appear
+    only in the three final report divisions — the result is
+    accumulation-order-proof and engine-portable. Every window runs on
+    the GROUP-COUNT frame (one row per language), never the corpus:
+    the corpus contributes one groupBy upstream, so the operator is a
+    metadata computation at any corpus size.
+
+    Returns (key, n_tokens, cap_tokens, capped, alloc_tokens, epochs,
+    mix_weight).
+    """
+    from pyspark.sql import Window
+
+    base = counts.select(
+        F.col(key_col),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        (F.col(tokens_col).cast("long") * epoch_cap).alias("cap_tokens"),
+    )
+    wo = Window.orderBy("cap_tokens", key_col)
+    whole = Window.partitionBy()
+    run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = base.select(
+        "*",
+        F.row_number().over(wo).alias("rn"),
+        F.count("*").over(whole).alias("L"),
+        F.coalesce(
+            F.sum("cap_tokens").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("long"),
+        ).alias("cum_before"),
+    ).select(
+        "*",
+        F.when(
+            F.col("cap_tokens") * (F.col("L") - F.col("rn") + 1)
+            <= F.lit(budget) - F.col("cum_before"),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("flag"),
+    ).select("*", F.min("flag").over(run).alias("capped_i"))
+    alloc = flagged.select(
+        "*",
+        F.coalesce(
+            F.sum(F.when(F.col("capped_i") == 1, F.col("cap_tokens"))).over(
+                whole
+            ),
+            F.lit(0).cast("long"),
+        ).alias("capped_sum"),
+        F.sum(F.lit(1) - F.col("capped_i")).over(whole).alias("n_uncapped"),
+    ).select(
+        key_col,
+        "n_tokens",
+        "cap_tokens",
+        (F.col("capped_i") == 1).alias("capped"),
+        F.when(F.col("capped_i") == 1, F.col("cap_tokens").cast("double"))
+        .otherwise(
+            (F.lit(budget) - F.col("capped_sum"))
+            / F.col("n_uncapped")
+        ).alias("alloc_raw"),
+    )
+    return alloc.select(
+        key_col,
+        "n_tokens",
+        "cap_tokens",
+        "capped",
+        F.round("alloc_raw", 2).alias("alloc_tokens"),
+        F.round(F.col("alloc_raw") / F.col("n_tokens"), 4).alias("epochs"),
+        F.round(F.col("alloc_raw") / budget, 6).alias("mix_weight"),
+    )

@@ -1096,3 +1096,100 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text",
         target_tokens=_SHARD_TOKENS, bucket_size=_SHARD_BUCKET,
     )
+
+
+_UNIMAX_EPOCHS = 3
+
+
+@register(
+    "unimax_language_mix",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang,
+             CAST(sum(len(list_filter(string_split(text, ' '),
+                                      x -> x <> ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT (5 * sum(n_tokens)) // 2 AS b FROM counts),
+    ranked AS (
+      SELECT lang, n_tokens,
+             n_tokens * {_UNIMAX_EPOCHS} AS cap_tokens,
+             row_number() OVER w AS rn,
+             count(*) OVER () AS L,
+             COALESCE(SUM(n_tokens * {_UNIMAX_EPOCHS}) OVER (
+               ORDER BY n_tokens * {_UNIMAX_EPOCHS}, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM counts
+      WINDOW w AS (ORDER BY n_tokens * {_UNIMAX_EPOCHS}, lang)
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN cap_tokens * (L - rn + 1) <= b - cum_before
+                     THEN 1 ELSE 0 END AS flag
+      FROM ranked CROSS JOIN tot
+    ),
+    run AS (
+      SELECT *, MIN(flag) OVER (ORDER BY cap_tokens, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS capped_i
+      FROM flagged
+    ),
+    agg AS (
+      SELECT *,
+             COALESCE(SUM(CASE WHEN capped_i = 1 THEN cap_tokens END)
+                      OVER (), 0) AS capped_sum,
+             SUM(1 - capped_i) OVER () AS n_uncapped
+      FROM run
+    )
+    SELECT lang,
+           n_tokens,
+           CAST(cap_tokens AS BIGINT) AS cap_tokens,
+           capped_i = 1 AS capped,
+           round(CASE WHEN capped_i = 1 THEN CAST(cap_tokens AS DOUBLE)
+                      ELSE CAST(b - capped_sum AS DOUBLE) / n_uncapped
+                 END, 2) AS alloc_tokens,
+           round(CASE WHEN capped_i = 1 THEN CAST(cap_tokens AS DOUBLE)
+                      ELSE CAST(b - capped_sum AS DOUBLE) / n_uncapped
+                 END / n_tokens, 4) AS epochs,
+           round(CASE WHEN capped_i = 1 THEN CAST(cap_tokens AS DOUBLE)
+                      ELSE CAST(b - capped_sum AS DOUBLE) / n_uncapped
+                 END / CAST(b AS DOUBLE), 6) AS mix_weight
+    FROM agg
+    ORDER BY lang
+    """,
+    doc="UniMax multilingual sampling (Chung et al., 2023): distribute "
+    "a 2.5×-corpus token budget across languages as uniformly as "
+    f"possible subject to a hard {_UNIMAX_EPOCHS}-epoch repetition cap "
+    "per language — the scheme that replaced temperature mixing "
+    "because it bounds tail-language repetition explicitly. The "
+    "iterative waterfill is folded into a closed form: ascending-"
+    "capacity order, prefix-AND of the capped condition, one leftover "
+    "split — two window passes over the LANGUAGE-COUNT frame (one row "
+    "per language; the corpus contributes a single groupBy). Integer "
+    "math throughout; doubles only in the three report divisions. On "
+    "this corpus the four tail languages cap at 3 epochs and the en "
+    "head absorbs the leftover below 2 epochs.",
+    tags=("llm", "selection", "bench"),
+)
+def unimax_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.text import (
+        unimax_allocation,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(
+        F.sum(
+            F.size(
+                F.filter(
+                    F.split(F.col("text"), " "), lambda t: t != F.lit("")
+                )
+            ).cast("long")
+        ).alias("n_tokens")
+    )
+    # single-row bounded collect: the total is one scalar, the same
+    # bounded-driver-state pattern as the pagerank dangling mass
+    total = counts.agg(F.sum("n_tokens")).collect()[0][0]
+    budget = (5 * int(total)) // 2
+    return unimax_allocation(
+        counts, "lang", "n_tokens", budget, _UNIMAX_EPOCHS
+    )
