@@ -54,6 +54,11 @@ INTENTIONAL = {
         "single-ROW build side: the corpus token total attaches to the "
         "token table — the doc_unigram_logppl machinery feeding the "
         "per-lang ntile",
+    ("rho_excess_loss_select", "BroadcastNestedLoopJoin"):
+        "single-ROW build sides: the corpus token total (ref branch) and "
+        "vocab-size aggregate (proxy add-one denominator) attach to the "
+        "exploded gram tables — O(n × 1) scalar attaches, same shape as "
+        "doc_unigram_logppl + doc_bigram_logppl composed",
     ("doc_bigram_logppl", "BroadcastNestedLoopJoin"):
         "single-ROW build side: the vocab-size aggregate attaches to the "
         "bigram table for the add-one denominator — O(n × 1) scalar "

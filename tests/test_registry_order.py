@@ -31,6 +31,10 @@ ROUND_HEAD = (
     "image_dhash_near_dup",
     "ann_pq_recall_report",
     "hybrid_search_rrf",
+    "embedding_diversity_by_label",
+    "shard_manifest",
+    "unimax_language_mix",
+    "rho_excess_loss_select",
     "bpe_token_budget",
     "quality_classifier_scores",
     "doremi_domain_weights",

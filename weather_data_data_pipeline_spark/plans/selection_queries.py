@@ -1193,3 +1193,156 @@ def unimax_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unimax_allocation(
         counts, "lang", "n_tokens", budget, _UNIMAX_EPOCHS
     )
+
+
+_RHO_TOPK = 25
+
+
+@register(
+    "rho_excess_loss_select",
+    oracle=f"""
+    WITH arrs AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, u AS tok FROM (SELECT doc_id, unnest(t) AS u FROM arrs)
+    ),
+    uni AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    n AS (SELECT count(*) AS total FROM toks),
+    v AS (SELECT count(*) AS vs FROM uni),
+    bi AS (
+      SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                      i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS u
+        FROM arrs WHERE len(t) >= 2
+      )
+    ),
+    bg AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
+    ref AS (
+      SELECT toks.doc_id, count(*) AS n_tokens,
+             round(CAST(sum(CAST(round(-ln(uni.c / n.total), 6)
+                                 AS DECIMAL(38,6))) AS DOUBLE)
+                   / count(*), 4) AS ref_loss
+      FROM toks JOIN uni USING (tok) CROSS JOIN n
+      GROUP BY toks.doc_id
+    ),
+    proxy AS (
+      SELECT bi.doc_id,
+             round(CAST(sum(CAST(round(-ln((bg.c2 + 1.0) / (uni.c + v.vs)), 6)
+                                 AS DECIMAL(38,6))) AS DOUBLE)
+                   / count(*), 4) AS proxy_loss
+      FROM bi JOIN bg USING (w1, w2) JOIN uni ON uni.tok = bi.w1
+      CROSS JOIN v
+      GROUP BY bi.doc_id
+    ),
+    scored AS (
+      SELECT r.doc_id, CAST(r.n_tokens AS BIGINT) AS n_tokens,
+             r.ref_loss,
+             coalesce(p.proxy_loss, r.ref_loss) AS proxy_loss,
+             round(coalesce(p.proxy_loss, r.ref_loss) - r.ref_loss, 4)
+               AS excess
+      FROM ref r LEFT JOIN proxy p USING (doc_id)
+    )
+    SELECT doc_id, n_tokens, ref_loss, proxy_loss, excess,
+           CAST(row_number() OVER (ORDER BY excess DESC, doc_id)
+                AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= {_RHO_TOPK}
+    ORDER BY rank
+    """,
+    doc="RHO-style learnability selection (Lin et al. 2024, Rho-1) at "
+    "document granularity: excess loss = proxy-model loss − reference-"
+    "model loss per document (proxy = add-one bigram logppl, reference "
+    "= unigram logppl — the same corpus-self-trained pair DoReMi uses "
+    "per source), select the top-25 highest-excess documents — the "
+    "ones whose word ORDER the weaker model finds hard relative to "
+    "their vocabulary, i.e. the most learnable under the selection "
+    "heuristic. Per-token losses are rounded to 6dp decimal before "
+    "the per-doc sums (aggregation-order-proof contract) and the "
+    "rank<=k predicate compiles to WindowGroupLimit: per-partition "
+    "25-heaps feed one 25-row merge, never a global sort of the "
+    "corpus. Count tables are Zipf-small; two hash joins back to the "
+    "exploded grams are the only corpus-sized work.",
+    tags=("llm", "selection", "quality", "bench"),
+)
+def rho_excess_loss_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_fanout(spark, sf_dir, "documents")
+    arr = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    arrs = docs.select("doc_id", arr.alias("t"))
+    toks = arrs.select("doc_id", F.explode("t").alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    n = toks.agg(F.count("*").alias("total"))
+    bi = arrs.where(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.struct(
+                    F.col("t")[i].alias("w1"), F.col("t")[i + 1].alias("w2")
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    bg = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    v = uni.agg(F.count("*").alias("vs"))
+
+    def _dec6(loss_col):
+        return F.round(loss_col, 6).cast("decimal(38,6)")
+
+    ref = (
+        toks.join(uni, "tok")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(_dec6(-F.log(F.col("c") / F.col("total"))))
+                .cast("double")
+                / F.count("*"),
+                4,
+            ).alias("ref_loss"),
+        )
+    )
+    proxy = (
+        bi.join(bg, ["w1", "w2"])
+        .join(uni.select(F.col("tok").alias("w1"), "c"), "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    _dec6(
+                        -F.log(
+                            (F.col("c2") + F.lit(1.0))
+                            / (F.col("c") + F.col("vs"))
+                        )
+                    )
+                )
+                .cast("double")
+                / F.count("*"),
+                4,
+            ).alias("proxy_loss"),
+        )
+    )
+    scored = (
+        ref.join(proxy, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "ref_loss",
+            F.coalesce("proxy_loss", "ref_loss").alias("proxy_loss"),
+            F.round(
+                F.coalesce("proxy_loss", "ref_loss") - F.col("ref_loss"), 4
+            ).alias("excess"),
+        )
+    )
+    w = Window.orderBy(F.desc("excess"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= _RHO_TOPK)
+    )

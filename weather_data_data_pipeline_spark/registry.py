@@ -104,6 +104,16 @@ _ROUND_HEAD: tuple[str, ...] = (
     # r6 new: hybrid retrieval — BM25 top-50 + dense cosine top-50 fused
     # with reciprocal-rank fusion; full-composition oracle
     "hybrid_search_rrf",
+    # r6 new: per-label mean pairwise cosine via the Gram identity —
+    # O(n·d) where the naive form is O(n²) pairs; decimal-exact oracle
+    "embedding_diversity_by_label",
+    # r6 new: token-balanced shard manifest — two-level distributed
+    # prefix sum, oracle replays the naive global window
+    "shard_manifest",
+    # r6 new: UniMax epoch-capped language mixing in closed window form
+    "unimax_language_mix",
+    # r6 new: RHO-style per-doc excess-loss top-k selection
+    "rho_excess_loss_select",
     # r6 FIXED: was silently bound to the doremi function by a stacked
     # decorator in r5 (ADVICE r6 #1) — its r5 "green" row verified the
     # wrong query; must earn a real one
