@@ -54,6 +54,14 @@ INTENTIONAL = {
         "single-ROW build side: the corpus token total attaches to the "
         "token table — the doc_unigram_logppl machinery feeding the "
         "per-lang ntile",
+    ("temperature_mix_weights", "BroadcastNestedLoopJoin"):
+        "single-ROW build side: the (total tokens, total temperature "
+        "mass) aggregate attaches to the ~20-row per-source frame — "
+        "O(sources × 1) scalar attach",
+    ("ngram_novelty_curriculum", "BroadcastNestedLoopJoin"):
+        "single-ROW build side: the doc_id min/max bounds attach to the "
+        "per-doc novelty frame for the closed-form decile bucketing "
+        "(replaces a global ntile window) — O(n × 1) scalar attach",
     ("rho_excess_loss_select", "BroadcastNestedLoopJoin"):
         "single-ROW build sides: the corpus token total (ref branch) and "
         "vocab-size aggregate (proxy add-one denominator) attach to the "

@@ -80,3 +80,52 @@ def test_empty_cluster_keeps_previous_centroid(spark):
     assert all(np.isfinite(v) for c in cents for v in c)
     for a, b in zip(hist, hist[1:]):
         assert b <= a * (1 + 1e-9)
+
+
+def test_kcenter_matches_numpy_greedy(emb, emb_np):
+    from decimal import Decimal
+
+    from weather_data_data_pipeline_spark.functions.clustering import (
+        kcenter_select,
+    )
+
+    ids, X = emb_np
+    got = kcenter_select(emb, k=6)
+    # numpy replay with the same contract: 6-dp-rounded squared dists,
+    # argmax ties to the lowest id
+    sel = [0]  # index of min vec_id (ids sorted ascending)
+    mind = None
+    want = [(1, ids[0], None)]
+    pool = list(range(1, len(ids)))
+    d = np.round(((X - X[0]) ** 2).sum(axis=1), 6)
+    mind = {i: d[i] for i in pool}
+    for rank in range(2, 7):
+        best = max(pool, key=lambda i: (mind[i], -ids[i]))
+        want.append((rank, ids[best], mind[best]))
+        pool.remove(best)
+        dn = np.round(((X - X[best]) ** 2).sum(axis=1), 6)
+        for i in pool:
+            mind[i] = min(mind[i], dn[i])
+    for (gr, gi, gd), (wr, wi, wd) in zip(got, want):
+        assert (gr, gi) == (wr, wi)
+        if wd is None:
+            assert gd is None
+        else:
+            assert float(gd) == pytest.approx(float(wd), abs=2e-6)
+    # coverage radius is non-increasing (farthest-point invariant)
+    dists = [float(d) for _, _, d in got if d is not None]
+    for a, b in zip(dists, dists[1:]):
+        assert b <= a + 1e-12
+    assert isinstance(got[1][2], Decimal)
+
+
+def test_kcenter_pool_exhausted(spark):
+    from weather_data_data_pipeline_spark.functions.clustering import (
+        kcenter_select,
+    )
+
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 2.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = kcenter_select(df, k=10)
+    assert [i for _, i, _ in got] == [0, 2, 1]
+    assert len(got) == 3

@@ -35,6 +35,11 @@ ROUND_HEAD = (
     "shard_manifest",
     "unimax_language_mix",
     "rho_excess_loss_select",
+    "temperature_mix_weights",
+    "soft_dedup_weights",
+    "doc_char_entropy",
+    "ngram_novelty_curriculum",
+    "kcenter_coreset_select",
     "bpe_token_budget",
     "quality_classifier_scores",
     "doremi_domain_weights",

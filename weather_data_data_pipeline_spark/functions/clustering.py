@@ -146,3 +146,73 @@ def cluster_profile(
             F.round(F.sum("dist2"), 4).alias("sse"),
         )
     )
+
+
+def kcenter_select(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dist_scale: int = 6,
+) -> list[tuple[int, int, "object"]]:
+    """Greedy k-center (farthest-point traversal, Gonzalez 1985): pick
+    the lowest id as the seed, then ``k - 1`` times pick the point
+    farthest (max over the pool of min squared-L2 distance to the
+    selected set). Returns ``[(rank, id, dist)]`` where ``dist`` is the
+    point's min distance to the previously selected set at the moment
+    it was chosen — the running coverage radius (None for the seed).
+
+    The 2-approximation coreset for the k-center objective; as a data
+    selector it picks a maximally spread subset (diversity sampling).
+
+    Determinism contract: each candidate's squared distance is computed
+    by an index-order double fold (:func:`_sq_dist`), rounded to
+    ``dist_scale`` dp and CAST to decimal before any comparison, and
+    argmax ties break to the lowest id — so the selection replays
+    exactly in any engine that folds doubles in index order.
+
+    Scale shape: each round is ONE map-side-combinable aggregate over
+    the pool computing ``max(struct(mind, -id, vec))`` — the new
+    center's embedding rides along in the max struct, so no second
+    lookup pass. The min-distance column chains via ``least`` on the
+    cached pool; total work O(n·k²·d) expression-only, nothing but one
+    struct row per round reaches the driver.
+    """
+    dec = f"decimal(38,{dist_scale})"
+    seed = (
+        df.select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_v"))
+        .orderBy("_i")
+        .limit(1)
+        .collect()[0]
+    )
+    selected: list[tuple[int, int, object]] = [(1, seed["_i"], None)]
+    center = [float(x) for x in seed["_v"]]
+    pool = df.select(
+        F.col(id_col).alias("_i"), F.col(vec_col).alias("_v")
+    ).where(F.col("_i") != F.lit(seed["_i"]))
+    mind = F.round(_sq_dist(F.col("_v"), _centroid_lit(center)), dist_scale).cast(dec)
+    pool = pool.select("_i", "_v", mind.alias("_mind"))
+    for rank in range(2, k + 1):
+        top = pool.agg(
+            F.max(
+                F.struct(
+                    F.col("_mind").alias("d"),
+                    (-F.col("_i")).alias("ni"),
+                    F.col("_v").alias("v"),
+                )
+            ).alias("t")
+        ).collect()[0]["t"]
+        if top is None:  # pool exhausted (k > n)
+            break
+        chosen_id = -top["ni"]
+        selected.append((rank, chosen_id, top["d"]))
+        if rank == k:
+            break
+        center = [float(x) for x in top["v"]]
+        d_new = F.round(
+            _sq_dist(F.col("_v"), _centroid_lit(center)), dist_scale
+        ).cast(dec)
+        pool = pool.where(F.col("_i") != F.lit(chosen_id)).select(
+            "_i", "_v", F.least(F.col("_mind"), d_new).alias("_mind")
+        )
+    return selected

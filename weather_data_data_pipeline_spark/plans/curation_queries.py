@@ -1,0 +1,425 @@
+"""Round-6 corpus-CURATION queries: temperature-scaled source mixing,
+soft (weight-based) dedup accounting, zero-shuffle per-document char
+entropy, n-gram novelty curriculum, and greedy k-center diversity
+selection — the curation layer that decides how much each slice of a
+pretraining corpus is worth and which examples cover the space.
+
+The reference has no curation surface (its pipeline ingests and keeps
+everything non-duplicate, ref: src/weather_report_pipeline/
+weather_report_data_full_load_pipeline.py:160-171); these extend the
+engine for the LLM-training-data north star, alongside the selection
+stack in ``selection_queries.py`` (DSIR, DoReMi, UniMax, RHO).
+
+Shared determinism contract (same as the rest of the repo): every
+float quantity that feeds a SUM or an ORDER is rounded to fixed
+decimals and CAST to DECIMAL first, so per-partition aggregation order
+can never change a result, and the DuckDB oracles replay the math
+expression for expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from weather_data_data_pipeline_spark.registry import register
+from weather_data_data_pipeline_spark.sources.tables import load, load_fanout
+
+_DEC = "decimal(38,6)"
+
+# Whitespace token count shared by the mixing/accounting queries here
+# (same convention as corpus_token_budget's ws_tokens). A function, not
+# a module constant: building the Column at import time would require a
+# live SparkContext (F.split materializes its limit literal eagerly),
+# and this module must import Spark-free for oracle-only consumers.
+def _ws_tokens() -> F.Column:
+    return F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+
+
+_WS_TOKENS_SQL = "len(list_filter(string_split(text, ' '), t -> t <> ''))"
+
+# Temperature exponent for temperature_mix_weights: sampling share
+# ∝ tokens^ALPHA. α = 0.5 is the classic "square-root sampling" used
+# for multilingual/multi-source rebalancing (mBERT, XLM-R report
+# α ∈ [0.3, 0.7]); α = 1 is proportional, α = 0 is uniform.
+_TEMP_ALPHA = 0.5
+
+
+@register(
+    "temperature_mix_weights",
+    oracle=f"""
+    WITH src AS (
+      SELECT source,
+             CAST(sum({_WS_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+             CAST(round(pow(CAST(sum({_WS_TOKENS_SQL}) AS BIGINT),
+                            {_TEMP_ALPHA}), 6) AS DECIMAL(38,6)) AS p
+      FROM documents GROUP BY source),
+    tot AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS tt, sum(p) AS tp FROM src)
+    SELECT source, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / tt, 6) AS raw_share,
+           round(CAST(p AS DOUBLE) / CAST(tp AS DOUBLE), 6) AS temp_weight
+    FROM src CROSS JOIN tot
+    """,
+    doc="Temperature-scaled source sampling weights: per-source share "
+    f"∝ tokens^{_TEMP_ALPHA} (square-root temperature sampling, the "
+    "standard multilingual rebalance between proportional α=1 and "
+    "uniform α=0) next to the raw proportional share, so the uplift "
+    "low-resource sources get is directly readable. One partial+final "
+    "aggregate over the corpus, then a 1-row broadcast total attach — "
+    "the corpus never shuffles. The pow() outputs are rounded to 6 dp "
+    "decimal BEFORE the normalizing sum (aggregation-order-proof).",
+    tags=("llm", "selection", "bench"),
+)
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.sum(_ws_tokens().cast("long")).alias("n_tokens")
+    )
+    src = src.withColumn(
+        "p",
+        F.round(F.pow(F.col("n_tokens").cast("double"), F.lit(_TEMP_ALPHA)), 6).cast(
+            _DEC
+        ),
+    )
+    tot = src.agg(
+        F.sum("n_tokens").alias("tt"), F.sum("p").alias("tp")
+    )
+    return src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("tt"), 6).alias(
+            "raw_share"
+        ),
+        F.round(
+            F.col("p").cast("double") / F.col("tp").cast("double"), 6
+        ).alias("temp_weight"),
+    )
+
+
+# Normalization replayed verbatim from dedup_exact_normalized (llm_queries)
+# so soft-dedup groups == normalized exact-dedup groups.
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+@register(
+    "soft_dedup_weights",
+    oracle=f"""
+    WITH n AS (
+      SELECT source, {_WS_TOKENS_SQL} AS tok,
+             sha256({_NORM_SQL}) AS digest
+      FROM documents),
+    w AS (
+      SELECT source, tok,
+             count(*) OVER (PARTITION BY digest) AS c
+      FROM n)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+           CAST(sum(tok) AS BIGINT) AS raw_tokens,
+           round(CAST(sum(CAST(round(tok / c, 6) AS DECIMAL(38,6)))
+                      AS DOUBLE), 2) AS effective_tokens
+    FROM w GROUP BY source
+    """,
+    doc="Soft dedup (SoftDeDup-style): instead of DROPPING duplicates, "
+    "weight every document by 1/c where c is its normalized-form "
+    "duplicate count, and account per source: raw vs effective token "
+    "mass and how many docs carry a discount. Groups match "
+    "dedup_exact_normalized exactly (same canonical form, same sha256). "
+    "Plan: digest is hashed map-side, ONE corpus shuffle for the "
+    "count-over-digest window, then a tiny per-source aggregate — the "
+    "text itself never shuffles, only (source, tok, digest) triples. "
+    "Per-doc discounted tokens round to 6 dp decimal before the "
+    "per-source sum (aggregation-order-proof).",
+    tags=("llm", "dedup", "bench"),
+)
+def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.text import (
+        normalize_for_dedup,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.select(
+        "source",
+        _ws_tokens().alias("tok"),
+        F.sha2(normalize_for_dedup("text"), 256).alias("digest"),
+    )
+    w = n.withColumn("c", F.count("*").over(Window.partitionBy("digest")))
+    return w.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).cast("long").alias(
+            "dup_docs"
+        ),
+        F.sum("tok").cast("long").alias("raw_tokens"),
+        F.round(
+            F.sum(
+                F.round(F.col("tok") / F.col("c"), 6).cast(_DEC)
+            ).cast("double"),
+            2,
+        ).alias("effective_tokens"),
+    )
+
+
+@register(
+    "doc_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, string_split(text, '') AS cs FROM documents)
+    SELECT doc_id,
+           CAST(len(cs) AS INTEGER) AS n_chars_exact,
+           CAST(len(list_distinct(cs)) AS INTEGER) AS uniq_chars,
+           CASE WHEN len(cs) = 0 THEN NULL ELSE
+             CAST(round(list_sum(list_transform(list_distinct(cs),
+               c -> CAST(round(
+                      -(CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE)
+                        / len(cs))
+                      * ln(CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE)
+                           / len(cs)), 6) AS DECIMAL(38,6)))), 4)
+               AS DOUBLE)
+           END AS char_entropy
+    FROM ch
+    """,
+    doc="Per-document character-level Shannon entropy (nats) — the "
+    "cheapest repetition/gibberish screen in a quality stack: "
+    "low-entropy docs are boilerplate or character spam, entropy near "
+    "ln(alphabet) is encrypted/random junk. The whole computation is "
+    "ZERO-shuffle: per-row higher-order functions (array_distinct + a "
+    "decimal fold of -p·ln p over the distinct alphabet), O(u·n) per "
+    "doc JVM-side, one codegen'd scan at any corpus size. Per-char "
+    "terms round to 6 dp decimal before the fold so alphabet "
+    "enumeration order cannot change the sum.",
+    tags=("llm", "text", "quality", "bench"),
+)
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    cs = F.split("text", "")
+    n = F.size(cs)
+
+    def _term(c):
+        k = F.size(F.filter(cs, lambda x: x == c))
+        p = k.cast("double") / n
+        return F.round(-p * F.log(p), 6).cast(_DEC)
+
+    entropy = F.aggregate(
+        F.array_distinct(cs),
+        F.lit(0).cast(_DEC),
+        lambda acc, c: acc + _term(c),
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("int").alias("n_chars_exact"),
+        F.size(F.array_distinct(cs)).cast("int").alias("uniq_chars"),
+        # round in the DECIMAL domain (half-up on the exact 6-dp sum),
+        # THEN cast — rounding after a double cast can flip a half-way
+        # case (hit at sf0.01: 2.706450 → 2.7064 vs 2.7065)
+        F.when(n > 0, F.round(entropy, 4).cast("double")).alias(
+            "char_entropy"
+        ),
+    )
+
+
+_NOVELTY_N = 3  # token n-gram width
+
+
+@register(
+    "ngram_novelty_curriculum",
+    oracle=f"""
+    WITH arrs AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - {_NOVELTY_N - 2}),
+                      i -> array_to_string(t[i:i+{_NOVELTY_N - 1}], ' ')))
+                 AS gram
+        FROM arrs WHERE len(t) >= {_NOVELTY_N})),
+    m AS (SELECT gram, min(doc_id) AS md FROM g GROUP BY gram),
+    per AS (
+      SELECT g.doc_id, count(*) AS n_grams,
+             sum(CASE WHEN m.md = g.doc_id THEN 1 ELSE 0 END) AS novel
+      FROM g JOIN m USING (gram) GROUP BY g.doc_id),
+    b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents)
+    SELECT CAST(floor(10.0 * (doc_id - mn) / (mx - mn + 1)) AS INTEGER)
+             AS decile,
+           count(*) AS n_docs,
+           round(CAST(sum(CAST(round(novel / n_grams, 6)
+                               AS DECIMAL(38,6))) AS DOUBLE)
+                 / count(*), 4) AS avg_novelty
+    FROM per CROSS JOIN b
+    GROUP BY decile
+    """,
+    doc=f"N-gram novelty curriculum: a {_NOVELTY_N}-gram is NOVEL in the "
+    "first document (lowest doc_id) that contains it; per-doc novelty = "
+    "novel distinct grams / distinct grams, averaged per doc_id decile. "
+    "The decile curve is the corpus redundancy profile — how fast new "
+    "ingestion stops contributing unseen text, the measurement behind "
+    "dedup-before-train decisions and repeated-epoch budgets. Deciles "
+    "come from a broadcast min/max bounds attach (closed form), NOT a "
+    "global ntile window — no single-partition sort at any scale. "
+    "Shuffle shape: the distinct-gram frame shuffles ONCE (first-seen "
+    "as min-over-window, not aggregate+join-back, which would shuffle "
+    "the corpus-sized gram frame three times), then a per-doc and a "
+    "10-row aggregate.",
+    tags=("llm", "dedup", "text", "bench"),
+)
+def ngram_novelty_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_fanout(spark, sf_dir, "documents")
+    arr = F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+    arrs = docs.select("doc_id", arr.alias("t"))
+    grams = (
+        arrs.where(F.size("t") >= _NOVELTY_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("t") - _NOVELTY_N),
+                        lambda i: F.concat_ws(
+                            " ",
+                            *[
+                                F.col("t")[i + j]
+                                for j in range(_NOVELTY_N)
+                            ],
+                        ),
+                    )
+                )
+            ).alias("gram"),
+        )
+    )
+    # first-seen via min-over-window, not groupBy+join-back: the gram
+    # frame is corpus-sized, and consuming it twice (once for the min
+    # aggregate, once for the join probe) re-executes the explode and
+    # shuffles the grams three times; the window form shuffles them
+    # ONCE (measured: 7 exchanges → 4 on the audit)
+    md = F.min("doc_id").over(Window.partitionBy("gram"))
+    per = (
+        grams.withColumn("md", md)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("md") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("novel"),
+        )
+    )
+    # bounds come off a plain load (no fanout repartition — a min/max
+    # over one column doesn't need the explode-stage spread)
+    b = load(spark, sf_dir, "documents").agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    )
+    return (
+        per.crossJoin(F.broadcast(b))
+        .select(
+            F.floor(
+                10.0
+                * (F.col("doc_id") - F.col("mn"))
+                / (F.col("mx") - F.col("mn") + 1)
+            )
+            .cast("int")
+            .alias("decile"),
+            F.round(F.col("novel") / F.col("n_grams"), 6)
+            .cast(_DEC)
+            .alias("nov"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.sum("nov").cast("double") / F.count("*"), 4).alias(
+                "avg_novelty"
+            ),
+        )
+    )
+
+
+_KCENTER_K = 8
+
+
+def _sqd_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+
+
+def _kcenter_oracle(k: int) -> str:
+    """Unrolled greedy k-center in plain SQL: c1 = lowest vec_id seed;
+    m_i tracks the pool's rounded-decimal min squared distance to the
+    selected set; c_{i+1} = argmax(mind) with ties to the lowest id —
+    the exact selection :func:`functions.clustering.kcenter_select`
+    makes, step for step."""
+    parts = [
+        "e AS (SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        "c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)",
+        "m1 AS (SELECT e.vec_id, e.v, CAST(round("
+        + _sqd_sql("e.v", "c1.v")
+        + ", 6) AS DECIMAL(38,6)) AS mind"
+        " FROM e CROSS JOIN c1 WHERE e.vec_id <> c1.vec_id)",
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"c{i} AS (SELECT vec_id, v, mind FROM m{i - 1}"
+            " ORDER BY mind DESC, vec_id LIMIT 1)"
+        )
+        if i < k:
+            parts.append(
+                f"m{i} AS (SELECT m.vec_id, m.v, least(m.mind, CAST(round("
+                + _sqd_sql("m.v", f"c{i}.v")
+                + f", 6) AS DECIMAL(38,6))) AS mind FROM m{i - 1} m"
+                f" CROSS JOIN c{i} WHERE m.vec_id <> c{i}.vec_id)"
+            )
+    # dist surfaces as DOUBLE (DuckDB's UNION widens DECIMAL(38,6)
+    # branches to DOUBLE anyway); the selection comparisons above stay
+    # decimal, and a 6-dp decimal < 10^9 round-trips through double
+    # exactly, so the hash contract is unaffected.
+    selects = [
+        "SELECT CAST(1 AS INTEGER) AS rank, vec_id,"
+        " CAST(NULL AS DOUBLE) AS dist FROM c1"
+    ]
+    for i in range(2, k + 1):
+        selects.append(
+            f"SELECT CAST({i} AS INTEGER) AS rank, vec_id,"
+            f" CAST(mind AS DOUBLE) AS dist FROM c{i}"
+        )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + "\n    UNION ALL ".join(
+        selects
+    )
+
+
+@register(
+    "kcenter_coreset_select",
+    oracle=_kcenter_oracle(_KCENTER_K),
+    doc=f"Greedy k-center diversity selection (Gonzalez farthest-point "
+    f"traversal, k={_KCENTER_K}): seed at the lowest vec_id, then "
+    "repeatedly take the point farthest from the selected set — the "
+    "classic 2-approximate k-center coreset, used as an embedding-"
+    "space diversity sampler (pick maximally spread exemplars before "
+    "expensive labeling/training). dist is the coverage radius at each "
+    "pick, so the output doubles as the coverage-decay curve. Each "
+    "round is ONE map-side-combinable max(struct) aggregate over the "
+    "pool — the new center's vector rides back inside the max struct, "
+    "the corpus never shuffles and only k struct rows ever reach the "
+    "driver. Squared distances are index-order double folds rounded to "
+    "6 dp decimal before ANY comparison, and argmax ties break to the "
+    "lowest id, so the oracle (an unrolled CTE chain) replays the "
+    "selection exactly.",
+    tags=("llm", "similarity", "selection", "bench"),
+)
+def kcenter_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.clustering import (
+        kcenter_select,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    picks = kcenter_select(emb, k=_KCENTER_K)
+    rows = [
+        (r, i, None if d is None else float(d)) for r, i, d in picks
+    ]
+    return spark.createDataFrame(
+        rows, schema="rank int, vec_id bigint, dist double"
+    )

@@ -51,6 +51,7 @@ _QUERY_MODULES = (
     "weather_data_data_pipeline_spark.plans.timeseries_queries",
     "weather_data_data_pipeline_spark.plans.weather_queries",
     "weather_data_data_pipeline_spark.plans.selection_queries",
+    "weather_data_data_pipeline_spark.plans.curation_queries",
 )
 
 _loaded = False
@@ -114,6 +115,14 @@ _ROUND_HEAD: tuple[str, ...] = (
     "unimax_language_mix",
     # r6 new: RHO-style per-doc excess-loss top-k selection
     "rho_excess_loss_select",
+    # r6 new curation layer (plans/curation_queries.py): temperature
+    # sampling weights, soft-dedup token accounting, zero-shuffle char
+    # entropy, n-gram novelty deciles, greedy k-center coreset
+    "temperature_mix_weights",
+    "soft_dedup_weights",
+    "doc_char_entropy",
+    "ngram_novelty_curriculum",
+    "kcenter_coreset_select",
     # r6 FIXED: was silently bound to the doremi function by a stacked
     # decorator in r5 (ADVICE r6 #1) — its r5 "green" row verified the
     # wrong query; must earn a real one
