@@ -40,6 +40,7 @@ ROUND_HEAD = (
     "doc_char_entropy",
     "ngram_novelty_curriculum",
     "kcenter_coreset_select",
+    "dedup_keep_best_quality",
     "bpe_token_budget",
     "quality_classifier_scores",
     "doremi_domain_weights",

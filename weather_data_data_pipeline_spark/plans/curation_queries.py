@@ -423,3 +423,99 @@ def kcenter_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, schema="rank int, vec_id bigint, dist double"
     )
+
+
+def _quality_sql() -> str:
+    """The composite quality score (functions/text.py:quality_score) as a
+    DuckDB expression — same fragment doc_quality_by_lang's oracle uses.
+    All five possible values are dyadic (k/4), so DESC ordering on the
+    double is exact in both engines."""
+    from weather_data_data_pipeline_spark.functions.text import STOPWORDS
+
+    return f"""(CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END
+              + CASE WHEN CAST(len(list_filter(string_split(text, ' '), t -> t IN {STOPWORDS!r})) AS DOUBLE)
+                     / greatest(len(string_split(text, ' ')), 1) >= 0.05 THEN 1.0 ELSE 0.0 END
+              + CASE WHEN CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                     / greatest(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.0 END
+              + CASE WHEN CAST(list_sum(list_transform(list_filter(string_split(text, ' '), t -> t <> ''), t -> length(t))) AS DOUBLE)
+                     / greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1) BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END
+             ) / 4.0"""
+
+
+@register(
+    "dedup_keep_best_quality",
+    oracle=f"""
+    WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+           FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) _l(i)
+           WHERE len(t) >= 3),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+    dup AS (SELECT id_a, id_b FROM pair
+            JOIN cnt ca ON ca.doc_id = id_a
+            JOIN cnt cb ON cb.doc_id = id_b
+            WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+              UNION SELECT id_b, id_a FROM dup),
+    walk(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src
+    ),
+    comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+             FROM walk GROUP BY src),
+    q AS (SELECT doc_id, {_quality_sql()} AS q FROM documents),
+    ranked AS (
+      SELECT c.cluster_id, c.doc_id, q.q,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY q.q DESC, c.doc_id) AS rn,
+             count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+      FROM comp c JOIN q ON q.doc_id = c.doc_id)
+    SELECT cluster_id, doc_id AS keep_doc_id, round(q, 2) AS kept_quality,
+           n_members, (doc_id <> cluster_id) AS upgraded
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Quality-aware dedup retention: near-dup clusters (exact-Jaccard "
+    ">= 0.5 graph, connected components — the dedup_clusters machinery) "
+    "keep their HIGHEST-quality member instead of the arbitrary min-id "
+    "one; `upgraded` marks clusters where the quality rule actually "
+    "changed the survivor — the measurable win of quality-aware over "
+    "positional retention (Penedo et al. FineWeb ablate exactly this "
+    "choice). Quality is the composite C4/Gopher-style rule score; all "
+    "its values are dyadic (k/4) so the DESC tie-break is exact, and "
+    "remaining ties break to the lowest doc_id. Per-cluster argmax is "
+    "one max(struct) aggregate over the labeled docs, not a window "
+    "sort. Only real clusters (n_members >= 2) surface.",
+    tags=("llm", "dedup", "quality"),
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        connected_components,
+        jaccard_pairs,
+    )
+    from weather_data_data_pipeline_spark.functions.text import quality_score
+
+    docs = load_fanout(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    labels = connected_components(pairs)
+    q = docs.select("doc_id", quality_score("text").alias("q"))
+    best = (
+        labels.join(q, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(F.col("q"), (-F.col("doc_id")).alias("nid"))
+            ).alias("t"),
+            F.count("*").alias("n_members"),
+        )
+        .select(
+            "cluster_id",
+            (-F.col("t.nid")).alias("keep_doc_id"),
+            F.round(F.col("t.q"), 2).alias("kept_quality"),
+            "n_members",
+            ((-F.col("t.nid")) != F.col("cluster_id")).alias("upgraded"),
+        )
+    )
+    return best

@@ -123,6 +123,9 @@ _ROUND_HEAD: tuple[str, ...] = (
     "doc_char_entropy",
     "ngram_novelty_curriculum",
     "kcenter_coreset_select",
+    # r6 new: quality-aware near-dup retention (argmax quality per
+    # component instead of min id)
+    "dedup_keep_best_quality",
     # r6 FIXED: was silently bound to the doremi function by a stacked
     # decorator in r5 (ADVICE r6 #1) — its r5 "green" row verified the
     # wrong query; must earn a real one
