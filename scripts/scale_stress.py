@@ -367,6 +367,38 @@ def runr5() -> None:
     spark.stop()
 
 
+QUERIES_R6 = (
+    # curation layer (plans/curation_queries.py)
+    "soft_dedup_weights",        # digest window — expect ~linear shuffle
+    "doc_char_entropy",          # zero-shuffle HOF fold — expect 0 bytes
+    "ngram_novelty_curriculum",  # gram window — ~linear (grams ∝ tokens)
+    "temperature_mix_weights",   # scan + tiny agg — expect ~flat bytes
+    "kcenter_coreset_select",    # 7 max-struct aggs — linear scans, tiny shuffle
+    # r6 selection layer
+    "rho_excess_loss_select",    # two gram joins vs Zipf-small count tables
+    "shard_manifest",            # two-level prefix sum
+    "embedding_diversity_by_label",  # Gram identity — one agg over vectors
+    # dedup_keep_best_quality is EXCLUDED for the same fixture-shaped
+    # reason as dedup_clusters' exact-Jaccard core (documented in
+    # SCALE.md): the closed 31-token vocabulary makes the exact
+    # shingle-join pair count quadratic BY CONSTRUCTION, and that core
+    # was already measured in the r3 stress set.
+)
+
+
+def runr6() -> None:
+    d1, spark = _measure(
+        (("sf0.1", SRC_DIR), ("sf1", OUT_DIR)), QUERIES_R6, "r6d1", "scale_r6"
+    )
+    spark.stop()
+    d2, spark = _measure(
+        (("sf1", OUT_DIR), ("sf10", OUT_DIR_10)), QUERIES_R6, "r6d2",
+        "scale_r6b",
+    )
+    print(json.dumps({"decade1_sf01_sf1": d1, "decade2_sf1_sf10": d2}))
+    spark.stop()
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "run"
     if cmd == "gen":
@@ -379,6 +411,8 @@ if __name__ == "__main__":
         run10()
     elif cmd == "runr5":
         runr5()
+    elif cmd == "runr6":
+        runr6()
     else:
-        print("usage: scale_stress.py [gen|run|gen10|run10|runr5]")
+        print("usage: scale_stress.py [gen|run|gen10|run10|runr5|runr6]")
         sys.exit(2)
