@@ -519,3 +519,123 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return best
+
+
+_NUCLEUS_P = 0.99
+
+
+@register(
+    "vocab_nucleus_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, u AS term FROM (
+        SELECT lang, unnest(list_filter(string_split(text, ' '),
+                                        t -> t <> '')) AS u
+        FROM documents)),
+    uni AS (SELECT lang, term, count(*) AS c FROM tok GROUP BY lang, term),
+    ranked AS (
+      SELECT lang, term, c,
+             sum(c) OVER (PARTITION BY lang
+                          ORDER BY c DESC, term
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER (PARTITION BY lang) AS total,
+             count(*) OVER (PARTITION BY lang) AS vocab_size
+      FROM uni)
+    SELECT lang,
+           CAST(any_value(vocab_size) AS BIGINT) AS vocab_size,
+           CAST(any_value(total) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (cum - c < {_NUCLEUS_P} * total)
+                AS BIGINT) AS nucleus_vocab
+    FROM ranked GROUP BY lang
+    """,
+    doc=f"Nucleus vocabulary coverage: per language, the smallest "
+    f"frequency-ranked vocabulary prefix covering {_NUCLEUS_P:.0%} of "
+    "token mass (a term belongs to the nucleus iff the cumulative mass "
+    "BEFORE it is still under the threshold, so the prefix is minimal "
+    "and ties break deterministically by term). This is the tokenizer-"
+    "sizing statistic: how many units a vocab needs before the long "
+    "tail starts, per language. The ranked window runs over the "
+    "VOCABULARY table (Zipf-small — distinct terms, not corpus rows), "
+    "so the per-lang sort is bounded by vocabulary size at any corpus "
+    "scale; the corpus itself contributes one explode + one "
+    "partial-aggregated groupBy.",
+    tags=("llm", "text", "bench"),
+)
+def vocab_nucleus_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_fanout(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang",
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+        ).alias("term"),
+    )
+    uni = tok.groupBy("lang", "term").agg(F.count("*").alias("c"))
+    w_rank = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("c"), F.asc("term"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_lang = Window.partitionBy("lang")
+    ranked = uni.select(
+        "lang",
+        "c",
+        F.sum("c").over(w_rank).alias("cum"),
+        F.sum("c").over(w_lang).alias("total"),
+        F.count("*").over(w_lang).alias("vocab_size"),
+    )
+    return ranked.groupBy("lang").agg(
+        F.any_value("vocab_size").cast("bigint").alias("vocab_size"),
+        F.any_value("total").cast("bigint").alias("n_tokens"),
+        F.sum(
+            F.when(
+                F.col("cum") - F.col("c")
+                < F.lit(_NUCLEUS_P) * F.col("total"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("nucleus_vocab"),
+    )
+
+
+@register(
+    "cross_source_dup_matrix",
+    oracle=f"""
+    WITH n AS (
+      SELECT DISTINCT source, sha256({_NORM_SQL}) AS digest
+      FROM documents),
+    p AS (
+      SELECT a.digest, a.source AS source_a, b.source AS source_b
+      FROM n a JOIN n b ON a.digest = b.digest AND a.source < b.source)
+    SELECT source_a, source_b, count(*) AS shared_groups
+    FROM p GROUP BY source_a, source_b
+    """,
+    doc="Cross-source duplication matrix: for every pair of sources, "
+    "how many normalized-form duplicate groups span both — the "
+    "provenance diagnostic behind 'which feeds copy from each other' "
+    "decisions (crawl overlap, mirror detection, licensing triage). "
+    "Built from the DISTINCT (source, digest) frame, so the self-join "
+    "fan-out is bounded by sources-per-group (≤ the source count), "
+    "never by document multiplicity; the digest is hashed map-side and "
+    "the text never shuffles. Same canonical form as "
+    "dedup_exact_normalized / soft_dedup_weights.",
+    tags=("llm", "dedup"),
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.text import (
+        normalize_for_dedup,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.select(
+        "source", F.sha2(normalize_for_dedup("text"), 256).alias("digest")
+    ).distinct()
+    b = n.select(
+        F.col("digest"), F.col("source").alias("source_b")
+    )
+    p = n.join(b, "digest").where(F.col("source") < F.col("source_b"))
+    return (
+        p.groupBy(
+            F.col("source").alias("source_a"), "source_b"
+        ).agg(F.count("*").alias("shared_groups"))
+    )
