@@ -41,6 +41,8 @@ ROUND_HEAD = (
     "ngram_novelty_curriculum",
     "kcenter_coreset_select",
     "dedup_keep_best_quality",
+    "vocab_nucleus_coverage",
+    "cross_source_dup_matrix",
     "bpe_token_budget",
     "quality_classifier_scores",
     "doremi_domain_weights",

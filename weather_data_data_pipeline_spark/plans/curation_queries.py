@@ -600,42 +600,65 @@ def vocab_nucleus_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cross_source_dup_matrix",
-    oracle=f"""
-    WITH n AS (
-      SELECT DISTINCT source, sha256({_NORM_SQL}) AS digest
-      FROM documents),
-    p AS (
-      SELECT a.digest, a.source AS source_a, b.source AS source_b
-      FROM n a JOIN n b ON a.digest = b.digest AND a.source < b.source)
-    SELECT source_a, source_b, count(*) AS shared_groups
-    FROM p GROUP BY source_a, source_b
+    oracle="""
+    WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+           FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) _l(i)
+           WHERE len(t) >= 3),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+    dup AS (SELECT id_a, id_b FROM pair
+            JOIN cnt ca ON ca.doc_id = id_a
+            JOIN cnt cb ON cb.doc_id = id_b
+            WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+              UNION SELECT id_b, id_a FROM dup),
+    walk(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src
+    ),
+    comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+             FROM walk GROUP BY src),
+    cs AS (SELECT DISTINCT c.cluster_id, d.source
+           FROM comp c JOIN documents d USING (doc_id))
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS shared_clusters
+    FROM cs a JOIN cs b
+      ON a.cluster_id = b.cluster_id AND a.source < b.source
+    GROUP BY source_a, source_b
     """,
-    doc="Cross-source duplication matrix: for every pair of sources, "
-    "how many normalized-form duplicate groups span both — the "
-    "provenance diagnostic behind 'which feeds copy from each other' "
-    "decisions (crawl overlap, mirror detection, licensing triage). "
-    "Built from the DISTINCT (source, digest) frame, so the self-join "
-    "fan-out is bounded by sources-per-group (≤ the source count), "
-    "never by document multiplicity; the digest is hashed map-side and "
-    "the text never shuffles. Same canonical form as "
-    "dedup_exact_normalized / soft_dedup_weights.",
+    doc="Cross-source duplication matrix: for every pair of sources, how "
+    "many NEAR-dup components (exact-Jaccard >= 0.5 graph, connected "
+    "components — the dedup_clusters machinery) contain documents from "
+    "both — the provenance diagnostic behind 'which feeds copy from "
+    "each other' decisions (crawl overlap, mirror detection, licensing "
+    "triage). The pair fan-out runs on the DISTINCT (cluster, source) "
+    "frame, so it is bounded by sources-per-cluster (<= the source "
+    "count), never by document multiplicity, and the text never "
+    "shuffles past the shingle stage.",
     tags=("llm", "dedup"),
 )
 def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from weather_data_data_pipeline_spark.functions.text import (
-        normalize_for_dedup,
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        connected_components,
+        jaccard_pairs,
     )
 
-    docs = load(spark, sf_dir, "documents")
-    n = docs.select(
-        "source", F.sha2(normalize_for_dedup("text"), 256).alias("digest")
-    ).distinct()
-    b = n.select(
-        F.col("digest"), F.col("source").alias("source_b")
+    docs = load_fanout(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    labels = connected_components(pairs)
+    cs = (
+        labels.join(docs.select("doc_id", "source"), "doc_id")
+        .select("cluster_id", "source")
+        .distinct()
     )
-    p = n.join(b, "digest").where(F.col("source") < F.col("source_b"))
+    b = cs.select("cluster_id", F.col("source").alias("source_b"))
     return (
-        p.groupBy(
-            F.col("source").alias("source_a"), "source_b"
-        ).agg(F.count("*").alias("shared_groups"))
+        cs.join(b, "cluster_id")
+        .where(F.col("source") < F.col("source_b"))
+        .groupBy(F.col("source").alias("source_a"), "source_b")
+        .agg(F.count("*").alias("shared_clusters"))
     )

@@ -126,6 +126,9 @@ _ROUND_HEAD: tuple[str, ...] = (
     # r6 new: quality-aware near-dup retention (argmax quality per
     # component instead of min id)
     "dedup_keep_best_quality",
+    # r6 new: tokenizer-sizing nucleus vocab + near-dup provenance matrix
+    "vocab_nucleus_coverage",
+    "cross_source_dup_matrix",
     # r6 FIXED: was silently bound to the doremi function by a stacked
     # decorator in r5 (ADVICE r6 #1) — its r5 "green" row verified the
     # wrong query; must earn a real one
