@@ -43,6 +43,7 @@ ROUND_HEAD = (
     "dedup_keep_best_quality",
     "vocab_nucleus_coverage",
     "cross_source_dup_matrix",
+    "event_key_skew_profile",
     "bpe_token_budget",
     "quality_classifier_scores",
     "doremi_domain_weights",

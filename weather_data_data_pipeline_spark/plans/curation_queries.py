@@ -662,3 +662,78 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("source").alias("source_a"), "source_b")
         .agg(F.count("*").alias("shared_clusters"))
     )
+
+
+@register(
+    "event_key_skew_profile",
+    oracle="""
+    WITH k AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+    r AS (SELECT c, row_number() OVER (ORDER BY c, user_id) AS rn FROM k),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(sum(c) AS BIGINT) AS total_events,
+                 CAST(max(c) AS BIGINT) AS max_count,
+                 CAST(sum(CAST(rn AS DECIMAL(38,0)) * c) AS DECIMAL(38,0))
+                   AS src,
+                 CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0))
+                   AS sc2
+          FROM r)
+    SELECT n_keys, total_events, max_count,
+           round(CAST(max_count AS DOUBLE) / total_events, 6) AS top1_share,
+           round(2.0 * CAST(src AS DOUBLE)
+                 / (CAST(n_keys AS DOUBLE) * total_events)
+                 - (CAST(n_keys AS DOUBLE) + 1) / n_keys, 6) AS gini,
+           round(CAST(sc2 AS DOUBLE)
+                 / (CAST(total_events AS DOUBLE) * total_events), 6) AS hhi
+    FROM s
+    """,
+    doc="Shuffle-key skew profile over events.user_id — the diagnostic "
+    "you run BEFORE keying a 100 TB join or aggregation on a column: "
+    "Gini coefficient and Herfindahl index of the per-key row counts "
+    "plus the hottest key's share. Gini needs a total order over the "
+    "KEY-COUNT table; that rank comes from the range-partitioned "
+    "distributed row_number (operators/ranking.py: global_row_number), "
+    "not a single-partition window, so the profile itself scales to "
+    "billions of keys. Rank ties among equal counts cannot change the "
+    "Σ rank·count term (the rank-sum over a tie block is fixed), and "
+    "both moment sums accumulate in exact DECIMAL(38,0) before one "
+    "double division — aggregation-order-proof. The corpus contributes "
+    "one partially-aggregated groupBy; everything after runs on the "
+    "keys table.",
+    tags=("llm", "quality", "bench"),
+)
+def event_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.operators.ranking import (
+        global_row_number,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    k = ev.groupBy("user_id").agg(F.count("*").alias("c"))
+    r = global_row_number(k, ["c", "user_id"], out_col="rn")
+    dec0 = "decimal(38,0)"
+    s = r.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("total_events"),
+        F.max("c").cast("bigint").alias("max_count"),
+        F.sum(F.col("rn").cast(dec0) * F.col("c")).cast(dec0).alias("src"),
+        F.sum(F.col("c").cast(dec0) * F.col("c")).cast(dec0).alias("sc2"),
+    )
+    return s.select(
+        "n_keys",
+        "total_events",
+        "max_count",
+        F.round(
+            F.col("max_count").cast("double") / F.col("total_events"), 6
+        ).alias("top1_share"),
+        F.round(
+            F.lit(2.0)
+            * F.col("src").cast("double")
+            / (F.col("n_keys").cast("double") * F.col("total_events"))
+            - (F.col("n_keys").cast("double") + 1) / F.col("n_keys"),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.col("sc2").cast("double")
+            / (F.col("total_events").cast("double") * F.col("total_events")),
+            6,
+        ).alias("hhi"),
+    )

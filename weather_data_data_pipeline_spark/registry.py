@@ -129,6 +129,9 @@ _ROUND_HEAD: tuple[str, ...] = (
     # r6 new: tokenizer-sizing nucleus vocab + near-dup provenance matrix
     "vocab_nucleus_coverage",
     "cross_source_dup_matrix",
+    # r6 new: pre-shuffle key-skew diagnostic (Gini/HHI on the
+    # distributed prefix-sum rank)
+    "event_key_skew_profile",
     # r6 FIXED: was silently bound to the doremi function by a stacked
     # decorator in r5 (ADVICE r6 #1) — its r5 "green" row verified the
     # wrong query; must earn a real one
