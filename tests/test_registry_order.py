@@ -44,6 +44,7 @@ ROUND_HEAD = (
     "vocab_nucleus_coverage",
     "cross_source_dup_matrix",
     "event_key_skew_profile",
+    "packing_pipeline_e2e",
     "bpe_token_budget",
     "quality_classifier_scores",
     "doremi_domain_weights",

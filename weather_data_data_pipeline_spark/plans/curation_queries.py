@@ -737,3 +737,90 @@ def event_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hhi"),
     )
+
+
+_PACK_CTX = 512  # tokens per packed context
+_PACK_BINS_PER_SHARD = 4
+
+
+def _packing_e2e_oracle() -> str:
+    from weather_data_data_pipeline_spark.functions.text import md5_threshold
+
+    return f"""
+    WITH kept AS (
+      SELECT doc_id, {_WS_TOKENS_SQL} AS n_tok
+      FROM documents
+      WHERE {_quality_sql()} >= 0.5
+        AND md5('split-v1' || CAST(doc_id AS VARCHAR))
+            < '{md5_threshold(0.90)}'),
+    ordered AS (
+      SELECT doc_id, n_tok,
+             sum(n_tok) OVER (ORDER BY n_tok DESC, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS rt
+      FROM kept),
+    b AS (
+      SELECT CAST(floor(CAST(rt - n_tok AS DOUBLE) / {_PACK_CTX}) AS BIGINT)
+               AS bin,
+             n_tok
+      FROM ordered)
+    SELECT CAST(floor(CAST(bin AS DOUBLE) / {_PACK_BINS_PER_SHARD})
+                AS BIGINT) AS shard_id,
+           CAST(count(DISTINCT bin) AS BIGINT) AS n_bins,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM b GROUP BY shard_id
+    """
+
+
+@register(
+    "packing_pipeline_e2e",
+    oracle=_packing_e2e_oracle(),
+    doc=f"END-TO-END packing pipeline as ONE plan — the tail of a "
+    "training-data build that turns a curated corpus into shard files: "
+    "quality gate (composite rule score >= 0.5) → deterministic train "
+    "split (md5 literal threshold, the holdout_split contract) → "
+    f"longest-first packing into {_PACK_CTX}-token contexts via the "
+    "distributed prefix sum (range partition + offsets, never a "
+    f"single-partition window) → contiguous {_PACK_BINS_PER_SHARD}-bin "
+    "shards with per-shard doc/bin/token manifests. Composes the "
+    "already-proven quality, holdout, sequence_packing, and "
+    "shard_manifest fragments into one oracle-replayed query; the "
+    "filters run BEFORE the prefix sum, so the expensive total order "
+    "only ever sees surviving documents.",
+    tags=("llm", "selection", "text", "bench"),
+)
+def packing_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.text import (
+        holdout_split,
+        quality_score,
+    )
+    from weather_data_data_pipeline_spark.operators.ranking import (
+        global_running_sum,
+    )
+
+    docs = load_fanout(spark, sf_dir, "documents")
+    kept = docs.where(quality_score("text") >= 0.5).where(
+        holdout_split("doc_id", "split-v1") == "train"
+    )
+    base = kept.select("doc_id", _ws_tokens().alias("n_tok")).withColumn(
+        "_negt", -F.col("n_tok")
+    )
+    rt = global_running_sum(base, ["_negt", "doc_id"], "n_tok", out_col="rt")
+    b = rt.select(
+        F.floor((F.col("rt") - F.col("n_tok")).cast("double") / _PACK_CTX)
+        .cast("bigint")
+        .alias("bin"),
+        "n_tok",
+    )
+    return (
+        b.groupBy(
+            F.floor(F.col("bin").cast("double") / _PACK_BINS_PER_SHARD)
+            .cast("bigint")
+            .alias("shard_id")
+        )
+        .agg(
+            F.count_distinct("bin").cast("bigint").alias("n_bins"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )

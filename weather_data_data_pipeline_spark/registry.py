@@ -132,6 +132,8 @@ _ROUND_HEAD: tuple[str, ...] = (
     # r6 new: pre-shuffle key-skew diagnostic (Gini/HHI on the
     # distributed prefix-sum rank)
     "event_key_skew_profile",
+    # r6 new: quality→holdout→pack→shard composition, one plan
+    "packing_pipeline_e2e",
     # r6 FIXED: was silently bound to the doremi function by a stacked
     # decorator in r5 (ADVICE r6 #1) — its r5 "green" row verified the
     # wrong query; must earn a real one
