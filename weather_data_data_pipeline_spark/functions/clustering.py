@@ -187,11 +187,13 @@ def kcenter_select(
     )
     selected: list[tuple[int, int, object]] = [(1, seed["_i"], None)]
     center = [float(x) for x in seed["_v"]]
-    pool = df.select(
-        F.col(id_col).alias("_i"), F.col(vec_col).alias("_v")
-    ).where(F.col("_i") != F.lit(seed["_i"]))
+    base = (
+        df.select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_v"))
+        .where(F.col("_i") != F.lit(seed["_i"]))
+        .persist()
+    )
     mind = F.round(_sq_dist(F.col("_v"), _centroid_lit(center)), dist_scale).cast(dec)
-    pool = pool.select("_i", "_v", mind.alias("_mind"))
+    pool = base.select("_i", "_v", mind.alias("_mind"))
     for rank in range(2, k + 1):
         top = pool.agg(
             F.max(
@@ -215,4 +217,5 @@ def kcenter_select(
         pool = pool.where(F.col("_i") != F.lit(chosen_id)).select(
             "_i", "_v", F.least(F.col("_mind"), d_new).alias("_mind")
         )
+    base.unpersist()
     return selected
