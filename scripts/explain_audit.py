@@ -54,6 +54,10 @@ INTENTIONAL = {
         "single-ROW build side: the corpus token total attaches to the "
         "token table — the doc_unigram_logppl machinery feeding the "
         "per-lang ntile",
+    ("doc_sampling_weights", "BroadcastNestedLoopJoin"):
+        "single-ROW build side: the total temperature-mass aggregate "
+        "attaches to the ~20-row per-source frame before that frame "
+        "broadcasts to the corpus — O(sources × 1) scalar attach",
     ("temperature_mix_weights", "BroadcastNestedLoopJoin"):
         "single-ROW build side: the (total tokens, total temperature "
         "mass) aggregate attaches to the ~20-row per-source frame — "

@@ -45,6 +45,7 @@ ROUND_HEAD = (
     "cross_source_dup_matrix",
     "event_key_skew_profile",
     "packing_pipeline_e2e",
+    "doc_sampling_weights",
     "bpe_token_budget",
     "quality_classifier_scores",
     "doremi_domain_weights",

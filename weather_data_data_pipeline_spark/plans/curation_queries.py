@@ -824,3 +824,101 @@ def packing_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+def _sampling_weights_oracle() -> str:
+    return f"""
+    WITH n AS (
+      SELECT doc_id, source, text, {_WS_TOKENS_SQL} AS tok,
+             sha256({_NORM_SQL}) AS digest
+      FROM documents),
+    w AS (
+      SELECT doc_id, source, text, tok,
+             count(*) OVER (PARTITION BY digest) AS c
+      FROM n),
+    src AS (
+      SELECT source,
+             CAST(round(pow(CAST(sum(tok) AS BIGINT), {_TEMP_ALPHA}), 6)
+                  AS DECIMAL(38,6)) AS p
+      FROM n GROUP BY source),
+    tot AS (SELECT sum(p) AS tp FROM src),
+    tw AS (
+      SELECT source,
+             CAST(round(CAST(p AS DOUBLE) / CAST(tp AS DOUBLE), 6)
+                  AS DECIMAL(38,6)) AS temp_weight
+      FROM src CROSS JOIN tot)
+    SELECT w.doc_id,
+           CAST(round(1.0 / w.c, 6) AS DECIMAL(38,6)) AS dedup_weight,
+           CAST(round({_quality_sql().replace('text', 'w.text')}, 2)
+                AS DECIMAL(38,6)) AS quality_weight,
+           tw.temp_weight,
+           round(CAST(CAST(round(1.0 / w.c, 6) AS DECIMAL(38,6)) AS DOUBLE)
+                 * CAST(CAST(round({_quality_sql().replace('text', 'w.text')}, 2)
+                             AS DECIMAL(38,6)) AS DOUBLE)
+                 * CAST(tw.temp_weight AS DOUBLE), 9) AS final_weight
+    FROM w JOIN tw USING (source)
+    """
+
+
+@register(
+    "doc_sampling_weights",
+    oracle=_sampling_weights_oracle(),
+    doc="The per-document sampling-weight table a trainer's data loader "
+    "actually consumes — the capstone composition of the curation "
+    "layer: soft-dedup discount (1/duplicate-count over normalized "
+    "digests), composite quality score, and the source's temperature-"
+    f"rebalanced share (tokens^{_TEMP_ALPHA}), multiplied into one "
+    "final weight per document. Every factor is a 6-dp decimal before "
+    "the product and the product rounds once at the end, so the table "
+    "is bit-reproducible under any partitioning. Plan: ONE corpus "
+    "shuffle (the digest window), a Zipf-small per-source aggregate "
+    "broadcast back, and codegen'd arithmetic — the text never moves "
+    "after the digest projection.",
+    tags=("llm", "selection", "dedup", "quality", "bench"),
+)
+def doc_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.text import (
+        normalize_for_dedup,
+        quality_score,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        _ws_tokens().alias("tok"),
+        F.sha2(normalize_for_dedup("text"), 256).alias("digest"),
+    )
+    w = n.withColumn("c", F.count("*").over(Window.partitionBy("digest")))
+    src = n.groupBy("source").agg(
+        F.round(
+            F.pow(F.sum("tok").cast("double"), F.lit(_TEMP_ALPHA)), 6
+        )
+        .cast(_DEC)
+        .alias("p")
+    )
+    tot = src.agg(F.sum("p").alias("tp"))
+    tw = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.round(F.col("p").cast("double") / F.col("tp").cast("double"), 6)
+        .cast(_DEC)
+        .alias("temp_weight"),
+    )
+    dedup_w = F.round(F.lit(1.0) / F.col("c"), 6).cast(_DEC)
+    quality_w = F.round(quality_score("text"), 2).cast(_DEC)
+    return w.join(F.broadcast(tw), "source").select(
+        "doc_id",
+        dedup_w.alias("dedup_weight"),
+        quality_w.alias("quality_weight"),
+        "temp_weight",
+        # multiply in DOUBLE: Spark decimal multiplication clamps the
+        # result scale back to 6 on precision overflow (38,6)x(38,6),
+        # silently dropping the digits the oracle keeps
+        F.round(
+            dedup_w.cast("double")
+            * quality_w.cast("double")
+            * F.col("temp_weight").cast("double"),
+            9,
+        ).alias("final_weight"),
+    )

@@ -134,6 +134,9 @@ _ROUND_HEAD: tuple[str, ...] = (
     "event_key_skew_profile",
     # r6 new: quality→holdout→pack→shard composition, one plan
     "packing_pipeline_e2e",
+    # r6 new: the trainer-facing per-doc sampling-weight table
+    # (soft-dedup × quality × source temperature)
+    "doc_sampling_weights",
     # r6 FIXED: was silently bound to the doremi function by a stacked
     # decorator in r5 (ADVICE r6 #1) — its r5 "green" row verified the
     # wrong query; must earn a real one
