@@ -46,6 +46,7 @@ ROUND_HEAD = (
     "event_key_skew_profile",
     "packing_pipeline_e2e",
     "doc_sampling_weights",
+    "term_burstiness",
     "bpe_token_budget",
     "quality_classifier_scores",
     "doremi_domain_weights",

@@ -922,3 +922,80 @@ def doc_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("final_weight"),
     )
+
+
+_BURST_TOPK = 20
+
+
+@register(
+    "term_burstiness",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, u AS term FROM (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                          t -> t <> '')) AS u
+        FROM documents)),
+    d AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+    stats AS (
+      SELECT term,
+             count(*) AS tf,
+             count(DISTINCT doc_id) AS df
+      FROM tok GROUP BY term),
+    scored AS (
+      SELECT term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+             round(CAST(tf AS DOUBLE) / df, 6) AS burstiness,
+             round(n_docs * (1 - exp(-(CAST(tf AS DOUBLE) / n_docs))), 4)
+               AS poisson_df
+      FROM stats CROSS JOIN d)
+    SELECT term, tf, df, burstiness, poisson_df,
+           CAST(row_number() OVER (ORDER BY burstiness DESC, term)
+                AS INTEGER) AS rn
+    FROM scored
+    QUALIFY rn <= {_BURST_TOPK}
+    ORDER BY rn
+    """,
+    doc="Church–Gale term burstiness: mean occurrences per CONTAINING "
+    "document (tf/df) next to the document frequency a Poisson "
+    "occupancy model would predict from tf alone — terms whose observed "
+    "df sits far below poisson_df are 'bursty' (they clump in few "
+    "documents: names, topics, boilerplate) and are poor stopword / "
+    "good keyword candidates; the statistic feeds stop-shingle caps "
+    "and repetition screens. All work after one explode happens on the "
+    "Zipf-small vocabulary table, and the top-k rank compiles to "
+    "WindowGroupLimit per-partition heaps — no global sort of anything "
+    "corpus-sized at any scale.",
+    tags=("llm", "text"),
+)
+def term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_fanout(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+        ).alias("term"),
+    )
+    d = tok.agg(F.count_distinct("doc_id").alias("n_docs"))
+    stats = tok.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("tf"),
+        F.count_distinct("doc_id").cast("bigint").alias("df"),
+    )
+    scored = stats.crossJoin(F.broadcast(d)).select(
+        "term",
+        "tf",
+        "df",
+        F.round(F.col("tf").cast("double") / F.col("df"), 6).alias(
+            "burstiness"
+        ),
+        F.round(
+            F.col("n_docs")
+            * (
+                F.lit(1)
+                - F.exp(-(F.col("tf").cast("double") / F.col("n_docs")))
+            ),
+            4,
+        ).alias("poisson_df"),
+    )
+    w = Window.orderBy(F.desc("burstiness"), F.asc("term"))
+    return scored.withColumn(
+        "rn", F.row_number().over(w).cast("int")
+    ).where(F.col("rn") <= _BURST_TOPK)

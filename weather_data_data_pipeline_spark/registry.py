@@ -137,6 +137,8 @@ _ROUND_HEAD: tuple[str, ...] = (
     # r6 new: the trainer-facing per-doc sampling-weight table
     # (soft-dedup × quality × source temperature)
     "doc_sampling_weights",
+    # r6 new: Church–Gale burstiness collection statistic
+    "term_burstiness",
     # r6 FIXED: was silently bound to the doremi function by a stacked
     # decorator in r5 (ADVICE r6 #1) — its r5 "green" row verified the
     # wrong query; must earn a real one
