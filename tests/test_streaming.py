@@ -712,3 +712,96 @@ def test_quality_score_stream_matches_batch_frozen_scoring(spark, tmp_path):
     assert (
         spark.read.parquet(out).select("batch_id").distinct().count() >= 2
     )
+
+
+def test_sampling_weight_sink_equals_batch_on_union(spark, tmp_path):
+    """Frozen-mix streaming sampling weights == the registered batch
+    doc_sampling_weights on (history ∪ batch): temperature weights are
+    frozen literals collected from the batch mix query, duplicate
+    counts come from the persisted digest index plus in-batch
+    occurrences, and the weight arithmetic is the SAME shared
+    expressions — so every decimal matches exactly."""
+    from weather_data_data_pipeline_spark.functions.text import digest_counts
+    from weather_data_data_pipeline_spark.plans.curation_queries import (
+        doc_sampling_weights,
+        temperature_mix_weights,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "to a small town"
+    )
+    rows = []
+    for i in range(40):
+        src = f"s{i % 3}"
+        if i in (7, 23):  # cross-half duplicate pair (7 ↔ 23)
+            text = base + " dup one"
+        elif i in (31, 35):  # within-second-half duplicate pair
+            text = base + " dup two"
+        else:
+            text = f"{base} unique variation number {i} with extra words"
+        rows.append((i, text, "en", src, len(text)))
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    full = spark.createDataFrame(rows, schema)
+    sf_dir = str(tmp_path / "sfX")
+    import os
+
+    os.makedirs(sf_dir, exist_ok=True)
+    full.coalesce(1).write.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    expected = {
+        r["doc_id"]: (
+            str(r["dedup_weight"]),
+            str(r["quality_weight"]),
+            str(r["temp_weight"]),
+            r["final_weight"],
+        )
+        for r in doc_sampling_weights(spark, sf_dir).collect()
+    }
+    temp_weights = {
+        r["source"]: f"{r['temp_weight']:.6f}"
+        for r in temperature_mix_weights(spark, sf_dir).collect()
+    }
+
+    first = full.where(F.col("doc_id") < 20)
+    second = full.where(F.col("doc_id") >= 20)
+    history = digest_counts(first).collect()
+    history_df = spark.createDataFrame(history, "digest string, c_hist long")
+
+    src_dir = str(tmp_path / "sw_src")
+    second.coalesce(1).write.parquet(src_dir)
+    out = str(tmp_path / "sw_out")
+    stream = (
+        spark.readStream.schema(full.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src_dir)
+    )
+    q = (
+        S.sampling_weight_sink(
+            stream,
+            temp_weights,
+            history_df,
+            out,
+            str(tmp_path / "sw_ck"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["doc_id"]: (
+            str(r["dedup_weight"]),
+            str(r["quality_weight"]),
+            str(r["temp_weight"]),
+            r["final_weight"],
+        )
+        for r in spark.read.parquet(out).collect()
+    }
+    assert set(got) == {i for i in range(20, 40)}
+    for doc_id, vals in got.items():
+        assert vals == expected[doc_id], (doc_id, vals, expected[doc_id])
+    # the planted pairs actually exercised the two count paths
+    assert got[23][0] == "0.500000"  # cross-half: 1 in batch + 1 in index
+    assert got[31][0] == "0.500000"  # within-batch window pair

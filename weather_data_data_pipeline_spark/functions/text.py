@@ -730,3 +730,101 @@ def unimax_allocation(
         F.round(F.col("alloc_raw") / F.col("n_tokens"), 4).alias("epochs"),
         F.round(F.col("alloc_raw") / budget, 6).alias("mix_weight"),
     )
+
+
+def sampling_weight_columns(
+    c: Column, text_col: str | Column, temp_weight: Column
+) -> tuple[Column, Column, Column]:
+    """The curation layer's per-document weight triple — soft-dedup
+    discount ``round(1/c, 6)``, composite quality ``round(q, 2)``, and
+    their product with the source temperature weight, rounded ONCE to
+    9 dp — under the repo's determinism contract (each factor a 6-dp
+    decimal; the product multiplies in DOUBLE because Spark decimal
+    multiplication clamps the result scale back to 6 on (38,6)×(38,6)
+    precision overflow). Shared by the batch ``doc_sampling_weights``
+    query and the frozen streaming scorer so the two paths cannot
+    drift."""
+    dec = "decimal(38,6)"
+    dedup_w = F.round(F.lit(1.0) / c, 6).cast(dec)
+    quality_w = F.round(quality_score(text_col), 2).cast(dec)
+    final_w = F.round(
+        dedup_w.cast("double")
+        * quality_w.cast("double")
+        * temp_weight.cast("double"),
+        9,
+    )
+    return dedup_w, quality_w, final_w
+
+
+def digest_counts(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Normalized-form duplicate-count index ``(digest, c_hist)`` — the
+    persisted corpus state the streaming sampling-weight scorer probes
+    (same canonical form + sha256 as ``dedup_exact_normalized``)."""
+    return (
+        df.select(
+            F.sha2(normalize_for_dedup(text_col), 256).alias("digest")
+        )
+        .groupBy("digest")
+        .agg(F.count("*").alias("c_hist"))
+    )
+
+
+def doc_sampling_weights_frozen(
+    df: DataFrame,
+    temp_weights: dict[str, str],
+    history: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """FROZEN-mix sampling weights: score documents with literal
+    per-source temperature weights (6-dp decimal strings, the fit-time
+    artifact) and a persisted duplicate-count index instead of
+    recomputing either over the corpus — the serving-time form of the
+    batch ``doc_sampling_weights`` query. A document's duplicate count
+    is its in-``df`` occurrence count plus the index's ``c_hist`` for
+    its digest, so on (history ∪ df) the count equals the batch
+    recompute exactly. Sources absent from ``temp_weights`` get weight
+    0 (they were not in the frozen mix)."""
+    dec = "decimal(38,6)"
+    mapping = F.create_map(
+        *[
+            x
+            for s, w in sorted(temp_weights.items())
+            for x in (F.lit(s), F.lit(w))
+        ]
+    )
+    d = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.col(text_col),
+        F.sha2(normalize_for_dedup(text_col), 256).alias("digest"),
+    )
+    d = d.withColumn(
+        "_cb", F.count("*").over(Window.partitionBy("digest"))
+    )
+    # no broadcast hint: the digest index is corpus-sized at scale —
+    # the engine should pick the join side (a small micro-batch probe
+    # ends up broadcast the OTHER way under AQE)
+    if history is not None:
+        d = d.join(history, "digest", "left").withColumn(
+            "_c", F.col("_cb") + F.coalesce(F.col("c_hist"), F.lit(0))
+        )
+    else:
+        d = d.withColumn("_c", F.col("_cb"))
+    tw = F.coalesce(
+        mapping[F.col(source_col)].cast(dec),
+        F.lit(0).cast(dec),
+    )
+    dedup_w, quality_w, final_w = sampling_weight_columns(
+        F.col("_c"), text_col, tw
+    )
+    return d.select(
+        id_col,
+        dedup_w.alias("dedup_weight"),
+        quality_w.alias("quality_weight"),
+        tw.alias("temp_weight"),
+        final_w.alias("final_weight"),
+    )

@@ -879,7 +879,7 @@ def _sampling_weights_oracle() -> str:
 def doc_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_data_data_pipeline_spark.functions.text import (
         normalize_for_dedup,
-        quality_score,
+        sampling_weight_columns,
     )
 
     docs = load(spark, sf_dir, "documents")
@@ -905,22 +905,15 @@ def doc_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast(_DEC)
         .alias("temp_weight"),
     )
-    dedup_w = F.round(F.lit(1.0) / F.col("c"), 6).cast(_DEC)
-    quality_w = F.round(quality_score("text"), 2).cast(_DEC)
+    dedup_w, quality_w, final_w = sampling_weight_columns(
+        F.col("c"), "text", F.col("temp_weight")
+    )
     return w.join(F.broadcast(tw), "source").select(
         "doc_id",
         dedup_w.alias("dedup_weight"),
         quality_w.alias("quality_weight"),
         "temp_weight",
-        # multiply in DOUBLE: Spark decimal multiplication clamps the
-        # result scale back to 6 on precision overflow (38,6)x(38,6),
-        # silently dropping the digits the oracle keeps
-        F.round(
-            dedup_w.cast("double")
-            * quality_w.cast("double")
-            * F.col("temp_weight").cast("double"),
-            9,
-        ).alias("final_weight"),
+        final_w.alias("final_weight"),
     )
 
 

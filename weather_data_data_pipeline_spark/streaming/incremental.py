@@ -614,3 +614,60 @@ def drift_monitor_sink(
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
     )
+
+
+def sampling_weight_sink(
+    stream: DataFrame,
+    temp_weights: dict[str, str],
+    history: DataFrame | None,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataStreamWriter:
+    """Streaming FROZEN-mix sampling weights: score arriving documents
+    with the fit-time artifacts — literal per-source temperature
+    weights and a persisted normalized-digest duplicate-count index —
+    and append (batch_id, id, weight triple, final weight) per
+    micro-batch; the live twin of the batch ``doc_sampling_weights``
+    query, i.e. how a serving pipeline prices fresh crawl into the
+    training mix without recomputing corpus state.
+
+    Duplicate counts are the index's c_hist plus the document's
+    occurrences WITHIN its own micro-batch, so on (history ∪ batch)
+    the count — and therefore every weight — equals the batch
+    recompute bit-for-bit (pinned in tests/test_streaming.py). The
+    weight arithmetic is functions/text.py:sampling_weight_columns,
+    the same expressions the batch query compiles, so the two paths
+    cannot drift.
+    """
+    from weather_data_data_pipeline_spark.functions.text import (
+        doc_sampling_weights_frozen,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        scored = doc_sampling_weights_frozen(
+            batch_df,
+            temp_weights,
+            history=history,
+            id_col=id_col,
+            text_col=text_col,
+            source_col=source_col,
+        )
+        scored.withColumn("batch_id", F.lit(int(batch_id))).select(
+            "batch_id",
+            id_col,
+            "dedup_weight",
+            "quality_weight",
+            "temp_weight",
+            "final_weight",
+        ).write.mode("append").parquet(out_path)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
