@@ -47,6 +47,8 @@ ROUND_HEAD = (
     "packing_pipeline_e2e",
     "doc_sampling_weights",
     "term_burstiness",
+    "dedup_threshold_sensitivity",
+    "packing_efficiency_report",
     "bpe_token_budget",
     "quality_classifier_scores",
     "doremi_domain_weights",

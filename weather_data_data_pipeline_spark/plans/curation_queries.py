@@ -992,3 +992,157 @@ def term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn(
         "rn", F.row_number().over(w).cast("int")
     ).where(F.col("rn") <= _BURST_TOPK)
+
+
+_SENS_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+@register(
+    "dedup_threshold_sensitivity",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+           FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) _l(i)
+           WHERE len(t) >= 3),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+    j AS (SELECT round(CAST(n_common AS DOUBLE)
+                       / (ca.n + cb.n - n_common), 4) AS jac
+          FROM pair
+          JOIN cnt ca ON ca.doc_id = id_a
+          JOIN cnt cb ON cb.doc_id = id_b),
+    th AS (SELECT CAST(unnest([{", ".join(str(t) for t in _SENS_THRESHOLDS)}])
+                       AS DOUBLE) AS threshold)
+    SELECT threshold,
+           CAST(count(*) FILTER (j.jac >= th.threshold) AS BIGINT)
+             AS n_pairs
+    FROM th LEFT JOIN j ON true
+    GROUP BY threshold
+    """,
+    doc="Near-dup threshold sensitivity: how many exact-Jaccard pairs "
+    f"survive at each threshold in {_SENS_THRESHOLDS} — the tuning "
+    "curve behind every dedup-threshold decision (a cliff between two "
+    "thresholds means the corpus has a near-dup band there; a flat "
+    "curve means the choice is safe). The expensive shingle self-join "
+    "runs ONCE with the LOWEST threshold; the per-threshold counts are "
+    "one conditional aggregate over the resulting pair list, so the "
+    "whole sweep costs the same as a single dedup run.",
+    tags=("llm", "dedup"),
+)
+def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.dedup import jaccard_pairs
+
+    docs = load_fanout(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=min(_SENS_THRESHOLDS)
+    )
+    th = spark.createDataFrame(
+        [(t,) for t in _SENS_THRESHOLDS], "threshold double"
+    )
+    return (
+        th.crossJoin(pairs.select("jaccard"))
+        .groupBy("threshold")
+        .agg(
+            F.sum(
+                F.when(F.col("jaccard") >= F.col("threshold"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_pairs"),
+        )
+    )
+
+
+@register(
+    "packing_efficiency_report",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_WS_TOKENS_SQL} AS n_tok FROM documents),
+    ordered AS (
+      SELECT n_tok,
+             sum(n_tok) OVER (ORDER BY n_tok DESC, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS rt
+      FROM d),
+    packed AS (
+      SELECT CAST(floor(CAST(rt - n_tok AS DOUBLE) / {_PACK_CTX}) AS BIGINT)
+               AS bin
+      FROM ordered),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+             CAST(sum(CASE WHEN n_tok > {_PACK_CTX}
+                           THEN n_tok - {_PACK_CTX} ELSE 0 END) AS BIGINT)
+               AS overflow_tokens
+      FROM d),
+    pb AS (SELECT CAST(count(DISTINCT bin) AS BIGINT) AS packed_bins
+           FROM packed)
+    SELECT n_docs, total_tokens,
+           CAST(ceil(CAST(total_tokens AS DOUBLE) / {_PACK_CTX}) AS BIGINT)
+             AS ideal_bins,
+           packed_bins,
+           n_docs AS naive_bins,
+           round(CAST(total_tokens AS DOUBLE)
+                 / (packed_bins * {_PACK_CTX}), 6) AS packed_utilization,
+           round(CAST(total_tokens - overflow_tokens AS DOUBLE)
+                 / (n_docs * {_PACK_CTX}), 6) AS naive_utilization
+    FROM s CROSS JOIN pb
+    """,
+    doc=f"Packing-efficiency report: utilization of {_PACK_CTX}-token "
+    "contexts under longest-first packing vs the naive one-document-"
+    "per-context layout (truncating overflow) vs the ideal bin count — "
+    "the measurement that justifies running a packing stage at all "
+    "(naive padding waste IS the cost of skipping it, and "
+    "packed_utilization ~1 means the prefix-sum packer is within "
+    "rounding of optimal since every bin but the last is full by "
+    "construction). One corpus scan for the token counts, the "
+    "distributed prefix sum for bin ids, two scalar attaches.",
+    tags=("llm", "text"),
+)
+def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.operators.ranking import (
+        global_running_sum,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select("doc_id", _ws_tokens().alias("n_tok"))
+    base = d.withColumn("_negt", -F.col("n_tok"))
+    rt = global_running_sum(base, ["_negt", "doc_id"], "n_tok", out_col="rt")
+    packed = rt.select(
+        F.floor((F.col("rt") - F.col("n_tok")).cast("double") / _PACK_CTX)
+        .cast("bigint")
+        .alias("bin")
+    )
+    s = d.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.sum(
+            F.when(
+                F.col("n_tok") > _PACK_CTX, F.col("n_tok") - _PACK_CTX
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("overflow_tokens"),
+    )
+    pb = packed.agg(
+        F.count_distinct("bin").cast("bigint").alias("packed_bins")
+    )
+    return s.crossJoin(F.broadcast(pb)).select(
+        "n_docs",
+        "total_tokens",
+        F.ceil(F.col("total_tokens").cast("double") / _PACK_CTX)
+        .cast("bigint")
+        .alias("ideal_bins"),
+        "packed_bins",
+        F.col("n_docs").alias("naive_bins"),
+        F.round(
+            F.col("total_tokens").cast("double")
+            / (F.col("packed_bins") * F.lit(float(_PACK_CTX))),
+            6,
+        ).alias("packed_utilization"),
+        F.round(
+            (F.col("total_tokens") - F.col("overflow_tokens")).cast("double")
+            / (F.col("n_docs") * F.lit(float(_PACK_CTX))),
+            6,
+        ).alias("naive_utilization"),
+    )

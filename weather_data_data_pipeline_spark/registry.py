@@ -139,6 +139,9 @@ _ROUND_HEAD: tuple[str, ...] = (
     "doc_sampling_weights",
     # r6 new: Church–Gale burstiness collection statistic
     "term_burstiness",
+    # r6 new: dedup tuning curve + packing utilization instruments
+    "dedup_threshold_sensitivity",
+    "packing_efficiency_report",
     # r6 FIXED: was silently bound to the doremi function by a stacked
     # decorator in r5 (ADVICE r6 #1) — its r5 "green" row verified the
     # wrong query; must earn a real one
