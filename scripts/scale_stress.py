@@ -386,6 +386,36 @@ QUERIES_R6 = (
 )
 
 
+QUERIES_R6C = (
+    # late-r6 additions: trainer-facing weight table (digest window +
+    # broadcast per-source weights), vocabulary-window tokenizer sizing,
+    # prefix-sum packing utilization, and the key-skew profile (grouped
+    # counts + range-partitioned rank)
+    "doc_sampling_weights",
+    "vocab_nucleus_coverage",
+    "packing_efficiency_report",
+    # event_key_skew_profile is events-table-based; the stress dirs
+    # only synthesize documents/embeddings, so it is excluded here —
+    # its machinery (grouped counts + the range-partitioned prefix-sum
+    # rank) is the same global_row_number path shard_manifest and
+    # sequence_packing already measure linear
+)
+
+
+def runr6c() -> None:
+    d1, spark = _measure(
+        (("sf0.1", SRC_DIR), ("sf1", OUT_DIR)), QUERIES_R6C, "r6c1",
+        "scale_r6c",
+    )
+    spark.stop()
+    d2, spark = _measure(
+        (("sf1", OUT_DIR), ("sf10", OUT_DIR_10)), QUERIES_R6C, "r6c2",
+        "scale_r6cb",
+    )
+    print(json.dumps({"decade1_sf01_sf1": d1, "decade2_sf1_sf10": d2}))
+    spark.stop()
+
+
 def runr6() -> None:
     d1, spark = _measure(
         (("sf0.1", SRC_DIR), ("sf1", OUT_DIR)), QUERIES_R6, "r6d1", "scale_r6"
@@ -413,6 +443,8 @@ if __name__ == "__main__":
         runr5()
     elif cmd == "runr6":
         runr6()
+    elif cmd == "runr6c":
+        runr6c()
     else:
         print("usage: scale_stress.py [gen|run|gen10|run10|runr5|runr6]")
         sys.exit(2)
