@@ -49,6 +49,7 @@ ROUND_HEAD = (
     "term_burstiness",
     "dedup_threshold_sensitivity",
     "packing_efficiency_report",
+    "max_coverage_select",
     "bpe_token_budget",
     "quality_classifier_scores",
     "doremi_domain_weights",

@@ -1146,3 +1146,147 @@ def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("naive_utilization"),
     )
+
+
+_MAXCOV_K = 5
+_MAXCOV_N = 3  # gram width shared with the novelty query
+
+
+def _maxcov_oracle(k: int) -> str:
+    """Unrolled greedy maximum-coverage in plain SQL: every round
+    recomputes each remaining document's gain (distinct grams not yet
+    covered, zero-gain docs kept via the conditional sum), picks the
+    max with ties to the lowest doc_id, and unions the winner's grams
+    into the covered set — the exact selection the Spark driver loop
+    makes, step for step."""
+    n = _MAXCOV_N
+    parts = [
+        "arrs AS (SELECT doc_id, list_filter(string_split(text, ' '),"
+        " x -> x <> '') AS t FROM documents)",
+        "sh AS (SELECT DISTINCT doc_id, gram FROM ("
+        f"SELECT doc_id, unnest(list_transform(range(1, len(t) - {n - 2}),"
+        f" i -> array_to_string(t[i:i+{n - 1}], ' '))) AS gram"
+        f" FROM arrs WHERE len(t) >= {n}))",
+        "c1 AS (SELECT doc_id, count(*) AS gain FROM sh GROUP BY doc_id"
+        " ORDER BY gain DESC, doc_id LIMIT 1)",
+        "cov1 AS (SELECT DISTINCT gram FROM sh JOIN c1 USING (doc_id))",
+    ]
+    for i in range(2, k + 1):
+        exclude = " UNION ".join(
+            f"SELECT doc_id FROM c{j}" for j in range(1, i)
+        )
+        parts.append(
+            f"g{i} AS (SELECT s.doc_id,"
+            " CAST(sum(CASE WHEN v.gram IS NULL THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS gain"
+            f" FROM sh s LEFT JOIN cov{i - 1} v ON s.gram = v.gram"
+            f" WHERE s.doc_id NOT IN ({exclude})"
+            " GROUP BY s.doc_id)"
+        )
+        parts.append(
+            f"c{i} AS (SELECT doc_id, gain FROM g{i}"
+            " ORDER BY gain DESC, doc_id LIMIT 1)"
+        )
+        if i < k:
+            parts.append(
+                f"cov{i} AS (SELECT gram FROM cov{i - 1}"
+                f" UNION SELECT s.gram FROM sh s JOIN c{i} USING (doc_id))"
+            )
+    selects = [
+        f"SELECT CAST({i} AS INTEGER) AS rank, doc_id,"
+        f" CAST(gain AS BIGINT) AS gain FROM c{i}"
+        for i in range(1, k + 1)
+    ]
+    return "WITH " + ",\n    ".join(parts) + "\n    " + "\n    UNION ALL ".join(
+        selects
+    )
+
+
+@register(
+    "max_coverage_select",
+    oracle=_maxcov_oracle(_MAXCOV_K),
+    doc=f"Greedy maximum-coverage selection (k={_MAXCOV_K}): pick the "
+    f"document covering the most distinct {_MAXCOV_N}-grams, then "
+    "repeatedly the one adding the most NOT-yet-covered grams — the "
+    "classic (1−1/e)-approximate submodular data-selection baseline "
+    "(facility location over lexical features), used to build small "
+    "high-coverage subsets for evaluation or seed corpora. gain is the "
+    "marginal coverage at each pick; zero-gain documents stay eligible "
+    "(conditional sum over a left join, not an anti-join). Scale shape: "
+    "the covered set is bounded by the grams of the k SELECTED docs — "
+    "tiny by construction — so it broadcasts; each round is one "
+    "broadcast left join + per-doc aggregate + 1-row argmax over the "
+    "distinct-gram frame, and the corpus text never shuffles. The "
+    "oracle replays every round as an unrolled CTE chain.",
+    tags=("llm", "selection"),
+)
+def max_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_fanout(spark, sf_dir, "documents")
+    arr = F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+    arrs = docs.select("doc_id", arr.alias("t"))
+    sh = (
+        arrs.where(F.size("t") >= _MAXCOV_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("t") - _MAXCOV_N),
+                        lambda i: F.concat_ws(
+                            " ",
+                            *[F.col("t")[i + j] for j in range(_MAXCOV_N)],
+                        ),
+                    )
+                )
+            ).alias("gram"),
+        )
+        .persist()
+    )
+    selected: list[tuple[int, int, int]] = []
+    covered = None  # DataFrame of covered grams
+    for rank in range(1, _MAXCOV_K + 1):
+        pool = sh
+        if selected:
+            pool = pool.where(
+                ~F.col("doc_id").isin([d for _, d, _ in selected])
+            )
+        if covered is None:
+            gains = pool.groupBy("doc_id").agg(
+                F.count("*").cast("bigint").alias("gain")
+            )
+        else:
+            gains = (
+                pool.join(
+                    F.broadcast(covered.withColumn("_hit", F.lit(1))),
+                    "gram",
+                    "left",
+                )
+                .groupBy("doc_id")
+                .agg(
+                    F.sum(
+                        F.when(F.col("_hit").isNull(), 1).otherwise(0)
+                    )
+                    .cast("bigint")
+                    .alias("gain")
+                )
+            )
+        top = gains.agg(
+            F.max(
+                F.struct(F.col("gain"), (-F.col("doc_id")).alias("ni"))
+            ).alias("t")
+        ).collect()[0]["t"]
+        if top is None:  # pool exhausted (k > n docs)
+            break
+        doc = -top["ni"]
+        selected.append((rank, doc, top["gain"]))
+        new_grams = sh.where(F.col("doc_id") == doc).select("gram")
+        covered = (
+            new_grams
+            if covered is None
+            else covered.union(new_grams).distinct()
+        )
+        covered = covered.localCheckpoint(eager=True)
+    sh.unpersist()
+    return spark.createDataFrame(
+        selected, schema="rank int, doc_id bigint, gain bigint"
+    )

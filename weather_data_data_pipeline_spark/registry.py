@@ -142,6 +142,8 @@ _ROUND_HEAD: tuple[str, ...] = (
     # r6 new: dedup tuning curve + packing utilization instruments
     "dedup_threshold_sensitivity",
     "packing_efficiency_report",
+    # r6 new: greedy max-coverage (submodular selection baseline)
+    "max_coverage_select",
     # r6 FIXED: was silently bound to the doremi function by a stacked
     # decorator in r5 (ADVICE r6 #1) — its r5 "green" row verified the
     # wrong query; must earn a real one
