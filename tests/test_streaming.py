@@ -805,3 +805,70 @@ def test_sampling_weight_sink_equals_batch_on_union(spark, tmp_path):
     # the planted pairs actually exercised the two count paths
     assert got[23][0] == "0.500000"  # cross-half: 1 in batch + 1 in index
     assert got[31][0] == "0.500000"  # within-batch window pair
+
+
+def test_packing_stream_append_equals_one_pass(spark, tmp_path):
+    """Arrival-order streaming packing with the carried token offset ==
+    one-pass packing of the union in the same order, bit-for-bit: the
+    carry makes bin ids a pure function of the global prefix sum, so
+    WHERE the batch boundary falls cannot move any document's bin —
+    including a document that straddles a bin boundary across batches."""
+    from weather_data_data_pipeline_spark.operators.ranking import (
+        global_running_sum,
+    )
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    rows = docs.orderBy("doc_id").collect()
+    third = len(rows) // 3
+    src = str(tmp_path / "pk_src")
+    for lo, hi in ((0, third), (third, 2 * third), (2 * third, len(rows))):
+        spark.createDataFrame(rows[lo:hi], docs.schema).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "pk_out")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    q = (
+        S.packing_stream_append(
+            stream,
+            out,
+            str(tmp_path / "pk_ck"),
+            str(tmp_path / "pk_state"),
+            context_tokens=512,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["doc_id"]: (r["bin"], r["n_tok"])
+        for r in spark.read.parquet(out).collect()
+    }
+    toks = F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+    base = docs.select("doc_id", toks.cast("long").alias("n_tok"))
+    rt = global_running_sum(base, ["doc_id"], "n_tok", out_col="rt")
+    want = {
+        r["doc_id"]: (r["bin"], r["n_tok"])
+        for r in rt.select(
+            "doc_id",
+            "n_tok",
+            F.floor(
+                (F.col("rt") - F.col("n_tok")).cast("double") / 512
+            )
+            .cast("bigint")
+            .alias("bin"),
+        ).collect()
+    }
+    assert got == want
+    # batches really were separate and the carry crossed a bin boundary
+    assert (
+        spark.read.parquet(out).select("batch_id").distinct().count() == 3
+    )
+    state = spark.read.parquet(str(tmp_path / "pk_state")).collect()
+    assert state[0]["total_tokens"] == sum(v[1] for v in want.values())

@@ -671,3 +671,77 @@ def sampling_weight_sink(
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
     )
+
+
+def packing_stream_append(
+    stream: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    state_path: str,
+    context_tokens: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataStreamWriter:
+    """Streaming arrival-order sequence packing: documents are packed
+    into ``context_tokens``-token bins IN ARRIVAL ORDER, with the
+    running token total carried across micro-batches through a tiny
+    parquet state file — the live form of shard assembly, where a
+    packer cannot re-sort history and must extend the last open bin.
+
+    Within a batch the bin ids come from the distributed prefix sum
+    (operators/ranking.py: global_running_sum over the arrival key),
+    offset by the carried total; a document belongs to the bin where it
+    STARTS, exactly like the batch ``sequence_packing`` contract. The
+    carried offset makes the composition exact: packing batches
+    [B1, B2] separately with the carry equals packing (B1 ∪ B2) in one
+    pass over the same order — bit-for-bit, pinned in
+    tests/test_streaming.py. State is ONE number; nothing else persists
+    or grows with the stream.
+    """
+    from weather_data_data_pipeline_spark.operators.ranking import (
+        global_running_sum,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        try:
+            offset = (
+                spark.read.parquet(state_path).collect()[0]["total_tokens"]
+            )
+        except Exception:
+            offset = 0
+        toks = F.size(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+        )
+        base = batch_df.select(
+            F.col(id_col), toks.cast("long").alias("n_tok")
+        )
+        rt = global_running_sum(base, [id_col], "n_tok", out_col="rt")
+        packed = rt.select(
+            F.lit(int(batch_id)).alias("batch_id"),
+            id_col,
+            "n_tok",
+            F.floor(
+                (F.col("rt") + F.lit(int(offset)) - F.col("n_tok")).cast(
+                    "double"
+                )
+                / context_tokens
+            )
+            .cast("bigint")
+            .alias("bin"),
+        )
+        packed.write.mode("append").parquet(out_path)
+        new_total = int(offset) + int(
+            base.agg(F.sum("n_tok")).collect()[0][0] or 0
+        )
+        spark.createDataFrame(
+            [(new_total,)], "total_tokens long"
+        ).coalesce(1).write.mode("overwrite").parquet(state_path)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
