@@ -212,9 +212,18 @@ def score_frozen_md5(
         margin.alias("margin"),
     )
     md = F.col("margin").cast("double")
+    # round in the DECIMAL domain: pin the double sigmoid to a 15-dp
+    # decimal FIRST, then half-up round that decimal to 6 dp (both
+    # engines' decimal round is half-away-from-zero). Rounding the raw
+    # double directly is engine-specific at 6-dp half boundaries
+    # (Spark rounds the exact binary expansion, DuckDB float-multiplies)
+    # — same ULP class as the doc_char_entropy flip fixed in r6.
+    sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-md))
     return out.select(
         "*",
-        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-md)), 6).alias("prob_pos"),
+        F.round(sig.cast("decimal(38,15)"), 6)
+        .cast("double")
+        .alias("prob_pos"),
         (md > 0).cast("int").alias("pred"),
     )
 

@@ -747,12 +747,18 @@ def sampling_weight_columns(
     dec = "decimal(38,6)"
     dedup_w = F.round(F.lit(1.0) / c, 6).cast(dec)
     quality_w = F.round(quality_score(text_col), 2).cast(dec)
+    # round in the DECIMAL domain: pin the double product to a 15-dp
+    # decimal FIRST, then half-up round that decimal to 9 dp — rounding
+    # the raw double is engine-specific at half boundaries (same ULP
+    # class as the doc_char_entropy flip fixed in r6)
     final_w = F.round(
-        dedup_w.cast("double")
-        * quality_w.cast("double")
-        * temp_weight.cast("double"),
+        (
+            dedup_w.cast("double")
+            * quality_w.cast("double")
+            * temp_weight.cast("double")
+        ).cast("decimal(38,15)"),
         9,
-    )
+    ).cast("double")
     return dedup_w, quality_w, final_w
 
 

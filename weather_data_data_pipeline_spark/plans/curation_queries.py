@@ -844,7 +844,8 @@ def _sampling_weights_oracle() -> str:
     tot AS (SELECT sum(p) AS tp FROM src),
     tw AS (
       SELECT source,
-             CAST(round(CAST(p AS DOUBLE) / CAST(tp AS DOUBLE), 6)
+             CAST(round(CAST(CAST(p AS DOUBLE) / CAST(tp AS DOUBLE)
+                             AS DECIMAL(38,15)), 6)
                   AS DECIMAL(38,6)) AS temp_weight
       FROM src CROSS JOIN tot)
     SELECT w.doc_id,
@@ -852,10 +853,12 @@ def _sampling_weights_oracle() -> str:
            CAST(round({_quality_sql().replace('text', 'w.text')}, 2)
                 AS DECIMAL(38,6)) AS quality_weight,
            tw.temp_weight,
-           round(CAST(CAST(round(1.0 / w.c, 6) AS DECIMAL(38,6)) AS DOUBLE)
+           CAST(round(CAST(
+                 CAST(CAST(round(1.0 / w.c, 6) AS DECIMAL(38,6)) AS DOUBLE)
                  * CAST(CAST(round({_quality_sql().replace('text', 'w.text')}, 2)
                              AS DECIMAL(38,6)) AS DOUBLE)
-                 * CAST(tw.temp_weight AS DOUBLE), 9) AS final_weight
+                 * CAST(tw.temp_weight AS DOUBLE)
+               AS DECIMAL(38,15)), 9) AS DOUBLE) AS final_weight
     FROM w JOIN tw USING (source)
     """
 
@@ -901,7 +904,14 @@ def doc_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = src.agg(F.sum("p").alias("tp"))
     tw = src.crossJoin(F.broadcast(tot)).select(
         "source",
-        F.round(F.col("p").cast("double") / F.col("tp").cast("double"), 6)
+        # decimal-domain round (15-dp pin first) — see
+        # functions/text.py:sampling_weight_columns for the rationale
+        F.round(
+            (F.col("p").cast("double") / F.col("tp").cast("double")).cast(
+                "decimal(38,15)"
+            ),
+            6,
+        )
         .cast(_DEC)
         .alias("temp_weight"),
     )

@@ -721,7 +721,8 @@ _FROZEN_QC_ORACLE = f"""
       FROM documents d LEFT JOIN sums s USING (doc_id)
     )
     SELECT doc_id, label, margin,
-           round(1.0 / (1.0 + exp(-CAST(margin AS DOUBLE))), 6) AS prob_pos,
+           CAST(round(CAST(1.0 / (1.0 + exp(-CAST(margin AS DOUBLE)))
+                           AS DECIMAL(38,15)), 6) AS DOUBLE) AS prob_pos,
            CAST(CAST(margin AS DOUBLE) > 0 AS INT) AS pred
     FROM scored
 """
@@ -823,9 +824,9 @@ _FROZEN_PIPE_ORACLE = f"""
     ),
     qscore AS (
       SELECT d.doc_id,
-             round(1.0 / (1.0 + exp(-CAST(
+             CAST(round(CAST(1.0 / (1.0 + exp(-CAST(
                CAST(coalesce(s.s, 0) + {{qc_b}} AS DECIMAL(38,6))
-               AS DOUBLE))), 6) AS prob
+               AS DOUBLE))) AS DECIMAL(38,15)), 6) AS DOUBLE) AS prob
       FROM documents d LEFT JOIN qsums s USING (doc_id)
     ),
     gated AS (
