@@ -246,8 +246,8 @@ def ngram_contamination_bloom(
     id_col: str,
     text_col: str,
     n: int = 3,
-    num_bits: int = 1 << 17,
-    num_hashes: int = 5,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 3,
 ) -> DataFrame:
     """:func:`ngram_contamination` with a Bloom prescreen on the TRAIN
     side — the shape that survives decontaminating a 100 TB train
@@ -264,18 +264,31 @@ def ngram_contamination_bloom(
     truly-overlapping gram is never bloom-negative (no false
     negatives), and false positives die in the exact semi-join. Same
     oracle, same output, ~zero train-side shuffle.
+
+    Defaults are sized for the bounded-eval-set premise (≈13k distinct
+    grams at bench SF → ~5 bits/key, FP ≈ 9% of train-distinct): false
+    positives only cost probe rows into the exact join, so a leaner
+    filter (3 probe expressions/row, half the literal) beats squeezing
+    the FP rate — decontaminating against a much larger eval set,
+    pass a bigger ``num_bits`` (the filter stays KB-scale up to 2^23).
     """
     from weather_data_data_pipeline_spark.functions.bloom import (
         build_bloom,
         might_contain,
     )
 
-    ev_grams = hashed_shingles(eval_df, id_col, text_col, n).localCheckpoint(
-        eager=True
-    )  # consumed by the bloom build AND the hit join
-    words = build_bloom(
-        ev_grams.select("h").dropDuplicates(), "h", num_bits, num_hashes
-    )
+    # ev_grams is consumed twice (bloom build + hit join) but NOT
+    # checkpointed: the eval side is bounded-small by the premise of
+    # this shape, so re-deriving its grams costs one cheap scan — the
+    # eager localCheckpoint this used to do was the single largest cost
+    # of the whole query at bench SF (it serialized the grams to the
+    # block store before any real work could start) and pinned driver
+    # memory for no at-scale benefit.
+    ev_grams = hashed_shingles(eval_df, id_col, text_col, n)
+    # no dropDuplicates before the build: BIT_OR is idempotent, so
+    # duplicate grams only re-set the same bits — the distinct's
+    # exchange bought nothing
+    words = build_bloom(ev_grams.select("h"), "h", num_bits, num_hashes)
     train_grams = (
         train.select(F.explode(shingle_array(text_col, n)).alias("g"))
         .select(F.xxhash64("g").alias("h"))

@@ -136,7 +136,7 @@ def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IDENTICAL semantics (and oracle) to corpus_contamination — the
     # Bloom prescreen has no false negatives and the exact semi-join
     # removes its false positives, so the output is provably the same;
-    # what changes is the PLAN: the train side probes a 16 KB
+    # what changes is the PLAN: the train side probes an 8 KB
     # codegen'd filter before any shuffle instead of distinct-ing
     # every train gram (tests pin result equality + that the prescreen
     # really prunes).
