@@ -263,19 +263,30 @@ def dsir_score_frozen(
     text_col: str,
     num_buckets: int = 256,
     include_bigrams: bool = True,
+    carry: tuple[str, ...] = (),
+    assume_nonempty: bool = False,
 ) -> DataFrame:
     """Score ``df`` against a FROZEN (bucket, r) ratio table:
-    (id, n_grams, log_w) with exactly :func:`dsir_log_weights`'s
-    decimal contract — so scoring the same documents against the same
-    frozen model yields bit-identical weights no matter how the corpus
-    is split into batches. That invariance is what makes the streaming
-    twin exact (stream == batch, per micro-batch), not approximate.
-    One gram pass over ``df``; the model broadcasts."""
+    (id, *carry, n_grams, log_w) with exactly
+    :func:`dsir_log_weights`'s decimal contract — so scoring the same
+    documents against the same frozen model yields bit-identical
+    weights no matter how the corpus is split into batches. That
+    invariance is what makes the streaming twin exact (stream == batch,
+    per micro-batch), not approximate. One gram pass over ``df``; the
+    model broadcasts.
+
+    ``carry`` columns (constant per document) ride through the gram
+    explode and both aggregates so callers never join the scores back
+    to the corpus. ``assume_nonempty=True`` additionally skips the
+    zero-gram join-back entirely — ONLY valid when the caller
+    guarantees every document tokenizes to ≥1 gram (e.g. a frame
+    already filtered to non-empty text); a zero-gram doc would silently
+    vanish instead of scoring log_w=0."""
     grams = hashed_gram_buckets(
-        df, id_col, text_col, num_buckets, include_bigrams
+        df, id_col, text_col, num_buckets, include_bigrams, carry=carry
     )
     per_doc = (
-        grams.groupBy(id_col, "bucket")
+        grams.groupBy(id_col, *carry, "bucket")
         .agg(F.count("*").alias("n"))
         # LEFT join + ratio-0 fill: a fresh corpus can hash grams into
         # buckets absent from the fit-time model; score-time treats the
@@ -286,17 +297,20 @@ def dsir_score_frozen(
         .withColumn(
             "r", F.coalesce(F.col("r"), F.lit(0).cast(_RATIO_DECIMAL))
         )
-        .groupBy(id_col)
+        .groupBy(id_col, *carry)
         .agg(
             F.sum("n").cast("bigint").alias("n_grams"),
             F.sum(F.col("n") * F.col("r")).cast("double").alias("log_w"),
         )
     )
+    if assume_nonempty:
+        return per_doc
     return (
-        df.select(id_col)
-        .join(per_doc, id_col, "left")
+        df.select(id_col, *carry)
+        .join(per_doc.drop(*carry) if carry else per_doc, id_col, "left")
         .select(
             id_col,
+            *carry,
             F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
             F.coalesce("log_w", F.lit(0.0)).alias("log_w"),
         )
@@ -309,6 +323,7 @@ def dsir_select_topk(
     k: int,
     salt: str = "dsir-v1",
     log_w_col: str = "log_w",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gumbel-top-k importance RESAMPLING over precomputed log weights:
     score = log_w + Gumbel(0,1), take the k largest — distributionally
@@ -320,13 +335,16 @@ def dsir_select_topk(
     engines reproduce the exact same selection. Working in log space
     sidesteps exp(log_w) overflow entirely.
 
-    Output: (id, log_w, score) for the k winners. One global top-k —
-    Spark's TakeOrderedAndProject, no full sort."""
+    Output: (id, *carry, log_w, score) for the k winners — ``carry``
+    columns of ``weights`` ride through so callers never need to join
+    the winners back to the corpus. One global top-k — Spark's
+    TakeOrderedAndProject, no full sort."""
     u = portable_uniform(id_col, salt)
     score = F.col(log_w_col) + (-F.log(-F.log(u)))
     return (
         weights.select(
             id_col,
+            *[F.col(c) for c in carry],
             F.col(log_w_col),
             F.round(score, 4).alias("score"),
             score.alias("_s"),

@@ -993,7 +993,7 @@ _FROZEN_PIPE_ORACLE = f"""
 def curation_pipeline_frozen_e2e(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from pyspark.sql import Window as _W  # noqa: F401 (parity with sibling queries)
+    from pyspark.sql import Window
 
     from weather_data_data_pipeline_spark.functions.classifier import (
         score_frozen_md5,
@@ -1007,40 +1007,61 @@ def curation_pipeline_frozen_e2e(
     )
 
     docs = load_fanout(spark, sf_dir, "documents")
-    gate = (
+    # the gate is an inline FILTER, not a semi-join back to docs: the
+    # frozen margin is a scan-shaped expression, so carrying text
+    # through keep_cols keeps the whole gate inside the first scan —
+    # the join form re-scanned the corpus a second time for nothing
+    gated = (
         score_frozen_md5(
-            docs, "doc_id", "text", FROZEN_QC_WEIGHTS, FROZEN_QC_INTERCEPT
+            docs,
+            "doc_id",
+            "text",
+            FROZEN_QC_WEIGHTS,
+            FROZEN_QC_INTERCEPT,
+            keep_cols=("text",),
         )
         .where(F.col("prob_pos") >= F.lit(_PIPE_GATE))
-        .select("doc_id")
+        .select("doc_id", "text")
     )
-    gated = docs.join(gate, "doc_id", "left_semi")
     clean = span_dedup_clean(gated, "doc_id", "text", n=8, min_count=2)
     nonempty = clean.where(
         F.col("clean_text").isNotNull() & (F.col("clean_text") != "")
     )
-    # exact dedup on the CLEANED text: the 32-byte digest shuffles for
-    # the winner election, never the strings
-    winners = (
-        nonempty.select("doc_id", F.sha2("clean_text", 256).alias("_d"))
-        .groupBy("_d")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    # exact dedup on the CLEANED text as ONE window over the digest:
+    # the previous semi-join form put the whole span pipeline on BOTH
+    # sides of the join — two shuffles of the cleaned rows plus a
+    # re-executed subplan — where the winner election only needs a
+    # min-over-digest partition (same replan as the r6 doremi 25→6)
+    kept = (
+        nonempty.withColumn(
+            "_m",
+            F.min("doc_id").over(
+                Window.partitionBy(F.sha2("clean_text", 256))
+            ),
+        )
+        .where(F.col("doc_id") == F.col("_m"))
+        .drop("_m")
     )
-    kept = nonempty.join(winners, "doc_id", "left_semi").localCheckpoint(
-        eager=False
-    )
+    # kept_tokens CARRIES through the gram pipeline (constant per doc),
+    # and non-empty clean text guarantees ≥1 gram, so the zero-gram
+    # join-back is skipped — the winners never join back to the corpus
+    # and the whole pipeline is ONE linear plan with a single consumer
+    # per stage (no checkpoint, nothing re-executes)
     ratios = _frozen_dsir_ratios_df(spark)
     weights = dsir_score_frozen(
-        kept.select("doc_id", F.col("clean_text").alias("text")),
+        kept.select(
+            "doc_id", "kept_tokens", F.col("clean_text").alias("text")
+        ),
         ratios,
         "doc_id",
         "text",
         num_buckets=_FROZEN_DSIR_NB,
+        carry=("kept_tokens",),
+        assume_nonempty=True,
     )
-    sel = dsir_select_topk(weights, "doc_id", k=_PIPE_K, salt=_PIPE_SALT)
-    return sel.join(
-        kept.select("doc_id", "kept_tokens"), "doc_id"
+    return dsir_select_topk(
+        weights, "doc_id", k=_PIPE_K, salt=_PIPE_SALT,
+        carry=("kept_tokens",),
     ).select("doc_id", "kept_tokens", "log_w", "score")
 
 
