@@ -872,3 +872,129 @@ def test_packing_stream_append_equals_one_pass(spark, tmp_path):
     )
     state = spark.read.parquet(str(tmp_path / "pk_state")).collect()
     assert state[0]["total_tokens"] == sum(v[1] for v in want.values())
+
+
+def test_packing_stream_replay_converges(spark, tmp_path):
+    """Kill-and-restart mid-stream: foreachBatch is at-least-once, so a
+    micro-batch can be re-delivered after a failure. The carry state
+    records (last_batch_id, total_before, total_tokens); a replayed
+    batch re-packs against the offset it saw the first time and
+    dynamic-overwrites its own output partition — output and state
+    converge to the SAME bytes instead of double-counting tokens and
+    shifting every later bin (ADVICE r6)."""
+    from weather_data_data_pipeline_spark.streaming.incremental import (
+        _packing_batch_writer,
+    )
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    rows = docs.orderBy("doc_id").collect()
+    half = len(rows) // 2
+    b0 = spark.createDataFrame(rows[:half], docs.schema)
+    b1 = spark.createDataFrame(rows[half:], docs.schema)
+    out = str(tmp_path / "rp_out")
+    state = str(tmp_path / "rp_state")
+    w = _packing_batch_writer(out, state, 512, "doc_id", "text")
+    w(b0, 0)
+    w(b1, 1)
+
+    def snap():
+        o = sorted(
+            (r["doc_id"], r["batch_id"], r["n_tok"], r["bin"])
+            for r in spark.read.parquet(out).collect()
+        )
+        s = spark.read.parquet(state).collect()[0]
+        return o, (s["last_batch_id"], s["total_before"], s["total_tokens"])
+
+    committed = snap()
+    # crash after batch 1 committed -> the checkpoint re-delivers it
+    w(b1, 1)
+    assert snap() == committed
+    # crash between batch 1's output write and its state write: state
+    # still points at batch 0, the replay packs with the same offset
+    spark.createDataFrame(
+        [(0, 0, committed[1][1])],
+        "last_batch_id long, total_before long, total_tokens long",
+    ).coalesce(1).write.mode("overwrite").parquet(state)
+    w(b1, 1)
+    assert snap() == committed
+    # a batch OLDER than last_batch_id is fully committed: no-op
+    w(b0, 0)
+    assert snap() == committed
+
+
+def test_sampling_weight_sink_accumulates_cross_batch_dups(spark, tmp_path):
+    """With index_path set the sink folds every processed batch's digest
+    counts back into a persisted delta index, so a duplicate whose twin
+    arrived in an EARLIER micro-batch of the same stream discounts
+    exactly like the batch recompute over the full prefix (ADVICE r6:
+    without this, cross-batch stream duplicates kept dedup_weight 1.0)."""
+    from weather_data_data_pipeline_spark.plans.curation_queries import (
+        temperature_mix_weights,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "to a small town"
+    )
+    rows = []
+    for i in range(40):
+        src = f"s{i % 3}"
+        if i in (7, 23):  # cross-BATCH duplicate pair (7 in b0, 23 in b1)
+            text = base + " dup one"
+        elif i in (31, 35):  # within-batch duplicate pair
+            text = base + " dup two"
+        else:
+            text = f"{base} unique variation number {i} with extra words"
+        rows.append((i, text, "en", src, len(text)))
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    full = spark.createDataFrame(rows, schema)
+    sf_dir = str(tmp_path / "sfY")
+    import os
+
+    os.makedirs(sf_dir, exist_ok=True)
+    full.coalesce(1).write.parquet(os.path.join(sf_dir, "documents.parquet"))
+    temp_weights = {
+        r["source"]: f"{r['temp_weight']:.6f}"
+        for r in temperature_mix_weights(spark, sf_dir).collect()
+    }
+
+    src_dir = str(tmp_path / "swa_src")
+    full.where(F.col("doc_id") < 20).coalesce(1).write.mode("append").parquet(
+        src_dir
+    )
+    full.where(F.col("doc_id") >= 20).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    out = str(tmp_path / "swa_out")
+    stream = (
+        spark.readStream.schema(full.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src_dir)
+    )
+    q = (
+        S.sampling_weight_sink(
+            stream,
+            temp_weights,
+            None,  # NO static history: the stream builds its own index
+            out,
+            str(tmp_path / "swa_ck"),
+            index_path=str(tmp_path / "swa_idx"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["doc_id"]: str(r["dedup_weight"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert set(got) == set(range(40))
+    assert got[7] == "1.000000"  # scored before its twin arrived
+    assert got[23] == "0.500000"  # cross-batch dup: 1 in batch + 1 indexed
+    assert got[31] == "0.500000"  # within-batch pair still counts
+    assert got[35] == "0.500000"
+    # the delta index holds one partition per processed batch
+    idx = spark.read.parquet(str(tmp_path / "swa_idx"))
+    assert idx.select("v").distinct().count() == 2

@@ -625,6 +625,7 @@ def sampling_weight_sink(
     id_col: str = "doc_id",
     text_col: str = "text",
     source_col: str = "source",
+    index_path: str | None = None,
 ) -> DataStreamWriter:
     """Streaming FROZEN-mix sampling weights: score arriving documents
     with the fit-time artifacts — literal per-source temperature
@@ -641,10 +642,49 @@ def sampling_weight_sink(
     weight arithmetic is functions/text.py:sampling_weight_columns,
     the same expressions the batch query compiles, so the two paths
     cannot drift.
+
+    ``index_path=None`` keeps only the static ``history`` index:
+    duplicates that arrived in EARLIER micro-batches of this same
+    stream are not counted, so the index must be refreshed externally
+    between runs (ADVICE r6). Pass ``index_path`` to make the sink
+    self-maintaining: each batch appends its own digest counts as a
+    delta partition (``v=<batch_id>``), and every batch's history is
+    ``history ∪ Σ deltas with v < batch_id`` — so cross-batch stream
+    duplicates discount exactly like the batch recompute over the full
+    prefix. Replays overwrite their own delta and output partitions
+    (dynamic partition overwrite), so at-least-once delivery converges
+    to the same bytes. At real scale, compact the delta partitions
+    periodically; the per-batch read is one groupBy over them.
     """
+    from pyspark.errors import AnalysisException
+
     from weather_data_data_pipeline_spark.functions.text import (
+        digest_counts,
         doc_sampling_weights_frozen,
     )
+
+    def _accumulated_history(spark, batch_id: int) -> DataFrame | None:
+        if index_path is None:
+            return history
+        try:
+            deltas = (
+                spark.read.parquet(index_path)
+                .where(F.col("v") < F.lit(int(batch_id)))
+                .select("digest", "c_hist")
+            )
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" not in str(exc):
+                raise
+            deltas = None
+        frames = [f for f in (history, deltas) if f is not None]
+        if not frames:
+            return None
+        acc = frames[0] if len(frames) == 1 else frames[0].unionByName(
+            frames[1]
+        )
+        return acc.groupBy("digest").agg(
+            F.sum("c_hist").cast("long").alias("c_hist")
+        )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -652,24 +692,62 @@ def sampling_weight_sink(
         scored = doc_sampling_weights_frozen(
             batch_df,
             temp_weights,
-            history=history,
+            history=_accumulated_history(batch_df.sparkSession, batch_id),
             id_col=id_col,
             text_col=text_col,
             source_col=source_col,
         )
-        scored.withColumn("batch_id", F.lit(int(batch_id))).select(
+        out = scored.withColumn("batch_id", F.lit(int(batch_id))).select(
             "batch_id",
             id_col,
             "dedup_weight",
             "quality_weight",
             "temp_weight",
             "final_weight",
-        ).write.mode("append").parquet(out_path)
+        )
+        if index_path is None:
+            out.write.mode("append").parquet(out_path)
+            return
+        out.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id").parquet(out_path)
+        digest_counts(batch_df, text_col).withColumn(
+            "v", F.lit(int(batch_id))
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("v").parquet(index_path)
 
     return (
         stream.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
+    )
+
+
+def _read_carry_state(spark, state_path: str) -> tuple[int, int, int]:
+    """(last_batch_id, total_before, total_tokens) from the packing
+    carry-state file; (-1, 0, 0) ONLY when the path does not exist yet
+    (a fresh stream). Any other read error re-raises: treating a
+    transient listing/IO failure as "fresh stream" would silently
+    restart the offset at 0 and corrupt every later bin assignment
+    (ADVICE r6)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        row = spark.read.parquet(state_path).collect()[0]
+    except AnalysisException as exc:
+        cond = ""
+        try:
+            cond = exc.getCondition() or ""
+        except Exception:
+            pass
+        if "PATH_NOT_FOUND" in cond or "PATH_NOT_FOUND" in str(exc):
+            return -1, 0, 0
+        raise
+    return (
+        int(row["last_batch_id"]),
+        int(row["total_before"]),
+        int(row["total_tokens"]),
     )
 
 
@@ -695,9 +773,40 @@ def packing_stream_append(
     carried offset makes the composition exact: packing batches
     [B1, B2] separately with the carry equals packing (B1 ∪ B2) in one
     pass over the same order — bit-for-bit, pinned in
-    tests/test_streaming.py. State is ONE number; nothing else persists
-    or grows with the stream.
+    tests/test_streaming.py. State is one tiny parquet row; nothing
+    grows with the stream.
+
+    REPLAY SAFETY (foreachBatch is at-least-once): the state row
+    carries (last_batch_id, total_before, total_tokens). A replayed
+    batch — same ``batch_id`` re-delivered after a failure — packs
+    against ``total_before`` (the offset it saw the first time) and
+    REWRITES its own output partition (dynamic partition overwrite on
+    batch_id) and the state row to the identical values, so a crash
+    anywhere between output and state commit converges to the same
+    bytes instead of double-counting tokens and shifting every later
+    bin. A batch older than ``last_batch_id`` is fully committed and
+    becomes a no-op.
     """
+    write_batch = _packing_batch_writer(
+        out_path, state_path, context_tokens, id_col, text_col
+    )
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+
+
+def _packing_batch_writer(
+    out_path: str,
+    state_path: str,
+    context_tokens: int,
+    id_col: str,
+    text_col: str,
+):
+    """The foreachBatch body of :func:`packing_stream_append`, exposed
+    so tests can drive a kill-and-replay sequence directly (call with
+    the same batch_id twice and assert the bytes converge)."""
     from weather_data_data_pipeline_spark.operators.ranking import (
         global_running_sum,
     )
@@ -706,12 +815,10 @@ def packing_stream_append(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        try:
-            offset = (
-                spark.read.parquet(state_path).collect()[0]["total_tokens"]
-            )
-        except Exception:
-            offset = 0
+        last_id, before, after = _read_carry_state(spark, state_path)
+        if batch_id < last_id:
+            return  # older than the last committed batch: already done
+        offset = before if batch_id == last_id else after
         toks = F.size(
             F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
         )
@@ -732,16 +839,17 @@ def packing_stream_append(
             .cast("bigint")
             .alias("bin"),
         )
-        packed.write.mode("append").parquet(out_path)
+        # dynamic overwrite of ONLY this batch's partition: a replay
+        # rewrites its own rows instead of appending duplicates
+        packed.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id").parquet(out_path)
         new_total = int(offset) + int(
             base.agg(F.sum("n_tok")).collect()[0][0] or 0
         )
         spark.createDataFrame(
-            [(new_total,)], "total_tokens long"
+            [(int(batch_id), int(offset), new_total)],
+            "last_batch_id long, total_before long, total_tokens long",
         ).coalesce(1).write.mode("overwrite").parquet(state_path)
 
-    return (
-        stream.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")
-    )
+    return write_batch
