@@ -322,3 +322,27 @@ def test_ivf_pq_persisted_index_matches_inline(spark, tmp_path):
     assert cbs == pq_train_residual_codebooks(
         df, cents, m=4, k_cw=8, sample_size=80, iters=5
     )
+
+
+def test_brute_force_l2_topk_int_ids(spark):
+    """Non-bigint id columns flow through: the output schema derives the
+    id type from the corpus schema (ADVICE r6 — it was hardcoded to
+    long, corrupting/failing other id types despite the parameterized
+    API)."""
+    from weather_data_data_pipeline_spark.functions.pq import (
+        brute_force_l2_topk,
+    )
+
+    df, _ = _clustered(spark, n=30, seed=9)
+    small = df.select(
+        F.col("vec_id").cast("int").alias("vec_id"), "embedding"
+    )
+    out = brute_force_l2_topk(
+        small, small.where(F.col("vec_id") < 2), k=3
+    )
+    assert dict(out.dtypes)["query_id"] == "int"
+    assert dict(out.dtypes)["neighbor_id"] == "int"
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == {0, 1}
+    assert all(len([r for r in rows if r["query_id"] == q]) == 3
+               for q in (0, 1))

@@ -535,8 +535,12 @@ def brute_force_l2_topk(
     import numpy as np
     import pandas as pd
 
+    # id type follows the corpus schema (ivf_pq_encode's convention) —
+    # hardcoded int64 ids broke/corrupted non-bigint id columns despite
+    # the parameterized API (ADVICE r6)
+    id_type = corpus.schema[id_col].dataType.simpleString()
     q_rows = queries.select(id_col, vec_col).collect()
-    q_ids = np.array([r[0] for r in q_rows], dtype="int64")
+    q_ids = np.array([r[0] for r in q_rows])
     Q = np.stack([np.asarray(r[1], dtype="float64") for r in q_rows])
 
     def score(batches):
@@ -560,7 +564,7 @@ def brute_force_l2_topk(
                 col[ids == qid] = np.inf  # exclude self-match
                 order = np.lexsort((ids, col))[: min(k, len(ids))]
                 order = order[np.isfinite(col[order])]
-                out_q.append(np.full(len(order), qid, dtype="int64"))
+                out_q.append(np.full(len(order), qid, dtype=q_ids.dtype))
                 out_n.append(ids[order])
                 out_d.append(col[order])
             yield pd.DataFrame(
@@ -572,7 +576,7 @@ def brute_force_l2_topk(
             )
 
     cand = corpus.select(id_col, vec_col).mapInPandas(
-        score, "query_id long, neighbor_id long, l2_raw double"
+        score, f"query_id {id_type}, neighbor_id {id_type}, l2_raw double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("l2_raw"), F.asc("neighbor_id")

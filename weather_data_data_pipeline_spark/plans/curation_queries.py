@@ -1052,7 +1052,11 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(t,) for t in _SENS_THRESHOLDS], "threshold double"
     )
     return (
-        th.crossJoin(pairs.select("jaccard"))
+        # LEFT join (not crossJoin): a pair-free corpus must still emit
+        # one n_pairs=0 row per threshold, like the oracle's
+        # `th LEFT JOIN j ON true` (ADVICE r6) — the NULL jaccard of
+        # the unmatched row falls into the otherwise(0) arm
+        th.join(pairs.select("jaccard"), F.lit(True), "left")
         .groupBy("threshold")
         .agg(
             F.sum(
