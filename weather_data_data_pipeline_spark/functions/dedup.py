@@ -1031,6 +1031,97 @@ def incremental_near_dedup(
     return survivors.join(drop, id_col, "left_anti")
 
 
+def incremental_near_dedup_portable(
+    new_df: DataFrame,
+    kept_df: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    num_perm: int = 32,
+    bands: int = 16,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """:func:`incremental_near_dedup` with the engine-portable md5
+    MinHash family (:func:`minhash_signatures_portable`) end to end —
+    cross-corpus band probe, exact-Jaccard verify, within-batch
+    :func:`minhash_dedup_pairs_portable` + connected components — so an
+    external SQL oracle can replay the ENTIRE per-batch dedup decision,
+    including which new doc dies to the kept corpus vs to a same-batch
+    twin. Same two-stage shape and greedy-vs-global caveat as the
+    xxhash64 production family; the md5-per-shingle cost is the
+    portability tax."""
+    survivors = new_df
+    if kept_df is not None and not kept_df.isEmpty():
+        sig_new = minhash_signatures_portable(
+            new_df, id_col, text_col, n, num_perm
+        ).localCheckpoint(eager=True)
+        sig_kept = minhash_signatures_portable(
+            kept_df, id_col, text_col, n, num_perm
+        ).localCheckpoint(eager=True)
+        rows_per_band = num_perm // bands
+
+        def banded(sigs: DataFrame, out: str) -> DataFrame:
+            structs = [
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"h{b * rows_per_band + j}")
+                                for j in range(rows_per_band)
+                            ],
+                        )
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ]
+            return sigs.select(
+                F.col(id_col).alias(out),
+                F.explode(F.array(*structs)).alias("bb"),
+            ).select(
+                out,
+                F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"),
+            )
+
+        cand = (
+            banded(sig_new, "new_id")
+            .join(banded(sig_kept, "kept_id"), ["band", "bucket"])
+            .select("new_id", "kept_id")
+            .dropDuplicates()
+        )
+        sh_new = new_df.select(
+            F.col(id_col).alias("new_id"),
+            shingle_array(text_col, n).alias("sh_a"),
+        )
+        sh_kept = kept_df.select(
+            F.col(id_col).alias("kept_id"),
+            shingle_array(text_col, n).alias("sh_b"),
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        dup_new_ids = (
+            cand.join(sh_new, "new_id")
+            .join(sh_kept, "kept_id")
+            .where(inter / union >= threshold)
+            .select(F.col("new_id").alias(id_col))
+            .dropDuplicates()
+        )
+        survivors = new_df.join(dup_new_ids, id_col, "left_anti")
+
+    pairs = minhash_dedup_pairs_portable(
+        survivors, id_col, text_col, n, threshold, num_perm, bands,
+        max_bucket_size,
+    )
+    clusters = connected_components(pairs)
+    drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return survivors.join(drop, id_col, "left_anti")
+
+
 def build_minhash_index(
     df: DataFrame,
     path: str,

@@ -1948,31 +1948,140 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incremental_portable_oracle_sql(
+    split_id: int = 250,
+    num_perm: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of the portable incremental near-dedup: identical md5
+    permutation family and band buckets (_minhash_portable_oracle_sql's
+    machinery), the cross-corpus probe restricted to new×kept band
+    collisions with exact-Jaccard verify, then within-batch pairs among
+    the cross-stage survivors and min-id components via the
+    dedup_clusters recursive-CTE pattern."""
+    rows_per_band = num_perm // bands
+    mins = ",\n             ".join(
+        f"min(md5('{i}:' || s)) AS h{i}" for i in range(num_perm)
+    )
+    band_branches = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {b} AS band, md5({expr}) AS bucket FROM sig".format(
+            b=b,
+            expr=" || '|' || ".join(
+                f"h{b * rows_per_band + j}" for j in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS MATERIALIZED (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+           FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) _l(i)
+           WHERE len(t) >= 3),
+    sig AS MATERIALIZED (SELECT doc_id,
+             {mins}
+            FROM sh GROUP BY doc_id),
+    bands AS MATERIALIZED (
+      {band_branches}
+    ),
+    cnt AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    xc AS (
+      SELECT DISTINCT nb.doc_id AS new_id, kb.doc_id AS kept_id
+      FROM bands nb
+      JOIN bands kb ON nb.band = kb.band AND nb.bucket = kb.bucket
+      WHERE nb.doc_id >= {split_id} AND kb.doc_id < {split_id}
+    ),
+    xdup AS (
+      SELECT DISTINCT new_id FROM (
+        SELECT c.new_id, c.kept_id, count(*) AS n_common
+        FROM xc c
+        JOIN sh a ON a.doc_id = c.new_id
+        JOIN sh b ON b.doc_id = c.kept_id AND b.s = a.s
+        GROUP BY 1, 2
+      ) pj
+      JOIN cnt ca ON ca.doc_id = pj.new_id
+      JOIN cnt cb ON cb.doc_id = pj.kept_id
+      WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common)
+            >= {threshold}
+    ),
+    surv AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id >= {split_id}
+        AND doc_id NOT IN (SELECT new_id FROM xdup)
+    ),
+    wc AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                  AND a.doc_id < b.doc_id
+      JOIN surv sa ON sa.doc_id = a.doc_id
+      JOIN surv sb ON sb.doc_id = b.doc_id
+    ),
+    wdup AS (
+      SELECT pj.id_a, pj.id_b FROM (
+        SELECT c.id_a, c.id_b, count(*) AS n_common
+        FROM wc c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+        GROUP BY 1, 2
+      ) pj
+      JOIN cnt ca ON ca.doc_id = pj.id_a
+      JOIN cnt cb ON cb.doc_id = pj.id_b
+      WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common)
+            >= {threshold}
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM wdup
+              UNION SELECT id_b, id_a FROM wdup),
+    walk(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src
+    ),
+    drops AS (
+      SELECT src AS doc_id FROM walk GROUP BY src
+      HAVING least(src, min(dst)) <> src
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    JOIN surv s ON s.doc_id = d.doc_id
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+    ORDER BY d.doc_id
+    """
+
+
 @register(
     "dedup_incremental_batch",
-    verified_by="tests/test_dedup_caps.py",
-    oracle=None,  # MinHash-family specific; invariants + batch-equivalence
-    # are pytest-verified (tests/test_dedup_caps.py)
+    oracle=_incremental_portable_oracle_sql(250, 32, 16, 0.5),
     doc="Incremental near-dedup of an arriving batch against an "
-    "already-kept corpus (functions/dedup.py:incremental_near_dedup): "
-    "the reference's anti-join idempotency generalized to MinHash "
+    "already-kept corpus "
+    "(functions/dedup.py:incremental_near_dedup_portable): the "
+    "reference's anti-join idempotency generalized to MinHash "
     "near-duplicates — the per-batch operator of a continuously "
     "ingesting training-data pipeline. Docs with id < 250 play the kept "
     "corpus, the rest arrive as the new batch; output is the new ids "
     "that survive (not near-dup of kept, one representative per "
-    "within-batch cluster). Invariants tested: kept ∪ survivors has no "
-    "near-dup pair; replaying the batch adds nothing.",
-    tags=("llm", "dedup", "rows-only"),
+    "within-batch cluster). The md5-portable family lets the DuckDB "
+    "oracle replay the ENTIRE per-batch decision — cross-corpus band "
+    "probe, exact-Jaccard verify, within-batch components (recursive "
+    "CTE) — closing the r6 no-oracle gap; the xxhash64 production "
+    "family keeps its invariant tests (kept ∪ survivors pair-free, "
+    "replay adds nothing) in tests/test_dedup_caps.py.",
+    tags=("llm", "dedup"),
 )
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_data_data_pipeline_spark.functions.dedup import (
-        incremental_near_dedup,
+        incremental_near_dedup_portable,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    # fan out before the 32-perm md5 hashing (the single-file scan
+    # would pin all signature work on one core — see
+    # ngram_jaccard_pairs_query)
+    docs = load_fanout(spark, sf_dir, "documents")
     kept = docs.where(F.col("doc_id") < 250)
     new = docs.where(F.col("doc_id") >= 250)
-    out = incremental_near_dedup(new, kept, "doc_id", "text", threshold=0.5)
+    out = incremental_near_dedup_portable(
+        new, kept, "doc_id", "text", threshold=0.5
+    )
     return out.select("doc_id", "lang", "source").orderBy("doc_id")
 
 
