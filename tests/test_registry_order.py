@@ -21,38 +21,15 @@ WINDOW = 50
 # Mirror of registry._ROUND_HEAD — a deliberate copy so that editing the
 # head without thinking about the verification window fails a test.
 ROUND_HEAD = (
-    "gopher_quality_rules",
-    "ccnet_ppl_buckets",
-    "corpus_contamination_bloom",
-    "ann_ivf_pq_topk_seeded",
-    "curation_pipeline_frozen_e2e",
     "quality_classifier_frozen_scores",
-    "dsir_score_frozen",
-    "image_dhash_near_dup",
-    "ann_pq_recall_report",
-    "hybrid_search_rrf",
-    "embedding_diversity_by_label",
-    "shard_manifest",
-    "unimax_language_mix",
-    "rho_excess_loss_select",
-    "temperature_mix_weights",
-    "soft_dedup_weights",
-    "doc_char_entropy",
-    "ngram_novelty_curriculum",
-    "kcenter_coreset_select",
-    "dedup_keep_best_quality",
-    "vocab_nucleus_coverage",
-    "cross_source_dup_matrix",
-    "event_key_skew_profile",
-    "packing_pipeline_e2e",
     "doc_sampling_weights",
-    "term_burstiness",
+    "temperature_mix_weights",
+    "corpus_contamination_bloom",
+    "curation_pipeline_frozen_e2e",
+    "dsir_score_frozen",
+    "dedup_incremental_batch",
     "dedup_threshold_sensitivity",
-    "packing_efficiency_report",
-    "max_coverage_select",
-    "bpe_token_budget",
-    "quality_classifier_scores",
-    "doremi_domain_weights",
+    "recency_filter_last_hour",
 )
 
 

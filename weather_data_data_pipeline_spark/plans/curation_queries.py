@@ -57,8 +57,10 @@ _TEMP_ALPHA = 0.5
     tot AS (
       SELECT CAST(sum(n_tokens) AS BIGINT) AS tt, sum(p) AS tp FROM src)
     SELECT source, n_tokens,
-           round(CAST(n_tokens AS DOUBLE) / tt, 6) AS raw_share,
-           round(CAST(p AS DOUBLE) / CAST(tp AS DOUBLE), 6) AS temp_weight
+           CAST(round(CAST(CAST(n_tokens AS DOUBLE) / tt
+                           AS DECIMAL(38,15)), 6) AS DOUBLE) AS raw_share,
+           CAST(round(CAST(CAST(p AS DOUBLE) / CAST(tp AS DOUBLE)
+                           AS DECIMAL(38,15)), 6) AS DOUBLE) AS temp_weight
     FROM src CROSS JOIN tot
     """,
     doc="Temperature-scaled source sampling weights: per-source share "
@@ -88,12 +90,24 @@ def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_tokens",
-        F.round(F.col("n_tokens").cast("double") / F.col("tt"), 6).alias(
-            "raw_share"
-        ),
+        # decimal-domain rounds (15-dp pin first) — see
+        # functions/text.py:sampling_weight_columns for the rationale
         F.round(
-            F.col("p").cast("double") / F.col("tp").cast("double"), 6
-        ).alias("temp_weight"),
+            (F.col("n_tokens").cast("double") / F.col("tt")).cast(
+                "decimal(38,15)"
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("raw_share"),
+        F.round(
+            (F.col("p").cast("double") / F.col("tp").cast("double")).cast(
+                "decimal(38,15)"
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("temp_weight"),
     )
 
 

@@ -76,84 +76,34 @@ _loaded = False
 # PLAN/ORACLE changed this round and must (re-)earn a green row. Keep
 # tests/test_registry_order.py's ROUND_HEAD copy in sync.
 _ROUND_HEAD: tuple[str, ...] = (
-    # r6 new: Gopher rule bundle + CCNet per-lang perplexity terciles
-    "gopher_quality_rules",
-    "ccnet_ppl_buckets",
-    # r6 new: bloom-prescreened decontamination — identical output,
-    # train side probes a 16 KB codegen filter before any shuffle
-    "corpus_contamination_bloom",
-    # r6 new: seeded IVF-PQ — the full composition (cells, residuals,
-    # codes, LUTs, ADC) hash-checked end-to-end in DuckDB
-    "ann_ivf_pq_topk_seeded",
-    # r6 new: end-to-end frozen curation pipeline (gate → span-clean →
-    # exact-dedup → frozen-DSIR Gumbel-top-32), full-composition oracle
-    "curation_pipeline_frozen_e2e",
-    # r6 new: FROZEN-model quality scoring — literal pinned
-    # coefficients over md5 token buckets, full oracle replay
-    # (tokenize → bucket → dot → sigmoid); closes the r5 gap of a
-    # classifier family with no oracle-checked variant
+    # r7 RE-EARN: the two r6 hash-red driver rows (irreproducible at
+    # HEAD; both double-domain rounding steps hardened into the decimal
+    # domain — classifier sigmoid, sampling-weight product/division)
     "quality_classifier_frozen_scores",
-    # r6 new: FROZEN-model DSIR scoring — 64-row literal ratio table,
-    # oracle replays the scoring path; left-join unseen-bucket fix
-    "dsir_score_frozen",
-    # r6 new: image perceptual dHash near-dup over real decoded pixels
-    # — 4×16-bit pigeonhole banding, closed-form oracle
-    "image_dhash_near_dup",
-    # r6 new: PQ production-path recall report (Lloyd-trained codebooks
-    # + IVF-PQ vs exact L2 truth; rows-only, pinned in tests/test_pq.py)
-    "ann_pq_recall_report",
-    # r6 new: hybrid retrieval — BM25 top-50 + dense cosine top-50 fused
-    # with reciprocal-rank fusion; full-composition oracle
-    "hybrid_search_rrf",
-    # r6 new: per-label mean pairwise cosine via the Gram identity —
-    # O(n·d) where the naive form is O(n²) pairs; decimal-exact oracle
-    "embedding_diversity_by_label",
-    # r6 new: token-balanced shard manifest — two-level distributed
-    # prefix sum, oracle replays the naive global window
-    "shard_manifest",
-    # r6 new: UniMax epoch-capped language mixing in closed window form
-    "unimax_language_mix",
-    # r6 new: RHO-style per-doc excess-loss top-k selection
-    "rho_excess_loss_select",
-    # r6 new curation layer (plans/curation_queries.py): temperature
-    # sampling weights, soft-dedup token accounting, zero-shuffle char
-    # entropy, n-gram novelty deciles, greedy k-center coreset
-    "temperature_mix_weights",
-    "soft_dedup_weights",
-    "doc_char_entropy",
-    "ngram_novelty_curriculum",
-    "kcenter_coreset_select",
-    # r6 new: quality-aware near-dup retention (argmax quality per
-    # component instead of min id)
-    "dedup_keep_best_quality",
-    # r6 new: tokenizer-sizing nucleus vocab + near-dup provenance matrix
-    "vocab_nucleus_coverage",
-    "cross_source_dup_matrix",
-    # r6 new: pre-shuffle key-skew diagnostic (Gini/HHI on the
-    # distributed prefix-sum rank)
-    "event_key_skew_profile",
-    # r6 new: quality→holdout→pack→shard composition, one plan
-    "packing_pipeline_e2e",
-    # r6 new: the trainer-facing per-doc sampling-weight table
-    # (soft-dedup × quality × source temperature)
     "doc_sampling_weights",
-    # r6 new: Church–Gale burstiness collection statistic
-    "term_burstiness",
-    # r6 new: dedup tuning curve + packing utilization instruments
+    # r7 hardened the same p/tp division surface (decimal-domain round)
+    "temperature_mix_weights",
+    # r7 REPLANNED: filter words ship as one parsed+folded literal
+    # (py4j per-element lit cost was the whole 11x bench gap), eval-gram
+    # checkpoint dropped, filter sized to the bounded eval set
+    "corpus_contamination_bloom",
+    # r7 REPLANNED: inline gate filter, min-over-digest winner window,
+    # kept_tokens carried through the gram pipeline — one linear plan,
+    # no checkpoint, no join-back (2.2 s -> 1.6 s)
+    "curation_pipeline_frozen_e2e",
+    # r7 touched: dsir_score_frozen/dsir_select_topk grew carry params
+    # (default path unchanged) — re-pin
+    "dsir_score_frozen",
+    # r7 NEW ORACLE: md5-portable incremental near-dedup, the full
+    # per-batch decision replayed (was the last feasible no-oracle row)
+    "dedup_incremental_batch",
+    # r7 FIXED: pair-free corpus now emits n_pairs=0 per threshold
+    # (LEFT join, matching the oracle's LEFT JOIN ON true)
     "dedup_threshold_sensitivity",
-    "packing_efficiency_report",
-    # r6 new: greedy max-coverage (submodular selection baseline)
-    "max_coverage_select",
-    # r6 FIXED: was silently bound to the doremi function by a stacked
-    # decorator in r5 (ADVICE r6 #1) — its r5 "green" row verified the
-    # wrong query; must earn a real one
-    "bpe_token_budget",
-    # r6 FIXED: trainingSummary serialization crash after observed
-    # writes (VERDICT r5 #1) — fit now write/load-strips the summary
-    "quality_classifier_scores",
-    # r6 REPLANNED: 25 exchanges → 6 (one gram frame, one per-source
-    # aggregation, window normalizers) — output unchanged, re-earn
-    "doremi_domain_weights",
+    # r7 staleness pin: SURVEY §2 row last green r4; the computed
+    # window would not reach it this round (policy: no §2 query
+    # goes >3 rounds without a re-green)
+    "recency_filter_last_hour",
 )
 
 
