@@ -30,6 +30,7 @@ ROUND_HEAD = (
     "dedup_incremental_batch",
     "dedup_threshold_sensitivity",
     "recency_filter_last_hour",
+    "decontamination_clean_corpus",
 )
 
 

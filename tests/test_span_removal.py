@@ -222,3 +222,67 @@ def test_clean_preserves_null_text(spark):
            for r in span_dedup_clean(df, "doc_id", "text", n=3).collect()}
     assert got[1] is None
     assert got[2] == "a b c"
+
+
+def test_decontamination_clean_removes_eval_spans(spark):
+    """Tokens covered by an n-gram occurring anywhere in the eval set
+    are cut and the document reassembled; clean docs pass untouched;
+    overlapping contaminated grams merge into one island (a run of k
+    consecutive flagged n-grams costs k + n - 1 tokens, not k*n)."""
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        decontamination_clean,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, "e1 e2 e3 e4 extra tail"), (101, None)],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # contains eval 3-grams "e1 e2 e3" and "e2 e3 e4" (overlap →
+            # ONE island covering e1..e4)
+            (1, "a b e1 e2 e3 e4 c d"),
+            (2, "clean doc with no overlap at all"),
+            (3, "x y"),  # shorter than n: passes through
+            (4, None),  # NULL stays NULL
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["kept_tokens"])
+        for r in decontamination_clean(
+            train, ev, "doc_id", "text", n=3
+        ).collect()
+    }
+    assert got[1] == ("a b c d", 8, 4)
+    assert got[2] == ("clean doc with no overlap at all", 7, 7)
+    assert got[3] == ("x y", 2, 2)
+    assert got[4][0] is None
+
+
+def test_decontamination_clean_idempotent(spark):
+    """Cleaning an already-clean corpus is a no-op: after one pass no
+    eval n-gram can remain, so a second pass changes nothing."""
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        decontamination_clean,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, "p q r s")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [(1, "a p q r s b"), (2, "m n o")], "doc_id long, text string"
+    )
+    once = decontamination_clean(
+        train, ev, "doc_id", "text", n=3
+    ).selectExpr("doc_id", "clean_text AS text")
+    twice = {
+        r["doc_id"]: r["clean_text"]
+        for r in decontamination_clean(
+            once, ev, "doc_id", "text", n=3
+        ).collect()
+    }
+    assert twice == {
+        r["doc_id"]: r["clean_text"] for r in
+        decontamination_clean(train, ev, "doc_id", "text", n=3).collect()
+    }

@@ -998,3 +998,55 @@ def test_sampling_weight_sink_accumulates_cross_batch_dups(spark, tmp_path):
     # the delta index holds one partition per processed batch
     idx = spark.read.parquet(str(tmp_path / "swa_idx"))
     assert idx.select("v").distinct().count() == 2
+
+
+def test_decontamination_sink_equals_batch(spark, tmp_path):
+    """Streaming decontamination against a FROZEN eval set == the batch
+    clean over the union: a document's cleaned form depends only on
+    itself and the eval grams, so where the micro-batch boundary falls
+    cannot change any output row."""
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        decontamination_clean,
+    )
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    ev = docs.where(F.col("doc_id") % 7 == 0)
+    train = docs.where(F.col("doc_id") % 7 != 0)
+    rows = train.orderBy("doc_id").collect()
+    half = len(rows) // 2
+    src = str(tmp_path / "dc_src")
+    for lo, hi in ((0, half), (half, len(rows))):
+        spark.createDataFrame(rows[lo:hi], train.schema).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "dc_out")
+    stream = (
+        spark.readStream.schema(train.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    q = (
+        S.decontamination_sink(
+            stream, ev, out, str(tmp_path / "dc_ck"), n=5
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["kept_tokens"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["kept_tokens"])
+        for r in decontamination_clean(
+            train, ev, "doc_id", "text", n=5
+        ).collect()
+    }
+    assert got == want
+    assert (
+        spark.read.parquet(out).select("batch_id").distinct().count() == 2
+    )

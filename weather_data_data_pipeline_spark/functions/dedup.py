@@ -1296,12 +1296,29 @@ def _span_islands(
     window merging overlapping fixed-width spans (overlap iff
     pos - prev_pos < n). Both public faces project from THIS frame, so
     their removal semantics cannot diverge."""
-    from pyspark.sql import Window
+    toks = _span_toks(df, id_col, text_col)
+    grams = _positional_gram_hashes(toks, id_col, n)
+    freq = grams.groupBy("h").agg(F.count("*").alias("_c"))
+    dup = grams.join(freq.where(F.col("_c") >= min_count), "h").select(
+        id_col, "pos"
+    )
+    return toks, _merge_islands(dup, id_col, n)
 
-    toks = df.select(
+
+def _span_toks(df: "DataFrame", id_col: str, text_col: str) -> "DataFrame":
+    """(id, _t token array, _len) — the per-doc token frame every span
+    transform projects from."""
+    return df.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("_t")
     ).withColumn("_len", F.size("_t"))
-    grams = (
+
+
+def _positional_gram_hashes(
+    toks: "DataFrame", id_col: str, n: int
+) -> "DataFrame":
+    """(id, pos, h): xxhash64 of each positional n-gram — hashed AFTER
+    the posexplode so the hash stays in whole-stage codegen."""
+    return (
         toks.where(F.col("_len") >= n)
         .select(
             id_col,
@@ -1314,13 +1331,19 @@ def _span_islands(
         )
         .select(id_col, "pos", F.xxhash64("gram").alias("h"))
     )
-    freq = grams.groupBy("h").agg(F.count("*").alias("_c"))
-    dup = grams.join(freq.where(F.col("_c") >= min_count), "h").select(
-        id_col, "pos"
-    )
+
+
+def _merge_islands(dup: "DataFrame", id_col: str, n: int) -> "DataFrame":
+    """Merge duplicate n-gram start positions (id, pos) into maximal
+    token intervals (id, _isl, s, e): per-doc lag/running-sum window,
+    overlap iff pos - prev_pos < n — the gaps-and-islands pass shared by
+    every span transform (a run of k consecutive flagged n-grams costs
+    k + n - 1 tokens, not k·n)."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy(id_col).orderBy("pos")
     prev = F.lag("pos").over(w)
-    islands = (
+    return (
         dup.withColumn(
             "_new",
             F.when(prev.isNull() | (F.col("pos") - prev >= n), 1).otherwise(0),
@@ -1329,7 +1352,6 @@ def _span_islands(
         .groupBy(id_col, "_isl")
         .agg(F.min("pos").alias("s"), (F.max("pos") + n).alias("e"))
     )
-    return toks, islands
 
 
 def span_dedup_stats(
@@ -1392,6 +1414,16 @@ def span_dedup_clean(
     Documents shorter than n tokens pass through untouched.
     """
     toks, islands = _span_islands(df, id_col, text_col, n, min_count)
+    return _rebuild_clean(toks, islands, id_col)
+
+
+def _rebuild_clean(
+    toks: "DataFrame", islands: "DataFrame", id_col: str
+) -> "DataFrame":
+    """Rebuild (id, clean_text, n_tokens, kept_tokens) from the token
+    frame and the merged removal intervals: one groupBy(id) collecting
+    the islands into an array and a codegen'd higher-order filter — the
+    reconstruction never shuffles tokens, only (id, islands) pairs."""
     spans = islands.groupBy(id_col).agg(
         F.collect_list(F.struct("s", "e")).alias("_spans")
     )
@@ -1425,6 +1457,52 @@ def span_dedup_clean(
             F.size("_kept").cast("bigint").alias("kept_tokens"),
         )
     )
+
+
+def decontamination_clean(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Decontamination CLEANING (Lee et al.'s exact-substring removal
+    pointed at an eval set): every TRAIN token covered by an n-gram that
+    occurs ANYWHERE in ``eval_df`` is removed, and the document is
+    reassembled — (id, clean_text, n_tokens, kept_tokens), one row per
+    train document. The report twins (``ngram_contamination*``) say how
+    contaminated the corpus is; this produces the corpus you actually
+    train on.
+
+    Scale shape, same premise as :func:`~.search.ngram_contamination_bloom`
+    (bounded eval set, unbounded train): the eval set's positional-gram
+    hashes build a KB-scale Bloom filter in one bounded pass, the train
+    scan probes it as a codegen'd expression BEFORE any shuffle, and
+    only the surviving sliver semi-joins the exact eval-gram set (no
+    false negatives; false positives die in the semi-join). Downstream
+    is the shared span machinery: gaps-and-islands interval merge + the
+    higher-order token rebuild — tokens never shuffle, only (id, pos)
+    pairs of flagged grams. Docs shorter than n tokens pass through
+    untouched (an eval gram cannot occur in them)."""
+    from weather_data_data_pipeline_spark.functions.bloom import (
+        build_bloom,
+        might_contain,
+    )
+
+    ev_hashes = _positional_gram_hashes(
+        _span_toks(eval_df, id_col, text_col), id_col, n
+    ).select("h")
+    words = build_bloom(ev_hashes, "h", num_bits, num_hashes)
+    toks = _span_toks(train, id_col, text_col)
+    dup = (
+        _positional_gram_hashes(toks, id_col, n)
+        .where(might_contain(words, F.col("h"), num_bits, num_hashes))
+        .join(ev_hashes.dropDuplicates(), "h", "left_semi")
+        .select(id_col, "pos")
+    )
+    return _rebuild_clean(toks, _merge_islands(dup, id_col, n), id_col)
 
 
 def lsh_candidate_recall(threshold: float, num_perm: int, bands: int) -> float:

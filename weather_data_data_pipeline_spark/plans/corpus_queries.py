@@ -28,7 +28,7 @@ from weather_data_data_pipeline_spark.functions.text import (
     redact,
 )
 from weather_data_data_pipeline_spark.registry import register
-from weather_data_data_pipeline_spark.sources.tables import load
+from weather_data_data_pipeline_spark.sources.tables import load, load_fanout
 
 _BM25_TERMS = ["spark", "join", "stream"]
 _BM25_K1 = 1.2
@@ -128,6 +128,105 @@ def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "text",
         n=3,
+    )
+
+
+@register(
+    "decontamination_clean_corpus",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, source, u.pos AS pos, u.gram AS gram FROM (
+            SELECT doc_id, source,
+                   unnest(list_transform(range(1, len(t) - 6),
+                          i -> struct_pack(pos := i - 1,
+                               gram := array_to_string(t[i:i+7], ' ')))) AS u
+            FROM toks WHERE len(t) >= 8
+        )
+    ),
+    ev AS MATERIALIZED (
+        SELECT DISTINCT gram FROM spans WHERE source = 'src0'
+    ),
+    dup AS (
+        SELECT doc_id, pos FROM spans
+        WHERE source <> 'src0' AND gram IN (SELECT gram FROM ev)
+    ),
+    marked AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER w IS NULL
+                      OR pos - lag(pos) OVER w >= 8 THEN 1 ELSE 0
+               END AS new_isl
+        FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    islands AS (
+        SELECT doc_id, pos,
+               sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        FROM marked
+    ),
+    per_isl AS (
+        SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+        FROM islands GROUP BY doc_id, isl
+    ),
+    tok_pos AS (
+        SELECT doc_id, u.i AS i, u.tok AS tok FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) + 1),
+                          i -> struct_pack(i := i - 1, tok := t[i]))) AS u
+            FROM toks WHERE source <> 'src0'
+        )
+    ),
+    kept AS (
+        SELECT tp.doc_id, tp.i, tp.tok
+        FROM tok_pos tp
+        WHERE NOT EXISTS (
+            SELECT 1 FROM per_isl b
+            WHERE b.doc_id = tp.doc_id AND tp.i >= b.s AND tp.i < b.e
+        )
+    ),
+    clean AS (
+        SELECT doc_id,
+               string_agg(tok, ' ' ORDER BY i) AS clean_text,
+               count(*) AS kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE coalesce(c.clean_text, '') END AS clean_text,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE CAST(coalesce(c.kept, 0) AS BIGINT) END AS kept_tokens
+    FROM documents d LEFT JOIN clean c USING (doc_id)
+    WHERE d.source <> 'src0'
+    """,
+    doc="Decontamination CLEANING — the applied form of the "
+    "contamination reports: every train token (source<>src0) covered "
+    "by an 8-gram that occurs anywhere in the eval split (src0) is "
+    "REMOVED and the document reassembled "
+    "(functions/dedup.py:decontamination_clean) — doc_id, clean_text, "
+    "n_tokens, kept_tokens for every train document. The eval set's "
+    "positional-gram hashes build a KB-scale Bloom filter in one "
+    "bounded pass; the train scan probes it as a codegen'd expression "
+    "BEFORE any shuffle and only the surviving sliver semi-joins the "
+    "exact gram set — then the shared span machinery (gaps-and-islands "
+    "merge + higher-order token rebuild, the span_dedup_clean_corpus "
+    "frames) cuts the intervals. The oracle rebuilds the exact strings "
+    "via the interval anti-join.",
+    tags=("llm", "dedup", "quality", "bench"),
+)
+def decontamination_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        decontamination_clean,
+    )
+
+    docs = load_fanout(spark, sf_dir, "documents")
+    return decontamination_clean(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        "doc_id",
+        "text",
+        n=8,
     )
 
 

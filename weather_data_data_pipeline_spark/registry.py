@@ -104,6 +104,9 @@ _ROUND_HEAD: tuple[str, ...] = (
     # window would not reach it this round (policy: no §2 query
     # goes >3 rounds without a re-green)
     "recency_filter_last_hour",
+    # r7 NEW: decontamination cleaning (eval-span removal, bloom
+    # prescreen + shared span machinery, full oracle)
+    "decontamination_clean_corpus",
 )
 
 

@@ -853,3 +853,48 @@ def _packing_batch_writer(
         ).coalesce(1).write.mode("overwrite").parquet(state_path)
 
     return write_batch
+
+
+def decontamination_sink(
+    stream: DataFrame,
+    eval_df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataStreamWriter:
+    """Streaming decontamination CLEANING: every arriving train document
+    has its eval-overlapping n-gram spans removed
+    (functions/dedup.py:decontamination_clean) and the cleaned rows
+    append as (batch_id, id, clean_text, n_tokens, kept_tokens) — the
+    live form of the batch ``decontamination_clean_corpus`` query, i.e.
+    how fresh crawl is scrubbed against a FROZEN eval set before it can
+    enter the training mix.
+
+    Because the eval set is frozen, a document's cleaned form depends
+    only on itself — batch boundaries are trivially irrelevant and the
+    stream equals the batch run over the union bit-for-bit (pinned in
+    tests/test_streaming.py). Replays dynamic-overwrite their own
+    output partition, so at-least-once delivery converges."""
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        decontamination_clean,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cleaned = decontamination_clean(
+            batch_df, eval_df, id_col, text_col, n=n
+        )
+        cleaned.withColumn("batch_id", F.lit(int(batch_id))).select(
+            "batch_id", id_col, "clean_text", "n_tokens", "kept_tokens"
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id").parquet(out_path)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
