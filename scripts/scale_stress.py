@@ -416,6 +416,38 @@ def runr6c() -> None:
     spark.stop()
 
 
+QUERIES_R7 = (
+    # r7 new/replanned families. decontamination: bloom probe before any
+    # shuffle + the span gaps-and-islands machinery (both measured-linear
+    # components). contamination bloom: post-literal-fix plan. frozen
+    # curation e2e: the single linear plan (gate filter -> span clean ->
+    # digest window -> carried dsir top-k). dedup_incremental_batch is
+    # EXCLUDED like exact Jaccard: its registered form runs the
+    # md5-portable family UNCAPPED (the oracle replays no bucket cap),
+    # and on the closed-vocabulary stress corpus uncapped banded
+    # self-joins were already measured quadratic-by-workload in r4; the
+    # capped xxhash production family (incremental_near_dedup,
+    # max_bucket_size=1000) is the shipped scale path.
+    "decontamination_clean_corpus",
+    "corpus_contamination_bloom",
+    "curation_pipeline_frozen_e2e",
+)
+
+
+def runr7() -> None:
+    d1, spark = _measure(
+        (("sf0.1", SRC_DIR), ("sf1", OUT_DIR)), QUERIES_R7, "r7d1",
+        "scale_r7",
+    )
+    spark.stop()
+    d2, spark = _measure(
+        (("sf1", OUT_DIR), ("sf10", OUT_DIR_10)), QUERIES_R7, "r7d2",
+        "scale_r7b",
+    )
+    print(json.dumps({"decade1_sf01_sf1": d1, "decade2_sf1_sf10": d2}))
+    spark.stop()
+
+
 def runr6() -> None:
     d1, spark = _measure(
         (("sf0.1", SRC_DIR), ("sf1", OUT_DIR)), QUERIES_R6, "r6d1", "scale_r6"
@@ -445,6 +477,8 @@ if __name__ == "__main__":
         runr6()
     elif cmd == "runr6c":
         runr6c()
+    elif cmd == "runr7":
+        runr7()
     else:
         print("usage: scale_stress.py [gen|run|gen10|run10|runr5|runr6]")
         sys.exit(2)
