@@ -31,6 +31,8 @@ ROUND_HEAD = (
     "dedup_threshold_sensitivity",
     "recency_filter_last_hour",
     "decontamination_clean_corpus",
+    "length_debias_sample",
+    "quality_proxy_agreement",
 )
 
 

@@ -1318,3 +1318,233 @@ def max_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         selected, schema="rank int, doc_id bigint, gain bigint"
     )
+
+
+_LDB_W = 16  # token-length bucket width
+_LDB_NB = 6  # buckets 0..5 (last open-ended); token lengths run 10-99
+_LDB_SALT = "ldb-v1"
+
+
+@register(
+    "length_debias_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             -- floor(), not CAST: DuckDB's / is float division and its
+             -- double->int CAST rounds half-up, where Spark floor()s
+             CAST(least(CAST(floor({_WS_TOKENS_SQL} / {_LDB_W}.0)
+                             AS BIGINT),
+                        {_LDB_NB - 1}) AS INTEGER) AS bucket
+      FROM documents),
+    hist AS (SELECT bucket, count(*) AS n FROM d GROUP BY bucket),
+    tot AS (SELECT sum(n) AS t FROM hist),
+    ratio AS (
+      SELECT bucket, n,
+             (1.0 / {_LDB_NB}) / (CAST(n AS DOUBLE) / t) AS r
+      FROM hist CROSS JOIN tot),
+    mx AS (SELECT max(r) AS mr FROM ratio),
+    acc AS (
+      SELECT bucket, n,
+             CAST(round(CAST(r / mr AS DECIMAL(38,15)), 6) AS DOUBLE) AS p
+      FROM ratio CROSS JOIN mx),
+    kept AS (
+      SELECT d.bucket, count(*) AS n_accepted
+      FROM d JOIN acc USING (bucket)
+      WHERE (CAST('0x' || substr(md5('{_LDB_SALT}'
+                                     || CAST(d.doc_id AS VARCHAR)), 1, 13)
+                  AS BIGINT) + 0.5) / 4503599627370496.0 < acc.p
+      GROUP BY d.bucket)
+    SELECT acc.bucket,
+           CAST(acc.n AS BIGINT) AS n_docs,
+           acc.p AS accept_prob,
+           CAST(coalesce(kept.n_accepted, 0) AS BIGINT) AS n_accepted
+    FROM acc LEFT JOIN kept USING (bucket)
+    ORDER BY acc.bucket
+    """,
+    doc="Distribution matching by rejection sampling: flatten the "
+    f"token-length histogram ({_LDB_NB} fixed {_LDB_W}-token buckets) "
+    "to a UNIFORM target — the standard de-biasing move when a corpus "
+    "over-represents one length regime (or domain, date, language; the "
+    "bucket expression is the only domain-specific piece). Per bucket: "
+    "accept_prob = (target_share/source_share) / max over buckets (so "
+    "the rarest bucket keeps everything and the glut is thinned), and "
+    "each document draws the portable md5 uniform — the DuckDB oracle "
+    "replays the EXACT accepted set, not a statistical twin. Plan: one "
+    f"aggregate to the {_LDB_NB}-row histogram, a broadcast back, one "
+    "codegen'd accept scan — two corpus scans, no shuffle wider than "
+    "the histogram.",
+    tags=("llm", "sampling", "bench"),
+)
+def length_debias_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.text import (
+        portable_uniform,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.least(
+            F.floor(_ws_tokens() / _LDB_W).cast("bigint"),
+            F.lit(_LDB_NB - 1).cast("bigint"),
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    hist = d.groupBy("bucket").agg(F.count("*").alias("n"))
+    tot = hist.agg(F.sum("n").alias("t"))
+    ratio = hist.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n",
+        (
+            F.lit(1.0 / _LDB_NB)
+            / (F.col("n").cast("double") / F.col("t"))
+        ).alias("r"),
+    )
+    mx = ratio.agg(F.max("r").alias("mr"))
+    acc = ratio.crossJoin(F.broadcast(mx)).select(
+        "bucket",
+        "n",
+        # decimal-domain round (15-dp pin) — both engines agree at half
+        # boundaries; the accept comparison uses the ROUNDED prob so
+        # the replayed decision is identical too
+        F.round((F.col("r") / F.col("mr")).cast("decimal(38,15)"), 6)
+        .cast("double")
+        .alias("p"),
+    )
+    kept = (
+        d.join(F.broadcast(acc), "bucket")
+        .where(portable_uniform("doc_id", _LDB_SALT) < F.col("p"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_accepted"))
+    )
+    return (
+        acc.join(kept, "bucket", "left")
+        .select(
+            "bucket",
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.col("p").alias("accept_prob"),
+            F.coalesce("n_accepted", F.lit(0))
+            .cast("bigint")
+            .alias("n_accepted"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_ENTROPY_SQL = """
+      CASE WHEN len(cs) = 0 THEN NULL ELSE
+        CAST(round(list_sum(list_transform(list_distinct(cs),
+          c -> CAST(round(
+                 -(CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE)
+                   / len(cs))
+                 * ln(CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE)
+                      / len(cs)), 6) AS DECIMAL(38,6)))), 4)
+          AS DOUBLE)
+      END"""
+
+
+@register(
+    "quality_proxy_agreement",
+    oracle=f"""
+    WITH scored AS (
+      SELECT source,
+             CAST(round({_quality_sql()}, 2) AS DECIMAL(18,6)) AS x,
+             CAST({_ENTROPY_SQL}
+                  AS DECIMAL(18,6)) AS y
+      FROM (SELECT source, text, string_split(text, '') AS cs
+            FROM documents)
+    ),
+    m AS (
+      SELECT source,
+             count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy,
+             sum(x * y) AS sxy
+      FROM scored WHERE y IS NOT NULL
+      GROUP BY source
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+           CASE WHEN (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <= 0
+                  OR (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0
+                THEN NULL
+                ELSE CAST(round(CAST(
+                  (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                AS DECIMAL(38,15)), 6) AS DOUBLE)
+           END AS corr
+    FROM m
+    ORDER BY source
+    """,
+    doc="Proxy-agreement screen: per-source Pearson correlation between "
+    "the cheap composite quality score and character entropy — the "
+    "instrument that says WHERE a fast proxy can stand in for a more "
+    "expensive signal (a source where the proxies decorrelate needs "
+    "the expensive one). Determinism is the point of the plan: all "
+    "five moment sums (Σx, Σy, Σx², Σy², Σxy) accumulate in EXACT "
+    "decimal — (18,6)×(18,6) products stay inside decimal(37,12), no "
+    "scale clamp — so partial-aggregation order cannot move them; the "
+    "correlation formula then runs ONCE per source in double on "
+    "bit-identical inputs (IEEE *, /, sqrt are correctly rounded, so "
+    "both engines produce the same double), 15-dp-pinned and rounded. "
+    "One scan, one partial+final aggregate of 7 numbers per source — "
+    "a shape that holds at any corpus size. Degenerate variance "
+    "(constant column) yields NULL, not a division blow-up.",
+    tags=("llm", "quality", "bench"),
+)
+def quality_proxy_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.text import quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    cs = F.split("text", "")
+    nch = F.size(cs)
+
+    def _term(c):
+        p = F.size(F.filter(cs, lambda x: x == c)).cast("double") / nch
+        return F.round(-p * F.log(p), 6).cast(_DEC)
+
+    entropy = F.when(
+        nch > 0,
+        F.round(
+            F.aggregate(
+                F.array_distinct(cs),
+                F.lit(0).cast(_DEC),
+                lambda acc, c: acc + _term(c),
+            ),
+            4,
+        ).cast("double"),
+    )
+    scored = docs.select(
+        "source",
+        F.round(quality_score("text"), 2).cast("decimal(18,6)").alias("x"),
+        entropy.cast("decimal(18,6)").alias("y"),
+    ).where(F.col("y").isNotNull())
+    m = scored.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    vx = n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    vy = n * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    cov = n * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    return m.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.when(
+            (vx <= 0) | (vy <= 0), F.lit(None).cast("double")
+        ).otherwise(
+            F.round((cov / F.sqrt(vx * vy)).cast("decimal(38,15)"), 6).cast(
+                "double"
+            )
+        ).alias("corr"),
+    ).orderBy("source")

@@ -107,6 +107,9 @@ _ROUND_HEAD: tuple[str, ...] = (
     # r7 NEW: decontamination cleaning (eval-span removal, bloom
     # prescreen + shared span machinery, full oracle)
     "decontamination_clean_corpus",
+    # r7 NEW: length-debias rejection sampling + proxy-agreement corr
+    "length_debias_sample",
+    "quality_proxy_agreement",
 )
 
 
