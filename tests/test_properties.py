@@ -154,3 +154,44 @@ def test_avg_state_merge_equals_full_recompute(spark, rows, n_batches):
     got = {r["k"]: r["average_value"] for r in merged.collect()}
     want = {r["k"]: r["average_value"] for r in full.collect()}
     assert got == want
+
+
+_VOCAB = ["a", "b", "c", "d", "e"]
+_DOC = st.lists(
+    st.sampled_from(_VOCAB), min_size=0, max_size=12
+).map(" ".join)
+
+
+@_SETTINGS
+@given(
+    train=st.lists(_DOC, min_size=1, max_size=8),
+    ev=st.lists(_DOC, min_size=1, max_size=4),
+)
+def test_decontamination_clean_is_complete(spark, train, ev):
+    """COMPLETENESS: after decontamination_clean, the contamination
+    report over the cleaned corpus is zero for every document — no
+    eval n-gram can survive the span removal. The tiny closed vocabulary
+    makes heavy overlap (including full-document and repeated-gram
+    overlap) the COMMON case rather than a planted one."""
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        decontamination_clean,
+    )
+    from weather_data_data_pipeline_spark.functions.search import (
+        ngram_contamination,
+    )
+
+    n = 3
+    train_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train)], "doc_id long, text string"
+    )
+    ev_df = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(ev)], "doc_id long, text string"
+    )
+    cleaned = decontamination_clean(
+        train_df, ev_df, "doc_id", "text", n=n
+    ).selectExpr("doc_id", "coalesce(clean_text, '') AS text")
+    # probe each CLEANED doc (the eval side of the report) against the
+    # eval corpus (the train side): a nonzero count means some eval
+    # n-gram survived the clean
+    report = ngram_contamination(ev_df, cleaned, "doc_id", "text", n=n)
+    assert report.where(F.col("n_contaminated") > 0).count() == 0
