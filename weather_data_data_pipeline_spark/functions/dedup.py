@@ -1465,7 +1465,7 @@ def decontamination_clean(
     id_col: str,
     text_col: str,
     n: int = 8,
-    num_bits: int = 1 << 16,
+    num_bits: int | None = None,
     num_hashes: int = 3,
 ) -> DataFrame:
     """Decontamination CLEANING (Lee et al.'s exact-substring removal
@@ -1485,7 +1485,18 @@ def decontamination_clean(
     is the shared span machinery: gaps-and-islands interval merge + the
     higher-order token rebuild — tokens never shuffle, only (id, pos)
     pairs of flagged grams. Docs shorter than n tokens pass through
-    untouched (an eval gram cannot occur in them)."""
+    untouched (an eval gram cannot occur in them).
+
+    ``num_bits=None`` (default) sizes the filter FROM the eval set: one
+    bounded count of its distinct gram hashes, then the next power of
+    two ≥ 10 bits/gram (FP ≈ 2% at 3 hashes), capped at 2^23 (1 MB of
+    literal). A fixed-size filter is the measured failure mode: at the
+    10× stress decade a 2^16 filter saturated against 1.2M distinct
+    eval 8-grams (18 keys/BIT → every probe passes) and the exact
+    semi-join inherited the entire train gram volume — 160× the
+    shuffle for a 0.02% true-hit rate. Positional n-grams are a
+    superset of an eval text's distinct grams, so unlike word trigrams
+    they do NOT stay vocabulary-bounded as the eval set grows."""
     from weather_data_data_pipeline_spark.functions.bloom import (
         build_bloom,
         might_contain,
@@ -1493,7 +1504,10 @@ def decontamination_clean(
 
     ev_hashes = _positional_gram_hashes(
         _span_toks(eval_df, id_col, text_col), id_col, n
-    ).select("h")
+    ).select("h").dropDuplicates()
+    if num_bits is None:
+        n_ev = max(1, ev_hashes.count())
+        num_bits = 1 << min(23, max(13, (10 * n_ev - 1).bit_length()))
     words = build_bloom(ev_hashes, "h", num_bits, num_hashes)
     toks = _span_toks(train, id_col, text_col)
     dup = (
