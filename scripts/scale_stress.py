@@ -480,5 +480,5 @@ if __name__ == "__main__":
     elif cmd == "runr7":
         runr7()
     else:
-        print("usage: scale_stress.py [gen|run|gen10|run10|runr5|runr6]")
+        print("usage: scale_stress.py [gen|run|gen10|run10|runr5|runr6|runr6c|runr7]")
         sys.exit(2)

@@ -286,3 +286,25 @@ def test_decontamination_clean_idempotent(spark):
         r["doc_id"]: r["clean_text"] for r in
         decontamination_clean(train, ev, "doc_id", "text", n=3).collect()
     }
+
+
+def test_decontamination_clean_empty_eval(spark):
+    """An empty eval set removes nothing: the auto-sized bloom is
+    all-zero, so every probe is negative and every train document
+    passes through byte-identical."""
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        decontamination_clean,
+    )
+
+    ev = spark.createDataFrame([], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, "a b c d e"), (2, None)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["kept_tokens"])
+        for r in decontamination_clean(
+            train, ev, "doc_id", "text", n=3
+        ).collect()
+    }
+    assert got[1] == ("a b c d e", 5)
+    assert got[2][0] is None
