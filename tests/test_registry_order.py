@@ -33,6 +33,7 @@ ROUND_HEAD = (
     "decontamination_clean_corpus",
     "length_debias_sample",
     "quality_proxy_agreement",
+    "semantic_decontamination",
 )
 
 

@@ -3482,3 +3482,74 @@ def embedding_diversity_by_label(
 
     emb = load(spark, sf_dir, "embeddings")
     return group_mean_pairwise_cosine(emb, "label", "embedding")
+
+
+_SEMDECON_EVAL_MAX = 100  # vec_id < 100 plays the bounded eval set
+_SEMDECON_T = 0.35
+
+
+@register(
+    "semantic_decontamination",
+    oracle=f"""
+    WITH ev AS (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id < {_SEMDECON_EVAL_MAX}),
+    scored AS (
+      SELECT t.vec_id, ev.vec_id AS ev_id,
+             {_DCOS.format(a="t.embedding", b="ev.embedding")} AS c
+      FROM embeddings t, ev
+      WHERE t.vec_id >= {_SEMDECON_EVAL_MAX}),
+    ranked AS (
+      SELECT vec_id, ev_id, c,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY c DESC, ev_id) AS rn
+      FROM scored)
+    SELECT vec_id, ev_id AS nearest_eval_id,
+           round(c, 4) AS max_cosine,
+           CAST(c >= {_SEMDECON_T} AS INT) AS contaminated
+    FROM ranked WHERE rn = 1
+    ORDER BY vec_id
+    """,
+    doc="SEMANTIC decontamination — the embedding-level complement of "
+    "the n-gram reports/cleaner: every train vector scored by its "
+    "maximum cosine against the (bounded) eval set, flagged when it "
+    f"clears {_SEMDECON_T} — the screen that catches paraphrased or "
+    "translated eval leakage that exact n-grams cannot (the standard "
+    "second line of defence next to exact-substring decontamination). "
+    "Plan: the eval set broadcasts, the train side is ONE scan with a "
+    "codegen'd higher-order dot product per (train, eval) pair, and "
+    "the per-train max collapses map-side (partial max of a (cos, id) "
+    "struct before the one narrow shuffle) — the corpus embeddings "
+    "never shuffle. Ties on exact cosine break to the lowest eval id "
+    "in both engines.",
+    tags=("llm", "similarity", "dedup", "bench"),
+)
+def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.similarity import (
+        _dot,
+        _norm,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    ev = emb.where(F.col("vec_id") < _SEMDECON_EVAL_MAX).select(
+        F.col("vec_id").alias("ev_id"), F.col("embedding").alias("e_vec")
+    )
+    train = emb.where(F.col("vec_id") >= _SEMDECON_EVAL_MAX)
+    cos = _dot(F.col("embedding"), F.col("e_vec")) / (
+        _norm(F.col("embedding")) * _norm(F.col("e_vec"))
+    )
+    scored = train.join(F.broadcast(ev)).select(
+        "vec_id", "ev_id", cos.alias("c")
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max(
+            F.struct(F.col("c").alias("c"), (-F.col("ev_id")).alias("n"))
+        ).alias("b")
+    )
+    return best.select(
+        "vec_id",
+        (-F.col("b.n")).alias("nearest_eval_id"),
+        F.round("b.c", 4).alias("max_cosine"),
+        (F.col("b.c") >= F.lit(_SEMDECON_T)).cast("int").alias(
+            "contaminated"
+        ),
+    ).orderBy("vec_id")

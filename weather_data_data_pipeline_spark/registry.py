@@ -110,6 +110,7 @@ _ROUND_HEAD: tuple[str, ...] = (
     # r7 NEW: length-debias rejection sampling + proxy-agreement corr
     "length_debias_sample",
     "quality_proxy_agreement",
+    "semantic_decontamination",
 )
 
 
