@@ -34,6 +34,7 @@ ROUND_HEAD = (
     "length_debias_sample",
     "quality_proxy_agreement",
     "semantic_decontamination",
+    "doc_bigram_kn_logppl",
 )
 
 

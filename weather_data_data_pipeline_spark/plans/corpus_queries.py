@@ -1073,3 +1073,114 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.where(F.col("vec_id") == 0), k=_RRF_DEPTH
     ).select(F.col("neighbor_id").alias("doc_id"), F.col("rn").alias("rank"))
     return rrf_fuse([lex, dense], "doc_id", k_rrf=_RRF_K, topk=20)
+
+
+_KN_D = 0.75
+
+
+@register(
+    "doc_bigram_kn_logppl",
+    oracle=f"""
+    WITH arrs AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    bi AS (
+      SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                      i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS u
+        FROM arrs WHERE len(t) >= 2
+      )
+    ),
+    bg AS MATERIALIZED (
+      SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2
+    ),
+    fwd AS (
+      SELECT w1, sum(c2) AS c1b, count(*) AS n1p_fwd
+      FROM bg GROUP BY w1
+    ),
+    bwd AS (
+      SELECT w2, count(*) AS n1p_bwd FROM bg GROUP BY w2
+    ),
+    tall AS (SELECT count(*) AS n1p_all FROM bg),
+    terms AS (
+      SELECT bi.doc_id,
+             CAST(round(-ln(
+               greatest(bg.c2 - {_KN_D}, 0.0) / c1b
+               + ({_KN_D} * n1p_fwd / c1b)
+                 * (CAST(n1p_bwd AS DOUBLE) / n1p_all)
+             ), 6) AS DECIMAL(38,6)) AS term
+      FROM bi
+      JOIN bg USING (w1, w2)
+      JOIN fwd USING (w1)
+      JOIN bwd USING (w2)
+      CROSS JOIN tall
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(round(CAST(CAST(sum(term) AS DOUBLE) / count(*)
+                           AS DECIMAL(38,15)), 4) AS DOUBLE) AS logppl
+    FROM terms GROUP BY doc_id
+    """,
+    doc="Interpolated Kneser-Ney bigram perplexity (D=0.75) under the "
+    "corpus's own counts — the KenLM-class upgrade of the add-one "
+    "scorer (doc_bigram_logppl): P(w2|w1) = max(c12-D,0)/c(w1·) + "
+    "D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··), so a word's continuation "
+    "probability reflects how many CONTEXTS it follows, not raw "
+    "frequency — the distinction that makes KN the standard for "
+    "CCNet-style perplexity filters. All four model tables derive from "
+    "ONE bigram-count aggregate (Zipf-small, broadcast back to the "
+    "exploded bigrams); per-term -ln rounds to 6-dp decimal BEFORE the "
+    "per-doc mean so aggregation order cannot move a score, and the "
+    "final division rounds in the decimal domain.",
+    tags=("llm", "text", "quality", "bench"),
+)
+def doc_bigram_kn_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    arr = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    arrs = docs.select("doc_id", arr.alias("t"))
+    bi = arrs.where(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.struct(
+                    F.col("t")[i].alias("w1"), F.col("t")[i + 1].alias("w2")
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    bg = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    fwd = bg.groupBy("w1").agg(
+        F.sum("c2").alias("c1b"), F.count("*").alias("n1p_fwd")
+    )
+    bwd = bg.groupBy("w2").agg(F.count("*").alias("n1p_bwd"))
+    tall = bg.agg(F.count("*").alias("n1p_all"))
+    p_kn = (
+        F.greatest(F.col("c2") - F.lit(_KN_D), F.lit(0.0)) / F.col("c1b")
+        + (F.lit(_KN_D) * F.col("n1p_fwd") / F.col("c1b"))
+        * (F.col("n1p_bwd").cast("double") / F.col("n1p_all"))
+    )
+    terms = (
+        bi.join(F.broadcast(bg), ["w1", "w2"])
+        .join(F.broadcast(fwd), "w1")
+        .join(F.broadcast(bwd), "w2")
+        .crossJoin(F.broadcast(tall))
+        .select(
+            "doc_id",
+            F.round(-F.log(p_kn), 6).cast("decimal(38,6)").alias("term"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(
+            (F.sum("term").cast("double") / F.count("*")).cast(
+                "decimal(38,15)"
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("logppl"),
+    )

@@ -111,6 +111,7 @@ _ROUND_HEAD: tuple[str, ...] = (
     "length_debias_sample",
     "quality_proxy_agreement",
     "semantic_decontamination",
+    "doc_bigram_kn_logppl",
 )
 
 
