@@ -1050,3 +1050,54 @@ def test_decontamination_sink_equals_batch(spark, tmp_path):
     assert (
         spark.read.parquet(out).select("batch_id").distinct().count() == 2
     )
+
+
+def test_semantic_decontamination_sink_equals_batch(spark, tmp_path):
+    """Streaming semantic decontamination against a FROZEN eval
+    embedding set == the batch query over the union: a vector's max
+    cosine depends only on itself and the eval set, so micro-batch
+    boundaries cannot change any output row."""
+    from weather_data_data_pipeline_spark.plans.llm_queries import (
+        _SEMDECON_EVAL_MAX,
+        semantic_decontamination,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    ev = emb.where(F.col("vec_id") < _SEMDECON_EVAL_MAX)
+    train = emb.where(F.col("vec_id") >= _SEMDECON_EVAL_MAX)
+    rows = train.orderBy("vec_id").collect()
+    half = len(rows) // 2
+    src = str(tmp_path / "sd_src")
+    for lo, hi in ((0, half), (half, len(rows))):
+        spark.createDataFrame(rows[lo:hi], train.schema).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "sd_out")
+    stream = (
+        spark.readStream.schema(train.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    q = (
+        S.semantic_decontamination_sink(
+            stream, ev, out, str(tmp_path / "sd_ck")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["vec_id"]: (r["nearest_eval_id"], r["max_cosine"], r["contaminated"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["vec_id"]: (r["nearest_eval_id"], r["max_cosine"], r["contaminated"])
+        for r in semantic_decontamination(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert (
+        spark.read.parquet(out).select("batch_id").distinct().count() == 2
+    )

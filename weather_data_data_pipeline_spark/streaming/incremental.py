@@ -898,3 +898,64 @@ def decontamination_sink(
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
     )
+
+
+def semantic_decontamination_sink(
+    stream: DataFrame,
+    eval_df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataStreamWriter:
+    """Streaming SEMANTIC decontamination: every arriving train vector
+    is scored by its max cosine against the FROZEN eval embedding set
+    and appended as (batch_id, id, nearest_eval_id, max_cosine,
+    contaminated) — the live twin of the batch
+    ``semantic_decontamination`` query. A vector's score depends only
+    on itself and the frozen eval set, so the stream equals the batch
+    run over the union bit-for-bit (pinned in tests/test_streaming.py);
+    replays dynamic-overwrite their own output partition."""
+    from weather_data_data_pipeline_spark.functions.similarity import (
+        _dot,
+        _norm,
+    )
+
+    ev = eval_df.select(
+        F.col(id_col).alias("_ev_id"), F.col(vec_col).alias("_e_vec")
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cos = _dot(F.col(vec_col), F.col("_e_vec")) / (
+            _norm(F.col(vec_col)) * _norm(F.col("_e_vec"))
+        )
+        scored = batch_df.join(F.broadcast(ev)).select(
+            id_col, "_ev_id", cos.alias("_c")
+        )
+        best = scored.groupBy(id_col).agg(
+            F.max(
+                F.struct(
+                    F.col("_c").alias("c"), (-F.col("_ev_id")).alias("n")
+                )
+            ).alias("b")
+        )
+        best.select(
+            F.lit(int(batch_id)).alias("batch_id"),
+            id_col,
+            (-F.col("b.n")).alias("nearest_eval_id"),
+            F.round("b.c", 4).alias("max_cosine"),
+            (F.col("b.c") >= F.lit(threshold)).cast("int").alias(
+                "contaminated"
+            ),
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id").parquet(out_path)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
