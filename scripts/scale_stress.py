@@ -434,6 +434,36 @@ QUERIES_R7 = (
 )
 
 
+QUERIES_R7B = (
+    # late-r7 additions. semantic_decontamination: broadcast(bounded
+    # eval) × one train scan + map-side struct-max — expect ~linear
+    # wall, near-flat shuffle (one row per train vector). KN logppl:
+    # model tables are vocabulary-bounded (≤ |V|² bigram types on the
+    # closed stress vocab), per-doc terms linear. length_debias: one
+    # histogram aggregate + one accept scan — near-flat shuffle.
+    # quality_proxy_agreement: 7 moment numbers per source — flat
+    # shuffle, wall = the per-doc entropy HOF (linear scan).
+    "semantic_decontamination",
+    "doc_bigram_kn_logppl",
+    "length_debias_sample",
+    "quality_proxy_agreement",
+)
+
+
+def runr7b() -> None:
+    d1, spark = _measure(
+        (("sf0.1", SRC_DIR), ("sf1", OUT_DIR)), QUERIES_R7B, "r7b1",
+        "scale_r7b1",
+    )
+    spark.stop()
+    d2, spark = _measure(
+        (("sf1", OUT_DIR), ("sf10", OUT_DIR_10)), QUERIES_R7B, "r7b2",
+        "scale_r7b2",
+    )
+    print(json.dumps({"decade1_sf01_sf1": d1, "decade2_sf1_sf10": d2}))
+    spark.stop()
+
+
 def runr7() -> None:
     d1, spark = _measure(
         (("sf0.1", SRC_DIR), ("sf1", OUT_DIR)), QUERIES_R7, "r7d1",
@@ -479,6 +509,8 @@ if __name__ == "__main__":
         runr6c()
     elif cmd == "runr7":
         runr7()
+    elif cmd == "runr7b":
+        runr7b()
     else:
-        print("usage: scale_stress.py [gen|run|gen10|run10|runr5|runr6|runr6c|runr7]")
+        print("usage: scale_stress.py [gen|run|gen10|run10|runr5|runr6|runr6c|runr7|runr7b]")
         sys.exit(2)
