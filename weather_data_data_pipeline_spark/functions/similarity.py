@@ -1064,3 +1064,56 @@ def group_mean_pairwise_cosine(
         )
         .where(F.col("n_vectors") >= 2)
     )
+
+
+def nearest_in_set(
+    corpus: DataFrame,
+    ref: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """For EVERY corpus vector, its single nearest reference vector by
+    cosine: (id, nearest_id, cosine_raw) — the per-corpus-row reduction
+    :func:`brute_force_topk_gemm` cannot express (that one reduces per
+    QUERY; this reduces per corpus row over a small fixed set — the
+    shape of semantic decontamination screens).
+
+    The reference side is by contract bounded/broadcastable: it ships
+    as a normalized float64 matrix in the task closure. The corpus
+    streams through ``mapInPandas`` in Arrow batches — one GEMM per
+    batch, a row-wise (score desc, ref-id asc) argmax, one output row
+    per corpus row. The corpus never shuffles; ties on the exact
+    float64 cosine break to the lowest reference id (matching the SQL
+    oracle's ORDER BY c DESC, id)."""
+    import numpy as np
+
+    r_rows = ref.select(id_col, vec_col).collect()
+    r_ids = np.array([r[0] for r in r_rows], dtype="int64")
+    order0 = np.argsort(r_ids)  # ref columns in ascending-id order so
+    r_ids = r_ids[order0]       # the first max IS the lowest-id tie
+    R = np.stack([np.asarray(r_rows[i][1], dtype="float64") for i in order0])
+    Rn = R / np.linalg.norm(R, axis=1, keepdims=True)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def score(batches):
+        import pandas as pd
+
+        for b in batches:
+            if len(b) == 0:
+                continue
+            ids = b[id_col].to_numpy()
+            C = np.stack([np.asarray(v, dtype="float64") for v in b[vec_col]])
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            S = Cn @ Rn.T  # (batch × refs)
+            best = np.argmax(S, axis=1)  # first occurrence = lowest id
+            yield pd.DataFrame(
+                {
+                    "_id": ids,
+                    "nearest_id": r_ids[best],
+                    "cosine_raw": S[np.arange(len(ids)), best],
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        score, f"_id {id_type}, nearest_id long, cosine_raw double"
+    ).withColumnRenamed("_id", id_col)

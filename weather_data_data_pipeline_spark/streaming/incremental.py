@@ -911,6 +911,8 @@ def semantic_decontamination_sink(
 ) -> DataStreamWriter:
     """Streaming SEMANTIC decontamination: every arriving train vector
     is scored by its max cosine against the FROZEN eval embedding set
+    (the shared functions/similarity.py:nearest_in_set GEMM kernel,
+    so batch and stream cannot drift)
     and appended as (batch_id, id, nearest_eval_id, max_cosine,
     contaminated) — the live twin of the batch
     ``semantic_decontamination`` query. A vector's score depends only
@@ -918,36 +920,19 @@ def semantic_decontamination_sink(
     run over the union bit-for-bit (pinned in tests/test_streaming.py);
     replays dynamic-overwrite their own output partition."""
     from weather_data_data_pipeline_spark.functions.similarity import (
-        _dot,
-        _norm,
-    )
-
-    ev = eval_df.select(
-        F.col(id_col).alias("_ev_id"), F.col(vec_col).alias("_e_vec")
+        nearest_in_set,
     )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        cos = _dot(F.col(vec_col), F.col("_e_vec")) / (
-            _norm(F.col(vec_col)) * _norm(F.col("_e_vec"))
-        )
-        scored = batch_df.join(F.broadcast(ev)).select(
-            id_col, "_ev_id", cos.alias("_c")
-        )
-        best = scored.groupBy(id_col).agg(
-            F.max(
-                F.struct(
-                    F.col("_c").alias("c"), (-F.col("_ev_id")).alias("n")
-                )
-            ).alias("b")
-        )
+        best = nearest_in_set(batch_df, eval_df, id_col, vec_col)
         best.select(
             F.lit(int(batch_id)).alias("batch_id"),
             id_col,
-            (-F.col("b.n")).alias("nearest_eval_id"),
-            F.round("b.c", 4).alias("max_cosine"),
-            (F.col("b.c") >= F.lit(threshold)).cast("int").alias(
+            F.col("nearest_id").alias("nearest_eval_id"),
+            F.round("cosine_raw", 4).alias("max_cosine"),
+            (F.col("cosine_raw") >= F.lit(threshold)).cast("int").alias(
                 "contaminated"
             ),
         ).write.mode("overwrite").option(
