@@ -94,6 +94,16 @@ INTENTIONAL = {
     ("conversion_funnel", "BroadcastNestedLoopJoin"):
         "single-ROW build side: the distinct-user total attaches to the "
         "three per-step count rows — O(3 × 1) scalar attach",
+    ("length_debias_sample", "BroadcastNestedLoopJoin"):
+        "single-ROW build sides: the histogram total and the max-ratio "
+        "aggregate each cross-join onto the 6-row bucket frame before "
+        "that frame broadcasts to the accept scan — O(buckets × 1) "
+        "scalar attaches",
+    ("doc_bigram_kn_logppl", "BroadcastNestedLoopJoin"):
+        "single-ROW build side: the distinct-bigram total N1+(··) "
+        "attaches to the exploded bigram table for the continuation "
+        "denominator — O(n × 1) scalar attach, same shape as "
+        "doc_unigram_logppl",
     ("contrastive_triplets", "BroadcastNestedLoopJoin"):
         "bounded build side: the anchor set (k rows) cross-joins the "
         "corpus for the negative draw — O(n × k) with k the anchor "
