@@ -261,8 +261,11 @@ def test_decontamination_clean_removes_eval_spans(spark):
 
 
 def test_decontamination_clean_idempotent(spark):
-    """Cleaning an already-clean corpus is a no-op: after one pass no
-    eval n-gram can remain, so a second pass changes nothing."""
+    """Cleaning an already-clean corpus is a no-op. (One pass is NOT
+    always enough in general — stitching a cut can create a new eval
+    gram across the boundary, see the fixpoint property test — but for
+    this input the single pass reaches the fixpoint, and re-cleaning
+    that fixpoint must change nothing.)"""
     from weather_data_data_pipeline_spark.functions.dedup import (
         decontamination_clean,
     )

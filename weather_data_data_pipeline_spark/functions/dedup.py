@@ -1487,6 +1487,17 @@ def decontamination_clean(
     pairs of flagged grams. Docs shorter than n tokens pass through
     untouched (an eval gram cannot occur in them).
 
+    SINGLE-PASS caveat (inherent to span removal, not a defect):
+    stitching the text back together after a cut can CREATE a new
+    n-gram across the cut boundary that also occurs in the eval set —
+    e.g. removing "e a a" from "c c e e a a a" yields "c c e a", whose
+    "c e a" may itself be an eval gram. One pass removes every gram
+    present in the ORIGINAL text (the Lee et al. contract); callers
+    needing a fully eval-gram-free corpus iterate to fixpoint — each
+    pass strictly shrinks a still-contaminated document, so the loop
+    terminates, and in practice one extra pass clears the boundary
+    stitches (property-tested in tests/test_properties.py).
+
     ``num_bits=None`` (default) sizes the filter FROM the eval set: one
     bounded count of its distinct gram hashes, then the next power of
     two ≥ 10 bits/gram (FP ≈ 2% at 3 hashes), capped at 2^23 (1 MB of
