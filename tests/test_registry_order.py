@@ -35,6 +35,7 @@ ROUND_HEAD = (
     "quality_proxy_agreement",
     "semantic_decontamination",
     "doc_bigram_kn_logppl",
+    "embedding_drift_by_label",
 )
 
 

@@ -3541,3 +3541,136 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contaminated"
         ),
     ).orderBy("vec_id")
+
+
+@register(
+    "embedding_drift_by_label",
+    oracle="""
+    WITH dims AS (
+      SELECT label, CAST(vec_id % 2 AS INTEGER) AS half, vec_id,
+             u.dim AS dim, u.val AS val
+      FROM (
+        SELECT label, vec_id,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                      i -> struct_pack(dim := i,
+                           val := CAST(embedding[i] AS DOUBLE)))) AS u
+        FROM embeddings
+      )
+    ),
+    sums AS (
+      -- each float32 value pins to a 9-dp decimal FIRST so the sum is
+      -- exact and aggregation-order-proof; a raw double sum would be
+      -- engine/partition-order dependent before the 6-dp round
+      SELECT label, half, dim,
+             CAST(round(sum(CAST(val AS DECIMAL(18,9))), 6)
+                  AS DECIMAL(18,6)) AS s
+      FROM dims GROUP BY label, half, dim
+    ),
+    counts AS (
+      SELECT label,
+             CAST(count(DISTINCT CASE WHEN half = 0 THEN vec_id END)
+                  AS BIGINT) AS n_even,
+             CAST(count(DISTINCT CASE WHEN half = 1 THEN vec_id END)
+                  AS BIGINT) AS n_odd
+      FROM dims GROUP BY label
+    ),
+    mom AS (
+      SELECT a.label,
+             sum(a.s * b.s) AS dot,
+             sum(a.s * a.s) AS n0,
+             sum(b.s * b.s) AS n1
+      FROM sums a
+      JOIN sums b ON a.label = b.label AND a.dim = b.dim
+                 AND a.half = 0 AND b.half = 1
+      GROUP BY a.label
+    )
+    SELECT c.label, c.n_even, c.n_odd,
+           CASE WHEN mom.n0 = 0 OR mom.n1 = 0 THEN NULL
+                ELSE CAST(round(CAST(
+                       CAST(mom.dot AS DOUBLE)
+                       / sqrt(CAST(mom.n0 AS DOUBLE)
+                              * CAST(mom.n1 AS DOUBLE))
+                     AS DECIMAL(38,15)), 6) AS DOUBLE)
+           END AS centroid_cosine
+    FROM counts c LEFT JOIN mom USING (label)
+    ORDER BY c.label
+    """,
+    doc="Embedding-distribution drift monitor: per label, the cosine "
+    "between the CENTROIDS of the even- and odd-id halves of the "
+    "corpus (the stand-in for old-crawl vs new-crawl slices) — a "
+    "centroid cosine sagging below ~1 is the cheapest signal that an "
+    "embedding space or its upstream data shifted, the vector-side "
+    "sibling of corpus_drift_psi. Determinism: per-dimension sums "
+    "accumulate exactly (6-dp decimal after one rounded sum), cosine "
+    "is scale-invariant so the means never materialize (cos(u/n, v/m) "
+    "= cos(u, v)), and the cross-half moments are exact decimal "
+    "products summed over 64 dims — one double formula per label at "
+    "the end, 15-dp pinned. Plan: one posexplode scan, one "
+    "(label, half, dim) aggregate (≤ labels × 2 × dims rows), a tiny "
+    "self-join — the corpus never shuffles more than its dimension "
+    "table.",
+    tags=("llm", "similarity", "quality", "bench"),
+)
+def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label",
+        (F.col("vec_id") % 2).cast("int").alias("half"),
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("dim0", "val"),
+    ).select(
+        "label",
+        "half",
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("val").cast("double").alias("val"),
+    )
+    # 9-dp decimal pin per value -> exact, order-proof sum (see oracle)
+    sums = dims.groupBy("label", "half", "dim").agg(
+        F.round(F.sum(F.col("val").cast("decimal(18,9)")), 6)
+        .cast("decimal(18,6)")
+        .alias("s")
+    )
+    counts = dims.groupBy("label").agg(
+        F.count_distinct(
+            F.when(F.col("half") == 0, F.col("vec_id"))
+        ).cast("bigint").alias("n_even"),
+        F.count_distinct(
+            F.when(F.col("half") == 1, F.col("vec_id"))
+        ).cast("bigint").alias("n_odd"),
+    )
+    a = sums.where(F.col("half") == 0).select(
+        "label", "dim", F.col("s").alias("s0")
+    )
+    b = sums.where(F.col("half") == 1).select(
+        "label", "dim", F.col("s").alias("s1")
+    )
+    mom = (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("s0") * F.col("s1")).alias("dot"),
+            F.sum(F.col("s0") * F.col("s0")).alias("n0"),
+            F.sum(F.col("s1") * F.col("s1")).alias("n1"),
+        )
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("n0").cast("double") * F.col("n1").cast("double")
+    )
+    return (
+        counts.join(mom, "label", "left")
+        .select(
+            "label",
+            "n_even",
+            "n_odd",
+            F.when(
+                (F.col("n0") == 0) | (F.col("n1") == 0),
+                F.lit(None).cast("double"),
+            )
+            .otherwise(
+                F.round(cos.cast("decimal(38,15)"), 6).cast("double")
+            )
+            .alias("centroid_cosine"),
+        )
+        .orderBy("label")
+    )

@@ -112,6 +112,7 @@ _ROUND_HEAD: tuple[str, ...] = (
     "quality_proxy_agreement",
     "semantic_decontamination",
     "doc_bigram_kn_logppl",
+    "embedding_drift_by_label",
 )
 
 
