@@ -30,6 +30,8 @@ ROUND_HEAD = (
     "dedup_incremental_batch",
     "dedup_threshold_sensitivity",
     "recency_filter_last_hour",
+    "anti_join_dedup",
+    "avg_value_in_range",
     "decontamination_clean_corpus",
     "length_debias_sample",
     "quality_proxy_agreement",

@@ -104,6 +104,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     # window would not reach it this round (policy: no §2 query
     # goes >3 rounds without a re-green)
     "recency_filter_last_hour",
+    # same staleness pin for the other two r4-green SURVEY §2 rows —
+    # the grown head would otherwise push them past the ~50 window
+    "anti_join_dedup",
+    "avg_value_in_range",
     # r7 NEW: decontamination cleaning (eval-span removal, bloom
     # prescreen + shared span machinery, full oracle)
     "decontamination_clean_corpus",
