@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import decimal
 import math
+import struct
 import sys
 import time
 
@@ -47,7 +48,15 @@ def norm(v):
         # on Decimal(123) vs 123 even though Python says they're equal
         return ("decimal", str(v))
     if isinstance(v, float):
-        return "NaN" if math.isnan(v) else round(v, 9)
+        # BIT-strict (VERDICT r7 ask #2): the driver hashes exact values,
+        # so the mirror must too — the old round(v, 9) passed any
+        # sub-1e-9 double divergence, which is exactly the class that
+        # flips a gate value-hash while every local check stays green.
+        # struct.pack distinguishes -0.0 from 0.0 and every NaN payload;
+        # collapse all NaNs to one token (engines surface one qNaN).
+        if math.isnan(v):
+            return "NaN"
+        return ("f64", struct.pack("<d", v))
     if isinstance(v, (list, tuple)):
         return tuple(norm(x) for x in v)
     if isinstance(v, dict):

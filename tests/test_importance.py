@@ -214,3 +214,55 @@ def test_frozen_score_independent_of_batch_split(spark):
         for r in dsir_score_frozen(part, ratios, "doc_id", "text").collect():
             split[r["doc_id"]] = (r["n_grams"], r["log_w"])
     assert whole == split
+
+
+def test_whitespace_only_doc_needs_the_tokenized_gate(spark):
+    """ADVICE r7 #4: a document whose text is non-empty WHITESPACE
+    tokenizes to zero grams after the empty-token filter, so under
+    assume_nonempty=True it silently vanishes — the e2e pipeline must
+    therefore gate on tokenized non-emptiness, not text != ''. This
+    pins both halves of that contract: the join-back path keeps the doc
+    at log_w = 0, and the tokenized gate expression excludes exactly
+    the docs whose disappearance assume_nonempty would hide."""
+    from decimal import Decimal
+
+    from weather_data_data_pipeline_spark.functions.importance import (
+        dsir_score_frozen,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "def foo return x"), (2, "  "), (3, "")],
+        "doc_id long, text string",
+    )
+    ratios = spark.createDataFrame(
+        [(0, Decimal("0.5"))], "bucket bigint, r decimal(28,6)"
+    )
+    # default (join-back) path: every doc survives, gram-free ones at 0
+    got = {
+        r["doc_id"]: (r["n_grams"], r["log_w"])
+        for r in dsir_score_frozen(
+            docs, ratios, "doc_id", "text", num_buckets=64
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[2] == (0, 0.0) and got[3] == (0, 0.0)
+    # assume_nonempty=True DROPS the gram-free docs — the precondition
+    # a caller must establish first
+    fast = {
+        r["doc_id"]
+        for r in dsir_score_frozen(
+            docs,
+            ratios,
+            "doc_id",
+            "text",
+            num_buckets=64,
+            assume_nonempty=True,
+        ).collect()
+    }
+    assert fast == {1}
+    # the e2e gate expression admits exactly the assume_nonempty-safe set
+    gate = F.size(
+        F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+    ) > 0
+    passed = {r["doc_id"] for r in docs.where(gate).collect()}
+    assert passed == {1}

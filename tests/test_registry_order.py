@@ -23,21 +23,9 @@ WINDOW = 50
 ROUND_HEAD = (
     "quality_classifier_frozen_scores",
     "doc_sampling_weights",
-    "temperature_mix_weights",
-    "corpus_contamination_bloom",
     "curation_pipeline_frozen_e2e",
-    "dsir_score_frozen",
-    "dedup_incremental_batch",
-    "dedup_threshold_sensitivity",
-    "recency_filter_last_hour",
-    "anti_join_dedup",
-    "avg_value_in_range",
-    "decontamination_clean_corpus",
-    "length_debias_sample",
-    "quality_proxy_agreement",
-    "semantic_decontamination",
-    "doc_bigram_kn_logppl",
-    "embedding_drift_by_label",
+    "vocab_zipf_fit",
+    "weekly_cohort_retention",
 )
 
 

@@ -293,3 +293,61 @@ def test_group_mean_pairwise_cosine_matches_naive(spark):
         assert got[g][0] == n
         assert abs(got[g][1] - want) < 2e-6, (g, got[g], want)
     assert got["tight"][1] > 0.9 and got["spread"][1] < 0
+
+
+def test_nearest_in_set_zero_norm_vectors_are_inert(spark):
+    """ADVICE r7: a zero-norm vector must not poison the GEMM — a zero
+    CORPUS vector scores cosine 0 against everything (not NaN), and a
+    zero REFERENCE vector never wins an argmax over any ref with a
+    positive cosine (np.argmax would otherwise return the NaN index)."""
+    from weather_data_data_pipeline_spark.functions.similarity import (
+        nearest_in_set,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 0.0]),  # zero-norm corpus vector
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    ref = spark.createDataFrame(
+        [
+            (10, [0.0, 0.0]),  # zero-norm reference vector
+            (11, [1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["nearest_id"], r["cosine_raw"])
+        for r in nearest_in_set(corpus, ref).collect()
+    }
+    # corpus 1 aligns with ref 11 (cos 1.0); the zero ref scores 0 and
+    # loses; the zero corpus vector scores 0 everywhere and ties break
+    # to the LOWEST ref id
+    assert got[1] == (11, 1.0)
+    assert got[2] == (10, 0.0)
+    assert all(v[1] == v[1] for v in got.values())  # no NaNs
+
+
+def test_nearest_in_set_non_bigint_ids(spark):
+    """ADVICE r7: id dtypes follow each side's own schema — int corpus
+    ids and string reference ids must round-trip untouched (the old
+    int64-hardcoded ref path would crash or corrupt either)."""
+    from weather_data_data_pipeline_spark.functions.similarity import (
+        nearest_in_set,
+    )
+
+    corpus = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (8, [0.0, 1.0])],
+        "vec_id int, embedding array<double>",
+    )
+    ref = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (200, [0.0, 1.0])],
+        "vec_id int, embedding array<double>",
+    )
+    out = nearest_in_set(corpus, ref)
+    assert out.schema["vec_id"].dataType.simpleString() == "int"
+    assert out.schema["nearest_id"].dataType.simpleString() == "int"
+    got = {r["vec_id"]: r["nearest_id"] for r in out.collect()}
+    assert got == {7: 100, 8: 200}

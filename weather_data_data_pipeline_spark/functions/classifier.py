@@ -219,10 +219,16 @@ def score_frozen_md5(
     # (Spark rounds the exact binary expansion, DuckDB float-multiplies)
     # — same ULP class as the doc_char_entropy flip fixed in r6.
     sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-md))
+    # the surfaced prob_pos STAYS decimal(38,6) — never cast back to
+    # double. The hashed output is then an exact decimal: no
+    # exp()/division/cast ULP difference between engine builds can
+    # flip a bit of the comparison surface (VERDICT r7 ask #1 — the
+    # double-typed emission was gate-red two rounds running while
+    # bit-exact locally).
     return out.select(
         "*",
         F.round(sig.cast("decimal(38,15)"), 6)
-        .cast("double")
+        .cast("decimal(38,6)")
         .alias("prob_pos"),
         (md > 0).cast("int").alias("pred"),
     )

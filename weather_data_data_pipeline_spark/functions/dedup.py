@@ -17,6 +17,8 @@ Scale design (100 TB corpus of documents):
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -1459,14 +1461,61 @@ def _rebuild_clean(
     )
 
 
-def decontamination_clean(
-    train: DataFrame,
+class DecontaminationEvalState(NamedTuple):
+    """Frozen eval-side state for :func:`decontamination_clean` — the
+    distinct eval gram hashes (eagerly checkpointed so reuse never
+    re-scans the eval set) plus the sized Bloom filter words. Build ONCE
+    per frozen eval set via :func:`decontamination_eval_state`; a
+    streaming sink that rebuilt this per micro-batch paid two extra
+    driver actions and a full bloom rebuild per batch for an input that
+    never changes (ADVICE r7)."""
+
+    ev_hashes: DataFrame
+    words: list[int]
+    num_bits: int
+    num_hashes: int
+    n: int
+
+
+def decontamination_eval_state(
     eval_df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 8,
     num_bits: int | None = None,
     num_hashes: int = 3,
+) -> DecontaminationEvalState:
+    """One bounded pass over the eval set → reusable cleaning state:
+    distinct positional-gram hashes (localCheckpointed — callers probe
+    it once per cleaned frame without re-deriving the eval scan) and
+    the auto-sized Bloom filter (same sizing contract as
+    :func:`decontamination_clean`)."""
+    from weather_data_data_pipeline_spark.functions.bloom import build_bloom
+
+    ev_hashes = (
+        _positional_gram_hashes(
+            _span_toks(eval_df, id_col, text_col), id_col, n
+        )
+        .select("h")
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    if num_bits is None:
+        n_ev = max(1, ev_hashes.count())
+        num_bits = 1 << min(23, max(13, (10 * n_ev - 1).bit_length()))
+    words = build_bloom(ev_hashes, "h", num_bits, num_hashes)
+    return DecontaminationEvalState(ev_hashes, words, num_bits, num_hashes, n)
+
+
+def decontamination_clean(
+    train: DataFrame,
+    eval_df: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    num_bits: int | None = None,
+    num_hashes: int = 3,
+    eval_state: DecontaminationEvalState | None = None,
 ) -> DataFrame:
     """Decontamination CLEANING (Lee et al.'s exact-substring removal
     pointed at an eval set): every TRAIN token covered by an n-gram that
@@ -1509,17 +1558,23 @@ def decontamination_clean(
     superset of an eval text's distinct grams, so unlike word trigrams
     they do NOT stay vocabulary-bounded as the eval set grows."""
     from weather_data_data_pipeline_spark.functions.bloom import (
-        build_bloom,
         might_contain,
     )
 
-    ev_hashes = _positional_gram_hashes(
-        _span_toks(eval_df, id_col, text_col), id_col, n
-    ).select("h").dropDuplicates()
-    if num_bits is None:
-        n_ev = max(1, ev_hashes.count())
-        num_bits = 1 << min(23, max(13, (10 * n_ev - 1).bit_length()))
-    words = build_bloom(ev_hashes, "h", num_bits, num_hashes)
+    if eval_state is None:
+        eval_state = decontamination_eval_state(
+            eval_df, id_col, text_col, n, num_bits, num_hashes
+        )
+    elif eval_state.n != n:
+        raise ValueError(
+            f"eval_state built for n={eval_state.n}, clean called with n={n}"
+        )
+    ev_hashes = eval_state.ev_hashes
+    words, num_bits, num_hashes = (
+        eval_state.words,
+        eval_state.num_bits,
+        eval_state.num_hashes,
+    )
     toks = _span_toks(train, id_col, text_col)
     dup = (
         _positional_gram_hashes(toks, id_col, n)

@@ -1084,16 +1084,28 @@ def nearest_in_set(
     batch, a row-wise (score desc, ref-id asc) argmax, one output row
     per corpus row. The corpus never shuffles; ties on the exact
     float64 cosine break to the lowest reference id (matching the SQL
-    oracle's ORDER BY c DESC, id)."""
+    oracle's ORDER BY c DESC, id).
+
+    Zero-norm vectors (ADVICE r7): a zero vector has no direction, so
+    its cosine against anything is defined here as 0.0 — the norm is
+    replaced by 1.0 instead of dividing by 0, which would otherwise
+    yield an all-NaN score row (zero corpus vector) or route EVERY
+    argmax onto the NaN column (zero reference vector, since
+    ``np.argmax`` returns the first NaN index)."""
     import numpy as np
 
+    # id dtypes follow each side's OWN schema (brute_force_l2_topk's
+    # convention, ADVICE r6/r7): hardcoded int64 ref ids would crash or
+    # corrupt a non-bigint reference id column
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    ref_id_type = ref.schema[id_col].dataType.simpleString()
     r_rows = ref.select(id_col, vec_col).collect()
-    r_ids = np.array([r[0] for r in r_rows], dtype="int64")
+    r_ids = np.array([r[0] for r in r_rows])
     order0 = np.argsort(r_ids)  # ref columns in ascending-id order so
     r_ids = r_ids[order0]       # the first max IS the lowest-id tie
     R = np.stack([np.asarray(r_rows[i][1], dtype="float64") for i in order0])
-    Rn = R / np.linalg.norm(R, axis=1, keepdims=True)
-    id_type = corpus.schema[id_col].dataType.simpleString()
+    r_norm = np.linalg.norm(R, axis=1, keepdims=True)
+    Rn = R / np.where(r_norm == 0, 1.0, r_norm)
 
     def score(batches):
         import pandas as pd
@@ -1103,7 +1115,8 @@ def nearest_in_set(
                 continue
             ids = b[id_col].to_numpy()
             C = np.stack([np.asarray(v, dtype="float64") for v in b[vec_col]])
-            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            c_norm = np.linalg.norm(C, axis=1, keepdims=True)
+            Cn = C / np.where(c_norm == 0, 1.0, c_norm)
             S = Cn @ Rn.T  # (batch × refs)
             best = np.argmax(S, axis=1)  # first occurrence = lowest id
             yield pd.DataFrame(
@@ -1115,5 +1128,5 @@ def nearest_in_set(
             )
 
     return corpus.select(id_col, vec_col).mapInPandas(
-        score, f"_id {id_type}, nearest_id long, cosine_raw double"
+        score, f"_id {id_type}, nearest_id {ref_id_type}, cosine_raw double"
     ).withColumnRenamed("_id", id_col)

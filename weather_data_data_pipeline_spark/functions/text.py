@@ -750,7 +750,10 @@ def sampling_weight_columns(
     # round in the DECIMAL domain: pin the double product to a 15-dp
     # decimal FIRST, then half-up round that decimal to 9 dp — rounding
     # the raw double is engine-specific at half boundaries (same ULP
-    # class as the doc_char_entropy flip fixed in r6)
+    # class as the doc_char_entropy flip fixed in r6). The surfaced
+    # weight STAYS decimal(38,9) — never cast back to double — so the
+    # hashed output is an exact decimal and no division/cast ULP
+    # between engine builds can flip a bit (VERDICT r7 ask #1).
     final_w = F.round(
         (
             dedup_w.cast("double")
@@ -758,7 +761,7 @@ def sampling_weight_columns(
             * temp_weight.cast("double")
         ).cast("decimal(38,15)"),
         9,
-    ).cast("double")
+    ).cast("decimal(38,9)")
     return dedup_w, quality_w, final_w
 
 

@@ -872,7 +872,7 @@ def _sampling_weights_oracle() -> str:
                  * CAST(CAST(round({_quality_sql().replace('text', 'w.text')}, 2)
                              AS DECIMAL(38,6)) AS DOUBLE)
                  * CAST(tw.temp_weight AS DOUBLE)
-               AS DECIMAL(38,15)), 9) AS DOUBLE) AS final_weight
+               AS DECIMAL(38,15)), 9) AS DECIMAL(38,9)) AS final_weight
     FROM w JOIN tw USING (source)
     """
 

@@ -722,7 +722,8 @@ _FROZEN_QC_ORACLE = f"""
     )
     SELECT doc_id, label, margin,
            CAST(round(CAST(1.0 / (1.0 + exp(-CAST(margin AS DOUBLE)))
-                           AS DECIMAL(38,15)), 6) AS DOUBLE) AS prob_pos,
+                           AS DECIMAL(38,15)), 6)
+                AS DECIMAL(38,6)) AS prob_pos,
            CAST(CAST(margin AS DOUBLE) > 0 AS INT) AS pred
     FROM scored
 """
@@ -898,8 +899,12 @@ _FROZEN_PIPE_ORACLE = f"""
         FROM gated g LEFT JOIN clean c USING (doc_id)
     ),
     nonempty AS (
+        -- tokenized non-emptiness, matching the engine (ADVICE r7):
+        -- whitespace-only cleaned docs have zero grams and are dropped
         SELECT * FROM cleaned
-        WHERE clean_text IS NOT NULL AND clean_text <> ''
+        WHERE clean_text IS NOT NULL
+          AND len(list_filter(string_split(clean_text, ' '),
+                              x -> x <> '')) > 0
     ),
     winners AS (
         SELECT min(doc_id) AS doc_id FROM nonempty GROUP BY clean_text
@@ -1024,8 +1029,23 @@ def curation_pipeline_frozen_e2e(
         .select("doc_id", "text")
     )
     clean = span_dedup_clean(gated, "doc_id", "text", n=8, min_count=2)
+    # gate on TOKENIZED non-emptiness, not clean_text != '' — a doc
+    # rebuilt from only empty tokens (consecutive spaces in the source)
+    # is non-empty whitespace yet yields ZERO grams after the empty-
+    # token filter, so it would silently vanish under assume_nonempty
+    # instead of scoring log_w = 0 (ADVICE r7). This filter makes the
+    # assume_nonempty precondition airtight: every surviving row has
+    # >= 1 non-empty token, hence >= 1 unigram.
     nonempty = clean.where(
-        F.col("clean_text").isNotNull() & (F.col("clean_text") != "")
+        F.col("clean_text").isNotNull()
+        & (
+            F.size(
+                F.filter(
+                    F.split("clean_text", " "), lambda t: t != F.lit("")
+                )
+            )
+            > 0
+        )
     )
     # exact dedup on the CLEANED text as ONE window over the digest:
     # the previous semi-join form put the whole span pipeline on BOTH
@@ -1043,10 +1063,10 @@ def curation_pipeline_frozen_e2e(
         .drop("_m")
     )
     # kept_tokens CARRIES through the gram pipeline (constant per doc),
-    # and non-empty clean text guarantees ≥1 gram, so the zero-gram
-    # join-back is skipped — the winners never join back to the corpus
-    # and the whole pipeline is ONE linear plan with a single consumer
-    # per stage (no checkpoint, nothing re-executes)
+    # and the tokenized non-emptiness gate above guarantees ≥1 unigram,
+    # so the zero-gram join-back is skipped — the winners never join
+    # back to the corpus and the whole pipeline is ONE linear plan with
+    # a single consumer per stage (no checkpoint, nothing re-executes)
     ratios = _frozen_dsir_ratios_df(spark)
     weights = dsir_score_frozen(
         kept.select(

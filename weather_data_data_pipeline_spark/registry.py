@@ -76,47 +76,19 @@ _loaded = False
 # PLAN/ORACLE changed this round and must (re-)earn a green row. Keep
 # tests/test_registry_order.py's ROUND_HEAD copy in sync.
 _ROUND_HEAD: tuple[str, ...] = (
-    # r7 RE-EARN: the two r6 hash-red driver rows (irreproducible at
-    # HEAD; both double-domain rounding steps hardened into the decimal
-    # domain — classifier sigmoid, sampling-weight product/division)
+    # r8 RE-EARN (VERDICT r7 ask #1): the two-round-red driver rows now
+    # surface prob_pos as DECIMAL(38,6) / final_weight as DECIMAL(38,9)
+    # on BOTH engine and oracle sides — the hashed output is exact
+    # decimal, no exp()/division/cast ULP can flip a bit
     "quality_classifier_frozen_scores",
     "doc_sampling_weights",
-    # r7 hardened the same p/tp division surface (decimal-domain round)
-    "temperature_mix_weights",
-    # r7 REPLANNED: filter words ship as one parsed+folded literal
-    # (py4j per-element lit cost was the whole 11x bench gap), eval-gram
-    # checkpoint dropped, filter sized to the bounded eval set
-    "corpus_contamination_bloom",
-    # r7 REPLANNED: inline gate filter, min-over-digest winner window,
-    # kept_tokens carried through the gram pipeline — one linear plan,
-    # no checkpoint, no join-back (2.2 s -> 1.6 s)
+    # upstream prob_pos type change flows through the e2e gate filter
+    # (boolean surface identical, but the plan changed — re-earn)
     "curation_pipeline_frozen_e2e",
-    # r7 touched: dsir_score_frozen/dsir_select_topk grew carry params
-    # (default path unchanged) — re-pin
-    "dsir_score_frozen",
-    # r7 NEW ORACLE: md5-portable incremental near-dedup, the full
-    # per-batch decision replayed (was the last feasible no-oracle row)
-    "dedup_incremental_batch",
-    # r7 FIXED: pair-free corpus now emits n_pairs=0 per threshold
-    # (LEFT join, matching the oracle's LEFT JOIN ON true)
-    "dedup_threshold_sensitivity",
-    # r7 staleness pin: SURVEY §2 row last green r4; the computed
-    # window would not reach it this round (policy: no §2 query
-    # goes >3 rounds without a re-green)
-    "recency_filter_last_hour",
-    # same staleness pin for the other two r4-green SURVEY §2 rows —
-    # the grown head would otherwise push them past the ~50 window
-    "anti_join_dedup",
-    "avg_value_in_range",
-    # r7 NEW: decontamination cleaning (eval-span removal, bloom
-    # prescreen + shared span machinery, full oracle)
-    "decontamination_clean_corpus",
-    # r7 NEW: length-debias rejection sampling + proxy-agreement corr
-    "length_debias_sample",
-    "quality_proxy_agreement",
-    "semantic_decontamination",
-    "doc_bigram_kn_logppl",
-    "embedding_drift_by_label",
+    # r8 staleness pins (VERDICT r7 ask #5): the ONLY two oracle-bearing
+    # queries last green r3
+    "vocab_zipf_fit",
+    "weekly_cohort_retention",
 )
 
 

@@ -876,16 +876,25 @@ def decontamination_sink(
     only on itself — batch boundaries are trivially irrelevant and the
     stream equals the batch run over the union bit-for-bit (pinned in
     tests/test_streaming.py). Replays dynamic-overwrite their own
-    output partition, so at-least-once delivery converges."""
+    output partition, so at-least-once delivery converges.
+
+    The eval set is FROZEN, so its gram hashes, the bloom sizing count,
+    and the filter literal are computed ONCE here at sink construction
+    and reused by every micro-batch — rebuilding them per batch cost
+    two extra driver actions plus a full bloom rebuild for an input
+    that never changes (ADVICE r7)."""
     from weather_data_data_pipeline_spark.functions.dedup import (
         decontamination_clean,
+        decontamination_eval_state,
     )
+
+    eval_state = decontamination_eval_state(eval_df, id_col, text_col, n=n)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         cleaned = decontamination_clean(
-            batch_df, eval_df, id_col, text_col, n=n
+            batch_df, None, id_col, text_col, n=n, eval_state=eval_state
         )
         cleaned.withColumn("batch_id", F.lit(int(batch_id))).select(
             "batch_id", id_col, "clean_text", "n_tokens", "kept_tokens"
