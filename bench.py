@@ -137,6 +137,12 @@ def main() -> None:
         for t in (*WARM_TABLES, "documents")
     )
     aqe_on = tune_for_working_set(spark, working_set)
+    # SPARK_GRAFT_FORCE_AQE=1 overrides the stats policy and benches the
+    # 100 TB posture (AQE on) at this SF too — the deltas vs the static
+    # run land in scripts/bench_details_aqe.json (VERDICT r7 ask #6)
+    if os.environ.get("SPARK_GRAFT_FORCE_AQE") == "1" and not aqe_on:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        aqe_on = True
     keep = persistent_ids(spark)  # the warmed tables stay cached
     base_parts = spark.conf.get("spark.sql.shuffle.partitions")
     timings: dict[str, float] = {}
@@ -187,9 +193,14 @@ def main() -> None:
         "total_sec": total,
         "queries": timings,
     }
+    details_name = (
+        "bench_details_aqe.json"
+        if os.environ.get("SPARK_GRAFT_FORCE_AQE") == "1"
+        else "bench_details.json"
+    )
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "scripts", "bench_details.json"),
+                     "scripts", details_name),
         "w",
     ) as f:
         json.dump(details, f, indent=1, sort_keys=True)

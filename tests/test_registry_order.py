@@ -26,6 +26,11 @@ ROUND_HEAD = (
     "curation_pipeline_frozen_e2e",
     "vocab_zipf_fit",
     "weekly_cohort_retention",
+    "dsir_importance_weights",
+    "dsir_select_topk",
+    "ann_lsh_topk",
+    "embedding_ann_recall_report",
+    "simhash_near_dup_portable",
 )
 
 

@@ -859,32 +859,36 @@ def simhash_near_dup_pairs_portable(
     h_hi = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
     h_lo = F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long")
     hashed = toks.withColumn("_hh", h_hi).withColumn("_hl", h_lo)
+    # the 64 vote sums and the two 32-term bit packs ship as PARSED
+    # F.expr strings, not composed Column objects: each py4j Column
+    # call costs ~0.6 ms of driver time, and the original ~770-call
+    # construction measured ~1.0 s of pure PLAN BUILD per run — more
+    # than half the query's wall at sf0.1 (r8 profile; same class as
+    # the r7 bloom-literal fix). Catalyst sees identical expressions
+    # either way.
     votes = hashed.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("_hh"), i).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"h{i}")
+            F.expr(
+                f"sum(CASE WHEN (shiftright(_hh, {i}) & 1) = 1 "
+                f"THEN 1 ELSE -1 END) AS h{i}"
+            )
             for i in range(32)
         ],
         *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("_hl"), i).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"l{i}")
+            F.expr(
+                f"sum(CASE WHEN (shiftright(_hl, {i}) & 1) = 1 "
+                f"THEN 1 ELSE -1 END) AS l{i}"
+            )
             for i in range(32)
         ],
     )
 
     def pack(prefix: str):
-        terms = [
-            F.when(F.col(f"{prefix}{i}") > 0, F.lit(1 << i).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
+        terms = " + ".join(
+            f"(CASE WHEN {prefix}{i} > 0 THEN {1 << i}L ELSE 0L END)"
             for i in range(32)
-        ]
-        return sum(terms[1:], terms[0])
+        )
+        return F.expr(f"CAST({terms} AS BIGINT)")
 
     sigs = votes.select(
         id_col, pack("h").alias("sig_hi"), pack("l").alias("sig_lo")

@@ -63,6 +63,7 @@ def hashed_gram_buckets(
     num_buckets: int = 256,
     include_bigrams: bool = True,
     carry: tuple[str, ...] = (),
+    empty_doc_sentinel: bool = False,
 ) -> DataFrame:
     """(id, *carry, bucket) — one row per word unigram (and bigram)
     occurrence, hashed into ``num_buckets`` md5 buckets. The md5 family
@@ -71,7 +72,15 @@ def hashed_gram_buckets(
     the first 8 hex chars are 32 bits, so the modulus is bias-free for
     any realistic bucket count and never negative. ``carry`` columns
     (constant per document, e.g. a target flag) ride through the explode
-    so downstream models never need to join back to the corpus."""
+    so downstream models never need to join back to the corpus.
+
+    ``empty_doc_sentinel=True`` additionally emits ONE ``bucket = NULL``
+    row per document (every document, including NULL/whitespace-only
+    text) — per-document aggregates over the gram frame then cover the
+    whole corpus without a join-back to the id list, at the cost of N
+    extra rows in an explode that already carries the gram multiset
+    (the r8 dsir replan). Consumers must exclude NULL buckets from gram
+    counts and bucket models."""
     toks = df.select(
         F.col(id_col),
         *[F.col(c) for c in carry],
@@ -99,7 +108,13 @@ def hashed_gram_buckets(
         F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
         % F.lit(num_buckets)
     )
-    return out.select(id_col, *carry, bucket.alias("bucket"))
+    hashed = out.select(id_col, *carry, bucket.alias("bucket"))
+    if empty_doc_sentinel:
+        sentinel = toks.select(
+            id_col, *carry, F.lit(None).cast("long").alias("bucket")
+        )
+        hashed = hashed.unionByName(sentinel)
+    return hashed
 
 
 def dsir_log_weights(
@@ -127,13 +142,18 @@ def dsir_log_weights(
     aggregation order — the determinism contract in the module
     docstring.
 
-    Scale shape: the corpus text is touched ONCE — the target flag rides
-    through the gram explode, the (id, bucket) counts aggregate in one
-    map-side-combinable shuffle, and the raw/target bucket models, their
-    totals, and the per-doc accumulation all derive from that
-    ≤ |docs|·num_buckets-row table (localCheckpointed so its three
-    consumers reuse one materialization instead of re-running the
-    explode per consumer)."""
+    Scale shape (r8 replan, VERDICT r7 ask #4): the corpus text is
+    touched ONCE — the target flag rides through the gram explode and a
+    NULL-bucket SENTINEL row per document rides along with it, so the
+    per-doc aggregate covers every document (zero-gram ones score 0)
+    and the old join-back to the corpus id list is gone entirely. The
+    (id, bucket) counts aggregate in one map-side-combinable shuffle;
+    the raw/target bucket models come from ONE conditional aggregate
+    over that table (not two separate groupBys), both totals from one
+    single-row agg, and the per-doc accumulation reuses the same
+    localCheckpointed count table. Plan: 3 data shuffles total
+    (per-bucket counts, 256-row models, per-doc sums) — down from 5
+    plus a join-back."""
     flagged = df.select(
         F.col(id_col),
         F.col(text_col),
@@ -148,6 +168,7 @@ def dsir_log_weights(
         num_buckets=num_buckets,
         include_bigrams=include_bigrams,
         carry=("_tgt",),
+        empty_doc_sentinel=True,
     )
     per_bucket = (
         grams.groupBy(id_col, "_tgt", "bucket")
@@ -155,64 +176,78 @@ def dsir_log_weights(
         .localCheckpoint(eager=False)
     )
     ratios = _ratios_from_per_bucket(per_bucket, num_buckets)
+    # LEFT join keeps the sentinel rows (bucket NULL never matches);
+    # their n is excluded from n_grams and their NULL r vanishes from
+    # the decimal sum, so a document of only sentinels scores (0, 0.0)
     per_doc = (
-        per_bucket.join(F.broadcast(ratios), "bucket")
+        per_bucket.join(F.broadcast(ratios), "bucket", "left")
         .groupBy(id_col)
         .agg(
-            F.sum("n").cast("bigint").alias("n_grams"),
+            F.coalesce(
+                F.sum(F.when(F.col("bucket").isNotNull(), F.col("n"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_grams"),
             # the decimal sum is EXACT; cast it to double with NO
             # re-rounding — both engines convert the same exact decimal
             # to the same nearest double, whereas round(double, 4)
             # straddles half-way boundaries differently per engine
             # (measured: 0.70205 → Spark 0.7021, DuckDB 0.702)
-            F.sum(F.col("n") * F.col("r")).cast("double").alias("log_w"),
+            F.coalesce(
+                F.sum(F.col("n") * F.col("r")).cast("double"), F.lit(0.0)
+            ).alias("log_w"),
         )
     )
-    return (
-        df.select(id_col)
-        .join(per_doc, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
-            F.coalesce("log_w", F.lit(0.0)).alias("log_w"),
-        )
-    )
+    return per_doc.select(id_col, "n_grams", "log_w")
 
 
 def _ratios_from_per_bucket(per_bucket: DataFrame, num_buckets: int) -> DataFrame:
     """(bucket, r): 6-dp decimal log-ratio per bucket from the
-    (id, _tgt, bucket, n) count table — both bucket models, their
-    totals, and the add-one-smoothed ratio derive from this one small
-    frame. Shared by the fused fit+score path and the frozen-model
-    fit."""
-    raw = per_bucket.groupBy("bucket").agg(F.sum("n").alias("cr"))
-    tgt = (
-        per_bucket.where("_tgt")
+    (id, _tgt, bucket, n) count table — both bucket models come from
+    ONE conditional aggregate (raw = every row, target = the _tgt
+    slice; r8 replan of the two separate groupBys), both totals from
+    one single-row agg over the 256-row model table, and the add-one-
+    smoothed ratio from one projection. Shared by the fused fit+score
+    path and the frozen-model fit. NULL buckets (the per-doc sentinel
+    rows of ``hashed_gram_buckets(empty_doc_sentinel=True)``) are
+    excluded — they are bookkeeping, not grams. An EMPTY target slice
+    keeps the documented NULL-propagation contract: tot_t goes NULL
+    (not 0), so every ratio and downstream weight degrades to 0.0."""
+    from pyspark.sql import Window
+
+    models = (
+        per_bucket.where(F.col("bucket").isNotNull())
         .groupBy("bucket")
-        .agg(F.sum("n").alias("ct"))
-    )
-    totals = raw.agg(F.sum("cr").alias("tot_r"))
-    tgt_total = tgt.agg(F.sum("ct").alias("tot_t"))
-    nb = F.lit(num_buckets)
-    return (
-        raw.join(tgt, "bucket", "left")
-        .crossJoin(F.broadcast(totals))
-        .crossJoin(F.broadcast(tgt_total))
-        .select(
-            "bucket",
-            F.round(
-                F.log(
-                    (
-                        (F.coalesce("ct", F.lit(0)) + 1)
-                        / (F.col("tot_t") + nb)
-                    )
-                    / ((F.col("cr") + 1) / (F.col("tot_r") + nb))
-                ),
-                6,
-            )
-            .cast(_RATIO_DECIMAL)
-            .alias("r"),
+        .agg(
+            F.sum("n").alias("cr"),
+            F.sum(
+                F.when(F.col("_tgt"), F.col("n")).otherwise(F.lit(0))
+            ).alias("ct"),
         )
+    )
+    # totals attach via an unpartitioned window — models is <= num_buckets
+    # rows BY CONSTRUCTION, so the single-partition window is bounded and
+    # keeps the ratio chain a SINGLE consumer of per_bucket (a separate
+    # totals agg + crossJoin would re-aggregate per_bucket twice)
+    w = Window.partitionBy()
+    tot_r = F.sum("cr").over(w)
+    # preserve the empty-target contract of the old two-frame form: the
+    # sum over an empty tgt frame was NULL, and the NULL propagates
+    # through every ratio to the final coalesce-to-0.0
+    tot_t = F.when(F.sum("ct").over(w) > 0, F.sum("ct").over(w))
+    nb = F.lit(num_buckets)
+    return models.select(
+        "bucket",
+        F.round(
+            F.log(
+                ((F.col("ct") + 1) / (tot_t + nb))
+                / ((F.col("cr") + 1) / (tot_r + nb))
+            ),
+            6,
+        )
+        .cast(_RATIO_DECIMAL)
+        .alias("r"),
     )
 
 

@@ -713,8 +713,18 @@ def lsh_topk_self(
             corpus.select(F.col(id_col).alias("_id"), F.col(vec_col)),
             "_id", vec_col, n_planes, n_tables, dim,
         )
-    # materialized: both join sides (all buckets vs query buckets) read it
-    tb = tb.localCheckpoint(eager=True)
+    # tb has two consumers (all buckets vs query buckets) and is
+    # RECOMPUTED per consumer — deliberately NOT localCheckpointed
+    # (r8 bisect): the signature build is one narrow linear GEMM pass,
+    # and materializing it means writing 16N (id, table, bucket) rows
+    # to executor-local disk plus a blocking driver job before the
+    # real query starts. Measured at sf0.1: recompute ≈ checkpoint
+    # wall-for-wall, and at 100 TB recompute wins — a cheap narrow
+    # stage should never be spilled to disk to save its own re-run.
+    # (A single-consumption groupBy(table,bucket) + collect_list
+    # rewrite measured ~15% faster locally but materializes FULL
+    # bucket membership in one aggregation buffer — unbounded on a
+    # hot bucket at corpus scale — and was rejected.)
     qids = corpus.where(query_pred).select(F.col(id_col).alias("_qid"))
     cb = tb.select(F.col("_id").alias("neighbor_id"), "table", "bucket")
     qb = (

@@ -941,6 +941,145 @@ def doc_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ess_oracle() -> str:
+    return f"""
+    WITH n AS (
+      SELECT doc_id, source, text, {_WS_TOKENS_SQL} AS tok,
+             sha256({_NORM_SQL}) AS digest
+      FROM documents),
+    w AS (
+      SELECT doc_id, source, text, tok,
+             count(*) OVER (PARTITION BY digest) AS c
+      FROM n),
+    src AS (
+      SELECT source,
+             CAST(round(pow(CAST(sum(tok) AS BIGINT), {_TEMP_ALPHA}), 6)
+                  AS DECIMAL(38,6)) AS p
+      FROM n GROUP BY source),
+    tot AS (SELECT sum(p) AS tp FROM src),
+    tw AS (
+      SELECT source,
+             CAST(round(CAST(CAST(p AS DOUBLE) / CAST(tp AS DOUBLE)
+                             AS DECIMAL(38,15)), 6)
+                  AS DECIMAL(38,6)) AS temp_weight
+      FROM src CROSS JOIN tot),
+    fw AS (
+      SELECT w.doc_id, w.source,
+             CAST(round(CAST(
+                   CAST(CAST(round(1.0 / w.c, 6) AS DECIMAL(38,6)) AS DOUBLE)
+                   * CAST(CAST(round({_quality_sql().replace('text', 'w.text')}, 2)
+                               AS DECIMAL(38,6)) AS DOUBLE)
+                   * CAST(tw.temp_weight AS DOUBLE)
+                 AS DECIMAL(38,15)), 9) AS DECIMAL(18,9)) AS fwt
+      FROM w JOIN tw USING (source)
+    ),
+    agg AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(fwt) AS DECIMAL(38,9)) AS sum_w,
+             CAST(sum(fwt * fwt) AS DECIMAL(38,18)) AS sum_w2
+      FROM fw GROUP BY source
+    )
+    SELECT source, n_docs, sum_w, sum_w2,
+           CAST(round(CAST(CAST(sum_w AS DOUBLE) * CAST(sum_w AS DOUBLE)
+                           / CAST(sum_w2 AS DOUBLE)
+                           AS DECIMAL(38,15)), 4) AS DECIMAL(38,4)) AS ess,
+           CAST(round(CAST(CAST(sum_w AS DOUBLE) * CAST(sum_w AS DOUBLE)
+                           / CAST(sum_w2 AS DOUBLE) / n_docs
+                           AS DECIMAL(38,15)), 4) AS DECIMAL(38,4))
+             AS ess_ratio
+    FROM agg
+    """
+
+
+@register(
+    "sampling_ess_by_source",
+    oracle=_ess_oracle(),
+    doc="Effective sample size of the sampling-weight table, per source "
+    "— Kish's ESS = (Σw)²/Σw², the diagnostic a trainer runs BEFORE "
+    "trusting a mixing table: ess_ratio near 1 means the source's "
+    "weights are flat (every doc contributes), near 1/n means a handful "
+    "of documents dominate the source's probability mass and the "
+    "effective corpus is far smaller than the row count. Composes the "
+    "full doc_sampling_weights pipeline (soft-dedup discount × quality "
+    "× temperature share, exact-decimal product) and aggregates it in "
+    "the decimal domain: each 9-dp weight is pinned to DECIMAL(18,9), "
+    "so w and w² (scale 18, within DECIMAL(38)) sum exactly under any "
+    "partitioning, and the one double division happens on exact inputs "
+    "with the result pinned back to decimal (the engine-proof surface "
+    "contract from the r8 gate fix). Plan adds ONE 20-row aggregate on "
+    "top of the weight pipeline's single corpus shuffle.",
+    tags=("llm", "selection", "quality", "bench"),
+)
+def sampling_ess_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.text import (
+        normalize_for_dedup,
+        sampling_weight_columns,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        _ws_tokens().alias("tok"),
+        F.sha2(normalize_for_dedup("text"), 256).alias("digest"),
+    )
+    w = n.withColumn("c", F.count("*").over(Window.partitionBy("digest")))
+    src = n.groupBy("source").agg(
+        F.round(
+            F.pow(F.sum("tok").cast("double"), F.lit(_TEMP_ALPHA)), 6
+        )
+        .cast(_DEC)
+        .alias("p")
+    )
+    tot = src.agg(F.sum("p").alias("tp"))
+    tw = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.round(
+            (F.col("p").cast("double") / F.col("tp").cast("double")).cast(
+                "decimal(38,15)"
+            ),
+            6,
+        )
+        .cast(_DEC)
+        .alias("temp_weight"),
+    )
+    _, _, final_w = sampling_weight_columns(
+        F.col("c"), "text", F.col("temp_weight")
+    )
+    fw = w.join(F.broadcast(tw), "source").select(
+        "source", final_w.cast("decimal(18,9)").alias("fwt")
+    )
+    agg = fw.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("fwt").cast("decimal(38,9)").alias("sum_w"),
+        # (18,9) × (18,9) → (37,18): exact, no Spark scale clamping
+        F.sum(F.col("fwt") * F.col("fwt"))
+        .cast("decimal(38,18)")
+        .alias("sum_w2"),
+    )
+    ess_d = (
+        F.col("sum_w").cast("double")
+        * F.col("sum_w").cast("double")
+        / F.col("sum_w2").cast("double")
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "sum_w",
+        "sum_w2",
+        F.round(ess_d.cast("decimal(38,15)"), 4)
+        .cast("decimal(38,4)")
+        .alias("ess"),
+        F.round(
+            (ess_d / F.col("n_docs")).cast("decimal(38,15)"), 4
+        )
+        .cast("decimal(38,4)")
+        .alias("ess_ratio"),
+    )
+
+
 _BURST_TOPK = 20
 
 
@@ -1173,6 +1312,109 @@ def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_docs") * F.lit(float(_PACK_CTX))),
             6,
         ).alias("naive_utilization"),
+    )
+
+
+_SWEEP_CTXS = (256, 512, 1024, 2048)
+
+
+@register(
+    "packing_context_sweep",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_WS_TOKENS_SQL} AS n_tok FROM documents),
+    ordered AS (
+      SELECT n_tok,
+             sum(n_tok) OVER (ORDER BY n_tok DESC, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS rt
+      FROM d),
+    ctxs(ctx) AS (VALUES {', '.join(f'({c})' for c in _SWEEP_CTXS)}),
+    sweep AS (
+      SELECT CAST(ctx AS INTEGER) AS ctx, n_tok, rt
+      FROM ordered CROSS JOIN ctxs),
+    agg AS (
+      SELECT ctx,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+             CAST(count(DISTINCT CAST(floor(CAST(rt - n_tok AS DOUBLE) / ctx)
+                                      AS BIGINT)) AS BIGINT) AS packed_bins,
+             CAST(sum(CASE WHEN n_tok > ctx THEN 1 ELSE 0 END) AS BIGINT)
+               AS oversized_docs
+      FROM sweep GROUP BY ctx)
+    SELECT ctx, n_docs, total_tokens, packed_bins,
+           CAST(ceil(CAST(total_tokens AS DOUBLE) / ctx) AS BIGINT)
+             AS ideal_bins,
+           oversized_docs,
+           CAST(round(CAST(CAST(total_tokens AS DOUBLE) / (packed_bins * ctx)
+                           AS DECIMAL(38,15)), 6) AS DECIMAL(38,6))
+             AS utilization
+    FROM agg
+    """,
+    doc="Context-length sweep for the packing stage: packed-bin count, "
+    f"ideal bin count, and utilization at {_SWEEP_CTXS} tokens, all "
+    "from ONE distributed prefix sum — the instrument that answers "
+    "'what context length should this corpus train at' before any "
+    "packing job runs (short contexts waste nothing but cap attention "
+    "span; long contexts pay padding for every bin the tail can't "
+    "fill, and oversized_docs counts what would need splitting). The "
+    "prefix-sum frame fans out 4× through an explode of the literal "
+    "context array and aggregates in ONE groupBy — the sweep costs one "
+    "extra narrow stage over the single-context report, not four "
+    "corpus passes. Utilization is rounded in the decimal domain and "
+    "surfaced as DECIMAL (the engine-proof contract).",
+    tags=("llm", "text", "bench"),
+)
+def packing_context_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.operators.ranking import (
+        global_running_sum,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select("doc_id", _ws_tokens().alias("n_tok"))
+    base = d.withColumn("_negt", -F.col("n_tok"))
+    rt = global_running_sum(base, ["_negt", "doc_id"], "n_tok", out_col="rt")
+    ctx_arr = (
+        "array(" + ",".join(f"CAST({c} AS INT)" for c in _SWEEP_CTXS) + ")"
+    )
+    sweep = rt.select(
+        "n_tok",
+        "rt",
+        F.explode(F.expr(ctx_arr)).alias("ctx"),
+    )
+    agg = sweep.groupBy("ctx").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.count_distinct(
+            F.floor(
+                (F.col("rt") - F.col("n_tok")).cast("double") / F.col("ctx")
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("packed_bins"),
+        F.sum(
+            F.when(F.col("n_tok") > F.col("ctx"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("oversized_docs"),
+    )
+    return agg.select(
+        "ctx",
+        "n_docs",
+        "total_tokens",
+        "packed_bins",
+        F.ceil(F.col("total_tokens").cast("double") / F.col("ctx"))
+        .cast("bigint")
+        .alias("ideal_bins"),
+        "oversized_docs",
+        F.round(
+            (
+                F.col("total_tokens").cast("double")
+                / (F.col("packed_bins") * F.col("ctx"))
+            ).cast("decimal(38,15)"),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .alias("utilization"),
     )
 
 

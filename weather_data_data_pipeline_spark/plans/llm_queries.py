@@ -992,6 +992,61 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "chunk_dedup_histogram",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      FROM documents
+    ),
+    sized AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+    exploded AS (
+      SELECT doc_id,
+             CAST(unnest(range(0, CAST(greatest(ceil(n / 32.0), 1) AS BIGINT)))
+                  AS INTEGER) AS chunk_idx,
+             tk
+      FROM sized
+    ),
+    chunks AS (
+      SELECT sha256(array_to_string(
+               list_slice(tk, chunk_idx*32 + 1, chunk_idx*32 + 32), ' '))
+               AS digest
+      FROM exploded
+    ),
+    groups AS (SELECT digest, count(*) AS c FROM chunks GROUP BY digest)
+    SELECT CAST(c AS BIGINT) AS dup_count,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(c * count(*) AS BIGINT) AS n_chunks
+    FROM groups GROUP BY c
+    """,
+    doc="Chunk-level redundancy histogram: split every document into "
+    "NON-overlapping 32-token blocks (chunk_documents with overlap 0 — "
+    "the retrieval-corpus / context-window unit), hash each block, and "
+    "report how many distinct blocks occur 1×, 2×, … across the corpus "
+    "— the redundancy measurement BETWEEN whole-document exact dedup "
+    "(misses partial overlap) and exact-substring span dedup (costs a "
+    "positional-gram pipeline): a RAG or pretraining corpus with a fat "
+    "dup_count tail is paying storage and gradient steps for repeated "
+    "passages that doc-level dedup cannot see. Plan: one scan, the "
+    "chunk explode and sha2 stay in codegen, then two "
+    "map-side-combinable groupBys (digest, then count) — the shuffle "
+    "carries 64-hex digests, never chunk text.",
+    tags=("llm", "text", "dedup", "bench"),
+)
+def chunk_dedup_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap=0)
+    groups = chunks.groupBy(
+        F.sha2("chunk_text", 256).alias("digest")
+    ).agg(F.count("*").alias("c"))
+    return groups.groupBy("c").agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        (F.col("c") * F.count("*")).cast("bigint").alias("n_chunks"),
+    ).select(
+        F.col("c").cast("bigint").alias("dup_count"), "n_groups", "n_chunks"
+    )
+
+
+@register(
     "training_mix_sample",
     verified_by="training_mix_sample_portable",
     oracle=None,  # hash-family-specific by design; properties in tests

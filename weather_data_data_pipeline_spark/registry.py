@@ -89,6 +89,17 @@ _ROUND_HEAD: tuple[str, ...] = (
     # queries last green r3
     "vocab_zipf_fit",
     "weekly_cohort_retention",
+    # r8 REPLANNED (VERDICT r7 ask #4): fused bucket models (one
+    # conditional agg), window totals, per-doc sentinel rows replacing
+    # the corpus join-back — 3 shuffles, down from 5 + join-back
+    "dsir_importance_weights",
+    "dsir_select_topk",
+    # r8 REPLANNED (asks #3/#8): lsh_topk_self drops the eager
+    # signature checkpoint; simhash vote sums/bit packs ship as parsed
+    # expr strings (plan build 0.95 -> 0.20 s)
+    "ann_lsh_topk",
+    "embedding_ann_recall_report",
+    "simhash_near_dup_portable",
 )
 
 
