@@ -58,6 +58,10 @@ INTENTIONAL = {
         "single-ROW build side: the total temperature-mass aggregate "
         "attaches to the ~20-row per-source frame before that frame "
         "broadcasts to the corpus — O(sources × 1) scalar attach",
+    ("sampling_ess_by_source", "BroadcastNestedLoopJoin"):
+        "single-ROW build side: the same total temperature-mass scalar "
+        "attach as doc_sampling_weights (the ESS query composes that "
+        "pipeline) — O(sources × 1)",
     ("temperature_mix_weights", "BroadcastNestedLoopJoin"):
         "single-ROW build side: the (total tokens, total temperature "
         "mass) aggregate attaches to the ~20-row per-source frame — "

@@ -464,6 +464,43 @@ def runr7b() -> None:
     spark.stop()
 
 
+QUERIES_R8 = (
+    # r8 replans + new instruments. dsir pair: the fused 3-shuffle
+    # fit+score plan (conditional-agg bucket models, window totals over
+    # the 256-row model frame, per-doc sentinel instead of a corpus
+    # join-back) — expect the same ~linear gram-shuffle as the old plan,
+    # minus the join-back bytes. ESS: the doc_sampling_weights pipeline
+    # + one 20-row aggregate — expect the digest-window linear shuffle.
+    # context sweep: ONE prefix sum fanned 4× through a literal-array
+    # explode — the exploded frame is (n_tok, rt, ctx) triples, so
+    # expect ~linear bytes at 4× the manifest frame's rate. chunk
+    # histogram: non-overlapping 32-token blocks → digests → counts;
+    # chunk count ∝ tokens, expect ~linear. simhash portable: post
+    # expr-string replan (plan-build constant is SF-independent; the
+    # banded self-join on the closed stress vocab is the documented
+    # workload-quadratic family, so it is EXCLUDED like exact Jaccard).
+    "dsir_importance_weights",
+    "dsir_select_topk",
+    "sampling_ess_by_source",
+    "packing_context_sweep",
+    "chunk_dedup_histogram",
+)
+
+
+def runr8() -> None:
+    d1, spark = _measure(
+        (("sf0.1", SRC_DIR), ("sf1", OUT_DIR)), QUERIES_R8, "r8d1",
+        "scale_r8a",
+    )
+    spark.stop()
+    d2, spark = _measure(
+        (("sf1", OUT_DIR), ("sf10", OUT_DIR_10)), QUERIES_R8, "r8d2",
+        "scale_r8b",
+    )
+    print(json.dumps({"decade1_sf01_sf1": d1, "decade2_sf1_sf10": d2}))
+    spark.stop()
+
+
 def runr7() -> None:
     d1, spark = _measure(
         (("sf0.1", SRC_DIR), ("sf1", OUT_DIR)), QUERIES_R7, "r7d1",
@@ -511,6 +548,9 @@ if __name__ == "__main__":
         runr7()
     elif cmd == "runr7b":
         runr7b()
+    elif cmd == "runr8":
+        runr8()
     else:
-        print("usage: scale_stress.py [gen|run|gen10|run10|runr5|runr6|runr6c|runr7|runr7b]")
+        print("usage: scale_stress.py [gen|run|gen10|run10|runr5|runr6|"
+              "runr6c|runr7|runr7b|runr8]")
         sys.exit(2)

@@ -250,8 +250,10 @@ def minhash_signatures(
     codegen'd. Measured, not guessed.)
     """
     sh = hashed_shingles(df, id_col, text_col, n)
+    # parsed expr strings, not composed Columns: num_perm × 4 py4j
+    # calls of plan-build driver time otherwise (the simhash r8 lesson)
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"h{i}")
+        F.expr(f"min(xxhash64({i}, h)) AS h{i}")
         for i in range(num_perm)
     ]
     agg = sh.groupBy(id_col).agg(*mins)
@@ -535,8 +537,10 @@ def minhash_signatures_portable(
     strings stays in codegen. The md5-per-permutation form is the
     faster portable family on this engine."""
     sh = word_shingles(df, id_col, text_col, n)
+    # parsed expr strings, not composed Columns: num_perm × 5 py4j
+    # calls of plan-build driver time otherwise (the simhash r8 lesson)
     mins = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        F.expr(f"min(md5(concat('{i}:', shingle))) AS h{i}")
         for i in range(num_perm)
     ]
     return sh.groupBy(id_col).agg(*mins)
