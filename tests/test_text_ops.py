@@ -469,3 +469,64 @@ def test_unimax_allocation_matches_iterative_waterfill(spark):
             sum(v for v, _ in got.values())
             - min(budget, sum(toks.values()))
         ) < 0.05
+
+
+def test_leakage_free_split_components_never_straddle(spark, tmp_path):
+    """The leakage_free_split contract: every near-dup component lands in
+    exactly ONE split — planted near-duplicate pairs (Jaccard >= 0.5 on
+    3-shingles) must inherit the SAME split as their representative,
+    while a plain per-doc md5 split is free to scatter them."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        connected_components,
+        jaccard_pairs,
+    )
+    from weather_data_data_pipeline_spark.functions.text import holdout_split
+    from weather_data_data_pipeline_spark.plans.curation_queries import (
+        leakage_free_split,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = []
+    for i in range(60):
+        if i % 3 == 0:  # planted near-dup pair (i, i+1): one-word suffix diff
+            rows.append((i, base + f" tail{i}", "en", "s0", 100))
+            rows.append((1000 + i, base + f" tail{i} extra", "en", "s1", 100))
+        else:
+            rows.append(
+                (i, f"unique doc number {i} with words " + " ".join(
+                    f"w{i}x{j}" for j in range(8)
+                ), "en", "s0", 100)
+            )
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    df = spark.createDataFrame(rows, schema)
+    sf_dir = str(tmp_path / "sfL")
+    os.makedirs(sf_dir, exist_ok=True)
+    df.coalesce(1).write.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    pairs = jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5)
+    labels = connected_components(pairs)
+    # sanity: the planted pairs actually formed components
+    assert labels.count() >= 2
+    full = df.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+    assigned = full.select(
+        "cluster_id", holdout_split("cluster_id", "lsplit-v1").alias("split")
+    )
+    # the invariant: one split per component
+    multi = (
+        assigned.groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    assert multi == 0
+    # and the registered rollup is consistent: docs sum to the corpus
+    out = {r["split"]: r for r in leakage_free_split(spark, sf_dir).collect()}
+    assert sum(r["n_docs"] for r in out.values()) == len(rows)
+    # every guarded doc is in a >=2-member component, counted with it
+    assert sum(r["n_leak_guarded"] for r in out.values()) >= 2 * 20

@@ -1315,6 +1315,117 @@ def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lfs_oracle() -> str:
+    from weather_data_data_pipeline_spark.functions.text import md5_threshold
+
+    return f"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+           FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) _l(i)
+           WHERE len(t) >= 3),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+    dup AS (SELECT id_a, id_b FROM pair
+            JOIN cnt ca ON ca.doc_id = id_a
+            JOIN cnt cb ON cb.doc_id = id_b
+            WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+              UNION SELECT id_b, id_a FROM dup),
+    walk(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src
+    ),
+    comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+             FROM walk GROUP BY src),
+    labeled AS (
+      SELECT d.doc_id,
+             coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+             CAST(len(list_filter(string_split(d.text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tok
+      FROM documents d LEFT JOIN comp c USING (doc_id)),
+    tagged AS (
+      SELECT doc_id, cluster_id, n_tok,
+             CASE
+               WHEN md5('lsplit-v1' || CAST(cluster_id AS VARCHAR))
+                    < '{md5_threshold(0.90)}' THEN 'train'
+               WHEN md5('lsplit-v1' || CAST(cluster_id AS VARCHAR))
+                    < '{md5_threshold(0.95)}' THEN 'val'
+               ELSE 'test'
+             END AS split,
+             count(*) OVER (PARTITION BY cluster_id) AS c_size
+      FROM labeled)
+    SELECT split,
+           CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_components,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN c_size >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_leak_guarded,
+           CAST(sum(n_tok) AS BIGINT) AS tokens
+    FROM tagged GROUP BY split
+    """
+
+
+@register(
+    "leakage_free_split",
+    oracle=_lfs_oracle(),
+    doc="Near-dup-aware train/val/test split: the split UNIT is the "
+    "near-duplicate component, not the document — every doc inherits "
+    "md5('lsplit-v1' || cluster_id) thresholded 90/5/5 from its "
+    "component representative, so two near-duplicate documents can "
+    "NEVER straddle the train/eval boundary (the leakage mode a plain "
+    "per-doc split has: the eval set silently contains near-copies of "
+    "training docs and overstates generalization — Lee et al. 2022 "
+    "measure exactly this inflation). Components are the exact-Jaccard "
+    ">= 0.5 graph's connected components (dedup_clusters machinery, "
+    "min-id representative); singletons are their own component, so "
+    "the split is still growth-stable and engine-portable. Reported "
+    "per split: component/doc counts, docs that live in real (>= 2 "
+    "member) components — the population the guard actually moved — "
+    "and token budgets. n_leak_guarded docs land WITH their whole "
+    "component by construction; a per-doc split would scatter ~10% of "
+    "each multi-doc component across boundaries.",
+    tags=("llm", "dedup", "sampling"),
+)
+def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        connected_components,
+        jaccard_pairs,
+    )
+    from weather_data_data_pipeline_spark.functions.text import holdout_split
+
+    docs = load_fanout(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    labels = connected_components(pairs)
+    labeled = (
+        docs.select("doc_id", _ws_tokens().alias("n_tok"))
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            F.col("n_tok").cast("bigint").alias("n_tok"),
+        )
+    )
+    tagged = labeled.select(
+        "cluster_id",
+        "n_tok",
+        holdout_split("cluster_id", "lsplit-v1").alias("split"),
+        F.count("*")
+        .over(Window.partitionBy("cluster_id"))
+        .alias("c_size"),
+    )
+    return tagged.groupBy("split").agg(
+        F.count_distinct("cluster_id").cast("bigint").alias("n_components"),
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("c_size") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_leak_guarded"),
+        F.sum("n_tok").cast("bigint").alias("tokens"),
+    )
+
+
 _SWEEP_CTXS = (256, 512, 1024, 2048)
 
 
