@@ -1101,3 +1101,78 @@ def test_semantic_decontamination_sink_equals_batch(spark, tmp_path):
     assert (
         spark.read.parquet(out).select("batch_id").distinct().count() == 2
     )
+
+
+def test_ess_monitor_stream_equals_batch_rollup(spark, tmp_path):
+    """Per-batch streaming ESS == the batch ess_rollup over the same
+    frozen weights on that batch's documents — scorer and rollup are
+    the SAME shared expressions, so every decimal matches exactly."""
+    import os
+
+    from weather_data_data_pipeline_spark.functions.text import (
+        doc_sampling_weights_frozen,
+        ess_rollup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (i, f"{base} variation {i} with words w{i}a w{i}b", "en",
+         f"s{i % 3}", 90)
+        for i in range(30)
+    ]
+    rows[7] = (7, base + " dup pair", "en", "s1", 90)
+    rows[19] = (19, base + " dup pair", "en", "s1", 90)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    full = spark.createDataFrame(rows, schema)
+    temp_weights = {"s0": "0.400000", "s1": "0.350000", "s2": "0.250000"}
+
+    src_dir = str(tmp_path / "ess_src")
+    first = full.where(F.col("doc_id") < 15)
+    second = full.where(F.col("doc_id") >= 15)
+    first.coalesce(1).write.parquet(src_dir)
+    second.coalesce(1).write.mode("append").parquet(src_dir)
+
+    out = str(tmp_path / "ess_out")
+    stream = (
+        spark.readStream.schema(full.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src_dir)
+    )
+    q = (
+        S.ess_monitor_sink(
+            stream, temp_weights, None, out, str(tmp_path / "ess_ck")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out).collect()
+    batches = {r["batch_id"] for r in got}
+    assert len(batches) == 2  # one rollup per micro-batch
+    got_map = {
+        (r["batch_id"], r["source"]): (
+            r["n_docs"], str(r["sum_w"]), str(r["sum_w2"]),
+            str(r["ess"]), str(r["ess_ratio"]),
+        )
+        for r in got
+    }
+    # batch ids follow file arrival order; recompute each batch's
+    # expected rollup with the IDENTICAL shared fragments
+    for bid, part in enumerate(
+        (first, second) if min(batches) == 0 else (second, first)
+    ):
+        want = {
+            r["source"]: (
+                r["n_docs"], str(r["sum_w"]), str(r["sum_w2"]),
+                str(r["ess"]), str(r["ess_ratio"]),
+            )
+            for r in ess_rollup(
+                doc_sampling_weights_frozen(part, temp_weights)
+            ).collect()
+        }
+        for src, vals in want.items():
+            assert got_map[(bid, src)] == vals, (bid, src)
+    # the ESS is real: the planted dup pair discounts s1's weights
+    assert any(r["source"] == "s1" and r["ess_ratio"] is not None for r in got)

@@ -780,6 +780,48 @@ def digest_counts(
     )
 
 
+def ess_rollup(
+    weights: DataFrame,
+    key_col: str = "source",
+    w_col: str = "final_weight",
+) -> DataFrame:
+    """Kish effective sample size per key from a weight table:
+    (key, n_docs, sum_w, sum_w2, ess, ess_ratio) with
+    ESS = (Σw)²/Σw². The weight is pinned to DECIMAL(18,9) first so w
+    and w² (scale 18, within DECIMAL(38)) sum EXACTLY under any
+    partitioning, and the one double division happens on exact inputs
+    with the result pinned back to decimal — the engine-proof surface
+    contract. SHARED by the batch ``sampling_ess_by_source`` query and
+    the streaming ``ess_monitor_sink`` so the two paths cannot
+    drift."""
+    fwt = F.col(w_col).cast("decimal(18,9)").alias("_fwt")
+    agg = weights.select(key_col, fwt).groupBy(key_col).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("_fwt").cast("decimal(38,9)").alias("sum_w"),
+        # (18,9) × (18,9) → (37,18): exact, no Spark scale clamping
+        F.sum(F.col("_fwt") * F.col("_fwt"))
+        .cast("decimal(38,18)")
+        .alias("sum_w2"),
+    )
+    ess_d = (
+        F.col("sum_w").cast("double")
+        * F.col("sum_w").cast("double")
+        / F.col("sum_w2").cast("double")
+    )
+    return agg.select(
+        key_col,
+        "n_docs",
+        "sum_w",
+        "sum_w2",
+        F.round(ess_d.cast("decimal(38,15)"), 4)
+        .cast("decimal(38,4)")
+        .alias("ess"),
+        F.round((ess_d / F.col("n_docs")).cast("decimal(38,15)"), 4)
+        .cast("decimal(38,4)")
+        .alias("ess_ratio"),
+    )
+
+
 def doc_sampling_weights_frozen(
     df: DataFrame,
     temp_weights: dict[str, str],
@@ -832,6 +874,7 @@ def doc_sampling_weights_frozen(
     )
     return d.select(
         id_col,
+        source_col,
         dedup_w.alias("dedup_weight"),
         quality_w.alias("quality_weight"),
         tw.alias("temp_weight"),

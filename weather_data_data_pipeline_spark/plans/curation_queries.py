@@ -1049,35 +1049,13 @@ def sampling_ess_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c"), "text", F.col("temp_weight")
     )
     fw = w.join(F.broadcast(tw), "source").select(
-        "source", final_w.cast("decimal(18,9)").alias("fwt")
+        "source", final_w.alias("final_weight")
     )
-    agg = fw.groupBy("source").agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum("fwt").cast("decimal(38,9)").alias("sum_w"),
-        # (18,9) × (18,9) → (37,18): exact, no Spark scale clamping
-        F.sum(F.col("fwt") * F.col("fwt"))
-        .cast("decimal(38,18)")
-        .alias("sum_w2"),
-    )
-    ess_d = (
-        F.col("sum_w").cast("double")
-        * F.col("sum_w").cast("double")
-        / F.col("sum_w2").cast("double")
-    )
-    return agg.select(
-        "source",
-        "n_docs",
-        "sum_w",
-        "sum_w2",
-        F.round(ess_d.cast("decimal(38,15)"), 4)
-        .cast("decimal(38,4)")
-        .alias("ess"),
-        F.round(
-            (ess_d / F.col("n_docs")).cast("decimal(38,15)"), 4
-        )
-        .cast("decimal(38,4)")
-        .alias("ess_ratio"),
-    )
+    # the rollup is the SHARED functions/text.py:ess_rollup fragment —
+    # the streaming ess_monitor_sink compiles the identical expressions
+    from weather_data_data_pipeline_spark.functions.text import ess_rollup
+
+    return ess_rollup(fw, "source", "final_weight")
 
 
 _BURST_TOPK = 20

@@ -855,6 +855,64 @@ def _packing_batch_writer(
     return write_batch
 
 
+def ess_monitor_sink(
+    stream: DataFrame,
+    temp_weights: dict[str, str],
+    history: DataFrame | None,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataStreamWriter:
+    """Streaming effective-sample-size monitor: every micro-batch is
+    scored with the FROZEN sampling-weight artifacts
+    (functions/text.py:doc_sampling_weights_frozen — literal
+    temperature weights + optional persisted duplicate index) and
+    rolled up to per-source Kish ESS via the SHARED
+    functions/text.py:ess_rollup fragment, appending
+    (batch_id, source, n_docs, sum_w, sum_w2, ess, ess_ratio) — the
+    live twin of the batch ``sampling_ess_by_source`` query, i.e. the
+    dashboard row a serving pipeline watches to catch a crawl source
+    whose weight mass is collapsing onto a handful of documents
+    (ess_ratio → 1/n) BEFORE that source poisons a training mix.
+    Because the scorer and the rollup are the same compiled
+    expressions as the batch path, per-batch output equals the batch
+    recompute on that batch's documents bit-for-bit (pinned in
+    tests/test_streaming.py). Replays dynamic-overwrite their own
+    output partition, so at-least-once delivery converges."""
+    from weather_data_data_pipeline_spark.functions.text import (
+        doc_sampling_weights_frozen,
+        ess_rollup,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        scored = doc_sampling_weights_frozen(
+            batch_df,
+            temp_weights,
+            history=history,
+            id_col=id_col,
+            text_col=text_col,
+            source_col=source_col,
+        )
+        ess_rollup(scored, source_col, "final_weight").withColumn(
+            "batch_id", F.lit(int(batch_id))
+        ).select(
+            "batch_id", source_col, "n_docs", "sum_w", "sum_w2",
+            "ess", "ess_ratio",
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id").parquet(out_path)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+
+
 def decontamination_sink(
     stream: DataFrame,
     eval_df: DataFrame,
