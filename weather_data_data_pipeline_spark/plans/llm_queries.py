@@ -1204,6 +1204,127 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_outlier_zscores",
+    # same seed-centroid replay trick as embedding_kmeans_assign, plus
+    # exact-decimal per-cluster moments: dist2 is pinned to decimal
+    # BEFORE the sums (the FLOAT-SUM rule), so mean/std derive from
+    # aggregation-order-proof inputs and the z arithmetic is pure IEEE
+    # (+,-,*,/,sqrt are correctly rounded — engine-identical given the
+    # same expression shape; only transcendentals differ per libm).
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
+             embedding AS cvec
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+    ),
+    scored AS (
+      SELECT e.vec_id, c.cluster,
+             list_sum(list_transform(list_zip(e.embedding, c.cvec),
+                 p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                      * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d2
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    assign AS (
+      SELECT vec_id, cluster,
+             CAST(round(CAST(d2 AS DECIMAL(38,15)), 6) AS DECIMAL(18,6))
+               AS d2d
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, cluster) AS rn
+            FROM scored)
+      WHERE rn = 1
+    ),
+    stats AS (
+      SELECT vec_id, cluster, d2d,
+             count(*) OVER (PARTITION BY cluster) AS n,
+             CAST(sum(d2d) OVER (PARTITION BY cluster) AS DECIMAL(38,6)) AS s,
+             CAST(sum(d2d * d2d) OVER (PARTITION BY cluster)
+                  AS DECIMAL(38,12)) AS s2
+      FROM assign
+    ),
+    z AS (
+      SELECT vec_id, cluster, d2d,
+             (CAST(d2d AS DOUBLE) - CAST(s AS DOUBLE) / n)
+             / sqrt((n * CAST(s2 AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / (n * n))
+               AS zraw
+      FROM stats
+      WHERE n >= 2
+        AND n * CAST(s2 AS DOUBLE)
+            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) > 0
+    )
+    SELECT vec_id, cluster, d2d AS dist2,
+           CAST(round(CAST(zraw AS DECIMAL(38,15)), 4) AS DECIMAL(38,4))
+             AS z
+    FROM z
+    WHERE abs(CAST(round(CAST(zraw AS DECIMAL(38,15)), 4)
+                   AS DECIMAL(38,4))) >= 2.0
+    """,
+    doc="Embedding outlier screen: every vector's squared-L2 distance "
+    "to its nearest seed centroid (the embedding_kmeans_assign "
+    "machinery), z-scored against ITS OWN cluster's distance "
+    "distribution, surfacing |z| >= 2 — the cheap anomaly detector a "
+    "pipeline runs before trusting a new embedding batch. BOTH tails "
+    "are signals: a high z is a corrupt/truncated/wrong-model vector "
+    "far from every centroid of its nominal cluster; a LOW z (distance "
+    "~0, z ~ -6 on this corpus) is a vector suspiciously identical to "
+    "an index vector — the embedding-level exact-duplicate smell. "
+    "Exactness: dist2 pins to "
+    "DECIMAL(18,6) before the per-cluster moment sums (order-proof "
+    "under any partitioning); the z arithmetic is +,-,*,/,sqrt on "
+    "exact inputs — all correctly-rounded IEEE ops, so the double is "
+    "engine-identical and the surfaced z is a pinned decimal. Plan: "
+    "centroids ride as literals (no join), ONE window shuffle on "
+    "cluster for the moments, codegen throughout.",
+    tags=("llm", "similarity", "quality", "bench"),
+)
+def embedding_outlier_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(8).collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in seeds]
+    assign = assign_clusters(emb, cents).select(
+        "vec_id",
+        "cluster",
+        F.round(F.col("dist2").cast("decimal(38,15)"), 6)
+        .cast("decimal(18,6)")
+        .alias("d2d"),
+    )
+    w = Window.partitionBy("cluster")
+    stats = assign.select(
+        "vec_id",
+        "cluster",
+        "d2d",
+        F.count("*").over(w).alias("n"),
+        F.sum("d2d").over(w).cast("decimal(38,6)").alias("s"),
+        F.sum(F.col("d2d") * F.col("d2d"))
+        .over(w)
+        .cast("decimal(38,12)")
+        .alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    s2d = F.col("s2").cast("double")
+    var_num = n * s2d - sd * sd
+    zraw = (F.col("d2d").cast("double") - sd / n) / F.sqrt(
+        var_num / (n * n)
+    )
+    z = F.round(zraw.cast("decimal(38,15)"), 4).cast("decimal(38,4)")
+    return (
+        stats.where((F.col("n") >= 2) & (var_num > 0))
+        .select(
+            "vec_id",
+            "cluster",
+            F.col("d2d").alias("dist2"),
+            z.alias("z"),
+        )
+        .where(F.abs(F.col("z")) >= 2.0)
+    )
+
+
+@register(
     "semantic_dedup_keep",
     # Fully oracle-checked SemDeDup: the seed centroids are the
     # embeddings of the 8 lowest vec_ids (the embedding_kmeans_assign
