@@ -1184,3 +1184,74 @@ def doc_bigram_kn_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("logppl"),
     )
+
+
+@register(
+    "ngram_entropy_by_source",
+    oracle="""
+    WITH toks AS (
+      SELECT source, t.tok AS tok
+      FROM documents, unnest(list_filter(string_split(text, ' '),
+                                         x -> x <> '')) AS t(tok)
+    ),
+    sv AS (SELECT source, tok, count(*) AS n FROM toks GROUP BY source, tok),
+    st AS (SELECT source, sum(n) AS tot, count(*) AS vocab
+           FROM sv GROUP BY source),
+    terms AS (
+      SELECT sv.source,
+             CAST(round(CAST(
+               -(CAST(sv.n AS DOUBLE) / st.tot)
+                 * ln(CAST(sv.n AS DOUBLE) / st.tot)
+             AS DECIMAL(38,15)), 6) AS DECIMAL(18,6)) AS term
+      FROM sv JOIN st USING (source)
+    )
+    SELECT st.source,
+           CAST(st.tot AS BIGINT) AS n_tokens,
+           CAST(st.vocab AS BIGINT) AS vocab_size,
+           CAST(sum(term) AS DECIMAL(38,6)) AS entropy
+    FROM terms JOIN st USING (source)
+    GROUP BY st.source, st.tot, st.vocab
+    """,
+    doc="Per-source unigram Shannon entropy (nats) next to token and "
+    "vocabulary counts — the diversity detector of a crawl mix: a "
+    "source whose token entropy collapses toward 0 is templated, "
+    "boilerplate, or spam (the same smell KL divergence flags, but "
+    "self-referential — no corpus baseline needed, so it works on the "
+    "FIRST shard of a brand-new source). Each -p·ln(p) term is rounded "
+    "to a 6-dp decimal BEFORE the sum (the FLOAT-SUM rule: ln is the "
+    "one non-correctly-rounded op here, and pinning each term makes "
+    "the per-source sum aggregation-order-proof and engine-exact). "
+    "Plan: one token explode, two map-side-combinable grouped "
+    "aggregates keyed (source, tok) then (source) — the Zipf-small "
+    "per-source vocab table is all that shuffles twice.",
+    tags=("llm", "text", "quality", "bench"),
+)
+def ngram_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+        ).alias("tok"),
+    )
+    sv = toks.groupBy("source", "tok").agg(F.count("*").alias("n"))
+    st = sv.groupBy("source").agg(
+        F.sum("n").alias("tot"), F.count("*").alias("vocab")
+    )
+    p = F.col("n").cast("double") / F.col("tot")
+    term = (
+        F.round((-p * F.log(p)).cast("decimal(38,15)"), 6)
+        .cast("decimal(18,6)")
+        .alias("term")
+    )
+    terms = sv.join(F.broadcast(st), "source").select(
+        "source", "tot", "vocab", term
+    )
+    return terms.groupBy("source", "tot", "vocab").agg(
+        F.sum("term").cast("decimal(38,6)").alias("entropy")
+    ).select(
+        "source",
+        F.col("tot").cast("bigint").alias("n_tokens"),
+        F.col("vocab").cast("bigint").alias("vocab_size"),
+        "entropy",
+    )

@@ -1879,3 +1879,75 @@ def quality_proxy_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("corr"),
     ).orderBy("source")
+
+
+@register(
+    "truncation_loss_sweep",
+    oracle=f"""
+    WITH d AS (
+      SELECT {_WS_TOKENS_SQL} AS n_tok FROM documents),
+    ctxs(ctx) AS (VALUES {', '.join(f'({c})' for c in _SWEEP_CTXS)}),
+    sweep AS (
+      SELECT CAST(ctx AS INTEGER) AS ctx, n_tok
+      FROM d CROSS JOIN ctxs),
+    agg AS (
+      SELECT ctx,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+             CAST(sum(least(n_tok, ctx)) AS BIGINT) AS kept_tokens,
+             CAST(sum(CASE WHEN n_tok > ctx THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_truncated
+      FROM sweep GROUP BY ctx)
+    SELECT ctx, n_docs, total_tokens, kept_tokens, docs_truncated,
+           CAST(round(CAST(CAST(total_tokens - kept_tokens AS DOUBLE)
+                           / total_tokens
+                           AS DECIMAL(38,15)), 6) AS DECIMAL(38,6))
+             AS lost_frac
+    FROM agg
+    """,
+    doc="Truncation-loss sweep — the OTHER side of the "
+    "packing_context_sweep decision: if the loader TRUNCATES each "
+    f"document at {_SWEEP_CTXS} tokens instead of packing, how many "
+    "tokens and documents are sacrificed at each context length. "
+    "Together the two sweeps price the pack-vs-truncate tradeoff per "
+    "context (packing wastes bin tails, truncation wastes document "
+    "tails) from the same one corpus scan shape. Plan: a single "
+    "narrow projection fanned 4× through the literal context array, "
+    "one partial+final aggregate — zero joins, the shuffle carries "
+    "4 rows per partition.",
+    tags=("llm", "text", "bench"),
+)
+def truncation_loss_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ctx_arr = (
+        "array(" + ",".join(f"CAST({c} AS INT)" for c in _SWEEP_CTXS) + ")"
+    )
+    sweep = docs.select(_ws_tokens().alias("n_tok")).select(
+        "n_tok", F.explode(F.expr(ctx_arr)).alias("ctx")
+    )
+    agg = sweep.groupBy("ctx").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.sum(F.least(F.col("n_tok"), F.col("ctx")))
+        .cast("bigint")
+        .alias("kept_tokens"),
+        F.sum(F.when(F.col("n_tok") > F.col("ctx"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_truncated"),
+    )
+    return agg.select(
+        "ctx",
+        "n_docs",
+        "total_tokens",
+        "kept_tokens",
+        "docs_truncated",
+        F.round(
+            (
+                (F.col("total_tokens") - F.col("kept_tokens")).cast("double")
+                / F.col("total_tokens")
+            ).cast("decimal(38,15)"),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .alias("lost_frac"),
+    )

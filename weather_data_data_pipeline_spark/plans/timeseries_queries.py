@@ -803,3 +803,71 @@ def value_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("cusum", 4) + F.lit(0.0)).alias("cusum"),  # -0.0 → 0.0
         (F.rank().over(wr) == 1).alias("is_changepoint"),
     )
+
+
+@register(
+    "weekly_event_dup_rate",
+    oracle="""
+    WITH w AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+             user_id, event_type, value
+      FROM events
+    ),
+    agg AS (
+      SELECT week_start,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT (user_id, event_type, value)) AS BIGINT)
+               AS n_distinct
+      FROM w GROUP BY week_start
+    )
+    SELECT week_start, n_events, n_distinct,
+           CAST(n_events - n_distinct AS BIGINT) AS n_dupes,
+           CAST(round(CAST(CAST(n_events - n_distinct AS DOUBLE) / n_events
+                           AS DECIMAL(38,15)), 6) AS DECIMAL(38,6))
+             AS dup_rate
+    FROM agg
+    """,
+    doc="Weekly duplicate pressure on the event stream: per ISO week, "
+    "total events vs distinct (user_id, event_type, value) triples and "
+    "the implied duplicate rate — the retention-policy instrument that "
+    "says WHEN dedup started paying for itself (an ingest bug, a "
+    "replaying producer, or a bot shows up as a dup_rate step change "
+    "in exactly one week). The composite-key distinct mirrors the "
+    "reference's anti-join dedup key semantics applied as a MEASURE "
+    "over time instead of a filter (ref: weather_report_data_full_load_"
+    "pipeline.py:164). Plan: one shuffle keyed (week, triple) for the "
+    "distinct's partial aggregation, then the per-week rollup; the "
+    "ratio rounds in the decimal domain (engine-proof surface).",
+    tags=("timeseries", "dedup", "bench"),
+)
+def weekly_event_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = ev.select(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week_start"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    agg = w.groupBy("week_start").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.count_distinct("user_id", "event_type", "value")
+        .cast("bigint")
+        .alias("n_distinct"),
+    )
+    return agg.select(
+        "week_start",
+        "n_events",
+        "n_distinct",
+        (F.col("n_events") - F.col("n_distinct"))
+        .cast("bigint")
+        .alias("n_dupes"),
+        F.round(
+            (
+                (F.col("n_events") - F.col("n_distinct")).cast("double")
+                / F.col("n_events")
+            ).cast("decimal(38,15)"),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .alias("dup_rate"),
+    )
