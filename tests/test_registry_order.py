@@ -31,6 +31,8 @@ ROUND_HEAD = (
     "ann_lsh_topk",
     "embedding_ann_recall_report",
     "simhash_near_dup_portable",
+    "semantic_dedup_keep",
+    "semantic_dedup_keep_capped",
 )
 
 

@@ -100,6 +100,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     "ann_lsh_topk",
     "embedding_ann_recall_report",
     "simhash_near_dup_portable",
+    # r8 REPLANNED: semantic_dedup drops the eager vector checkpoint
+    # (recompute the narrow assignment per consumer)
+    "semantic_dedup_keep",
+    "semantic_dedup_keep_capped",
 )
 
 
