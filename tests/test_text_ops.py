@@ -530,3 +530,36 @@ def test_leakage_free_split_components_never_straddle(spark, tmp_path):
     assert sum(r["n_docs"] for r in out.values()) == len(rows)
     # every guarded doc is in a >=2-member component, counted with it
     assert sum(r["n_leak_guarded"] for r in out.values()) >= 2 * 20
+
+
+def test_blocklist_token_exact_and_null_preserving(spark):
+    """Blocklist matching is token-EXACT (never fires inside longer
+    words — the classic badwords-regex false positive) and
+    case-insensitive; redaction keeps surviving-token casing and a NULL
+    text stays NULL (distinguishable from fully-masked)."""
+    from weather_data_data_pipeline_spark.functions.text import (
+        blocklist_hits,
+        blocklist_redact_tokens,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the slow Dup query"),      # 'slow' + case-insensitive 'Dup'
+            (2, "slowly duplicated text"),  # substrings must NOT match
+            (3, None),
+            (4, "SLOW slow dup"),           # all three masked
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["hits"], r["clean"])
+        for r in df.select(
+            "doc_id",
+            blocklist_hits("text", ("slow", "dup")).alias("hits"),
+            blocklist_redact_tokens("text", ("slow", "dup")).alias("clean"),
+        ).collect()
+    }
+    assert rows[1] == (2, "the [REDACTED] [REDACTED] query")
+    assert rows[2] == (0, "slowly duplicated text")
+    assert rows[3] == (0, None)
+    assert rows[4] == (3, "[REDACTED] [REDACTED] [REDACTED]")

@@ -333,6 +333,51 @@ def redact(
     return out
 
 
+def blocklist_hits(col: Column | str, words: tuple[str, ...]) -> Column:
+    """Count of whitespace tokens that appear on the blocklist — the
+    token-EXACT counterpart of the regex :func:`redact`/:func:`match_count`
+    pair (a regex over raw text also matches inside longer words; the
+    C4-style badwords filter is defined over whole tokens). The list
+    ships as one parsed literal array (the py4j plan-build lesson);
+    comparison is case-insensitive. NULL text counts 0 hits."""
+    c = F.col(col) if isinstance(col, str) else col
+    arr = F.expr(
+        "array(" + ",".join(f"'{w.lower()}'" for w in words) + ")"
+    )
+    return F.size(
+        F.filter(
+            F.split(F.lower(F.coalesce(c, F.lit(""))), " "),
+            lambda t: F.array_contains(arr, t),
+        )
+    )
+
+
+def blocklist_redact_tokens(
+    col: Column | str,
+    words: tuple[str, ...],
+    mask: str = "[REDACTED]",
+) -> Column:
+    """Rebuild the text with every blocklisted token replaced by
+    ``mask`` (token-exact, case-insensitive match; original casing of
+    the surviving tokens preserved; single-space join like the span
+    machinery). NULL text stays NULL — a fully-masked document is
+    distinguishable from a missing one."""
+    c = F.col(col) if isinstance(col, str) else col
+    arr = F.expr(
+        "array(" + ",".join(f"'{w.lower()}'" for w in words) + ")"
+    )
+    rebuilt = F.concat_ws(
+        " ",
+        F.transform(
+            F.split(c, " "),
+            lambda t: F.when(
+                F.array_contains(arr, F.lower(t)), F.lit(mask)
+            ).otherwise(t),
+        ),
+    )
+    return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(rebuilt)
+
+
 def match_count(col: Column | str, pattern: str) -> Column:
     """Number of non-overlapping matches of ``pattern`` — the audit
     metric a scrubbing pipeline reports per row/partition."""

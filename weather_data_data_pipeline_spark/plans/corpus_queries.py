@@ -1255,3 +1255,147 @@ def ngram_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vocab").cast("bigint").alias("vocab_size"),
         "entropy",
     )
+
+
+# Fixture blocklist standing in for a real badwords list (the synthetic
+# corpus has a closed ~31-token vocabulary; 'slow' is mid-frequency and
+# 'dup' is rare, so both filter branches are exercised). A production
+# deployment swaps in its curated list — the plan shape is identical for
+# any bounded list (it rides as ONE parsed literal array).
+_BLOCKLIST = ("slow", "dup")
+_BLOCK_SQL_ARR = "[" + ", ".join(f"'{w}'" for w in _BLOCKLIST) + "]"
+
+
+@register(
+    "blocklist_filter_report",
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             len(list_filter(string_split(lower(coalesce(text, '')), ' '),
+                             t -> list_contains({_BLOCK_SQL_ARR}, t)))
+               AS hits,
+             len(list_filter(string_split(coalesce(text, ''), ' '),
+                             t -> t <> '')) AS n_tok
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           CAST(sum(hits) AS BIGINT) AS total_hits,
+           CAST(round(CAST(CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END)
+                                AS DOUBLE) / count(*)
+                           AS DECIMAL(38,15)), 6) AS DECIMAL(38,6))
+             AS flag_rate,
+           CAST(round(CAST(CAST(sum(hits) AS DOUBLE)
+                           / greatest(sum(n_tok), 1)
+                           AS DECIMAL(38,15)), 6) AS DECIMAL(38,6))
+             AS hit_token_rate
+    FROM d GROUP BY source
+    """,
+    doc="C4-style blocklist filter report: per source, how many "
+    "documents contain at least one blocklisted token (the C4 rule "
+    "drops these outright), the total hit count, and the flag/token "
+    "rates — the measurement run BEFORE committing to a badwords "
+    "policy, because a list that flags 40% of a source is a policy "
+    "decision, not a cleaning step. Token-EXACT case-insensitive "
+    "matching (functions/text.py:blocklist_hits), not regex — a regex "
+    "also fires inside longer words, the classic badwords false-"
+    "positive. The list rides as one parsed literal array; the plan is "
+    "one scan + one partial+final rollup, no shuffle of text. Rates "
+    "round in the decimal domain (engine-proof surface).",
+    tags=("llm", "text", "quality", "bench"),
+)
+def blocklist_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.text import blocklist_hits
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        blocklist_hits("text", _BLOCKLIST).alias("hits"),
+        F.size(
+            F.filter(
+                F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("n_tok"),
+    )
+    agg = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("hits") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_flagged"),
+        F.sum("hits").cast("bigint").alias("total_hits"),
+        F.sum("n_tok").alias("_nt"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_flagged",
+        "total_hits",
+        F.round(
+            (F.col("n_flagged").cast("double") / F.col("n_docs")).cast(
+                "decimal(38,15)"
+            ),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .alias("flag_rate"),
+        F.round(
+            (
+                F.col("total_hits").cast("double")
+                / F.greatest(F.col("_nt"), F.lit(1))
+            ).cast("decimal(38,15)"),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .alias("hit_token_rate"),
+    )
+
+
+@register(
+    "blocklist_redacted_corpus",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id,
+             len(list_filter(string_split(lower(text), ' '),
+                             t -> list_contains({_BLOCK_SQL_ARR}, t)))
+               AS n_redacted,
+             array_to_string(list_transform(string_split(text, ' '),
+                 t -> CASE WHEN list_contains({_BLOCK_SQL_ARR}, lower(t))
+                           THEN '[REDACTED]' ELSE t END), ' ')
+               AS clean_text
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, CAST(n_redacted AS BIGINT) AS n_redacted, clean_text
+    FROM r WHERE n_redacted > 0
+    """,
+    doc="Blocklist REDACTION (the keep-but-mask alternative to the C4 "
+    "drop rule — a pipeline that cannot afford to lose 30% of a source "
+    "masks instead): every blocklisted token replaced by [REDACTED], "
+    "token-exact and case-insensitive, original casing of surviving "
+    "tokens and single-space structure preserved "
+    "(functions/text.py:blocklist_redact_tokens); emits (doc_id, "
+    "n_redacted, clean_text) for every touched document. Pure codegen "
+    "projection — one scan, zero shuffle, the transform an engine "
+    "applies to 100 TB at scan speed.",
+    tags=("llm", "text", "bench"),
+)
+def blocklist_redacted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.text import (
+        blocklist_hits,
+        blocklist_redact_tokens,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            blocklist_hits("text", _BLOCKLIST)
+            .cast("bigint")
+            .alias("n_redacted"),
+            blocklist_redact_tokens("text", _BLOCKLIST).alias("clean_text"),
+        )
+        .where(F.col("n_redacted") > 0)
+    )
