@@ -1399,3 +1399,232 @@ def blocklist_redacted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_redacted") > 0)
     )
+
+
+def _rule_conditions_sql() -> list[tuple[str, str]]:
+    """The four quality-rule predicates as DuckDB boolean expressions —
+    the same sub-expressions composed by _quality_sql()/quality_score,
+    surfaced individually for the ablation attribution."""
+    from weather_data_data_pipeline_spark.functions.text import STOPWORDS
+
+    return [
+        ("length_band", "length(text) BETWEEN 50 AND 100000"),
+        (
+            "stopword_floor",
+            f"CAST(len(list_filter(string_split(text, ' '), "
+            f"t -> t IN {STOPWORDS!r})) AS DOUBLE)"
+            " / greatest(len(string_split(text, ' ')), 1) >= 0.05",
+        ),
+        (
+            "punct_ceiling",
+            "CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]',"
+            " '', 'g')) AS DOUBLE) / greatest(length(text), 1) <= 0.2",
+        ),
+        (
+            "word_len_band",
+            "CAST(list_sum(list_transform(list_filter(string_split(text,"
+            " ' '), t -> t <> ''), t -> length(t))) AS DOUBLE)"
+            " / greatest(len(list_filter(string_split(text, ' '),"
+            " t -> t <> '')), 1) BETWEEN 2 AND 12",
+        ),
+    ]
+
+
+def _ablation_oracle() -> str:
+    conds = _rule_conditions_sql()
+    flags = ",\n             ".join(
+        f"CAST({expr} AS INT) AS ok_{name}" for name, expr in conds
+    )
+    branches = "\n      UNION ALL\n".join(
+        f"""      SELECT '{name}' AS rule,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(1 - ok_{name}) AS BIGINT) AS n_fail,
+             CAST(sum(CASE WHEN ok_{name} = 0 AND n_failed = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_only
+      FROM flagged"""
+        for name, _ in conds
+    )
+    total_fail = " + ".join(f"(1 - ok_{name})" for name, _ in conds)
+    return f"""
+    WITH flagged AS (
+      SELECT {flags},
+             {total_fail} AS n_failed
+      FROM documents
+    )
+    SELECT rule, n_docs, n_fail, n_fail_only,
+           CAST(round(CAST(CAST(n_fail AS DOUBLE) / n_docs
+                           AS DECIMAL(38,15)), 6) AS DECIMAL(38,6))
+             AS fail_rate
+    FROM (
+{branches}
+    ) _u
+    """
+
+
+@register(
+    "quality_rule_ablation",
+    oracle=_ablation_oracle(),
+    doc="Per-rule ablation of the composite quality filter (the "
+    "FineWeb-style attribution table): for each of the four C4/Gopher "
+    "rules — length band, stopword floor, punctuation ceiling, mean-"
+    "word-length band — how many documents fail it at all and how many "
+    "fail ONLY it (its marginal kill count: remove that rule and "
+    "exactly those documents come back). The table that tells a "
+    "curation owner which rule is doing the work and which is a no-op "
+    "riding along — the measurement behind every 'we ablated each "
+    "filter' paper section. Plan: the four booleans compute in ONE "
+    "corpus scan, fan out 4× through an explode of a literal struct "
+    "array, and aggregate in one partial+final groupBy — no text ever "
+    "shuffles.",
+    tags=("llm", "text", "quality", "bench"),
+)
+def quality_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.text import (
+        mean_token_length,
+        punct_ratio,
+        stopword_ratio,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    wl = mean_token_length(t)
+    rules = [
+        ("length_band", (F.length(t) >= 50) & (F.length(t) <= 100_000)),
+        ("stopword_floor", stopword_ratio(t) >= 0.05),
+        ("punct_ceiling", punct_ratio(t) <= 0.2),
+        ("word_len_band", (wl >= 2) & (wl <= 12)),
+    ]
+    flagged = docs.select(
+        *[cond.cast("int").alias(f"ok_{name}") for name, cond in rules]
+    ).withColumn(
+        "n_failed",
+        sum((1 - F.col(f"ok_{name}")) for name, _ in rules[1:]) + (1 - F.col(f"ok_{rules[0][0]}")),
+    )
+    sweep = flagged.select(
+        "n_failed",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("rule"),
+                        F.col(f"ok_{name}").alias("ok"),
+                    )
+                    for name, _ in rules
+                ]
+            )
+        ).alias("r"),
+    ).select("n_failed", F.col("r.rule").alias("rule"), F.col("r.ok").alias("ok"))
+    agg = sweep.groupBy("rule").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(1 - F.col("ok")).cast("bigint").alias("n_fail"),
+        F.sum(
+            F.when((F.col("ok") == 0) & (F.col("n_failed") == 1), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("n_fail_only"),
+    )
+    return agg.select(
+        "rule",
+        "n_docs",
+        "n_fail",
+        "n_fail_only",
+        F.round(
+            (F.col("n_fail").cast("double") / F.col("n_docs")).cast(
+                "decimal(38,15)"
+            ),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .alias("fail_rate"),
+    )
+
+
+@register(
+    "source_overlap_jaccard",
+    oracle="""
+    WITH sv AS (
+      SELECT DISTINCT source, t.tok AS tok
+      FROM documents, unnest(list_filter(string_split(text, ' '),
+                                         x -> x <> '')) AS t(tok)
+    ),
+    vocab AS (SELECT source, count(*) AS v FROM sv GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_common
+      FROM sv a JOIN sv b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b,
+           CAST(va.v AS BIGINT) AS vocab_a,
+           CAST(vb.v AS BIGINT) AS vocab_b,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           CAST(round(CAST(CAST(i.n_common AS DOUBLE)
+                           / (va.v + vb.v - i.n_common)
+                           AS DECIMAL(38,15)), 6) AS DECIMAL(38,6))
+             AS jaccard
+    FROM inter i
+    JOIN vocab va ON va.source = i.source_a
+    JOIN vocab vb ON vb.source = i.source_b
+    """,
+    doc="Pairwise source vocabulary overlap: Jaccard similarity of each "
+    "source pair's distinct-token sets — the mix-design companion to "
+    "source_vocab_divergence (that one scores each source against the "
+    "corpus; this one says WHICH sources are near-duplicates of each "
+    "other in content space, the signal for merging two crawls of the "
+    "same site before temperature weighting double-counts them). "
+    "Scale shape: the per-source vocabulary table is Zipf-small (it "
+    "grows with the vocabulary, not the corpus), so the token-keyed "
+    "self-join and the S² pair aggregate are bounded by vocab × "
+    "sources, never by document count; the corpus is touched once for "
+    "the distinct projection.",
+    tags=("llm", "text", "bench"),
+)
+def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sv = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+        ).alias("tok"),
+    ).dropDuplicates(["source", "tok"])
+    vocab = sv.groupBy("source").agg(F.count("*").alias("v"))
+    a = sv.select(F.col("source").alias("source_a"), "tok")
+    b = sv.select(F.col("source").alias("source_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    va = vocab.select(
+        F.col("source").alias("source_a"), F.col("v").alias("vocab_a")
+    )
+    vb = vocab.select(
+        F.col("source").alias("source_b"), F.col("v").alias("vocab_b")
+    )
+    return (
+        inter.join(F.broadcast(va), "source_a")
+        .join(F.broadcast(vb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("vocab_a").cast("bigint").alias("vocab_a"),
+            F.col("vocab_b").cast("bigint").alias("vocab_b"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.round(
+                (
+                    F.col("n_common").cast("double")
+                    / (
+                        F.col("vocab_a")
+                        + F.col("vocab_b")
+                        - F.col("n_common")
+                    )
+                ).cast("decimal(38,15)"),
+                6,
+            )
+            .cast("decimal(38,6)")
+            .alias("jaccard"),
+        )
+    )
