@@ -3850,3 +3850,92 @@ def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "quantization_error_report",
+    oracle="""
+    WITH q AS (
+      SELECT label,
+             CAST(CASE WHEN list_max(list_transform(embedding,
+                                                    x -> abs(CAST(x AS DOUBLE)))) > 0
+                       THEN list_max(list_transform(embedding,
+                                                    x -> abs(CAST(x AS DOUBLE))))
+                       ELSE 1.0 END AS FLOAT) AS scale,
+             embedding
+      FROM embeddings
+    ),
+    err AS (
+      SELECT label,
+             CAST(round(CAST(
+               list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)
+                          - round(CAST(x AS DOUBLE) / CAST(scale AS DOUBLE)
+                                  * 127)
+                            * CAST(scale AS DOUBLE) / 127)))
+             AS DECIMAL(38,15)), 9) AS DECIMAL(18,9)) AS max_err,
+             CAST(round(CAST(CAST(scale AS DOUBLE) / 254
+                             AS DECIMAL(38,15)), 9) AS DECIMAL(18,9))
+               AS err_bound
+      FROM q
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           max(max_err) AS worst_err,
+           CAST(sum(max_err) AS DECIMAL(38,9)) AS sum_max_err,
+           CAST(sum(CASE WHEN max_err > err_bound THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_over_bound
+    FROM err GROUP BY label
+    """,
+    doc="Int8 quantization error report: per label, the worst and "
+    "summed per-vector reconstruction error of the symmetric int8 "
+    "scheme (functions/similarity.py:quantize_embeddings — q = "
+    "round(127·x/max|x|), x̂ = q·scale/127) next to a count of vectors "
+    "exceeding the theoretical half-step bound scale/254 (which must "
+    "be 0 — the column is the report's own self-check). The pre-flight "
+    "a pipeline runs before switching its ANN working set to the 4×-"
+    "smaller int8 layout. Every arithmetic step is correctly-rounded "
+    "IEEE (abs, /, *, round-half-away — both engines agree), per-"
+    "vector errors pin to DECIMAL(18,9) before the label sums, so the "
+    "report is engine-exact and aggregation-order-proof. Plan: one "
+    "scan, all HOF expressions in codegen, one small rollup.",
+    tags=("llm", "similarity", "quality", "bench"),
+)
+def quantization_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb)
+    recon_err = F.array_max(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("q_vec"),
+            lambda x, qv: F.abs(
+                x.cast("double")
+                - qv.cast("double") * F.col("q_scale").cast("double") / 127
+            ),
+        )
+    )
+    err = q.select(
+        "label",
+        F.round(recon_err.cast("decimal(38,15)"), 9)
+        .cast("decimal(18,9)")
+        .alias("max_err"),
+        F.round(
+            (F.col("q_scale").cast("double") / 254).cast("decimal(38,15)"), 9
+        )
+        .cast("decimal(18,9)")
+        .alias("err_bound"),
+    )
+    return err.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.max("max_err").alias("worst_err"),
+        F.sum("max_err").cast("decimal(38,9)").alias("sum_max_err"),
+        F.sum(
+            F.when(F.col("max_err") > F.col("err_bound"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_over_bound"),
+    )
