@@ -871,3 +871,123 @@ def weekly_event_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,6)")
         .alias("dup_rate"),
     )
+
+
+@register(
+    "event_type_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM ordered WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    ),
+    tot AS (SELECT prev_type, sum(n) AS t FROM pairs GROUP BY prev_type)
+    SELECT p.prev_type, p.next_type,
+           CAST(p.n AS BIGINT) AS n,
+           CAST(round(CAST(CAST(p.n AS DOUBLE) / t.t
+                           AS DECIMAL(38,15)), 6) AS DECIMAL(38,6)) AS p
+    FROM pairs p JOIN tot t USING (prev_type)
+    """,
+    doc="Per-user event-type Markov transition matrix: for every "
+    "consecutive event pair within a user's timeline (ordered by ts "
+    "with event_id as the deterministic tie-break), the transition "
+    "count and row-normalized probability — the behavioral-sequence "
+    "statistic behind funnel design, anomaly detection (a transition "
+    "that never occurred before is a new bot pattern), and synthetic "
+    "session generation. Plan: ONE window shuffle keyed user_id for "
+    "the lag, then a types²-bounded aggregate — the corpus shuffles "
+    "once, the transition table is vocabulary-small forever.",
+    tags=("timeseries", "bench"),
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    pairs = ordered.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+    tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("t"))
+    return pairs.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            (F.col("n").cast("double") / F.col("t")).cast("decimal(38,15)"),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .alias("p"),
+    )
+
+
+@register(
+    "event_value_seasonality",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(isodow(ts) AS INTEGER) AS day_of_week,
+             CAST(extract(hour FROM ts) AS INTEGER) AS hour_of_day,
+             value
+      FROM events
+    )
+    SELECT day_of_week, hour_of_day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                           / count(*) AS DECIMAL(38,15)), 2)
+                AS DECIMAL(38,2)) AS avg_value
+    FROM b GROUP BY day_of_week, hour_of_day
+    """,
+    doc="Seasonality profile of the event-value series: mean value per "
+    "(ISO day-of-week × hour-of-day) cell — the 7×24 heat-map behind "
+    "capacity planning and the de-seasonalization step of any anomaly "
+    "detector on this stream (CUSUM on raw values alarms every Monday "
+    "morning; CUSUM on residuals against this profile doesn't). The "
+    "average uses the repo's exact-decimal convention (values pinned "
+    "to DECIMAL(18,2), exact associative sum / exact count, one final "
+    "round) so the profile is bit-stable under any partitioning. One "
+    "partial+final aggregate; the corpus never shuffles raw rows.",
+    tags=("timeseries", "bench"),
+)
+def event_value_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    b = ev.select(
+        F.dayofweek(F.col("ts")).alias("_dow_sun1"),
+        F.hour(F.col("ts")).cast("int").alias("hour_of_day"),
+        "value",
+    ).select(
+        # Spark dayofweek is 1=Sunday; surface ISO 1=Monday..7=Sunday
+        # to match DuckDB's isodow
+        F.when(F.col("_dow_sun1") == 1, F.lit(7))
+        .otherwise(F.col("_dow_sun1") - 1)
+        .cast("int")
+        .alias("day_of_week"),
+        "hour_of_day",
+        "value",
+    )
+    # exact decimal sum / exact count, then the decimal-domain round —
+    # NOT davg's round(double, 2): with ~6 events per cell the quotient
+    # of 2-dp sums lands on exact x.xx5 halves constantly, and rounding
+    # the raw double is engine-specific there (measured: 104/168 cells
+    # flipped vs the oracle before the pin)
+    return b.groupBy("day_of_week", "hour_of_day").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            ).cast("decimal(38,15)"),
+            2,
+        )
+        .cast("decimal(38,2)")
+        .alias("avg_value"),
+    )
