@@ -1628,3 +1628,88 @@ def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard"),
         )
     )
+
+
+def _QUALITY_DEC_SQL() -> str:
+    """The composite quality score (functions/text.py:quality_score) as
+    a DuckDB expression — same fragment as curation_queries._quality_sql
+    (duplicated locally: plan modules do not import each other)."""
+    from weather_data_data_pipeline_spark.functions.text import STOPWORDS
+
+    return f"""(CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END
+              + CASE WHEN CAST(len(list_filter(string_split(text, ' '), t -> t IN {STOPWORDS!r})) AS DOUBLE)
+                     / greatest(len(string_split(text, ' ')), 1) >= 0.05 THEN 1.0 ELSE 0.0 END
+              + CASE WHEN CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                     / greatest(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.0 END
+              + CASE WHEN CAST(list_sum(list_transform(list_filter(string_split(text, ' '), t -> t <> ''), t -> length(t))) AS DOUBLE)
+                     / greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1) BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END
+             ) / 4.0"""
+
+
+@register(
+    "length_quality_curve",
+    oracle=f"""
+    WITH d AS (
+      -- exact integer log2 via binary-digit count: ln(n)/ln(2) is two
+      -- transcendentals whose quotient sits EXACTLY on an integer at
+      -- powers of two — floor() of it is libm-specific there
+      SELECT CAST(length(printf('%b', greatest(n_chars, 1))) - 1
+                  AS INTEGER) AS len_bucket,
+             CAST({{q}} AS DECIMAL(18,2)) AS q
+      FROM documents
+    )
+    SELECT len_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(round(CAST(CAST(sum(q) AS DOUBLE) / count(*)
+                           AS DECIMAL(38,15)), 4) AS DECIMAL(38,4))
+             AS avg_quality,
+           CAST(sum(CASE WHEN q >= 0.75 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_high_quality
+    FROM d GROUP BY len_bucket
+    """.format(q=_QUALITY_DEC_SQL()),
+    doc="Length-vs-quality curve: composite quality score averaged per "
+    "log2 character-length bucket — the EDA plot behind every length "
+    "cutoff decision (if quality is flat across buckets, the length "
+    "rule is redundant with the other rules; if it cliffs, the cutoff "
+    "placement matters). Buckets are floor(log2(n_chars)) — a pure "
+    "projection, no global rank machinery — and the quality score's "
+    "dyadic k/4 values cast EXACTLY to DECIMAL(18,2), so the per-bucket "
+    "mean is an exact decimal sum over an exact count with one "
+    "decimal-domain round. One scan, one small rollup.",
+    tags=("llm", "text", "quality", "bench"),
+)
+def length_quality_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.text import quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        # exact integer log2 = binary-digit count - 1 (conv to base 2);
+        # floor(ln(n)/ln(2)) is libm-specific exactly at powers of two
+        (
+            F.length(
+                F.conv(
+                    F.greatest(F.col("n_chars"), F.lit(1)).cast("string"),
+                    10,
+                    2,
+                )
+            )
+            - 1
+        )
+        .cast("int")
+        .alias("len_bucket"),
+        quality_score("text").cast("decimal(18,2)").alias("q"),
+    )
+    return d.groupBy("len_bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(
+            (F.sum("q").cast("double") / F.count("*")).cast(
+                "decimal(38,15)"
+            ),
+            4,
+        )
+        .cast("decimal(38,4)")
+        .alias("avg_quality"),
+        F.sum(F.when(F.col("q") >= 0.75, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_high_quality"),
+    )
