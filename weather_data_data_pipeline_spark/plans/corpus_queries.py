@@ -1713,3 +1713,96 @@ def length_quality_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_high_quality"),
     )
+
+
+@register(
+    "vocab_growth_curve",
+    oracle="""
+    WITH n AS (SELECT count(*) AS total FROM documents),
+    firsts AS (
+      SELECT t.tok AS tok, min(doc_id) AS first_doc
+      FROM documents, unnest(list_filter(string_split(text, ' '),
+                                         x -> x <> '')) AS t(tok)
+      GROUP BY tok
+    ),
+    toks AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS n_tok
+      FROM documents
+    ),
+    qs(q) AS (VALUES (25), (50), (75), (100)),
+    cut AS (
+      SELECT q, CAST(ceil(total * q / 100.0) AS BIGINT) AS prefix_docs
+      FROM qs CROSS JOIN n
+    )
+    SELECT c.q AS prefix_pct,
+           c.prefix_docs,
+           (SELECT CAST(sum(n_tok) AS BIGINT) FROM toks
+            WHERE doc_id < c.prefix_docs) AS prefix_tokens,
+           (SELECT CAST(count(*) AS BIGINT) FROM firsts
+            WHERE first_doc < c.prefix_docs) AS vocab_size
+    FROM cut c
+    """,
+    doc="Heaps'-law vocabulary growth curve: distinct-vocabulary size "
+    "at the 25/50/75/100% doc-id prefixes of the corpus next to the "
+    "token counts — the collection statistic that pairs with "
+    "vocab_zipf_fit (Zipf describes the frequency distribution, Heaps "
+    "its growth V ≈ K·nᵝ) and the sizing input for hash-vocabulary "
+    "widths and tokenizer budgets on a GROWING corpus (sublinear "
+    "growth means yesterday's vocabulary table stays adequate; linear "
+    "growth means open-vocabulary content — ids, hashes — is leaking "
+    "into the token stream). ONE corpus pass: each token's FIRST-"
+    "occurrence doc id aggregates once, then every prefix point is a "
+    "conditional count over the Zipf-small firsts table — the curve "
+    "costs one aggregate, not one scan per point. All-integer output: "
+    "engine-exact with no rounding contract needed.",
+    tags=("llm", "text"),
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    total = docs.agg(F.count("*").alias("total"))
+    firsts = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+            ).alias("tok"),
+        )
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+        ).alias("n_tok"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.expr("array(25, 50, 75, 100)")).alias("q")
+    )
+    cut = qs.crossJoin(F.broadcast(total)).select(
+        "q",
+        F.ceil(F.col("total") * F.col("q") / 100.0)
+        .cast("bigint")
+        .alias("prefix_docs"),
+    )
+    tok_counts = cut.join(
+        toks, toks["doc_id"] < cut["prefix_docs"], "left"
+    ).groupBy("q", "prefix_docs").agg(
+        F.sum("n_tok").cast("bigint").alias("prefix_tokens")
+    )
+    vocab_counts = cut.join(
+        firsts, firsts["first_doc"] < cut["prefix_docs"], "left"
+    ).groupBy("q", "prefix_docs").agg(
+        F.count("tok").cast("bigint").alias("vocab_size")
+    )
+    return (
+        tok_counts.join(vocab_counts, ["q", "prefix_docs"])
+        .select(
+            F.col("q").cast("int").alias("prefix_pct"),
+            "prefix_docs",
+            "prefix_tokens",
+            "vocab_size",
+        )
+    )
