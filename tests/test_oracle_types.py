@@ -13,6 +13,8 @@ import duckdb
 import pytest
 from pyspark.sql import types as T
 
+from tests.conftest import SF_DIR
+
 from weather_data_data_pipeline_spark.oracle_types import (
     canon_arrow,
     canon_spark,
@@ -121,4 +123,32 @@ def test_canon_spark_families():
     assert (
         canon_spark(T.ArrayType(T.StructType([T.StructField("a", T.IntegerType())])))
         == "list<struct<a:int>>"
+    )
+
+
+def test_no_registered_query_surfaces_decimal(spark):
+    """The r9 surface-type lint (VERDICT r8 ask #2): DECIMAL is an
+    internal exactness device only — no registered query (oracle-bearing
+    OR rows-only) may surface a decimal-typed column, directly or nested.
+    Across the r7-r8 driver gates 14/15 decimal-surfaced rows were
+    hash-red (vs 0/35 double-surfaced) while bit-exact under the local
+    bit-strict mirror at two SFs, so the decimal SURFACE itself is the
+    gate hazard; small-mantissa decimal→double casts are measured
+    bit-identical between engines, so pin → round → CAST AS DOUBLE last
+    preserves the exactness contract. Plan-build only, no execution of
+    the final action (some plans run bounded seed jobs during build)."""
+    from weather_data_data_pipeline_spark import registry
+    from weather_data_data_pipeline_spark.oracle_types import (
+        decimal_surfaced_cols,
+    )
+
+    sf_dir = SF_DIR
+    offenders = {}
+    for name, fn in registry.queries().items():
+        cols = decimal_surfaced_cols(fn(spark, sf_dir).schema)
+        if cols:
+            offenders[name] = cols
+    assert not offenders, (
+        "decimal-typed SURFACE columns (gate-red class; cast the final "
+        f"rounded decimal to DOUBLE on both sides): {offenders}"
     )

@@ -21,18 +21,29 @@ WINDOW = 50
 # Mirror of registry._ROUND_HEAD — a deliberate copy so that editing the
 # head without thinking about the verification window fails a test.
 ROUND_HEAD = (
+    # r9: the 14 r8 gate-red decimal-surfaced rows, now DOUBLE-surfaced
     "quality_classifier_frozen_scores",
     "doc_sampling_weights",
+    "embedding_outlier_zscores",
+    "quantization_error_report",
+    "ngram_entropy_by_source",
+    "blocklist_filter_report",
+    "quality_rule_ablation",
+    "source_overlap_jaccard",
+    "weekly_event_dup_rate",
+    "event_type_transitions",
+    "event_value_seasonality",
+    "sampling_ess_by_source",
+    "packing_context_sweep",
+    "truncation_loss_sweep",
+    # surface-rule conformance + upstream-scorer flow-through
+    "length_quality_curve",
     "curation_pipeline_frozen_e2e",
-    "vocab_zipf_fit",
-    "weekly_cohort_retention",
-    "dsir_importance_weights",
-    "dsir_select_topk",
-    "ann_lsh_topk",
-    "embedding_ann_recall_report",
-    "simhash_near_dup_portable",
-    "semantic_dedup_keep",
-    "semantic_dedup_keep_capped",
+    # r9 §2 staleness pins (VERDICT r8 ask #6)
+    "scalar_transforms",
+    "weekly_avg_value",
+    "weather_weekly_avg_temp",
+    "weather_avg_humidity_range",
 )
 
 
@@ -64,13 +75,47 @@ def test_head_is_prefix():
     assert tuple(names[: len(ROUND_HEAD)]) == tuple(ROUND_HEAD)
 
 
-def test_never_green_queries_precede_ledger_tail():
-    """A query with no green driver row ever must sort before any
-    already-verified query (right after the head)."""
-    ledger = _ledger()
-    names = registry.query_names()
+def _oracle_rest():
+    """Oracle-bearing names after the head, in driver order — the
+    population the scheduling invariants apply to (rows-only queries
+    are demoted below ALL oracle-bearing ones since r9, VERDICT r8
+    ask #3, so they never reach the gate window as `err` rows)."""
+    oracles = registry.oracle_sql()
     head = set(ROUND_HEAD)
-    rest = [n for n in names if n not in head]
+    return [
+        n
+        for n in registry.query_names()
+        if n not in head and n in oracles
+    ]
+
+
+def test_rows_only_never_in_gate_window():
+    """VERDICT r8 ask #3: a rows-only query sampled by the gate window
+    records `err: no_oracle` — the window prefix must therefore be
+    100% oracle-bearing (188 oracle queries > the ~50 window, so no
+    slot is wasted either)."""
+    oracles = registry.oracle_sql()
+    window = registry.query_names()[:WINDOW]
+    offenders = [n for n in window if n not in oracles]
+    assert not offenders, (
+        f"rows-only queries inside the gate window: {offenders}"
+    )
+    # stronger: every oracle-bearing query precedes every rows-only one
+    names = registry.query_names()
+    last_oracle = max(i for i, n in enumerate(names) if n in oracles)
+    first_rows_only = min(
+        (i for i, n in enumerate(names) if n not in oracles),
+        default=len(names),
+    )
+    assert last_oracle < first_rows_only
+
+
+def test_never_green_queries_precede_ledger_tail():
+    """An oracle-bearing query with no green driver row ever must sort
+    before any already-verified oracle-bearing query (right after the
+    head)."""
+    ledger = _ledger()
+    rest = _oracle_rest()
     never = [n for n in rest if n not in ledger]
     if never:
         first_green = min(rest.index(n) for n in rest if n in ledger)
@@ -82,14 +127,12 @@ def test_never_green_queries_precede_ledger_tail():
 
 def test_tail_is_least_recently_verified_first():
     ledger = _ledger()
-    names = registry.query_names()
-    head = set(ROUND_HEAD)
-    tail_rounds = [ledger[n] for n in names if n not in head and n in ledger]
+    tail = [n for n in _oracle_rest() if n in ledger]
+    tail_rounds = [ledger[n] for n in tail]
     assert tail_rounds == sorted(tail_rounds), (
         "verified queries must be ordered by ascending last-green round"
     )
     # deterministic tie-break: alphabetical within a round
-    tail = [n for n in names if n not in head and n in ledger]
     for i in range(1, len(tail)):
         if ledger[tail[i - 1]] == ledger[tail[i]]:
             assert tail[i - 1] < tail[i]
@@ -101,8 +144,9 @@ def test_window_spends_slots_on_oldest():
     ledger = _ledger()
     names = registry.query_names()
     head = set(ROUND_HEAD)  # forced re-verification, exempt from freshness
+    oracles = registry.oracle_sql()
     window = [n for n in names[:WINDOW] if n not in head]
-    outside = names[WINDOW:]
+    outside = [n for n in names[WINDOW:] if n in oracles]
     worst_in_window = max(
         (ledger[n] for n in window if n in ledger), default=0
     )

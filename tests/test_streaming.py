@@ -803,8 +803,9 @@ def test_sampling_weight_sink_equals_batch_on_union(spark, tmp_path):
     for doc_id, vals in got.items():
         assert vals == expected[doc_id], (doc_id, vals, expected[doc_id])
     # the planted pairs actually exercised the two count paths
-    assert got[23][0] == "0.500000"  # cross-half: 1 in batch + 1 in index
-    assert got[31][0] == "0.500000"  # within-batch window pair
+    # (weights surface as DOUBLE since the r9 gate fix: 1/2 → 0.5)
+    assert got[23][0] == "0.5"  # cross-half: 1 in batch + 1 in index
+    assert got[31][0] == "0.5"  # within-batch window pair
 
 
 def test_packing_stream_append_equals_one_pass(spark, tmp_path):
@@ -991,10 +992,11 @@ def test_sampling_weight_sink_accumulates_cross_batch_dups(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert set(got) == set(range(40))
-    assert got[7] == "1.000000"  # scored before its twin arrived
-    assert got[23] == "0.500000"  # cross-batch dup: 1 in batch + 1 indexed
-    assert got[31] == "0.500000"  # within-batch pair still counts
-    assert got[35] == "0.500000"
+    # weights surface as DOUBLE since the r9 gate fix
+    assert got[7] == "1.0"  # scored before its twin arrived
+    assert got[23] == "0.5"  # cross-batch dup: 1 in batch + 1 indexed
+    assert got[31] == "0.5"  # within-batch pair still counts
+    assert got[35] == "0.5"
     # the delta index holds one partition per processed batch
     idx = spark.read.parquet(str(tmp_path / "swa_idx"))
     assert idx.select("v").distinct().count() == 2

@@ -209,9 +209,9 @@ def score_frozen_md5(
     out = df.select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
-        margin.alias("margin"),
+        margin.alias("_margin_dec"),
     )
-    md = F.col("margin").cast("double")
+    md = F.col("_margin_dec").cast("double")
     # round in the DECIMAL domain: pin the double sigmoid to a 15-dp
     # decimal FIRST, then half-up round that decimal to 6 dp (both
     # engines' decimal round is half-away-from-zero). Rounding the raw
@@ -219,16 +219,20 @@ def score_frozen_md5(
     # (Spark rounds the exact binary expansion, DuckDB float-multiplies)
     # — same ULP class as the doc_char_entropy flip fixed in r6.
     sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-md))
-    # the surfaced prob_pos STAYS decimal(38,6) — never cast back to
-    # double. The hashed output is then an exact decimal: no
-    # exp()/division/cast ULP difference between engine builds can
-    # flip a bit of the comparison surface (VERDICT r7 ask #1 — the
-    # double-typed emission was gate-red two rounds running while
-    # bit-exact locally).
+    # margin and prob_pos SURFACE as DOUBLE cast from the exact decimal
+    # as the very last step (r9 gate rule): the decimal-domain round
+    # still happens first, so the value is an exact ≤6-dp decimal whose
+    # double conversion is the correctly-rounded (hence engine-
+    # identical, mantissa < 2^53) representation of the same rational.
+    # A decimal SURFACE is what the driver gate hash-fails — 14/15
+    # decimal-surfaced rows red across r7-r8 vs 0/35 double-surfaced,
+    # every one bit-exact locally (VERDICT r8 ask #1).
     return out.select(
-        "*",
+        *[c for c in out.columns if c != "_margin_dec"],
+        F.col("_margin_dec").cast("double").alias("margin"),
         F.round(sig.cast("decimal(38,15)"), 6)
         .cast("decimal(38,6)")
+        .cast("double")
         .alias("prob_pos"),
         (md > 0).cast("int").alias("pred"),
     )

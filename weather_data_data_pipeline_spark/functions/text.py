@@ -790,24 +790,30 @@ def sampling_weight_columns(
     query and the frozen streaming scorer so the two paths cannot
     drift."""
     dec = "decimal(38,6)"
-    dedup_w = F.round(F.lit(1.0) / c, 6).cast(dec)
-    quality_w = F.round(quality_score(text_col), 2).cast(dec)
+    dedup_dec = F.round(F.lit(1.0) / c, 6).cast(dec)
+    quality_dec = F.round(quality_score(text_col), 2).cast(dec)
     # round in the DECIMAL domain: pin the double product to a 15-dp
     # decimal FIRST, then half-up round that decimal to 9 dp — rounding
     # the raw double is engine-specific at half boundaries (same ULP
-    # class as the doc_char_entropy flip fixed in r6). The surfaced
-    # weight STAYS decimal(38,9) — never cast back to double — so the
-    # hashed output is an exact decimal and no division/cast ULP
-    # between engine builds can flip a bit (VERDICT r7 ask #1).
-    final_w = F.round(
-        (
-            dedup_w.cast("double")
-            * quality_w.cast("double")
-            * temp_weight.cast("double")
-        ).cast("decimal(38,15)"),
-        9,
-    ).cast("decimal(38,9)")
-    return dedup_w, quality_w, final_w
+    # class as the doc_char_entropy flip fixed in r6). The SURFACE is
+    # DOUBLE (r9 gate rule): a small-mantissa decimal→double cast is
+    # the correctly-rounded conversion of the same rational in both
+    # engines (measured bit-equal for mantissa < 2^53), while a decimal
+    # SURFACE is what the driver gate hash-fails (14/15 decimal-surfaced
+    # rows red across r7-r8 vs 0/35 double-surfaced).
+    final_w = (
+        F.round(
+            (
+                dedup_dec.cast("double")
+                * quality_dec.cast("double")
+                * temp_weight.cast("double")
+            ).cast("decimal(38,15)"),
+            9,
+        )
+        .cast("decimal(38,9)")
+        .cast("double")
+    )
+    return dedup_dec.cast("double"), quality_dec.cast("double"), final_w
 
 
 def digest_counts(
@@ -832,37 +838,48 @@ def ess_rollup(
 ) -> DataFrame:
     """Kish effective sample size per key from a weight table:
     (key, n_docs, sum_w, sum_w2, ess, ess_ratio) with
-    ESS = (Σw)²/Σw². The weight is pinned to DECIMAL(18,9) first so w
+    ESS = (Σw)²/Σw². The weight (a 9-dp value, double or decimal) is
+    pinned to DECIMAL(18,9) first — an EXACT round trip, since a 9-dp
+    decimal's nearest double rounds back to the same 9 digits — so w
     and w² (scale 18, within DECIMAL(38)) sum EXACTLY under any
-    partitioning, and the one double division happens on exact inputs
-    with the result pinned back to decimal — the engine-proof surface
-    contract. SHARED by the batch ``sampling_ess_by_source`` query and
-    the streaming ``ess_monitor_sink`` so the two paths cannot
-    drift."""
+    partitioning, and the one double division happens on exact inputs.
+    Surfaces are DOUBLE per the r9 gate rule (sum_w2 re-rounds its
+    exact scale-18 sum to 9 dp first: a scale-18 mantissa overflows
+    2^53, where decimal→double stops being engine-identical). SHARED
+    by the batch ``sampling_ess_by_source`` query and the streaming
+    ``ess_monitor_sink`` so the two paths cannot drift."""
     fwt = F.col(w_col).cast("decimal(18,9)").alias("_fwt")
     agg = weights.select(key_col, fwt).groupBy(key_col).agg(
         F.count("*").cast("bigint").alias("n_docs"),
-        F.sum("_fwt").cast("decimal(38,9)").alias("sum_w"),
+        F.sum("_fwt").cast("decimal(38,9)").alias("_sum_w"),
         # (18,9) × (18,9) → (37,18): exact, no Spark scale clamping
         F.sum(F.col("_fwt") * F.col("_fwt"))
         .cast("decimal(38,18)")
-        .alias("sum_w2"),
+        .alias("_sum_w2"),
     )
+    # the division consumes the 9-dp ROUNDED w² sum, not the exact
+    # scale-18 one: a scale-18 mantissa exceeds 2^53, where the two
+    # engines' decimal→double casts stop being bit-identical — the
+    # rounded value's mantissa stays small, so the division inputs
+    # (and hence ess) are engine-exact
+    w2r = F.round(F.col("_sum_w2"), 9).cast("decimal(38,9)")
     ess_d = (
-        F.col("sum_w").cast("double")
-        * F.col("sum_w").cast("double")
-        / F.col("sum_w2").cast("double")
+        F.col("_sum_w").cast("double")
+        * F.col("_sum_w").cast("double")
+        / w2r.cast("double")
     )
     return agg.select(
         key_col,
         "n_docs",
-        "sum_w",
-        "sum_w2",
+        F.col("_sum_w").cast("double").alias("sum_w"),
+        w2r.cast("double").alias("sum_w2"),
         F.round(ess_d.cast("decimal(38,15)"), 4)
         .cast("decimal(38,4)")
+        .cast("double")
         .alias("ess"),
         F.round((ess_d / F.col("n_docs")).cast("decimal(38,15)"), 4)
         .cast("decimal(38,4)")
+        .cast("double")
         .alias("ess_ratio"),
     )
 

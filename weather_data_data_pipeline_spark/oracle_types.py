@@ -79,6 +79,39 @@ def canon_spark(dt) -> str:
     return dt.simpleString()
 
 
+def decimal_surfaced_cols(schema) -> list[str]:
+    """Top-level columns of a Spark result schema that contain a
+    DecimalType anywhere (directly or nested in array/map/struct).
+
+    The r9 surface-type rule (VERDICT r8 ask #2): DECIMAL is an
+    INTERNAL exactness device only — every registered query surfaces
+    double/int/string/bool. Evidence: across the r7-r8 driver gates,
+    14 of 15 decimal-surfaced rows were hash-red while 0 of 35
+    double-surfaced rows were, with every red bit-exact under the
+    local bit-strict mirror at two SFs — the driver's hasher (or its
+    DuckDB build's decimal typing) diverges on decimal surfaces. A
+    small-mantissa (< 2^53) decimal→double cast is measured
+    bit-identical between Spark and DuckDB, so the exactness contract
+    survives: pin → round in the decimal domain → cast DOUBLE last."""
+
+    def has_dec(dt) -> bool:
+        if isinstance(dt, T.DecimalType):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return has_dec(dt.elementType)
+        if isinstance(dt, T.MapType):
+            return has_dec(dt.keyType) or has_dec(dt.valueType)
+        if isinstance(dt, T.StructType):
+            return any(has_dec(f.dataType) for f in dt.fields)
+        return False
+
+    return [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in schema.fields
+        if has_dec(f.dataType)
+    ]
+
+
 def type_mismatches(spark_schema, arrow_schema, cols=None) -> list[str]:
     """Per-column canonical-type diffs between a Spark schema and the
     oracle's Arrow schema. 'null' on the oracle side (a column of pure

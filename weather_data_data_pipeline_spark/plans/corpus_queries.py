@@ -1208,7 +1208,7 @@ def doc_bigram_kn_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT st.source,
            CAST(st.tot AS BIGINT) AS n_tokens,
            CAST(st.vocab AS BIGINT) AS vocab_size,
-           CAST(sum(term) AS DECIMAL(38,6)) AS entropy
+           CAST(CAST(sum(term) AS DECIMAL(38,6)) AS DOUBLE) AS entropy
     FROM terms JOIN st USING (source)
     GROUP BY st.source, st.tot, st.vocab
     """,
@@ -1248,7 +1248,9 @@ def ngram_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "tot", "vocab", term
     )
     return terms.groupBy("source", "tot", "vocab").agg(
-        F.sum("term").cast("decimal(38,6)").alias("entropy")
+        # exact decimal sum internally; DOUBLE surface (small-mantissa
+        # decimal→double is engine-identical, decimal surfaces gate-red)
+        F.sum("term").cast("decimal(38,6)").cast("double").alias("entropy")
     ).select(
         "source",
         F.col("tot").cast("bigint").alias("n_tokens"),
@@ -1283,14 +1285,14 @@ _BLOCK_SQL_ARR = "[" + ", ".join(f"'{w}'" for w in _BLOCKLIST) + "]"
            CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_flagged,
            CAST(sum(hits) AS BIGINT) AS total_hits,
-           CAST(round(CAST(CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END)
-                                AS DOUBLE) / count(*)
-                           AS DECIMAL(38,15)), 6) AS DECIMAL(38,6))
-             AS flag_rate,
-           CAST(round(CAST(CAST(sum(hits) AS DOUBLE)
-                           / greatest(sum(n_tok), 1)
-                           AS DECIMAL(38,15)), 6) AS DECIMAL(38,6))
-             AS hit_token_rate
+           CAST(CAST(round(CAST(CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0
+                                          END) AS DOUBLE) / count(*)
+                                AS DECIMAL(38,15)), 6) AS DECIMAL(38,6))
+                AS DOUBLE) AS flag_rate,
+           CAST(CAST(round(CAST(CAST(sum(hits) AS DOUBLE)
+                                / greatest(sum(n_tok), 1)
+                                AS DECIMAL(38,15)), 6) AS DECIMAL(38,6))
+                AS DOUBLE) AS hit_token_rate
     FROM d GROUP BY source
     """,
     doc="C4-style blocklist filter report: per source, how many "
@@ -1340,6 +1342,7 @@ def blocklist_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         )
         .cast("decimal(38,6)")
+        .cast("double")
         .alias("flag_rate"),
         F.round(
             (
@@ -1349,6 +1352,7 @@ def blocklist_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         )
         .cast("decimal(38,6)")
+        .cast("double")
         .alias("hit_token_rate"),
     )
 
@@ -1452,9 +1456,9 @@ def _ablation_oracle() -> str:
       FROM documents
     )
     SELECT rule, n_docs, n_fail, n_fail_only,
-           CAST(round(CAST(CAST(n_fail AS DOUBLE) / n_docs
-                           AS DECIMAL(38,15)), 6) AS DECIMAL(38,6))
-             AS fail_rate
+           CAST(CAST(round(CAST(CAST(n_fail AS DOUBLE) / n_docs
+                                AS DECIMAL(38,15)), 6) AS DECIMAL(38,6))
+                AS DOUBLE) AS fail_rate
     FROM (
 {branches}
     ) _u
@@ -1537,6 +1541,7 @@ def quality_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         )
         .cast("decimal(38,6)")
+        .cast("double")
         .alias("fail_rate"),
     )
 
@@ -1560,10 +1565,10 @@ def quality_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(va.v AS BIGINT) AS vocab_a,
            CAST(vb.v AS BIGINT) AS vocab_b,
            CAST(i.n_common AS BIGINT) AS n_common,
-           CAST(round(CAST(CAST(i.n_common AS DOUBLE)
-                           / (va.v + vb.v - i.n_common)
-                           AS DECIMAL(38,15)), 6) AS DECIMAL(38,6))
-             AS jaccard
+           CAST(CAST(round(CAST(CAST(i.n_common AS DOUBLE)
+                                / (va.v + vb.v - i.n_common)
+                                AS DECIMAL(38,15)), 6) AS DECIMAL(38,6))
+                AS DOUBLE) AS jaccard
     FROM inter i
     JOIN vocab va ON va.source = i.source_a
     JOIN vocab vb ON vb.source = i.source_b
@@ -1625,6 +1630,7 @@ def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             )
             .cast("decimal(38,6)")
+            .cast("double")
             .alias("jaccard"),
         )
     )
@@ -1660,9 +1666,9 @@ def _QUALITY_DEC_SQL() -> str:
     )
     SELECT len_bucket,
            CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(round(CAST(CAST(sum(q) AS DOUBLE) / count(*)
-                           AS DECIMAL(38,15)), 4) AS DECIMAL(38,4))
-             AS avg_quality,
+           CAST(CAST(round(CAST(CAST(sum(q) AS DOUBLE) / count(*)
+                                AS DECIMAL(38,15)), 4) AS DECIMAL(38,4))
+                AS DOUBLE) AS avg_quality,
            CAST(sum(CASE WHEN q >= 0.75 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_high_quality
     FROM d GROUP BY len_bucket
@@ -1708,6 +1714,7 @@ def length_quality_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         )
         .cast("decimal(38,4)")
+        .cast("double")
         .alias("avg_quality"),
         F.sum(F.when(F.col("q") >= 0.75, 1).otherwise(0))
         .cast("bigint")

@@ -863,16 +863,18 @@ def _sampling_weights_oracle() -> str:
                   AS DECIMAL(38,6)) AS temp_weight
       FROM src CROSS JOIN tot)
     SELECT w.doc_id,
-           CAST(round(1.0 / w.c, 6) AS DECIMAL(38,6)) AS dedup_weight,
-           CAST(round({_quality_sql().replace('text', 'w.text')}, 2)
-                AS DECIMAL(38,6)) AS quality_weight,
-           tw.temp_weight,
-           CAST(round(CAST(
+           CAST(CAST(round(1.0 / w.c, 6) AS DECIMAL(38,6)) AS DOUBLE)
+             AS dedup_weight,
+           CAST(CAST(round({_quality_sql().replace('text', 'w.text')}, 2)
+                     AS DECIMAL(38,6)) AS DOUBLE) AS quality_weight,
+           CAST(tw.temp_weight AS DOUBLE) AS temp_weight,
+           CAST(CAST(round(CAST(
                  CAST(CAST(round(1.0 / w.c, 6) AS DECIMAL(38,6)) AS DOUBLE)
                  * CAST(CAST(round({_quality_sql().replace('text', 'w.text')}, 2)
                              AS DECIMAL(38,6)) AS DOUBLE)
                  * CAST(tw.temp_weight AS DOUBLE)
-               AS DECIMAL(38,15)), 9) AS DECIMAL(38,9)) AS final_weight
+               AS DECIMAL(38,15)), 9) AS DECIMAL(38,9)) AS DOUBLE)
+             AS final_weight
     FROM w JOIN tw USING (source)
     """
 
@@ -936,7 +938,7 @@ def doc_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         dedup_w.alias("dedup_weight"),
         quality_w.alias("quality_weight"),
-        "temp_weight",
+        F.col("temp_weight").cast("double").alias("temp_weight"),
         final_w.alias("final_weight"),
     )
 
@@ -980,14 +982,21 @@ def _ess_oracle() -> str:
              CAST(sum(fwt * fwt) AS DECIMAL(38,18)) AS sum_w2
       FROM fw GROUP BY source
     )
-    SELECT source, n_docs, sum_w, sum_w2,
-           CAST(round(CAST(CAST(sum_w AS DOUBLE) * CAST(sum_w AS DOUBLE)
-                           / CAST(sum_w2 AS DOUBLE)
-                           AS DECIMAL(38,15)), 4) AS DECIMAL(38,4)) AS ess,
-           CAST(round(CAST(CAST(sum_w AS DOUBLE) * CAST(sum_w AS DOUBLE)
-                           / CAST(sum_w2 AS DOUBLE) / n_docs
-                           AS DECIMAL(38,15)), 4) AS DECIMAL(38,4))
-             AS ess_ratio
+    SELECT source, n_docs,
+           CAST(sum_w AS DOUBLE) AS sum_w,
+           CAST(CAST(round(sum_w2, 9) AS DECIMAL(38,9)) AS DOUBLE)
+             AS sum_w2,
+           CAST(CAST(round(CAST(CAST(sum_w AS DOUBLE) * CAST(sum_w AS DOUBLE)
+                                / CAST(CAST(round(sum_w2, 9)
+                                            AS DECIMAL(38,9)) AS DOUBLE)
+                                AS DECIMAL(38,15)), 4) AS DECIMAL(38,4))
+                AS DOUBLE) AS ess,
+           CAST(CAST(round(CAST(CAST(sum_w AS DOUBLE) * CAST(sum_w AS DOUBLE)
+                                / CAST(CAST(round(sum_w2, 9)
+                                            AS DECIMAL(38,9)) AS DOUBLE)
+                                / n_docs
+                                AS DECIMAL(38,15)), 4) AS DECIMAL(38,4))
+                AS DOUBLE) AS ess_ratio
     FROM agg
     """
 
@@ -1005,9 +1014,9 @@ def _ess_oracle() -> str:
     "× temperature share, exact-decimal product) and aggregates it in "
     "the decimal domain: each 9-dp weight is pinned to DECIMAL(18,9), "
     "so w and w² (scale 18, within DECIMAL(38)) sum exactly under any "
-    "partitioning, and the one double division happens on exact inputs "
-    "with the result pinned back to decimal (the engine-proof surface "
-    "contract from the r8 gate fix). Plan adds ONE 20-row aggregate on "
+    "partitioning, the one double division happens on exact 9-dp-"
+    "rounded inputs, and every ratio surfaces as DOUBLE after its "
+    "decimal-domain round (the r9 engine-proof surface contract). Plan adds ONE 20-row aggregate on "
     "top of the weight pipeline's single corpus shuffle.",
     tags=("llm", "selection", "quality", "bench"),
 )
@@ -1434,9 +1443,10 @@ _SWEEP_CTXS = (256, 512, 1024, 2048)
            CAST(ceil(CAST(total_tokens AS DOUBLE) / ctx) AS BIGINT)
              AS ideal_bins,
            oversized_docs,
-           CAST(round(CAST(CAST(total_tokens AS DOUBLE) / (packed_bins * ctx)
-                           AS DECIMAL(38,15)), 6) AS DECIMAL(38,6))
-             AS utilization
+           CAST(CAST(round(CAST(CAST(total_tokens AS DOUBLE)
+                                / (packed_bins * ctx)
+                                AS DECIMAL(38,15)), 6) AS DECIMAL(38,6))
+                AS DOUBLE) AS utilization
     FROM agg
     """,
     doc="Context-length sweep for the packing stage: packed-bin count, "
@@ -1450,7 +1460,8 @@ _SWEEP_CTXS = (256, 512, 1024, 2048)
     "context array and aggregates in ONE groupBy — the sweep costs one "
     "extra narrow stage over the single-context report, not four "
     "corpus passes. Utilization is rounded in the decimal domain and "
-    "surfaced as DECIMAL (the engine-proof contract).",
+    "surfaced as DOUBLE (the r9 engine-proof contract: small-mantissa "
+    "decimal→double casts are bit-identical across engines).",
     tags=("llm", "text", "bench"),
 )
 def packing_context_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1503,6 +1514,7 @@ def packing_context_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         )
         .cast("decimal(38,6)")
+        .cast("double")
         .alias("utilization"),
     )
 
@@ -1899,10 +1911,10 @@ def quality_proxy_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS docs_truncated
       FROM sweep GROUP BY ctx)
     SELECT ctx, n_docs, total_tokens, kept_tokens, docs_truncated,
-           CAST(round(CAST(CAST(total_tokens - kept_tokens AS DOUBLE)
-                           / total_tokens
-                           AS DECIMAL(38,15)), 6) AS DECIMAL(38,6))
-             AS lost_frac
+           CAST(CAST(round(CAST(CAST(total_tokens - kept_tokens AS DOUBLE)
+                                / total_tokens
+                                AS DECIMAL(38,15)), 6) AS DECIMAL(38,6))
+                AS DOUBLE) AS lost_frac
     FROM agg
     """,
     doc="Truncation-loss sweep — the OTHER side of the "
@@ -1949,5 +1961,6 @@ def truncation_loss_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         )
         .cast("decimal(38,6)")
+        .cast("double")
         .alias("lost_frac"),
     )

@@ -1252,9 +1252,10 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND n * CAST(s2 AS DOUBLE)
             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) > 0
     )
-    SELECT vec_id, cluster, d2d AS dist2,
-           CAST(round(CAST(zraw AS DECIMAL(38,15)), 4) AS DECIMAL(38,4))
-             AS z
+    SELECT vec_id, cluster,
+           CAST(d2d AS DOUBLE) AS dist2,
+           CAST(CAST(round(CAST(zraw AS DECIMAL(38,15)), 4)
+                     AS DECIMAL(38,4)) AS DOUBLE) AS z
     FROM z
     WHERE abs(CAST(round(CAST(zraw AS DECIMAL(38,15)), 4)
                    AS DECIMAL(38,4))) >= 2.0
@@ -1312,15 +1313,23 @@ def embedding_outlier_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
         var_num / (n * n)
     )
     z = F.round(zraw.cast("decimal(38,15)"), 4).cast("decimal(38,4)")
+    # filter on the exact DECIMAL z; surface DOUBLE (r9 gate rule —
+    # small-mantissa decimal→double casts are engine-identical)
     return (
         stats.where((F.col("n") >= 2) & (var_num > 0))
         .select(
             "vec_id",
             "cluster",
-            F.col("d2d").alias("dist2"),
-            z.alias("z"),
+            F.col("d2d").cast("double").alias("dist2"),
+            z.alias("_zdec"),
         )
-        .where(F.abs(F.col("z")) >= 2.0)
+        .where(F.abs(F.col("_zdec")) >= 2.0)
+        .select(
+            "vec_id",
+            "cluster",
+            "dist2",
+            F.col("_zdec").cast("double").alias("z"),
+        )
     )
 
 
@@ -3881,8 +3890,9 @@ def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT label,
            CAST(count(*) AS BIGINT) AS n_vectors,
-           max(max_err) AS worst_err,
-           CAST(sum(max_err) AS DECIMAL(38,9)) AS sum_max_err,
+           CAST(max(max_err) AS DOUBLE) AS worst_err,
+           CAST(CAST(sum(max_err) AS DECIMAL(38,9)) AS DOUBLE)
+             AS sum_max_err,
            CAST(sum(CASE WHEN max_err > err_bound THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_over_bound
     FROM err GROUP BY label
@@ -3929,10 +3939,15 @@ def quantization_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,9)")
         .alias("err_bound"),
     )
+    # decimal max/sum internally; DOUBLE surface (r9 gate rule — the
+    # 9-dp mantissas stay well under 2^53, so the casts are engine-exact)
     return err.groupBy("label").agg(
         F.count("*").cast("bigint").alias("n_vectors"),
-        F.max("max_err").alias("worst_err"),
-        F.sum("max_err").cast("decimal(38,9)").alias("sum_max_err"),
+        F.max("max_err").cast("double").alias("worst_err"),
+        F.sum("max_err")
+        .cast("decimal(38,9)")
+        .cast("double")
+        .alias("sum_max_err"),
         F.sum(
             F.when(F.col("max_err") > F.col("err_bound"), 1).otherwise(0)
         )

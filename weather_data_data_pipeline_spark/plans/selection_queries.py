@@ -720,10 +720,11 @@ _FROZEN_QC_ORACLE = f"""
              CAST(coalesce(s.s, 0) + {_QC_B} AS DECIMAL(38,6)) AS margin
       FROM documents d LEFT JOIN sums s USING (doc_id)
     )
-    SELECT doc_id, label, margin,
-           CAST(round(CAST(1.0 / (1.0 + exp(-CAST(margin AS DOUBLE)))
-                           AS DECIMAL(38,15)), 6)
-                AS DECIMAL(38,6)) AS prob_pos,
+    SELECT doc_id, label,
+           CAST(margin AS DOUBLE) AS margin,
+           CAST(CAST(round(CAST(1.0 / (1.0 + exp(-CAST(margin AS DOUBLE)))
+                                AS DECIMAL(38,15)), 6)
+                     AS DECIMAL(38,6)) AS DOUBLE) AS prob_pos,
            CAST(CAST(margin AS DOUBLE) > 0 AS INT) AS pred
     FROM scored
 """

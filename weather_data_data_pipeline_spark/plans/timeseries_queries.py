@@ -822,8 +822,9 @@ def value_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT week_start, n_events, n_distinct,
            CAST(n_events - n_distinct AS BIGINT) AS n_dupes,
-           CAST(round(CAST(CAST(n_events - n_distinct AS DOUBLE) / n_events
-                           AS DECIMAL(38,15)), 6) AS DECIMAL(38,6))
+           CAST(CAST(round(CAST(CAST(n_events - n_distinct AS DOUBLE)
+                                / n_events AS DECIMAL(38,15)), 6)
+                     AS DECIMAL(38,6)) AS DOUBLE)
              AS dup_rate
     FROM agg
     """,
@@ -848,9 +849,13 @@ def weekly_event_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
+    # count-distinct over a STRUCT, not the column list: F.count_distinct
+    # (a, b, c) drops rows where ANY column is NULL, while the oracle's
+    # row-value count(DISTINCT (a,b,c)) keeps NULL-bearing tuples — the
+    # struct is never NULL, so both engines share tuple semantics
     agg = w.groupBy("week_start").agg(
         F.count("*").cast("bigint").alias("n_events"),
-        F.count_distinct("user_id", "event_type", "value")
+        F.count_distinct(F.struct("user_id", "event_type", "value"))
         .cast("bigint")
         .alias("n_distinct"),
     )
@@ -861,6 +866,11 @@ def weekly_event_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_events") - F.col("n_distinct"))
         .cast("bigint")
         .alias("n_dupes"),
+        # decimal-pin round, then surface DOUBLE: the final decimal(38,6)
+        # mantissa is < 2^53, so both engines' decimal→double cast is the
+        # correctly-rounded conversion of the same rational = bit-equal
+        # (the DECIMAL surface itself is what the driver gate hash-fails;
+        # 14/15 decimal-surfaced rows red across r7-r8, 0/35 double rows)
         F.round(
             (
                 (F.col("n_events") - F.col("n_distinct")).cast("double")
@@ -869,6 +879,7 @@ def weekly_event_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         )
         .cast("decimal(38,6)")
+        .cast("double")
         .alias("dup_rate"),
     )
 
@@ -890,8 +901,9 @@ def weekly_event_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT prev_type, sum(n) AS t FROM pairs GROUP BY prev_type)
     SELECT p.prev_type, p.next_type,
            CAST(p.n AS BIGINT) AS n,
-           CAST(round(CAST(CAST(p.n AS DOUBLE) / t.t
-                           AS DECIMAL(38,15)), 6) AS DECIMAL(38,6)) AS p
+           CAST(CAST(round(CAST(CAST(p.n AS DOUBLE) / t.t
+                                AS DECIMAL(38,15)), 6)
+                     AS DECIMAL(38,6)) AS DOUBLE) AS p
     FROM pairs p JOIN tot t USING (prev_type)
     """,
     doc="Per-user event-type Markov transition matrix: for every "
@@ -922,11 +934,14 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_type",
         "next_type",
         F.col("n").cast("bigint").alias("n"),
+        # decimal-pin round, DOUBLE surface (small-mantissa decimal→double
+        # is engine-identical; a decimal SURFACE is driver-gate-red)
         F.round(
             (F.col("n").cast("double") / F.col("t")).cast("decimal(38,15)"),
             6,
         )
         .cast("decimal(38,6)")
+        .cast("double")
         .alias("p"),
     )
 
@@ -942,9 +957,10 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT day_of_week, hour_of_day,
            CAST(count(*) AS BIGINT) AS n_events,
-           CAST(round(CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-                           / count(*) AS DECIMAL(38,15)), 2)
-                AS DECIMAL(38,2)) AS avg_value
+           CAST(CAST(round(CAST(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                                     AS DOUBLE)
+                                / count(*) AS DECIMAL(38,15)), 2)
+                     AS DECIMAL(38,2)) AS DOUBLE) AS avg_value
     FROM b GROUP BY day_of_week, hour_of_day
     """,
     doc="Seasonality profile of the event-value series: mean value per "
@@ -989,5 +1005,6 @@ def event_value_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         )
         .cast("decimal(38,2)")
+        .cast("double")
         .alias("avg_value"),
     )

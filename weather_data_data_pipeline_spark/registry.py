@@ -76,34 +76,42 @@ _loaded = False
 # PLAN/ORACLE changed this round and must (re-)earn a green row. Keep
 # tests/test_registry_order.py's ROUND_HEAD copy in sync.
 _ROUND_HEAD: tuple[str, ...] = (
-    # r8 RE-EARN (VERDICT r7 ask #1): the two-round-red driver rows now
-    # surface prob_pos as DECIMAL(38,6) / final_weight as DECIMAL(38,9)
-    # on BOTH engine and oracle sides — the hashed output is exact
-    # decimal, no exp()/division/cast ULP can flip a bit
+    # r9 RE-EARN (VERDICT r8 ask #1): all 14 r8 gate-red rows surfaced a
+    # DECIMAL ratio/score column (14/15 decimal-surfaced rows red across
+    # r7-r8 vs 0/35 double-surfaced, every one bit-exact locally at two
+    # SFs under the bit-strict mirror). Each now pins/rounds in the
+    # decimal domain INTERNALLY and casts the final small-mantissa
+    # decimal to DOUBLE as the last step on BOTH engine and oracle
+    # sides (< 2^53 mantissa decimal→double is measured bit-identical
+    # between Spark and DuckDB). The 2 three-round reds lead.
     "quality_classifier_frozen_scores",
     "doc_sampling_weights",
-    # upstream prob_pos type change flows through the e2e gate filter
-    # (boolean surface identical, but the plan changed — re-earn)
+    "embedding_outlier_zscores",
+    "quantization_error_report",
+    "ngram_entropy_by_source",
+    "blocklist_filter_report",
+    "quality_rule_ablation",
+    "source_overlap_jaccard",
+    "weekly_event_dup_rate",
+    "event_type_transitions",
+    "event_value_seasonality",
+    "sampling_ess_by_source",
+    "packing_context_sweep",
+    "truncation_loss_sweep",
+    # r9 surface-rule conformance (ask #2): the one decimal-surfaced row
+    # that was gate-GREEN also converts (the lint forbids the class)
+    "length_quality_curve",
+    # upstream score_frozen_md5 surface change flows through the e2e
+    # gate filter (decimal→double is monotone so the >= 0.2 gate keeps
+    # the same rows, but the plan changed — re-earn)
     "curation_pipeline_frozen_e2e",
-    # r8 staleness pins (VERDICT r7 ask #5): the ONLY two oracle-bearing
-    # queries last green r3
-    "vocab_zipf_fit",
-    "weekly_cohort_retention",
-    # r8 REPLANNED (VERDICT r7 ask #4): fused bucket models (one
-    # conditional agg), window totals, per-doc sentinel rows replacing
-    # the corpus join-back — 3 shuffles, down from 5 + join-back
-    "dsir_importance_weights",
-    "dsir_select_topk",
-    # r8 REPLANNED (asks #3/#8): lsh_topk_self drops the eager
-    # signature checkpoint; simhash vote sums/bit packs ship as parsed
-    # expr strings (plan build 0.95 -> 0.20 s)
-    "ann_lsh_topk",
-    "embedding_ann_recall_report",
-    "simhash_near_dup_portable",
-    # r8 REPLANNED: semantic_dedup drops the eager vector checkpoint
-    # (recompute the narrow assignment per consumer)
-    "semantic_dedup_keep",
-    "semantic_dedup_keep_capped",
+    # r9 staleness pins (VERDICT r8 ask #6): the §2 rows last gate-green
+    # r5 (scalar pair) and r6 (weather pair) — §2 rows never go 4 gate
+    # rounds unverified
+    "scalar_transforms",
+    "weekly_avg_value",
+    "weather_weekly_avg_temp",
+    "weather_avg_humidity_range",
 )
 
 
@@ -193,11 +201,25 @@ def _ensure_loaded() -> None:
 
 
 def _ordered() -> list[Query]:
-    """Registry values in driver-facing order (see _compute_priority)."""
+    """Registry values in driver-facing order (see _compute_priority),
+    with every ORACLE-BEARING query ahead of every rows-only one.
+
+    The driver's correctness gate verifies a bounded prefix (~50) of
+    this order, and a rows-only query sampled there records
+    ``err: no_oracle`` — which reads as "broken" in the gate file even
+    though each rows-only query carries a ``verified_by`` closure (a
+    registered oracle-checked portable twin, or an exact pinned unit
+    suite). Demoting rows-only queries below the full oracle-bearing
+    set (188 > the window) keeps the gate window 100% hash-checkable
+    (VERDICT r8 ask #3) while the full surface stays registered and
+    benchable."""
     order = _compute_priority(list(_REGISTRY))
     prioritized = [_REGISTRY[n] for n in order if n in _REGISTRY]
     rest = [q for q in _REGISTRY.values() if q.name not in set(order)]
-    return prioritized + rest
+    allq = prioritized + rest
+    return [q for q in allq if q.oracle is not None] + [
+        q for q in allq if q.oracle is None
+    ]
 
 
 def queries() -> dict[str, QueryFn]:
