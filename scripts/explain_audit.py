@@ -32,6 +32,12 @@ SMELLS = (
 # (query, needle) pairs where the flagged shape is the operator's design,
 # with the reason recorded in PLANS.md instead of a warning.
 INTENTIONAL = {
+    ("vocab_growth_curve", "BroadcastNestedLoopJoin"):
+        "1-row × 1-row scalar attach: the two conditional aggregates "
+        "(prefix token sums, prefix vocab counts) cross-join before the "
+        "4-point literal unfold — O(1 × 1); replaced the r8 form whose "
+        "non-equi LEFT joins broadcast the CORPUS-sized side (ADVICE "
+        "r8 #3)",
     ("hybrid_search_rrf", "BroadcastNestedLoopJoin"):
         "two benign shapes: the BM25 branch's single-ROW corpus-stats "
         "attach, and the dense branch's broadcast(1 query vector) × corpus "

@@ -311,3 +311,49 @@ def test_decontamination_clean_empty_eval(spark):
     }
     assert got[1] == ("a b c d e", 5)
     assert got[2][0] is None
+
+
+def test_decontamination_clean_argument_guards(spark):
+    """ADVICE r8 #4: missing eval input fails fast with the contract,
+    and a filter-shape argument conflicting with a supplied eval_state
+    raises instead of being silently ignored."""
+    import pytest
+
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        decontamination_clean,
+        decontamination_eval_state,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame([(10, "c d e")], "doc_id long, text string")
+
+    with pytest.raises(ValueError, match="eval_df.*eval_state|eval set"):
+        decontamination_clean(train, None, "doc_id", "text", n=3)
+
+    state = decontamination_eval_state(ev, "doc_id", "text", n=3)
+    # matching/omitted shape args are fine
+    decontamination_clean(
+        train, None, "doc_id", "text", n=3, eval_state=state
+    )
+    with pytest.raises(ValueError, match="num_bits"):
+        decontamination_clean(
+            train,
+            None,
+            "doc_id",
+            "text",
+            n=3,
+            num_bits=state.num_bits * 2,
+            eval_state=state,
+        )
+    with pytest.raises(ValueError, match="num_hashes"):
+        decontamination_clean(
+            train,
+            None,
+            "doc_id",
+            "text",
+            n=3,
+            num_hashes=state.num_hashes + 1,
+            eval_state=state,
+        )

@@ -563,3 +563,41 @@ def test_blocklist_token_exact_and_null_preserving(spark):
     assert rows[2] == (0, "slowly duplicated text")
     assert rows[3] == (0, None)
     assert rows[4] == (3, "[REDACTED] [REDACTED] [REDACTED]")
+
+
+def test_blocklist_quote_escaping_and_entry_validation(spark):
+    """ADVICE r8 #1: real badwords lists contain apostrophes — the word
+    must ship as a correctly-escaped literal (an unescaped quote breaks
+    the parsed array expression or injects SQL into the plan), and a
+    multi-word/empty entry raises instead of silently never matching."""
+    import pytest as _pytest
+
+    from weather_data_data_pipeline_spark.functions.text import (
+        blocklist_hits,
+        blocklist_redact_tokens,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "don't panic"),
+            (2, "dont panic"),
+            (3, r"a back\slash token"),
+        ],
+        "doc_id long, text string",
+    )
+    words = ("don't", "back\\slash")
+    rows = {
+        r["doc_id"]: (r["hits"], r["clean"])
+        for r in df.select(
+            "doc_id",
+            blocklist_hits("text", words).alias("hits"),
+            blocklist_redact_tokens("text", words).alias("clean"),
+        ).collect()
+    }
+    assert rows[1] == (1, "[REDACTED] panic")
+    assert rows[2] == (0, "dont panic")
+    assert rows[3] == (1, "a [REDACTED] token")
+
+    for bad in ("two words", "", "tab\tsplit"):
+        with _pytest.raises(ValueError):
+            blocklist_hits("text", (bad,))

@@ -1522,7 +1522,7 @@ def decontamination_clean(
     text_col: str,
     n: int = 8,
     num_bits: int | None = None,
-    num_hashes: int = 3,
+    num_hashes: int | None = None,
     eval_state: DecontaminationEvalState | None = None,
 ) -> DataFrame:
     """Decontamination CLEANING (Lee et al.'s exact-substring removal
@@ -1570,13 +1570,43 @@ def decontamination_clean(
     )
 
     if eval_state is None:
+        if eval_df is None:
+            # fail HERE with the actual contract, not deep inside the
+            # gram pipeline with an opaque AttributeError (ADVICE r8 #4)
+            raise ValueError(
+                "decontamination_clean needs the eval set: pass eval_df "
+                "(grams + bloom are built per call) or eval_state (the "
+                "persisted decontamination_eval_state artifact)"
+            )
         eval_state = decontamination_eval_state(
-            eval_df, id_col, text_col, n, num_bits, num_hashes
+            eval_df,
+            id_col,
+            text_col,
+            n,
+            num_bits,
+            3 if num_hashes is None else num_hashes,
         )
-    elif eval_state.n != n:
-        raise ValueError(
-            f"eval_state built for n={eval_state.n}, clean called with n={n}"
-        )
+    else:
+        if eval_state.n != n:
+            raise ValueError(
+                f"eval_state built for n={eval_state.n}, "
+                f"clean called with n={n}"
+            )
+        # the filter shape is baked into the state at build time — a
+        # conflicting explicit ask must not be silently ignored
+        if num_bits is not None and num_bits != eval_state.num_bits:
+            raise ValueError(
+                f"num_bits={num_bits} conflicts with the supplied "
+                f"eval_state (built with num_bits={eval_state.num_bits}); "
+                "drop the argument or rebuild the state"
+            )
+        if num_hashes is not None and num_hashes != eval_state.num_hashes:
+            raise ValueError(
+                f"num_hashes={num_hashes} conflicts with the supplied "
+                f"eval_state (built with num_hashes="
+                f"{eval_state.num_hashes}); drop the argument or rebuild "
+                "the state"
+            )
     ev_hashes = eval_state.ev_hashes
     words, num_bits, num_hashes = (
         eval_state.words,

@@ -333,17 +333,43 @@ def redact(
     return out
 
 
+def _blocklist_literal_array(words: tuple[str, ...]) -> Column:
+    """Blocklist words as ONE parsed literal array expression (the py4j
+    plan-build lesson: per-element F.lit crosses the bridge per word).
+
+    Words are interpolated into an F.expr string, so they are escaped
+    (backslash first, then single quote — the two characters Spark's
+    SQL string literal interprets) and validated: a real badwords list
+    routinely contains apostrophes, and an unescaped one either breaks
+    the parse or injects arbitrary SQL into the plan (ADVICE r8 #1).
+    Multi-word, empty, or whitespace-bearing entries can never match a
+    single whitespace token — raising beats silently weakening the
+    filter."""
+    for w in words:
+        if not w or any(ch.isspace() for ch in w):
+            raise ValueError(
+                f"blocklist entry {w!r} is empty or contains whitespace — "
+                "token-exact matching compares single whitespace-split "
+                "tokens, so this entry could never match; split it into "
+                "single-token entries"
+            )
+    quoted = ",".join(
+        "'" + w.lower().replace("\\", "\\\\").replace("'", "\\'") + "'"
+        for w in words
+    )
+    return F.expr(f"array({quoted})")
+
+
 def blocklist_hits(col: Column | str, words: tuple[str, ...]) -> Column:
     """Count of whitespace tokens that appear on the blocklist — the
     token-EXACT counterpart of the regex :func:`redact`/:func:`match_count`
     pair (a regex over raw text also matches inside longer words; the
     C4-style badwords filter is defined over whole tokens). The list
-    ships as one parsed literal array (the py4j plan-build lesson);
+    ships as one parsed literal array (the py4j plan-build lesson),
+    escaped and validated by :func:`_blocklist_literal_array`;
     comparison is case-insensitive. NULL text counts 0 hits."""
     c = F.col(col) if isinstance(col, str) else col
-    arr = F.expr(
-        "array(" + ",".join(f"'{w.lower()}'" for w in words) + ")"
-    )
+    arr = _blocklist_literal_array(words)
     return F.size(
         F.filter(
             F.split(F.lower(F.coalesce(c, F.lit(""))), " "),
@@ -363,9 +389,7 @@ def blocklist_redact_tokens(
     machinery). NULL text stays NULL — a fully-masked document is
     distinguishable from a missing one."""
     c = F.col(col) if isinstance(col, str) else col
-    arr = F.expr(
-        "array(" + ",".join(f"'{w.lower()}'" for w in words) + ")"
-    )
+    arr = _blocklist_literal_array(words)
     rebuilt = F.concat_ws(
         " ",
         F.transform(

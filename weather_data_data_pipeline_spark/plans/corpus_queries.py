@@ -1761,14 +1761,25 @@ def length_quality_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     "growth means open-vocabulary content — ids, hashes — is leaking "
     "into the token stream). ONE corpus pass: each token's FIRST-"
     "occurrence doc id aggregates once, then every prefix point is a "
-    "conditional count over the Zipf-small firsts table — the curve "
-    "costs one aggregate, not one scan per point. All-integer output: "
+    "conditional sum inside ONE aggregate per frame — the curve costs "
+    "two small aggregates, not one scan per point and not a non-equi "
+    "join (the r8 form's 4-row-cut LEFT joins compiled to a "
+    "BroadcastNestedLoopJoin that must broadcast the CORPUS-sized "
+    "right side — driver/executor OOM bait at scale; ADVICE r8 #3). "
+    "The doc total is one bounded 1-row aggregate collected to the "
+    "driver so the 4 thresholds ride as literals. All-integer output: "
     "engine-exact with no rounding contract needed.",
     tags=("llm", "text"),
 )
 def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     docs = load(spark, sf_dir, "documents")
-    total = docs.agg(F.count("*").alias("total"))
+    # bounded driver scalar (1 row): the 4 cut thresholds become plan
+    # literals, so no frame ever joins on a non-equi cut condition.
+    # ceil matches the oracle's double-domain ceil(total*q/100.0).
+    total = docs.agg(F.count("*")).collect()[0][0]
+    cuts = [(q, int(math.ceil(total * q / 100.0))) for q in (25, 50, 75, 100)]
     firsts = (
         docs.select(
             "doc_id",
@@ -1785,31 +1796,37 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.split("text", " "), lambda t: t != F.lit(""))
         ).alias("n_tok"),
     )
-    qs = spark.range(1).select(
-        F.explode(F.expr("array(25, 50, 75, 100)")).alias("q")
+    # one conditional aggregate per frame; sum-of-NULLs (no F.otherwise)
+    # reproduces SQL's NULL on an empty prefix exactly like the oracle's
+    # scalar subqueries
+    tok_agg = toks.agg(
+        *[
+            F.sum(F.when(F.col("doc_id") < F.lit(c), F.col("n_tok")))
+            .cast("bigint")
+            .alias(f"_t{q}")
+            for q, c in cuts
+        ]
     )
-    cut = qs.crossJoin(F.broadcast(total)).select(
-        "q",
-        F.ceil(F.col("total") * F.col("q") / 100.0)
-        .cast("bigint")
-        .alias("prefix_docs"),
+    first_agg = firsts.agg(
+        *[
+            F.sum(F.when(F.col("first_doc") < F.lit(c), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_v{q}")
+            for q, c in cuts
+        ]
     )
-    tok_counts = cut.join(
-        toks, toks["doc_id"] < cut["prefix_docs"], "left"
-    ).groupBy("q", "prefix_docs").agg(
-        F.sum("n_tok").cast("bigint").alias("prefix_tokens")
+    # 1-row × 1-row scalar attach (intentional bounded BNLJ), then the
+    # 4 curve points unfold from a literal struct array
+    row = tok_agg.crossJoin(F.broadcast(first_agg))
+    points = F.array(
+        *[
+            F.struct(
+                F.lit(q).cast("int").alias("prefix_pct"),
+                F.lit(c).cast("bigint").alias("prefix_docs"),
+                F.col(f"_t{q}").alias("prefix_tokens"),
+                F.col(f"_v{q}").alias("vocab_size"),
+            )
+            for q, c in cuts
+        ]
     )
-    vocab_counts = cut.join(
-        firsts, firsts["first_doc"] < cut["prefix_docs"], "left"
-    ).groupBy("q", "prefix_docs").agg(
-        F.count("tok").cast("bigint").alias("vocab_size")
-    )
-    return (
-        tok_counts.join(vocab_counts, ["q", "prefix_docs"])
-        .select(
-            F.col("q").cast("int").alias("prefix_pct"),
-            "prefix_docs",
-            "prefix_tokens",
-            "vocab_size",
-        )
-    )
+    return row.select(F.explode(points).alias("r")).select("r.*")

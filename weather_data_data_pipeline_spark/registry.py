@@ -112,6 +112,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     "weekly_avg_value",
     "weather_weekly_avg_temp",
     "weather_avg_humidity_range",
+    # r9 REPLANNED (ADVICE r8 #3): vocab_growth_curve drops the corpus-
+    # broadcasting non-equi joins for two conditional aggregates + a
+    # 1-row scalar attach
+    "vocab_growth_curve",
 )
 
 
