@@ -501,6 +501,108 @@ def runr8() -> None:
     spark.stop()
 
 
+
+
+def gen_events() -> None:
+    """Synthesize 10x/100x events tables into the sf1/sf10 stress dirs
+    (r9: the event-stream instruments — seasonality, transitions, weekly
+    dup rate — need a scaled EVENTS table, which gen()'s documents/
+    embeddings set lacks). Marginals match sf0.1 empirically: event_type
+    mix, value distribution (resampled), the SAME wall-clock window
+    (scaling means more traffic in the period, not a longer period), and
+    events-per-user held constant by scaling the user pool with volume —
+    so per-user sequences (the transitions shuffle) keep their length
+    profile while the key cardinality grows linearly."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(SEED)
+    ev = pq.read_table(os.path.join(SRC_DIR, "events.parquet"))
+    types = np.array(ev.column("event_type").to_pylist())
+    values = np.array(ev.column("value").to_pylist())
+    ts = ev.column("ts").to_pylist()
+    lo = min(ts)
+    span_us = int((max(ts) - lo).total_seconds() * 1_000_000)
+    tvals, tcounts = np.unique(types, return_counts=True)
+    tp = tcounts / tcounts.sum()
+    n_users_base = len(set(ev.column("user_id").to_pylist()))
+
+    for mult, out_dir in ((10, OUT_DIR), (100, OUT_DIR_10)):
+        n = ev.num_rows * mult
+        n_users = n_users_base * mult
+        offs = np.sort(rng.randint(0, span_us, size=n).astype("int64"))
+        tbl = pa.table(
+            {
+                "event_id": pa.array(range(n), type=pa.int64()),
+                "ts": pa.array(
+                    offs + int(lo.timestamp() * 1_000_000),
+                    type=pa.timestamp("us"),
+                ),
+                "user_id": pa.array(
+                    rng.randint(0, n_users, size=n).astype("int64")
+                ),
+                "event_type": pa.array(
+                    rng.choice(tvals, size=n, p=tp), type=pa.string()
+                ),
+                "value": pa.array(rng.choice(values, size=n)),
+                "props": pa.array(
+                    [f'{{"k": {int(k)}}}' for k in rng.randint(0, 100, size=n)],
+                    type=pa.string(),
+                ),
+            }
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        pq.write_table(
+            tbl,
+            os.path.join(out_dir, "events.parquet"),
+            row_group_size=max(n // 32, 1),
+        )
+        print(f"wrote {out_dir}/events.parquet: {n} rows, {n_users} users")
+
+
+QUERIES_R9 = (
+    # r9 stress targets (VERDICT r8 ask #7): the late-r8 instruments
+    # never stressed, plus the r9 vocab_growth_curve replan.
+    # blocklist pair: one scan + rollup (report) / one scan + filter
+    # (redact) — expect ~linear bytes, tiny report shuffle. ablation:
+    # one scan, 4x literal-struct fan-out, one rollup — near-flat
+    # shuffle (4 rows per partition). overlap: the per-source DISTINCT
+    # vocab table is Zipf-small, so the token-keyed self-join should
+    # grow with VOCABULARY, not corpus — expect strongly sublinear.
+    # seasonality: one partial+final agg over a 7x24 key space — flat.
+    # transitions: ONE user-keyed window shuffle — linear in events.
+    # weekly dup rate: (week, triple)-keyed distinct — linear.
+    # vocab growth: two conditional aggregates (replaces the corpus-
+    # broadcasting BNLJ) — shuffle is the firsts table, vocab-bounded.
+    "blocklist_filter_report",
+    "blocklist_redacted_corpus",
+    "quality_rule_ablation",
+    "source_overlap_jaccard",
+    "ngram_entropy_by_source",
+    "length_quality_curve",
+    "truncation_loss_sweep",
+    "vocab_growth_curve",
+    "event_value_seasonality",
+    "event_type_transitions",
+    "weekly_event_dup_rate",
+)
+
+
+def runr9() -> None:
+    d1, spark = _measure(
+        (("sf0.1", SRC_DIR), ("sf1", OUT_DIR)), QUERIES_R9, "r9d1",
+        "scale_r9a",
+    )
+    spark.stop()
+    d2, spark = _measure(
+        (("sf1", OUT_DIR), ("sf10", OUT_DIR_10)), QUERIES_R9, "r9d2",
+        "scale_r9b",
+    )
+    print(json.dumps({"decade1_sf01_sf1": d1, "decade2_sf1_sf10": d2}))
+    spark.stop()
+
+
 def runr7() -> None:
     d1, spark = _measure(
         (("sf0.1", SRC_DIR), ("sf1", OUT_DIR)), QUERIES_R7, "r7d1",
@@ -550,7 +652,11 @@ if __name__ == "__main__":
         runr7b()
     elif cmd == "runr8":
         runr8()
+    elif cmd == "gen_events":
+        gen_events()
+    elif cmd == "runr9":
+        runr9()
     else:
         print("usage: scale_stress.py [gen|run|gen10|run10|runr5|runr6|"
-              "runr6c|runr7|runr7b|runr8]")
+              "runr6c|runr7|runr7b|runr8|gen_events|runr9]")
         sys.exit(2)
