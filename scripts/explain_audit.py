@@ -38,6 +38,11 @@ INTENTIONAL = {
         "4-point literal unfold — O(1 × 1); replaced the r8 form whose "
         "non-equi LEFT joins broadcast the CORPUS-sized side (ADVICE "
         "r8 #3)",
+    ("hybrid_rerank_topk", "BroadcastNestedLoopJoin"):
+        "inherits hybrid_search_rrf's two benign shapes (1-row corpus-"
+        "stats attach; broadcast(1 query vector) × corpus dense scoring) "
+        "plus the re-rank's broadcast(1 query vector) × 20-candidate "
+        "cosine — all O(n × 1) or O(20 × 1), never quadratic",
     ("hybrid_search_rrf", "BroadcastNestedLoopJoin"):
         "two benign shapes: the BM25 branch's single-ROW corpus-stats "
         "attach, and the dense branch's broadcast(1 query vector) × corpus "
