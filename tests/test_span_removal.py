@@ -357,3 +357,121 @@ def test_decontamination_clean_argument_guards(spark):
             num_hashes=state.num_hashes + 1,
             eval_state=state,
         )
+
+
+def _suffix_sort_span_stats(
+    texts: dict, n: int = 8, min_count: int = 2
+) -> dict:
+    """Second, HASH-FREE reference for the span family (VERDICT r8 ask
+    #8): sort every positional n-token window lexicographically (the
+    suffix-array view truncated at depth n — two suffixes share an
+    n-gram iff their first n tokens are equal, i.e. iff they are
+    adjacent in this order with an equal window), mark windows whose
+    equal-run length reaches min_count, then merge starts gaps-and-
+    islands style with the engine's exact rule (new island iff
+    pos - prev_pos >= n). Independent of the engine's xxhash64 device,
+    so it also certifies collision-freeness on the tested corpus."""
+    grams = []
+    for did, txt in texts.items():
+        t = txt.split(" ")
+        for p in range(0, len(t) - n + 1):
+            grams.append((tuple(t[p : p + n]), did, p))
+    grams.sort(key=lambda g: g[0])
+    dup_starts: dict = {}
+    i = 0
+    while i < len(grams):
+        j = i
+        while j < len(grams) and grams[j][0] == grams[i][0]:
+            j += 1
+        if j - i >= min_count:
+            for k in range(i, j):
+                dup_starts.setdefault(grams[k][1], []).append(grams[k][2])
+        i = j
+    out = {}
+    for did, txt in texts.items():
+        n_tokens = len(txt.split(" "))
+        starts = sorted(dup_starts.get(did, ()))
+        dup_tokens = 0
+        n_islands = 0
+        isl_start = prev = None
+        for s in starts:
+            if prev is None or s - prev >= n:
+                if prev is not None:
+                    dup_tokens += prev + n - isl_start
+                isl_start = s
+                n_islands += 1
+            prev = s
+        if prev is not None:
+            dup_tokens += prev + n - isl_start
+        out[did] = (n_tokens, dup_tokens, n_tokens - dup_tokens, n_islands)
+    return out
+
+
+def test_span_stats_match_suffix_sort_oracle_on_corpus(spark):
+    """span_dedup_stats over the real sf0.001 corpus == the hash-free
+    suffix-sort reference, doc by doc — a second oracle for the span
+    family through a disjoint algorithm (lexicographic window sort vs
+    xxhash64 count-join)."""
+    from tests.conftest import SF_DIR
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        span_dedup_stats,
+    )
+    from weather_data_data_pipeline_spark.sources.tables import load
+
+    docs = load(spark, SF_DIR, "documents")
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.select("doc_id", "text").collect()
+    }
+    expected = _suffix_sort_span_stats(texts, n=8, min_count=2)
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["dup_tokens"],
+            r["kept_tokens"],
+            r["n_islands"],
+        )
+        for r in span_dedup_stats(docs, "doc_id", "text").collect()
+    }
+    assert got == expected
+
+
+def test_span_stats_match_suffix_sort_oracle_adversarial(spark):
+    """Pins the island-boundary rule on crafted cases: a duplicated run
+    whose gap is EXACTLY n (touching intervals must count as TWO
+    islands), overlapping duplicated grams, and a cross-document
+    duplicate that is unique within each document."""
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        span_dedup_stats,
+    )
+
+    phrase = "p q r"  # 3-gram shared across docs
+    rows = [
+        # doc 0/1: the 3-gram 'p q r' appears once in each doc —
+        # duplicated only because of the OTHER doc
+        (0, "a b c " + phrase + " x y z"),
+        (1, "d e f " + phrase + " u v w"),
+        # doc 2: 'm m m m' twice with a gap of exactly n=3 between the
+        # duplicated gram starts → two touching islands
+        (2, "m m m g1x m m m g2x " + "m m m g3x m m m"),
+        # doc 3: shorter than n tokens — keeps everything
+        (3, "s t"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    texts = dict(rows)
+    n = 3
+    expected = _suffix_sort_span_stats(texts, n=n, min_count=2)
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["dup_tokens"],
+            r["kept_tokens"],
+            r["n_islands"],
+        )
+        for r in span_dedup_stats(df, "doc_id", "text", n=n).collect()
+    }
+    assert got == expected
+    # the cross-doc phrase really was flagged
+    assert got[0][1] >= n and got[1][1] >= n
+    # the short doc kept everything
+    assert got[3] == (2, 0, 2, 0)
