@@ -245,3 +245,64 @@ def test_round4_operators_on_null_empty_and_degenerate_inputs(spark):
     out = {r["doc_id"]: r["s"] for r in nulls.select(
         "doc_id", holdout_split("doc_id").alias("s")).collect()}
     assert out[7] in {"train", "val", "test"} and out[None] == "test"
+
+
+def test_weekly_dup_rate_null_tuple_semantics_match_oracle(spark, tmp_path):
+    """ADVICE r8 #2 close-out, exercised WITH actual NULLs: the engine's
+    column-list count_distinct skips NULL-bearing tuples, and the
+    registered oracle's FILTER (... IS NOT NULL) makes DuckDB do the
+    same — proven here on a crafted events frame containing NULL
+    user_id / event_type / value rows, not just asserted on NULL-free
+    corpus data."""
+    import duckdb
+
+    from weather_data_data_pipeline_spark.plans.timeseries_queries import (
+        weekly_event_dup_rate,
+    )
+    from weather_data_data_pipeline_spark.registry import get_query
+
+    rows = [
+        # week of 2024-01-01: 2 exact dup pairs + 1 NULL-user row +
+        # 1 NULL-value row (the NULL rows must NOT join the distinct set)
+        (0, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+        (1, "2024-01-02 10:00:00", 1, "click", 1.0, "{}"),
+        (2, "2024-01-03 10:00:00", None, "view", 2.0, "{}"),
+        (3, "2024-01-04 10:00:00", 2, "view", None, "{}"),
+        (4, "2024-01-05 10:00:00", 3, None, 3.0, "{}"),
+        # week of 2024-01-08: all distinct
+        (5, "2024-01-08 10:00:00", 1, "click", 9.0, "{}"),
+        (6, "2024-01-09 10:00:00", 2, "view", 8.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id",
+        "CAST(ts AS TIMESTAMP) AS ts",
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    src = str(tmp_path / "nulls")
+    df.write.parquet(f"{src}/events.parquet")
+
+    got = sorted(
+        (str(r["week_start"]), r["n_events"], r["n_distinct"], r["n_dupes"])
+        for r in weekly_event_dup_rate(spark, src).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM"
+        f" read_parquet('{src}/events.parquet/*.parquet')"
+    )
+    oracle = get_query("weekly_event_dup_rate").oracle
+    want = sorted(
+        (str(w), n, d, dup)
+        for w, n, d, dup, _ in con.execute(oracle).fetchall()
+    )
+    assert got == want
+    # and the NULL rows were really excluded: week-1 has 5 events but
+    # only 1 distinct NULL-free tuple (the dup pair collapses)
+    assert got[0] == ("2024-01-01", 5, 1, 4)
