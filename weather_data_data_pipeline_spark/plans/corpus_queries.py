@@ -1167,38 +1167,47 @@ def hybrid_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
+    # ONE linear chain off the fused candidates: each extra consumer of
+    # `fused` re-executes the entire two-retriever pipeline (measured:
+    # the first cut fed two branches re-joined on doc_id — 2× the
+    # retrieval wall for a 20-row frame)
     fused = _hybrid_candidates(spark, sf_dir).select("doc_id", "rrf_score")
     qv = emb.where(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qvec")
     )
-    cde = fused.join(
-        emb.select(F.col("vec_id").alias("doc_id"),
-                   F.col("embedding").alias("cvec")),
-        "doc_id",
-        "left",
+    base = (
+        fused.join(
+            emb.select(
+                F.col("vec_id").alias("doc_id"),
+                F.col("embedding").alias("cvec"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .crossJoin(F.broadcast(qv))
     )
 
-    def _dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    # parsed expr strings: each HOF lambda built through py4j costs
+    # driver round trips at plan-build time (the r8 simhash lesson);
+    # one parse ships the whole cosine
+    def _dot(a: str, b: str) -> str:
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE)"
+            " * CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
         )
 
-    cos = _dot(F.col("qvec"), F.col("cvec")) / (
-        F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
-        * F.sqrt(_dot(F.col("cvec"), F.col("cvec")))
+    cos = F.expr(
+        f"{_dot('qvec', 'cvec')} / (sqrt({_dot('qvec', 'qvec')})"
+        f" * sqrt({_dot('cvec', 'cvec')}))"
     )
-    sems = cde.crossJoin(F.broadcast(qv)).select(
+    sp = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    sems = base.select(
         "doc_id",
         "rrf_score",
         F.when(F.col("cvec").isNull(), F.lit(0.0))
         .otherwise((cos + F.lit(1.0)) / F.lit(2.0))
         .alias("sem_raw"),
-    )
-    sp = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
-    pos = fused.join(docs.select("doc_id", "text"), "doc_id").select(
-        "doc_id",
         F.array_position(sp, "spark").alias("p1"),
         F.array_position(sp, "join").alias("p2"),
         F.array_position(sp, "stream").alias("p3"),
@@ -1211,7 +1220,7 @@ def hybrid_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((F.col("p2") > 0) & (F.col("p3") > 0),
                F.abs(F.col("p2") - F.col("p3"))),
     )
-    feat = sems.join(pos, "doc_id").select(
+    feat = sems.select(
         "doc_id",
         "rrf_score",
         F.round(F.col("sem_raw").cast("decimal(38,15)"), 6)
