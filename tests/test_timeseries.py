@@ -165,3 +165,44 @@ def test_resample_deterministic_under_equal_ts_duplicates(spark):
         assert outs[0] == outs[1] == outs[2]
         # the t0 grid point carries the max duplicate value, 9.0
         assert outs[0][0] == (t0, 9.0)
+
+
+def test_ohlc_open_close_deterministic_under_ts_ties(spark, tmp_path):
+    """events_ohlc_15min's open/close come from struct argmin/argmax
+    over (ts, event_id, value): with several rows on the SAME timestamp
+    the unique event_id breaks the tie, so the candle is deterministic
+    under any partitioning — pinned here on a crafted frame where the
+    tie actually occurs, plus a cross-bucket boundary row."""
+    from weather_data_data_pipeline_spark.plans.timeseries_queries import (
+        events_ohlc_15min,
+    )
+
+    rows = [
+        # bucket 00:00–00:15, all 'click': two rows share the opening
+        # timestamp (ids 2 < 5) and two share the closing one (7 < 9)
+        (2, "2024-01-01 00:00:01", 1, "click", 10.0, "{}"),
+        (5, "2024-01-01 00:00:01", 2, "click", 99.0, "{}"),
+        (3, "2024-01-01 00:07:00", 3, "click", 55.0, "{}"),
+        (7, "2024-01-01 00:14:59", 4, "click", 20.0, "{}"),
+        (9, "2024-01-01 00:14:59", 5, "click", 1.0, "{}"),
+        # next bucket starts exactly on the boundary
+        (11, "2024-01-01 00:15:00", 6, "click", 7.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "props",
+    )
+    src = str(tmp_path / "ohlc")
+    df.write.parquet(f"{src}/events.parquet")
+    got = {
+        str(r["bucket_start"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_events"]
+        )
+        for r in events_ohlc_15min(spark, src).collect()
+    }
+    assert got["2024-01-01 00:00:00"] == (10.0, 99.0, 1.0, 1.0, 5)
+    assert got["2024-01-01 00:15:00"] == (7.0, 7.0, 7.0, 7.0, 1)
