@@ -520,7 +520,10 @@ def gen_events() -> None:
     rng = np.random.RandomState(SEED)
     ev = pq.read_table(os.path.join(SRC_DIR, "events.parquet"))
     types = np.array(ev.column("event_type").to_pylist())
-    values = np.array(ev.column("value").to_pylist())
+    # explicit float64 (NULL -> NaN) rather than to_pylist(): a NULL in
+    # the source column would otherwise yield an object-dtype array and
+    # pa.array over mixed float/None objects can mistype (ADVICE r9 #4)
+    values = ev.column("value").to_numpy(zero_copy_only=False)
     ts = ev.column("ts").to_pylist()
     lo = min(ts)
     span_us = int((max(ts) - lo).total_seconds() * 1_000_000)
@@ -531,7 +534,9 @@ def gen_events() -> None:
     for mult, out_dir in ((10, OUT_DIR), (100, OUT_DIR_10)):
         n = ev.num_rows * mult
         n_users = n_users_base * mult
-        offs = np.sort(rng.randint(0, span_us, size=n).astype("int64"))
+        # dtype='int64' explicitly: microsecond spans overflow platform
+        # long where it is 32-bit (ADVICE r9 #4)
+        offs = np.sort(rng.randint(0, span_us, size=n, dtype="int64"))
         tbl = pa.table(
             {
                 "event_id": pa.array(range(n), type=pa.int64()),
@@ -540,12 +545,18 @@ def gen_events() -> None:
                     type=pa.timestamp("us"),
                 ),
                 "user_id": pa.array(
-                    rng.randint(0, n_users, size=n).astype("int64")
+                    rng.randint(0, n_users, size=n, dtype="int64")
                 ),
                 "event_type": pa.array(
                     rng.choice(tvals, size=n, p=tp), type=pa.string()
                 ),
-                "value": pa.array(rng.choice(values, size=n)),
+                # explicit type + from_pandas so a resampled NaN (a NULL
+                # in the source) round-trips to a parquet NULL
+                "value": pa.array(
+                    rng.choice(values, size=n),
+                    type=pa.float64(),
+                    from_pandas=True,
+                ),
                 "props": pa.array(
                     [f'{{"k": {int(k)}}}' for k in rng.randint(0, 100, size=n)],
                     type=pa.string(),

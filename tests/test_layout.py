@@ -232,3 +232,93 @@ def test_analyze_tables_collects_cbo_stats(spark, warehouse):
     stats = table_stats(spark, "layout_test.orders_stats")
     assert stats.get("rowCount") == orders.count()
     assert stats.get("sizeInBytes", 0) > 0
+
+
+def _versioned_fixture(spark, path):
+    from weather_data_data_pipeline_spark.sources.layout import (
+        write_versioned,
+    )
+
+    for v, rows in (
+        (1, [(1, "a", 10.0), (2, "b", 20.0)]),
+        (2, [(1, "a2", 11.0), (3, "c", 30.0)]),
+        (3, [(2, "b3", 22.0)]),
+    ):
+        write_versioned(
+            spark.createDataFrame(rows, "k long, s string, x double"),
+            path,
+            v,
+        )
+
+
+def test_read_as_of_append_and_upsert_semantics(spark, tmp_path):
+    from weather_data_data_pipeline_spark.sources.layout import read_as_of
+
+    path = str(tmp_path / "versioned")
+    _versioned_fixture(spark, path)
+
+    # append semantics: union of surviving deltas
+    as_of2 = read_as_of(spark, path, 2)
+    assert sorted((r["k"], r["v"]) for r in as_of2.collect()) == [
+        (1, 1), (1, 2), (2, 1), (3, 2),
+    ]
+    # upsert semantics: latest row per key as of each version
+    up1 = {r["k"]: r["s"] for r in read_as_of(
+        spark, path, 1, key_cols=["k"], order_cols=["s"]).collect()}
+    up3 = {r["k"]: r["s"] for r in read_as_of(
+        spark, path, 3, key_cols=["k"], order_cols=["s"]).collect()}
+    assert up1 == {1: "a", 2: "b"}
+    assert up3 == {1: "a2", 2: "b3", 3: "c"}
+
+
+def test_read_as_of_overwrite_then_read_old_version(spark, tmp_path):
+    """VERDICT r9 ask #7 'Done' unit: REPLAYING (overwriting) version 3
+    changes only v>=3 snapshots — every older snapshot stays
+    byte-identical, because a replayed delta dynamic-overwrites exactly
+    its own partition."""
+    from weather_data_data_pipeline_spark.sources.layout import (
+        read_as_of,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "versioned")
+    _versioned_fixture(spark, path)
+    before_v2 = sorted(map(tuple, read_as_of(spark, path, 2).collect()))
+    before_v3 = sorted(map(tuple, read_as_of(spark, path, 3).collect()))
+
+    # replay v=3 with DIFFERENT content (the failure-recovery case)
+    write_versioned(
+        spark.createDataFrame(
+            [(2, "b3-replay", 23.0), (9, "z", 90.0)],
+            "k long, s string, x double",
+        ),
+        path,
+        3,
+    )
+    after_v2 = sorted(map(tuple, read_as_of(spark, path, 2).collect()))
+    after_v3 = sorted(map(tuple, read_as_of(spark, path, 3).collect()))
+    assert after_v2 == before_v2          # old snapshot untouched
+    assert after_v3 != before_v3          # replayed version visible
+    assert {r[1] for r in after_v3} == {"a", "a2", "b", "c", "b3-replay", "z"}
+    # and the replaced rows are GONE (overwrite, not append)
+    assert not any(r[1] == "b3" for r in after_v3)
+
+
+def test_read_as_of_prunes_newer_delta_partitions(spark, tmp_path):
+    """The version predicate is a PARTITION filter: a snapshot read of
+    an old version must not touch newer delta files at all (at 100 TB
+    the snapshot costs its own bytes, not the table's)."""
+    from weather_data_data_pipeline_spark.sources.layout import read_as_of
+
+    path = str(tmp_path / "versioned")
+    _versioned_fixture(spark, path)
+    df = read_as_of(spark, path, 2)
+    # the predicate must reach the scan as a PARTITION filter (pruned at
+    # planning, before IO) — not a post-scan data filter
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    scan = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan and any("v" in ln and "2" in ln for ln in scan), plan
+    # and the pruned scan reads exactly the v<=2 rows
+    assert sorted(r["v"] for r in df.collect()) == [1, 1, 2, 2]

@@ -289,7 +289,14 @@ def test_weekly_dup_rate_null_tuple_semantics_match_oracle(spark, tmp_path):
     df.write.parquet(f"{src}/events.parquet")
 
     got = sorted(
-        (str(r["week_start"]), r["n_events"], r["n_distinct"], r["n_dupes"])
+        (
+            str(r["week_start"]),
+            r["n_events"],
+            r["n_keyed"],
+            r["n_distinct"],
+            r["n_dupes"],
+            r["dup_rate"],
+        )
         for r in weekly_event_dup_rate(spark, src).collect()
     )
     con = duckdb.connect()
@@ -299,10 +306,13 @@ def test_weekly_dup_rate_null_tuple_semantics_match_oracle(spark, tmp_path):
     )
     oracle = get_query("weekly_event_dup_rate").oracle
     want = sorted(
-        (str(w), n, d, dup)
-        for w, n, d, dup, _ in con.execute(oracle).fetchall()
+        (str(w), n, k, d, dup, rate)
+        for w, n, k, d, dup, rate in con.execute(oracle).fetchall()
     )
     assert got == want
-    # and the NULL rows were really excluded: week-1 has 5 events but
-    # only 1 distinct NULL-free tuple (the dup pair collapses)
-    assert got[0] == ("2024-01-01", 5, 1, 4)
+    # and the NULL rows are excluded from BOTH sides of the duplicate
+    # arithmetic (ADVICE r9 #3): week-1 has 5 events total, but only 2
+    # NULL-free tuples (the dup pair), so exactly 1 duplicate — a
+    # NULL-keyed row no longer reads as a dup, and the rate is over
+    # n_keyed, not n_events
+    assert got[0] == ("2024-01-01", 5, 2, 1, 1, 0.5)

@@ -21,33 +21,20 @@ WINDOW = 50
 # Mirror of registry._ROUND_HEAD — a deliberate copy so that editing the
 # head without thinking about the verification window fails a test.
 ROUND_HEAD = (
-    # r9: the 14 r8 gate-red decimal-surfaced rows, now DOUBLE-surfaced
-    "quality_classifier_frozen_scores",
-    "doc_sampling_weights",
-    "embedding_outlier_zscores",
-    "quantization_error_report",
-    "ngram_entropy_by_source",
-    "blocklist_filter_report",
-    "quality_rule_ablation",
-    "source_overlap_jaccard",
-    "weekly_event_dup_rate",
-    "event_type_transitions",
-    "event_value_seasonality",
+    # r10 plan-changed (ADVICE r9 #1/#3): tiered sum surfaces + NULL-
+    # keyed dup arithmetic
     "sampling_ess_by_source",
-    "packing_context_sweep",
-    "truncation_loss_sweep",
-    # surface-rule conformance + upstream-scorer flow-through
-    "length_quality_curve",
-    "curation_pipeline_frozen_e2e",
-    # r9 §2 staleness pins (VERDICT r8 ask #6)
-    "scalar_transforms",
-    "weekly_avg_value",
-    "weather_weekly_avg_temp",
-    "weather_avg_humidity_range",
-    # r9 REPLANNED (ADVICE r8 #3): vocab_growth_curve drops the corpus-
-    # broadcasting non-equi joins for two conditional aggregates + a
-    # 1-row scalar attach
-    "vocab_growth_curve",
+    "quantization_error_report",
+    "weekly_event_dup_rate",
+    # r10 §2 staleness pins (VERDICT r9 ask #2)
+    "avg_value_in_range",
+    "recency_filter_last_hour",
+    "anti_join_dedup",
+    "jdbc_roundtrip",
+    # r10 NEW (VERDICT r9 asks #4/#7)
+    "url_domain_dedup_report",
+    "domain_blocklist_rollup",
+    "snapshot_read_as_of",
 )
 
 

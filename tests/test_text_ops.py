@@ -601,3 +601,82 @@ def test_blocklist_quote_escaping_and_entry_validation(spark):
     for bad in ("two words", "", "tab\tsplit"):
         with _pytest.raises(ValueError):
             blocklist_hits("text", (bad,))
+
+
+def test_ess_rollup_tiered_surface_large_sums(spark):
+    """ADVICE r9 #1: the decimal->double surface cast is only measured
+    engine-identical while the decimal's scaled mantissa < 2^53, so a
+    per-group weight sum above ~9e6 re-enters the divergent class at
+    the old always-9-dp scale. The TIERED surface re-rounds to 2 dp
+    once the exact sum crosses 1e6; this pins (a) Spark == DuckDB
+    bit-equality of every surfaced double in BOTH regimes on one
+    frame, and (b) the small regime staying byte-identical to the
+    legacy 9-dp form (no silent value drift for existing groups)."""
+    import duckdb as _duckdb
+
+    from weather_data_data_pipeline_spark.functions.text import (
+        ess_rollup,
+        tiered_sum_double_sql,
+    )
+
+    rows = [
+        # big: sum_w = 3 x 500000.123456789 = 1500000.370370367 >= 1e6
+        # -> 2-dp branch; sum_w2 = 7.5e11 also tiers
+        *[("big", 500000.123456789)] * 3,
+        # mid: sum just UNDER the tier point stays on the 9-dp branch
+        ("mid", 999999.999999999),
+        # small: tiny weights, deep in the 9-dp regime
+        ("small", 0.000000123),
+        ("small", 0.25),
+    ]
+    df = spark.createDataFrame(rows, "source string, final_weight double")
+    got = {
+        r["source"]: (r["sum_w"], r["sum_w2"], r["ess"], r["ess_ratio"])
+        for r in ess_rollup(df, "source", "final_weight").collect()
+    }
+
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE TABLE w AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{s}', {v!r})" for s, v in rows)
+        + ") t(source, final_weight)"
+    )
+    sw = tiered_sum_double_sql("sum_w")
+    sw2 = tiered_sum_double_sql("sum_w2")
+    oracle = {
+        s: (a, b, c, d)
+        for s, a, b, c, d in con.execute(
+            f"""
+            WITH fw AS (
+              SELECT source,
+                     CAST(final_weight AS DECIMAL(18,9)) AS fwt
+              FROM w),
+            agg AS (
+              SELECT source,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(fwt) AS DECIMAL(38,9)) AS sum_w,
+                     CAST(sum(fwt * fwt) AS DECIMAL(38,18)) AS sum_w2
+              FROM fw GROUP BY source)
+            SELECT source, {sw}, {sw2},
+                   CAST(CAST(round(CAST(({sw}) * ({sw}) / ({sw2})
+                             AS DECIMAL(38,15)), 4) AS DECIMAL(38,4))
+                        AS DOUBLE),
+                   CAST(CAST(round(CAST(({sw}) * ({sw}) / ({sw2}) / n_docs
+                             AS DECIMAL(38,15)), 4) AS DECIMAL(38,4))
+                        AS DOUBLE)
+            FROM agg
+            """
+        ).fetchall()
+    }
+    con.close()
+
+    assert set(got) == {"big", "mid", "small"}
+    for src in got:
+        for g, o in zip(got[src], oracle[src]):
+            assert g == o and str(g) == str(o), (src, got[src], oracle[src])
+
+    # the big group actually took the 2-dp branch...
+    assert got["big"][0] == 1500000.37
+    # ...and the sub-tier groups kept the legacy 9-dp surface exactly
+    assert got["mid"][0] == 999999.999999999
+    assert got["small"][0] == 0.250000123

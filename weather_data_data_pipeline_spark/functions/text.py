@@ -855,6 +855,40 @@ def digest_counts(
     )
 
 
+# ADVICE r9 #1: a decimal→double cast is only measured engine-identical
+# while the decimal's SCALED mantissa stays under 2^53, so an EXACT
+# scale-9 sum re-enters the engine-divergent conversion class once the
+# value crosses ~9.0e6 (9e6 × 10^9 ≈ 2^53). Surfaced sums therefore TIER
+# their final rounding on magnitude: below ``_TIER_AT`` they keep the
+# full small-regime scale (mantissa < 1e6 × 10^9 = 1e15 < 2^53), at or
+# above it they re-round to 2 dp (mantissa < 2^53 up to ~9.0e13). The
+# branch condition compares the EXACT decimal, which both engines
+# evaluate identically, so they always pick the same branch. Documented
+# guarantee bound: per-group sums < 9e13 (beyond that, nothing is
+# engine-exact at ANY fixed scale ≥ 2 dp; a deployment expecting larger
+# per-group mass must pre-scale its weights).
+_TIER_AT = 1_000_000
+
+
+def tiered_sum_double(col: Column, scale: int = 9) -> Column:
+    """Engine-exact DOUBLE surface for an exact decimal sum: full
+    ``scale``-dp below ``_TIER_AT``, 2-dp at/above (see comment above).
+    Keep in lockstep with :func:`tiered_sum_double_sql`."""
+    big = F.round(col, 2).cast("decimal(38,2)").cast("double")
+    small = F.round(col, scale).cast(f"decimal(38,{scale})").cast("double")
+    return F.when(col >= F.lit(_TIER_AT), big).otherwise(small)
+
+
+def tiered_sum_double_sql(expr: str, scale: int = 9) -> str:
+    """DuckDB twin of :func:`tiered_sum_double` for oracle strings."""
+    return (
+        f"CASE WHEN {expr} >= {_TIER_AT} "
+        f"THEN CAST(CAST(round({expr}, 2) AS DECIMAL(38,2)) AS DOUBLE) "
+        f"ELSE CAST(CAST(round({expr}, {scale}) AS DECIMAL(38,{scale})) "
+        f"AS DOUBLE) END"
+    )
+
+
 def ess_rollup(
     weights: DataFrame,
     key_col: str = "source",
@@ -867,11 +901,15 @@ def ess_rollup(
     decimal's nearest double rounds back to the same 9 digits — so w
     and w² (scale 18, within DECIMAL(38)) sum EXACTLY under any
     partitioning, and the one double division happens on exact inputs.
-    Surfaces are DOUBLE per the r9 gate rule (sum_w2 re-rounds its
-    exact scale-18 sum to 9 dp first: a scale-18 mantissa overflows
-    2^53, where decimal→double stops being engine-identical). SHARED
-    by the batch ``sampling_ess_by_source`` query and the streaming
-    ``ess_monitor_sink`` so the two paths cannot drift."""
+    Surfaces are DOUBLE per the r9 gate rule, via the magnitude-TIERED
+    re-round (``tiered_sum_double``, ADVICE r9 #1): both sums keep 9 dp
+    while < 1e6 and re-round to 2 dp above, so the decimal→double cast
+    stays engine-identical (scaled mantissa < 2^53) for per-group sums
+    up to ~9e13 — not just the ~9e6 the old always-9-dp surface could
+    guarantee. The ess division consumes the SAME tiered doubles, so
+    its inputs (and hence ess/ess_ratio) are engine-exact in both
+    regimes. SHARED by the batch ``sampling_ess_by_source`` query and
+    the streaming ``ess_monitor_sink`` so the two paths cannot drift."""
     fwt = F.col(w_col).cast("decimal(18,9)").alias("_fwt")
     agg = weights.select(key_col, fwt).groupBy(key_col).agg(
         F.count("*").cast("bigint").alias("n_docs"),
@@ -881,22 +919,19 @@ def ess_rollup(
         .cast("decimal(38,18)")
         .alias("_sum_w2"),
     )
-    # the division consumes the 9-dp ROUNDED w² sum, not the exact
-    # scale-18 one: a scale-18 mantissa exceeds 2^53, where the two
+    # the division consumes the TIERED re-rounded sums, not the exact
+    # scale-9/18 ones: an exact mantissa can exceed 2^53, where the two
     # engines' decimal→double casts stop being bit-identical — the
-    # rounded value's mantissa stays small, so the division inputs
-    # (and hence ess) are engine-exact
-    w2r = F.round(F.col("_sum_w2"), 9).cast("decimal(38,9)")
-    ess_d = (
-        F.col("_sum_w").cast("double")
-        * F.col("_sum_w").cast("double")
-        / w2r.cast("double")
-    )
+    # tiered value's mantissa stays small in both regimes, so the
+    # division inputs (and hence ess) are engine-exact
+    sw = tiered_sum_double(F.col("_sum_w"))
+    sw2 = tiered_sum_double(F.col("_sum_w2"))
+    ess_d = sw * sw / sw2
     return agg.select(
         key_col,
         "n_docs",
-        F.col("_sum_w").cast("double").alias("sum_w"),
-        w2r.cast("double").alias("sum_w2"),
+        sw.alias("sum_w"),
+        sw2.alias("sum_w2"),
         F.round(ess_d.cast("decimal(38,15)"), 4)
         .cast("decimal(38,4)")
         .cast("double")

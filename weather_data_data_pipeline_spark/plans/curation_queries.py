@@ -944,6 +944,12 @@ def doc_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ess_oracle() -> str:
+    from weather_data_data_pipeline_spark.functions.text import (
+        tiered_sum_double_sql,
+    )
+
+    sw = tiered_sum_double_sql("sum_w")
+    sw2 = tiered_sum_double_sql("sum_w2")
     return f"""
     WITH n AS (
       SELECT doc_id, source, text, {_WS_TOKENS_SQL} AS tok,
@@ -983,17 +989,12 @@ def _ess_oracle() -> str:
       FROM fw GROUP BY source
     )
     SELECT source, n_docs,
-           CAST(sum_w AS DOUBLE) AS sum_w,
-           CAST(CAST(round(sum_w2, 9) AS DECIMAL(38,9)) AS DOUBLE)
-             AS sum_w2,
-           CAST(CAST(round(CAST(CAST(sum_w AS DOUBLE) * CAST(sum_w AS DOUBLE)
-                                / CAST(CAST(round(sum_w2, 9)
-                                            AS DECIMAL(38,9)) AS DOUBLE)
+           {sw} AS sum_w,
+           {sw2} AS sum_w2,
+           CAST(CAST(round(CAST(({sw}) * ({sw}) / ({sw2})
                                 AS DECIMAL(38,15)), 4) AS DECIMAL(38,4))
                 AS DOUBLE) AS ess,
-           CAST(CAST(round(CAST(CAST(sum_w AS DOUBLE) * CAST(sum_w AS DOUBLE)
-                                / CAST(CAST(round(sum_w2, 9)
-                                            AS DECIMAL(38,9)) AS DOUBLE)
+           CAST(CAST(round(CAST(({sw}) * ({sw}) / ({sw2})
                                 / n_docs
                                 AS DECIMAL(38,15)), 4) AS DECIMAL(38,4))
                 AS DOUBLE) AS ess_ratio
@@ -1963,4 +1964,248 @@ def truncation_loss_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,6)")
         .cast("double")
         .alias("lost_frac"),
+    )
+
+
+# ---------------------------------------------------------------------
+# URL/domain-level curation (r10, VERDICT r9 ask #4): the CommonCrawl-
+# pipeline stage with no prior counterpart — canonicalize URLs, extract
+# registrable domains, measure URL-level dup pressure and blocklist
+# impact per domain. The synthetic corpus has no URL column, so the
+# queries DERIVE a deterministic raw URL per document from (doc_id,
+# source) with the SAME string expression on both engines — messy on
+# purpose (mixed-case schemes/hosts, www., default and non-default
+# ports, tracking params, trailing slashes, fragments) so every
+# canonicalization rule fires on gate data, not just in units. The
+# kernels live in functions/url.py as paired (Column, SQL) builders.
+
+_URL_TLDS = ("com", "org", "co.uk", "io", "com.au")
+
+
+def _raw_url_col() -> F.Column:
+    """Deterministic messy raw URL per document (Spark side). Keep in
+    lockstep with _RAW_URL_SQL."""
+    d = F.col("doc_id")
+    tld = F.element_at(
+        F.array(*[F.lit(t) for t in _URL_TLDS]), (d % 5 + 1).cast("int")
+    )
+    scheme = (
+        F.when(d % 4 == 0, F.lit("HTTPS"))
+        .when(d % 4 == 1, F.lit("http"))
+        .when(d % 4 == 2, F.lit("HtTp"))
+        .otherwise(F.lit("https"))
+    )
+    www = F.when(d % 2 == 0, F.lit("www.")).otherwise(F.lit(""))
+    hostbase = F.concat(F.col("source"), F.lit("-site."), tld)
+    # case/slash/fragment flags use moduli COPRIME with the source
+    # stride (source = doc_id % 20), so raw spellings vary INDEPENDENTLY
+    # of the canonical identity within every source — that is what makes
+    # alias dupes (raw-distinct, canonical-equal) exist on gate data
+    host = F.when(d % 7 == 0, F.upper(hostbase)).otherwise(hostbase)
+    port = (
+        F.when(d % 6 == 0, F.lit(":80"))
+        .when(d % 6 == 1, F.lit(":443"))
+        .when(d % 6 == 2, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.concat(F.lit("/docs/"), (d % 30).cast("string"))
+    slash = F.when(d % 11 == 0, F.lit("/")).otherwise(F.lit(""))
+    query = F.when(
+        d % 2 == 0, F.lit("?utm_source=feed&ref=home")
+    ).otherwise(
+        F.concat(F.lit("?id="), (d % 5).cast("string"), F.lit("&utm_campaign=x"))
+    )
+    frag = F.when(d % 13 == 0, F.lit("#sec1")).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), www, host, port, path, slash, query, frag)
+
+
+_RAW_URL_SQL = """concat(
+  CASE WHEN doc_id % 4 = 0 THEN 'HTTPS'
+       WHEN doc_id % 4 = 1 THEN 'http'
+       WHEN doc_id % 4 = 2 THEN 'HtTp' ELSE 'https' END,
+  '://',
+  CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END,
+  CASE WHEN doc_id % 7 = 0
+       THEN upper(concat(source, '-site.',
+                         ['com','org','co.uk','io','com.au'][CAST(doc_id % 5 + 1 AS INT)]))
+       ELSE concat(source, '-site.',
+                   ['com','org','co.uk','io','com.au'][CAST(doc_id % 5 + 1 AS INT)]) END,
+  CASE WHEN doc_id % 6 = 0 THEN ':80'
+       WHEN doc_id % 6 = 1 THEN ':443'
+       WHEN doc_id % 6 = 2 THEN ':8080' ELSE '' END,
+  '/docs/', CAST(doc_id % 30 AS VARCHAR),
+  CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END,
+  CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&ref=home'
+       ELSE concat('?id=', CAST(doc_id % 5 AS VARCHAR), '&utm_campaign=x') END,
+  CASE WHEN doc_id % 13 = 0 THEN '#sec1' ELSE '' END)"""
+
+
+def _url_report_oracle() -> str:
+    from weather_data_data_pipeline_spark.functions.url import (
+        canonical_host_sql,
+        canonical_url_sql,
+        registrable_domain_sql,
+    )
+
+    return f"""
+    WITH u AS (SELECT {_RAW_URL_SQL} AS raw_url FROM documents),
+    c AS (
+      SELECT raw_url,
+             {canonical_url_sql("raw_url")} AS curl,
+             {registrable_domain_sql(canonical_host_sql("raw_url"))}
+               AS domain
+      FROM u
+    ),
+    agg AS (
+      SELECT domain,
+             CAST(count(*) AS BIGINT) AS n_urls,
+             CAST(count(DISTINCT raw_url) AS BIGINT) AS n_raw_distinct,
+             CAST(count(DISTINCT curl) AS BIGINT) AS n_canonical
+      FROM c GROUP BY domain
+    )
+    SELECT domain, n_urls, n_raw_distinct, n_canonical,
+           CAST(n_raw_distinct - n_canonical AS BIGINT) AS n_alias_dupes,
+           CAST(CAST(round(CAST(CAST(n_urls - n_canonical AS DOUBLE)
+                                / n_urls AS DECIMAL(38,15)), 6)
+                     AS DECIMAL(38,6)) AS DOUBLE) AS dup_rate
+    FROM agg
+    """
+
+
+@register(
+    "url_domain_dedup_report",
+    oracle=_url_report_oracle(),
+    doc="URL-level dedup report per registrable domain: raw URL count, "
+    "distinct raw URLs, distinct CANONICAL URLs (functions/url.py — "
+    "fragment/tracking-param/default-port/case/www/trailing-slash "
+    "normalization), alias dupes (raw-distinct URLs that collapse "
+    "under canonicalization — exactly the dupes only canonicalization "
+    "can see), and the overall dup rate. The first stage of a crawl "
+    "curation pipeline: it tells you how much of the fetch list is "
+    "re-fetching the same resource under different spellings BEFORE "
+    "committing crawl budget. Registrable-domain grouping (PSL-subset "
+    "label slicing, co.uk/com.au exercised on gate data) keeps the "
+    "output bounded by the domain count, not the URL count. Plan: one "
+    "scan, all string work codegen'd into it, one two-level aggregate "
+    "(distinct-by-domain then rollup) — shuffle carries (domain, url) "
+    "pairs, never documents; at 100 TB the domain-keyed shuffle is the "
+    "same shape CommonCrawl-scale URL dedup uses.",
+    tags=("llm", "curation", "url", "bench"),
+)
+def url_domain_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.url import (
+        canonical_host,
+        canonical_url,
+        registrable_domain,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    c = docs.select(_raw_url_col().alias("raw_url")).select(
+        "raw_url",
+        canonical_url("raw_url").alias("curl"),
+        registrable_domain(canonical_host("raw_url")).alias("domain"),
+    )
+    agg = c.groupBy("domain").agg(
+        F.count("*").cast("bigint").alias("n_urls"),
+        F.count_distinct("raw_url").cast("bigint").alias("n_raw_distinct"),
+        F.count_distinct("curl").cast("bigint").alias("n_canonical"),
+    )
+    return agg.select(
+        "domain",
+        "n_urls",
+        "n_raw_distinct",
+        "n_canonical",
+        (F.col("n_raw_distinct") - F.col("n_canonical"))
+        .cast("bigint")
+        .alias("n_alias_dupes"),
+        F.round(
+            (
+                (F.col("n_urls") - F.col("n_canonical")).cast("double")
+                / F.col("n_urls")
+            ).cast("decimal(38,15)"),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .cast("double")
+        .alias("dup_rate"),
+    )
+
+
+# Fixture blocklist standing in for a curated bad-domain list (URL
+# Haus / internal abuse-desk exports in production): one .com, one
+# .co.uk (multi-part suffix goes through the PSL slicing), one com.au.
+_BLOCKED_DOMAINS = ("src0-site.com", "src7-site.co.uk", "src4-site.com.au")
+_BLOCKED_SQL = ", ".join(f"'{d}'" for d in _BLOCKED_DOMAINS)
+
+
+def _domain_rollup_oracle() -> str:
+    from weather_data_data_pipeline_spark.functions.url import (
+        canonical_host_sql,
+        registrable_domain_sql,
+    )
+
+    return f"""
+    WITH u AS (SELECT {_RAW_URL_SQL} AS raw_url FROM documents),
+    c AS (
+      SELECT {registrable_domain_sql(canonical_host_sql("raw_url"))}
+               AS domain
+      FROM u
+    ),
+    agg AS (
+      SELECT domain, CAST(count(*) AS BIGINT) AS n_urls
+      FROM c GROUP BY domain
+    ),
+    tot AS (SELECT sum(n_urls) AS total FROM agg)
+    SELECT domain, n_urls,
+           domain IN ({_BLOCKED_SQL}) AS blocked,
+           CAST(CAST(round(CAST(CAST(n_urls AS DOUBLE) / total
+                                AS DECIMAL(38,15)), 6)
+                     AS DECIMAL(38,6)) AS DOUBLE) AS corpus_share
+    FROM agg CROSS JOIN tot
+    """
+
+
+@register(
+    "domain_blocklist_rollup",
+    oracle=_domain_rollup_oracle(),
+    doc="Domain-level blocklist impact preview: per registrable domain, "
+    "URL volume, whether the domain is on the blocklist, and its share "
+    "of the corpus — the policy dry-run a curation team reads BEFORE "
+    "enforcing a domain ban, because blocking a domain that carries 8% "
+    "of the corpus is a data-mix decision, not a cleaning step (the "
+    "domain-level twin of blocklist_filter_report's token-level rule). "
+    "The blocklist rides as one literal IN-set against the registrable "
+    "domain (PSL-subset slicing, functions/url.py), so a multi-part-"
+    "suffix host (sub.shop.x.co.uk) blocks with its whole site, not "
+    "per-subdomain. Plan: one scan + one domain-keyed rollup + a "
+    "1-row broadcast total — output bounded by domain count.",
+    tags=("llm", "curation", "url", "bench"),
+)
+def domain_blocklist_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.url import (
+        canonical_host,
+        registrable_domain,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    c = docs.select(_raw_url_col().alias("raw_url")).select(
+        registrable_domain(canonical_host("raw_url")).alias("domain")
+    )
+    agg = c.groupBy("domain").agg(
+        F.count("*").cast("bigint").alias("n_urls")
+    )
+    tot = agg.agg(F.sum("n_urls").alias("total"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "n_urls",
+        F.col("domain").isin(*_BLOCKED_DOMAINS).alias("blocked"),
+        F.round(
+            (F.col("n_urls").cast("double") / F.col("total").cast("double")).cast(
+                "decimal(38,15)"
+            ),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .cast("double")
+        .alias("corpus_share"),
     )

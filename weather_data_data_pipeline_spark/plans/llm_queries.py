@@ -59,6 +59,8 @@ from weather_data_data_pipeline_spark.functions.text import (
     quality_score,
     rolling_fingerprint,
     stopword_ratio,
+    tiered_sum_double,
+    tiered_sum_double_sql,
     token_count,
 )
 from weather_data_data_pipeline_spark.registry import register
@@ -3863,7 +3865,7 @@ def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "quantization_error_report",
-    oracle="""
+    oracle=f"""
     WITH q AS (
       SELECT label,
              CAST(CASE WHEN list_max(list_transform(embedding,
@@ -3891,7 +3893,7 @@ def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT label,
            CAST(count(*) AS BIGINT) AS n_vectors,
            CAST(max(max_err) AS DOUBLE) AS worst_err,
-           CAST(CAST(sum(max_err) AS DECIMAL(38,9)) AS DOUBLE)
+           {tiered_sum_double_sql("CAST(sum(max_err) AS DECIMAL(38,9))")}
              AS sum_max_err,
            CAST(sum(CASE WHEN max_err > err_bound THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_over_bound
@@ -3944,10 +3946,13 @@ def quantization_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return err.groupBy("label").agg(
         F.count("*").cast("bigint").alias("n_vectors"),
         F.max("max_err").cast("double").alias("worst_err"),
-        F.sum("max_err")
-        .cast("decimal(38,9)")
-        .cast("double")
-        .alias("sum_max_err"),
+        # magnitude-TIERED decimal→double surface (ADVICE r9 #1): the
+        # exact scale-9 sum's cast is only engine-identical while its
+        # scaled mantissa < 2^53 (~9e6); tiering re-rounds to 2 dp past
+        # 1e6, extending the guarantee to per-label sums < 9e13
+        tiered_sum_double(F.sum("max_err").cast("decimal(38,9)")).alias(
+            "sum_max_err"
+        ),
         F.sum(
             F.when(F.col("max_err") > F.col("err_bound"), 1).otherwise(0)
         )

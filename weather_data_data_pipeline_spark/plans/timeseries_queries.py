@@ -864,6 +864,10 @@ def value_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg AS (
       SELECT week_start,
              CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(*) FILTER (WHERE user_id IS NOT NULL
+                                   AND event_type IS NOT NULL
+                                   AND value IS NOT NULL) AS BIGINT)
+               AS n_keyed,
              CAST(count(DISTINCT (user_id, event_type, value))
                     FILTER (WHERE user_id IS NOT NULL
                             AND event_type IS NOT NULL
@@ -871,10 +875,10 @@ def value_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS n_distinct
       FROM w GROUP BY week_start
     )
-    SELECT week_start, n_events, n_distinct,
-           CAST(n_events - n_distinct AS BIGINT) AS n_dupes,
-           CAST(CAST(round(CAST(CAST(n_events - n_distinct AS DOUBLE)
-                                / n_events AS DECIMAL(38,15)), 6)
+    SELECT week_start, n_events, n_keyed, n_distinct,
+           CAST(n_keyed - n_distinct AS BIGINT) AS n_dupes,
+           CAST(CAST(round(CAST(CAST(n_keyed - n_distinct AS DOUBLE)
+                                / greatest(n_keyed, 1) AS DECIMAL(38,15)), 6)
                      AS DECIMAL(38,6)) AS DOUBLE)
              AS dup_rate
     FROM agg
@@ -887,9 +891,14 @@ def value_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "in exactly one week). The composite-key distinct mirrors the "
     "reference's anti-join dedup key semantics applied as a MEASURE "
     "over time instead of a filter (ref: weather_report_data_full_load_"
-    "pipeline.py:164). Plan: one shuffle keyed (week, triple) for the "
-    "distinct's partial aggregation, then the per-week rollup; the "
-    "ratio rounds in the decimal domain (engine-proof surface).",
+    "pipeline.py:164). NULL-bearing tuples are excluded from BOTH "
+    "sides of the duplicate arithmetic (ADVICE r9 #3): n_keyed counts "
+    "only NULL-free triples and n_dupes = n_keyed - n_distinct, so a "
+    "NULL-keyed row can no longer read as a duplicate by construction "
+    "— it still appears in n_events (total traffic) for context. Plan: "
+    "one shuffle keyed (week, triple) for the distinct's partial "
+    "aggregation, then the per-week rollup; the ratio rounds in the "
+    "decimal domain (engine-proof surface).",
     tags=("timeseries", "dedup", "bench"),
 )
 def weekly_event_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -910,8 +919,14 @@ def weekly_event_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (FILTER ... IS NOT NULL): both engines exclude NULL-bearing
     # tuples from the distinct count — explicit, not latent (ADVICE
     # r8 #2).
+    keyed = (
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+    )
     agg = w.groupBy("week_start").agg(
         F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.when(keyed, 1).otherwise(0)).cast("bigint").alias("n_keyed"),
         F.count_distinct("user_id", "event_type", "value")
         .cast("bigint")
         .alias("n_distinct"),
@@ -919,8 +934,9 @@ def weekly_event_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "week_start",
         "n_events",
+        "n_keyed",
         "n_distinct",
-        (F.col("n_events") - F.col("n_distinct"))
+        (F.col("n_keyed") - F.col("n_distinct"))
         .cast("bigint")
         .alias("n_dupes"),
         # decimal-pin round, then surface DOUBLE: the final decimal(38,6)
@@ -930,8 +946,8 @@ def weekly_event_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 14/15 decimal-surfaced rows red across r7-r8, 0/35 double rows)
         F.round(
             (
-                (F.col("n_events") - F.col("n_distinct")).cast("double")
-                / F.col("n_events")
+                (F.col("n_keyed") - F.col("n_distinct")).cast("double")
+                / F.greatest(F.col("n_keyed"), F.lit(1))
             ).cast("decimal(38,15)"),
             6,
         )

@@ -76,46 +76,30 @@ _loaded = False
 # PLAN/ORACLE changed this round and must (re-)earn a green row. Keep
 # tests/test_registry_order.py's ROUND_HEAD copy in sync.
 _ROUND_HEAD: tuple[str, ...] = (
-    # r9 RE-EARN (VERDICT r8 ask #1): all 14 r8 gate-red rows surfaced a
-    # DECIMAL ratio/score column (14/15 decimal-surfaced rows red across
-    # r7-r8 vs 0/35 double-surfaced, every one bit-exact locally at two
-    # SFs under the bit-strict mirror). Each now pins/rounds in the
-    # decimal domain INTERNALLY and casts the final small-mantissa
-    # decimal to DOUBLE as the last step on BOTH engine and oracle
-    # sides (< 2^53 mantissa decimal→double is measured bit-identical
-    # between Spark and DuckDB). The 2 three-round reds lead.
-    "quality_classifier_frozen_scores",
-    "doc_sampling_weights",
-    "embedding_outlier_zscores",
-    "quantization_error_report",
-    "ngram_entropy_by_source",
-    "blocklist_filter_report",
-    "quality_rule_ablation",
-    "source_overlap_jaccard",
-    "weekly_event_dup_rate",
-    "event_type_transitions",
-    "event_value_seasonality",
+    # r10 is deliberately SMALL (VERDICT r9 ask #1): r9's 21 head rows
+    # rotate out so the LRU tail pulls the full 36-query r5-stale
+    # cohort through the ~50-slot gate window.
+    #
+    # r10 plan-changed (ADVICE r9 #1/#3 — re-earn):
+    # tiered decimal→double sum surfaces (sum_w/sum_w2 in ess_rollup,
+    # sum_max_err) extend the engine-exactness bound from ~9e6 to ~9e13
     "sampling_ess_by_source",
-    "packing_context_sweep",
-    "truncation_loss_sweep",
-    # r9 surface-rule conformance (ask #2): the one decimal-surfaced row
-    # that was gate-GREEN also converts (the lint forbids the class)
-    "length_quality_curve",
-    # upstream score_frozen_md5 surface change flows through the e2e
-    # gate filter (decimal→double is monotone so the >= 0.2 gate keeps
-    # the same rows, but the plan changed — re-earn)
-    "curation_pipeline_frozen_e2e",
-    # r9 staleness pins (VERDICT r8 ask #6): the §2 rows last gate-green
-    # r5 (scalar pair) and r6 (weather pair) — §2 rows never go 4 gate
-    # rounds unverified
-    "scalar_transforms",
-    "weekly_avg_value",
-    "weather_weekly_avg_temp",
-    "weather_avg_humidity_range",
-    # r9 REPLANNED (ADVICE r8 #3): vocab_growth_curve drops the corpus-
-    # broadcasting non-equi joins for two conditional aggregates + a
-    # 1-row scalar attach
-    "vocab_growth_curve",
+    "quantization_error_report",
+    # NULL-keyed tuples leave BOTH sides of the duplicate arithmetic
+    # (n_keyed denominator) instead of silently counting as dupes
+    "weekly_event_dup_rate",
+    # r10 §2 staleness pins (VERDICT r9 ask #2): the reference's
+    # P7/P8, P9–P11, J1, S4/S5 heart — last gate-green r7; §2 rows
+    # never exceed 3 rounds unverified
+    "avg_value_in_range",
+    "recency_filter_last_hour",
+    "anti_join_dedup",
+    "jdbc_roundtrip",
+    # r10 NEW (VERDICT r9 asks #4/#7): URL/domain curation family and
+    # snapshot/time-travel reads
+    "url_domain_dedup_report",
+    "domain_blocklist_rollup",
+    "snapshot_read_as_of",
 )
 
 

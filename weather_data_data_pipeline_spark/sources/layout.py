@@ -194,3 +194,67 @@ def executed_plan(df: DataFrame) -> str:
     """Final (post-AQE) physical plan as text — used by tests to assert
     shuffle-free bucketed joins and partition pruning."""
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+def write_versioned(
+    df: DataFrame,
+    path: str,
+    version: int,
+    version_col: str = "v",
+) -> None:
+    """Write one VERSION DELTA of a versioned table (VERDICT r9 ask #7):
+    the rows become partition ``{version_col}=<version>`` under ``path``,
+    via dynamic partition overwrite — so a REPLAYED version (the same
+    batch re-delivered after a failure) overwrites exactly its own
+    partition and converges to the same bytes, never duplicating into
+    the history. This is the same layout ``streaming/incremental.py``'s
+    replay-safe sinks write (``v=<batch_id>`` deltas); this helper is
+    the batch-side producer for it."""
+    df.withColumn(version_col, F.lit(int(version))).write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "dynamic").partitionBy(
+        version_col
+    ).parquet(path)
+
+
+def read_as_of(
+    spark: SparkSession,
+    path: str,
+    version: int,
+    version_col: str = "v",
+    key_cols: Sequence[str] | None = None,
+    order_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Snapshot (time-travel) read of a versioned delta layout: the
+    table AS OF ``version``, i.e. from deltas with ``v <= version``
+    only. The version predicate hits the PARTITION column, so planning
+    prunes every newer delta directory before any IO — at 100 TB a
+    snapshot read of an old version costs the old version's bytes, not
+    the table's.
+
+    ``key_cols=None`` → append semantics: the snapshot is the union of
+    the surviving deltas. With ``key_cols``, upsert semantics: the
+    LATEST row per key wins, ordered by (version, *order_cols) — pass
+    ``order_cols`` reaching a unique column (e.g. an event id) to make
+    the winner deterministic under same-version ties. The winner is
+    selected with ONE struct-argmax aggregate (the compacting
+    ``latest_event_per_user`` pattern): the shuffle carries one
+    candidate row per (key, map-partition), never the raw history."""
+    snap = spark.read.parquet(path).where(
+        F.col(version_col) <= F.lit(int(version))
+    )
+    if not key_cols:
+        return snap
+    ord_exprs = [F.col(version_col)] + [F.col(c) for c in (order_cols or [])]
+    others = [c for c in snap.columns if c not in set(key_cols)]
+    picked = snap.groupBy(*key_cols).agg(
+        F.max(
+            F.struct(
+                *ord_exprs,
+                F.struct(*[F.col(c) for c in others]).alias("_row"),
+            )
+        ).alias("_m")
+    )
+    return picked.select(
+        *key_cols, *[F.col(f"_m._row.{c}").alias(c) for c in others]
+    )
