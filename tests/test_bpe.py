@@ -325,3 +325,26 @@ def test_batched_table_encodes_like_sequential_application(spark):
         len(enc(w)) < len(w) + 1 for w in ("newest", "widest", "lowest")
         if w in words
     )
+
+
+def test_bpe_merge_table_query_invariants(spark):
+    """Runs the REGISTERED rows-only query (ADVICE r9 #2): ranks are
+    1..n consecutive, every merge concatenates its pair, frequencies
+    are positive, and the table is deterministic across invocations."""
+    from weather_data_data_pipeline_spark.plans.llm_queries import (
+        bpe_merge_table,
+    )
+
+    rows = sorted(
+        bpe_merge_table(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r["merged"] == r["left"] + r["right"]
+        assert r["freq"] > 0
+    again = sorted(
+        bpe_merge_table(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["rank"],
+    )
+    assert list(map(tuple, rows)) == list(map(tuple, again))

@@ -129,3 +129,22 @@ def test_kcenter_pool_exhausted(spark):
     got = kcenter_select(df, k=10)
     assert [i for _, i, _ in got] == [0, 2, 1]
     assert len(got) == 3
+
+
+def test_embedding_kmeans_clusters_query_invariants(spark):
+    """Runs the REGISTERED rows-only query (ADVICE r9 #2): every vector
+    lands in exactly one cluster, SSE is non-negative, and the result
+    is deterministic across two invocations (seeded init)."""
+    from weather_data_data_pipeline_spark.plans.llm_queries import (
+        embedding_kmeans_clusters,
+    )
+    from weather_data_data_pipeline_spark.sources.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    rows = embedding_kmeans_clusters(spark, sf).collect()
+    assert rows
+    n_vecs = load(spark, sf, "embeddings").count()
+    assert sum(r["n_members"] for r in rows) == n_vecs
+    assert all(r["sse"] >= 0 for r in rows)
+    again = embedding_kmeans_clusters(spark, sf).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -99,3 +99,19 @@ def test_empty_graph_releases_caches(spark):
     assert out.count() == 0
     after = len(spark.sparkContext._jsc.getPersistentRDDs())
     assert after <= before, "empty-graph early return leaked cached frames"
+
+
+def test_doc_pagerank_query_invariants(spark):
+    """Runs the REGISTERED rows-only query (ADVICE r9 #2): one rank per
+    document, ranks form a probability distribution (sum 1 within the
+    surfaced rounding), every rank >= the teleport floor."""
+    from weather_data_data_pipeline_spark.plans.llm_queries import (
+        doc_pagerank,
+    )
+
+    rows = doc_pagerank(spark, "/root/testdata/sf0.001").collect()
+    n = len(rows)
+    assert n == len({r["doc_id"] for r in rows}) > 0
+    total = sum(r["rank"] for r in rows)
+    assert abs(total - 1.0) < 1e-2, total  # 6-dp rounded surfaces
+    assert all(r["rank"] >= 0.15 / n * 0.5 for r in rows)

@@ -109,3 +109,35 @@ def test_pca_fit_empty_corpus_raises_value_error(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="no non-null vectors"):
         pca_fit(empty, k=2)
+
+
+def test_embedding_pca_queries_invariants(spark):
+    """Runs BOTH registered rows-only PCA queries (ADVICE r9 #2):
+    projections exist for every vector, eigenvalues are non-increasing
+    and non-negative, explained-variance ratios sum to <= 1 and the
+    cumulative column is their running sum."""
+    from weather_data_data_pipeline_spark.plans.llm_queries import (
+        embedding_pca_project,
+        embedding_pca_variance,
+    )
+    from weather_data_data_pipeline_spark.sources.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    proj = embedding_pca_project(spark, sf).collect()
+    n_vecs = load(spark, sf, "embeddings").count()
+    assert len(proj) == n_vecs
+    assert len({r["vec_id"] for r in proj}) == n_vecs
+
+    var = sorted(
+        embedding_pca_variance(spark, sf).collect(),
+        key=lambda r: r["component"],
+    )
+    assert var
+    eig = [r["eigenvalue"] for r in var]
+    assert all(e >= 0 for e in eig)
+    assert all(eig[i] >= eig[i + 1] - 1e-9 for i in range(len(eig) - 1))
+    cum = 0.0
+    for r in var:
+        cum += r["evr"]
+        assert abs(r["cum_evr"] - cum) < 1e-4
+    assert cum <= 1.0 + 1e-6

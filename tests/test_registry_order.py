@@ -35,6 +35,10 @@ ROUND_HEAD = (
     "url_domain_dedup_report",
     "domain_blocklist_rollup",
     "snapshot_read_as_of",
+    # r10 REPLANNED (shared-fragment refactor, values identical): the
+    # batch OHLC query now compiles operators/aggregates.py's shared
+    # candle fragment, twinned by streaming ohlc_candle_sink
+    "events_ohlc_15min",
 )
 
 
@@ -189,4 +193,37 @@ def test_rows_only_queries_declare_resolvable_closure():
         else:
             assert vb in oracles, (
                 f"{name}: twin {vb} is not an oracle-checked registered query"
+            )
+
+
+def test_rows_only_closures_stay_fresh():
+    """ADVICE r9 #2: demoting rows-only queries below the gate window
+    means their external verification rests entirely on verified_by
+    closures — so the closures themselves must stay FRESH, mirroring
+    the oracle-bearing staleness pins. A registered TWIN must have a
+    green gate row within the same ~4-round rotation budget the §2
+    pins use (or be queued in the current head); a tests/ closure must
+    actually reference the query or its function (pytest re-runs it
+    every round, so reference == re-verification)."""
+    ledger = _ledger()
+    latest = max(ledger.values())
+    budget = 4
+    for name in registry.query_names():
+        q = registry.get_query(name)
+        if q.oracle is not None:
+            continue
+        vb = q.verified_by
+        if vb.startswith("tests/"):
+            text = Path(vb).read_text()
+            assert name in text or q.fn.__name__ in text, (
+                f"{name}: closure file {vb} never references the query — "
+                "the pin is not actually re-run against it"
+            )
+        else:
+            twin_round = ledger.get(vb, 0)
+            assert (
+                twin_round >= latest - budget or vb in registry._ROUND_HEAD
+            ), (
+                f"{name}: twin {vb} last gate-green r{twin_round} "
+                f"(> {budget} rounds stale) — pin it into _ROUND_HEAD"
             )

@@ -187,3 +187,62 @@ def test_count_min_merge_equals_direct(spark):
     em = {r["k"]: r["est_count"] for r in cms_point_estimate(merged, keys, "k").collect()}
     ed = {r["k"]: r["est_count"] for r in cms_point_estimate(direct, keys, "k").collect()}
     assert em == ed, "merged sketch must answer exactly like the direct one"
+
+
+def test_user_event_counts_cms_query_invariants(spark):
+    """Runs the REGISTERED rows-only query (ADVICE r9 #2: its
+    verified_by closure must re-run the query itself): the CMS estimate
+    is a guaranteed OVER-estimate, the surfaced overcount is exactly
+    est - true, and the true counts match an exact recount."""
+    from weather_data_data_pipeline_spark.plans.timeseries_queries import (
+        user_event_counts_cms,
+    )
+    from weather_data_data_pipeline_spark.sources.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    rows = user_event_counts_cms(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert r["est_count"] >= r["true_count"] > 0
+        assert r["overcount"] == r["est_count"] - r["true_count"]
+    import pyspark.sql.functions as _F
+
+    exact = {
+        r["user_id"]: r["c"]
+        for r in load(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(_F.count("*").alias("c"))
+        .collect()
+    }
+    for r in rows:
+        assert r["true_count"] == exact[r["user_id"]]
+
+
+def test_frequent_tokens_mg_query_invariants(spark):
+    """Runs the REGISTERED rows-only query: Misra-Gries lower bounds
+    never exceed the exact token counts, and the undisputed heavy
+    hitters are all present."""
+    from weather_data_data_pipeline_spark.plans.llm_queries import (
+        frequent_tokens_mg,
+    )
+    from weather_data_data_pipeline_spark.sources.tables import load
+    import pyspark.sql.functions as _F
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["item"]: r["min_count"] for r in
+            frequent_tokens_mg(spark, sf).collect()}
+    assert rows
+    exact = {
+        r["t"]: r["c"]
+        for r in load(spark, sf, "documents")
+        .select(_F.explode(_F.split("text", " ")).alias("t"))
+        .where(_F.col("t") != "")
+        .groupBy("t")
+        .agg(_F.count("*").alias("c"))
+        .collect()
+    }
+    for item, mc in rows.items():
+        assert 0 < mc <= exact[item], (item, mc, exact[item])
+    # the top-3 exact heavy hitters must survive the sketch
+    top3 = sorted(exact, key=lambda t: -exact[t])[:3]
+    assert set(top3) <= set(rows)

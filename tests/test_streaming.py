@@ -1178,3 +1178,111 @@ def test_ess_monitor_stream_equals_batch_rollup(spark, tmp_path):
             assert got_map[(bid, src)] == vals, (bid, src)
     # the ESS is real: the planted dup pair discounts s1's weights
     assert any(r["source"] == "s1" and r["ess_ratio"] is not None for r in got)
+
+
+def test_ohlc_candle_stream_equals_batch_bit_for_bit(spark, tmp_path):
+    """r10 (VERDICT r9 ask #5): merging the streaming sink's per-batch
+    partial candles == the one-pass batch events_ohlc_15min aggregate,
+    string-compared field-for-field (bit equality for the doubles) —
+    INCLUDING candles whose bucket straddles a micro-batch boundary.
+    Both sides compile the same shared fragment, and the partial state
+    is associative, so nothing may differ."""
+    from weather_data_data_pipeline_spark.operators.aggregates import (
+        ohlc_bucket,
+    )
+    from weather_data_data_pipeline_spark.plans.timeseries_queries import (
+        events_ohlc_15min,
+    )
+
+    ev = (
+        load(spark, SF_DIR, "events")
+        .select("ts", "event_id", "event_type", "value")
+        .orderBy("ts", "event_id")
+    )
+    rows = ev.collect()
+    n = len(rows)
+    assert n > 30
+
+    # choose split points that land MID-BUCKET: advance until the row
+    # before and after the cut share a 15-min bucket, so the straddle
+    # case is guaranteed by construction, not by luck
+    def bucket(r):
+        return int(r["ts"].timestamp() // 900)
+
+    cuts = []
+    for want in (n // 3, 2 * n // 3):
+        k = want
+        while k < n - 1 and bucket(rows[k - 1]) != bucket(rows[k]):
+            k += 1
+        cuts.append(k)
+    c1, c2 = cuts
+    assert 0 < c1 < c2 < n
+    straddle_buckets = {bucket(rows[c1 - 1]), bucket(rows[c2 - 1])}
+
+    src = str(tmp_path / "ohlc_src")
+    chunks = [rows[:c1], rows[c1:c2], rows[c2:]]
+    for chunk in chunks:
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    out = str(tmp_path / "ohlc_out")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    q = (
+        S.ohlc_candle_sink(stream, out, str(tmp_path / "ohlc_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    deltas = spark.read.parquet(out)
+    assert deltas.select("v").distinct().count() == 3
+    # the straddling buckets really produced partials in >= 2 batches
+    per_bucket_batches = {
+        r["b"]: r["nv"]
+        for r in deltas.select(
+            F.col("bucket_start").cast("long").alias("b"), "v"
+        )
+        .groupBy("b")
+        .agg(F.count_distinct("v").alias("nv"))
+        .collect()
+    }
+    for sb in straddle_buckets:
+        assert per_bucket_batches[sb * 900] >= 2, (sb, per_bucket_batches)
+
+    def key(df):
+        return {
+            (str(r["bucket_start"]), r["event_type"]): tuple(
+                str(r[c])
+                for c in ("n_events", "open", "high", "low", "close",
+                          "sum_value")
+            )
+            for r in df.collect()
+        }
+
+    got = key(S.read_ohlc_candles(spark, out))
+    want = key(events_ohlc_15min(spark, SF_DIR))
+    assert got == want
+
+    # replay convergence: a second drain over the SAME files with a
+    # fresh checkpoint re-delivers every batch; dynamic partition
+    # overwrite must converge to the same bytes, never double-count
+    q2 = (
+        S.ohlc_candle_sink(
+            spark.readStream.schema(ev.schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(src),
+            out,
+            str(tmp_path / "ohlc_ck2"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    assert key(S.read_ohlc_candles(spark, out)) == want

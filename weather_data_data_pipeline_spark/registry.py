@@ -100,6 +100,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     "url_domain_dedup_report",
     "domain_blocklist_rollup",
     "snapshot_read_as_of",
+    # r10 REPLANNED (shared-fragment refactor, values identical): the
+    # batch OHLC query now compiles operators/aggregates.py's shared
+    # candle fragment, twinned by streaming ohlc_candle_sink
+    "events_ohlc_15min",
 )
 
 

@@ -1011,3 +1011,69 @@ def semantic_decontamination_sink(
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
     )
+
+
+def ohlc_candle_sink(
+    stream: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    interval_sec: int = 900,
+) -> DataStreamWriter:
+    """Streaming OHLC candle upsert (r10, VERDICT r9 ask #5): the live
+    twin of the batch ``events_ohlc_15min`` query. Each micro-batch is
+    aggregated to PARTIAL candles with the SAME shared raw-agg fragment
+    the batch query compiles (operators/aggregates.py:ohlc_raw_aggs),
+    then written as a ``v=<batch_id>`` delta partition — the repo's
+    replay-safe layout: a re-delivered batch dynamic-overwrites exactly
+    its own partition and converges to the same bytes, so at-least-once
+    delivery never double-counts a candle.
+
+    The merge on (bucket_start, event_type) happens at READ
+    (:func:`read_ohlc_candles`) with the associative combiner fragment:
+    min/max of the (ts, id, value) open/close carrier structs and the
+    exact decimal volume sum merge per-batch partials into candles
+    BIT-EQUAL to the one-pass batch aggregate — including candles that
+    straddle a micro-batch boundary (pinned in tests/test_streaming.py).
+    At real scale the serving read is one small aggregate over candle
+    partials (bounded by buckets × types × batches, not events);
+    compact the delta partitions periodically with the same merge."""
+    from weather_data_data_pipeline_spark.operators.aggregates import (
+        ohlc_bucket,
+        ohlc_raw_aggs,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        part = batch_df.groupBy(
+            ohlc_bucket(interval_sec=interval_sec).alias("bucket_start"),
+            "event_type",
+        ).agg(*ohlc_raw_aggs())
+        part.withColumn("v", F.lit(int(batch_id))).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "v"
+        ).parquet(out_path)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+
+
+def read_ohlc_candles(spark: SparkSession, out_path: str) -> DataFrame:
+    """Serving view over :func:`ohlc_candle_sink`'s delta layout: merge
+    per-batch partial candles on (bucket_start, event_type) with the
+    shared associative combiner and surface the final candle columns —
+    the exact schema the batch ``events_ohlc_15min`` query returns."""
+    from weather_data_data_pipeline_spark.operators.aggregates import (
+        ohlc_merge_aggs,
+        ohlc_surface,
+    )
+
+    deltas = spark.read.parquet(out_path).drop("v")
+    merged = deltas.groupBy("bucket_start", "event_type").agg(
+        *ohlc_merge_aggs()
+    )
+    return ohlc_surface(merged)
