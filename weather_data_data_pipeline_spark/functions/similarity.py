@@ -648,8 +648,11 @@ def lsh_topk(
             queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
             "query_id", vec_col, n_planes, n_tables, dim,
         )
+    # query-side buckets and surviving candidates are |queries|-bounded:
+    # broadcast both, so neither the corpus bucket table nor the corpus
+    # vectors ever shuffle (r10 — see lsh_topk_self for the reasoning)
     cand = (
-        cb.join(qb, ["table", "bucket"])
+        cb.join(F.broadcast(qb), ["table", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
         .dropDuplicates()
@@ -660,7 +663,7 @@ def lsh_topk(
     q_vec = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    scored = cand.join(c_vec, "neighbor_id").join(F.broadcast(q_vec), "query_id").select(
+    scored = F.broadcast(cand).join(c_vec, "neighbor_id").join(F.broadcast(q_vec), "query_id").select(
         "query_id",
         "neighbor_id",
         (_dot(F.col("q_vec"), F.col("c_vec"))
@@ -675,6 +678,223 @@ def lsh_topk(
             "neighbor_id",
             F.round("cosine_raw", 4).alias("cosine"),
             F.col("rn").cast("int").alias("rn"),
+        )
+    )
+
+
+def lsh_topk_fused(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 4,
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """:func:`lsh_topk` for a SMALL query batch, fused into ONE corpus
+    pass (r10, VERDICT r9 ask #3): the query vectors are materialized
+    driver-side (the serving-path posture — a query batch lives with
+    the caller by definition; same contract as
+    :func:`brute_force_topk_gemm`), and a single ``mapInPandas`` stage
+    computes, per Arrow batch, the corpus bucket signatures (GEMM
+    against the literal planes), the any-table collision mask against
+    the precomputed query buckets, and the exact cosine re-rank scores
+    (GEMM against the normalized query matrix) — keeping only each
+    batch's per-query top-k, ordered by (score desc, id asc), the same
+    total order as the final rank, so the global top-k is provably
+    contained in the union of per-batch top-k. A final window over the
+    O(batches x queries x k) survivors picks the answer.
+
+    Candidate semantics are IDENTICAL to :func:`lsh_topk` (any-table
+    bucket equality on the same plane literals, self excluded), so the
+    DuckDB oracle replay is unchanged; row-equality to the unfused form
+    is pinned in tests/test_similarity.py. Cost shape: the unfused plan
+    spends 2 Python stages + 2 joins + a dedup shuffle; this is 1
+    Python stage + one tiny candidate shuffle — and at 100 TB the
+    corpus STILL never shuffles (only ranked candidates do)."""
+    import numpy as np
+
+    if planes is None:
+        raise ValueError("lsh_topk_fused requires literal planes")
+    P = np.asarray(planes, dtype="float64")
+    n_tables = len(P) // n_planes
+
+    def pack(bits: "np.ndarray") -> "np.ndarray":
+        out = np.zeros((bits.shape[0], n_tables), dtype="int64")
+        for t in range(n_tables):
+            for pp in range(n_planes):
+                out[:, t] |= bits[:, t * n_planes + pp].astype(
+                    "int64"
+                ) << pp
+        return out
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype="int64")
+    Q = np.stack([np.asarray(r[1], dtype="float64") for r in q_rows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qbuckets = pack((Q @ P.T) >= 0)  # (n_queries, n_tables)
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            ids = b[id_col].to_numpy()
+            C = np.stack(
+                [np.asarray(v, dtype="float64") for v in b[vec_col]]
+            )
+            buckets = pack((C @ P.T) >= 0)  # (batch, n_tables)
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            S = Cn @ Qn.T  # (batch, n_queries) cosine matrix
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(q_ids):
+                m = (buckets == qbuckets[j]).any(axis=1) & (ids != qid)
+                if not m.any():
+                    continue
+                idm = ids[m]
+                col = S[m, j]
+                order = np.lexsort((idm, -col))[: min(k, len(idm))]
+                out_q.append(np.full(len(order), qid, dtype="int64"))
+                out_n.append(idm[order])
+                out_s.append(col[order])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cosine_raw": np.concatenate(out_s),
+                }
+            )
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        gen, "query_id long, neighbor_id long, cosine_raw double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_raw"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine_raw", 4).alias("cosine"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+
+
+def lsh_recall_report_fused(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 4,
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Recall@k of the literal-plane LSH against the exact cosine
+    truth, BOTH sides from ONE corpus pass (r10 — the "fuse the two
+    ranker sides" linearization): per Arrow batch, one GEMM scores
+    every (candidate, query) pair; the truth side keeps the per-batch
+    top-k over ALL rows, the approx side keeps the per-batch top-k
+    over the bucket-collision survivors — the same matrix, two masks.
+    Final per-query ranks come from one window over both families and
+    the recall join touches q x k rows. Values are identical to
+    running :func:`brute_force_topk_gemm` and :func:`lsh_topk`
+    separately (same arithmetic; pinned in tests)."""
+    import numpy as np
+
+    if planes is None:
+        raise ValueError("lsh_recall_report_fused requires literal planes")
+    P = np.asarray(planes, dtype="float64")
+    n_tables = len(P) // n_planes
+
+    def pack(bits: "np.ndarray") -> "np.ndarray":
+        out = np.zeros((bits.shape[0], n_tables), dtype="int64")
+        for t in range(n_tables):
+            for pp in range(n_planes):
+                out[:, t] |= bits[:, t * n_planes + pp].astype(
+                    "int64"
+                ) << pp
+        return out
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype="int64")
+    Q = np.stack([np.asarray(r[1], dtype="float64") for r in q_rows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qbuckets = pack((Q @ P.T) >= 0)
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            ids = b[id_col].to_numpy()
+            C = np.stack(
+                [np.asarray(v, dtype="float64") for v in b[vec_col]]
+            )
+            buckets = pack((C @ P.T) >= 0)
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            S = Cn @ Qn.T
+            fam, out_q, out_n, out_s = [], [], [], []
+            for j, qid in enumerate(q_ids):
+                col = S[:, j].copy()
+                col[ids == qid] = -np.inf
+                order = np.lexsort((ids, -col))[: min(k, len(ids))]
+                order = order[np.isfinite(col[order])]
+                fam.append(np.full(len(order), 0, dtype="int8"))
+                out_q.append(np.full(len(order), qid, dtype="int64"))
+                out_n.append(ids[order])
+                out_s.append(col[order])
+                m = (buckets == qbuckets[j]).any(axis=1) & (ids != qid)
+                if m.any():
+                    idm = ids[m]
+                    colm = S[m, j]
+                    om = np.lexsort((idm, -colm))[: min(k, len(idm))]
+                    fam.append(np.full(len(om), 1, dtype="int8"))
+                    out_q.append(np.full(len(om), qid, dtype="int64"))
+                    out_n.append(idm[om])
+                    out_s.append(colm[om])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "fam": np.concatenate(fam),
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cosine_raw": np.concatenate(out_s),
+                }
+            )
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        gen, "fam tinyint, query_id long, neighbor_id long, cosine_raw double"
+    )
+    w = Window.partitionBy("fam", "query_id").orderBy(
+        F.desc("cosine_raw"), F.asc("neighbor_id")
+    )
+    ranked = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("fam", "query_id", "neighbor_id")
+    )
+    truth = ranked.where(F.col("fam") == 0).drop("fam")
+    approx = ranked.where(F.col("fam") == 1).drop("fam").select(
+        "query_id", F.col("neighbor_id").alias("a_neighbor")
+    )
+    return (
+        truth.join(
+            approx,
+            (truth["query_id"] == approx["query_id"])
+            & (truth["neighbor_id"] == approx["a_neighbor"]),
+            "left",
+        )
+        .groupBy(truth["query_id"])
+        .agg(
+            F.count("*").alias("n_true"),
+            F.count("a_neighbor").alias("n_hit"),
+            F.round(
+                F.count("a_neighbor") / F.count("*").cast("double"), 4
+            ).alias("recall"),
         )
     )
 
@@ -731,8 +951,15 @@ def lsh_topk_self(
         tb.join(F.broadcast(qids), tb["_id"] == qids["_qid"], "left_semi")
         .select(F.col("_id").alias("query_id"), "table", "bucket")
     )
+    # r10 (VERDICT r9 ask #3): the query-side bucket table is |queries|
+    # × L rows — BROADCAST it, so the corpus bucket side never shuffles
+    # on (table, bucket) at all (the 16N-row exchange was the measured
+    # cost center). mapInPandas output has no stats, so the optimizer
+    # can't discover this on its own. Correct at 100 TB for the
+    # query-batch shape this function serves (the all-corpus kNN-graph
+    # shape belongs to lsh_near_dup_pairs' shuffle plan instead).
     cand = (
-        cb.join(qb, ["table", "bucket"])
+        cb.join(F.broadcast(qb), ["table", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
         .dropDuplicates()
@@ -743,7 +970,10 @@ def lsh_topk_self(
     q_vec = corpus.where(query_pred).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    scored = cand.join(c_vec, "neighbor_id").join(
+    # same reasoning for the re-rank: candidates are bounded by queries
+    # × L × bucket occupancy — broadcast THEM instead of shuffling the
+    # whole corpus by neighbor_id for a hash join
+    scored = F.broadcast(cand).join(c_vec, "neighbor_id").join(
         F.broadcast(q_vec), "query_id"
     ).select(
         "query_id",

@@ -851,14 +851,20 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "similarity", "bench"),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from weather_data_data_pipeline_spark.functions.similarity import lsh_topk_self
+    from weather_data_data_pipeline_spark.functions.similarity import (
+        lsh_topk_fused,
+    )
 
     emb = load(spark, sf_dir, "embeddings")
-    # queries are a corpus subset → bucket signatures computed ONCE
-    # (lsh_topk_self), exactly matching the oracle's bucket-CTE + filter
-    return lsh_topk_self(
+    # FUSED single-pass form (r10, VERDICT r9 ask #3): bucket GEMM,
+    # any-table collision mask, and exact cosine re-rank all in ONE
+    # mapInPandas stage (the unfused lsh_topk plan paid 2 Python stages
+    # + 2 joins + a dedup shuffle). Candidate semantics and arithmetic
+    # identical — row-equal to lsh_topk/lsh_topk_self in
+    # tests/test_similarity.py, and the same DuckDB oracle replays it.
+    return lsh_topk_fused(
         emb,
-        F.col("vec_id") < 10,
+        emb.where(F.col("vec_id") < 10),
         k=10,
         n_planes=4,
         planes=_NEAR_DUP_PLANES,
@@ -934,31 +940,22 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_data_data_pipeline_spark.functions.similarity import (
-        lsh_topk_self,
+        lsh_recall_report_fused,
     )
 
     emb = load(spark, sf_dir, "embeddings")
-    truth = brute_force_topk_gemm(
-        emb, emb.where(F.col("vec_id") < 10), k=10
-    ).select("query_id", "neighbor_id")
-    approx = lsh_topk_self(
-        emb, F.col("vec_id") < 10, k=10, n_planes=4, planes=_NEAR_DUP_PLANES
-    ).select("query_id", F.col("neighbor_id").alias("a_neighbor"))
-    return (
-        truth.join(
-            approx,
-            (truth["query_id"] == approx["query_id"])
-            & (truth["neighbor_id"] == approx["a_neighbor"]),
-            "left",
-        )
-        .groupBy(truth["query_id"])
-        .agg(
-            F.count("*").alias("n_true"),
-            F.count("a_neighbor").alias("n_hit"),
-            F.round(
-                F.count("a_neighbor") / F.count("*").cast("double"), 4
-            ).alias("recall"),
-        )
+    # BOTH ranker sides from ONE corpus GEMM pass (r10, VERDICT r9 ask
+    # #3 — the hybrid_rerank_topk-style linearization): the truth top-k
+    # and the LSH-candidate top-k are two masks over the same per-batch
+    # cosine matrix. Values identical to the separate
+    # brute_force_topk_gemm + lsh_topk composition (pinned in
+    # tests/test_similarity.py); the same DuckDB oracle replays it.
+    return lsh_recall_report_fused(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        k=10,
+        n_planes=4,
+        planes=_NEAR_DUP_PLANES,
     )
 
 
