@@ -641,6 +641,44 @@ def runr6() -> None:
     spark.stop()
 
 
+
+
+QUERIES_R10 = (
+    # r10 stress targets (VERDICT r9 ask #6): the two new URL/domain
+    # curation queries, the snapshot/time-travel read, and the two
+    # fused ANN replans.
+    # url report: one scan, all string canonicalization codegen'd into
+    # it, (domain, url)-keyed distinct then a 20-row rollup — shuffle
+    # carries (domain, url) pairs, expect ~linear. blocklist rollup:
+    # one scan + domain rollup + 1-row broadcast total — tiny shuffle,
+    # near-flat. snapshot: writes the weekly delta layout then reads
+    # v<=cut with partition pruning + one struct-argmax upsert — the
+    # shuffle carries one candidate row per (key, partition), expect
+    # ~linear in the surviving prefix. ann fused pair: one mapInPandas
+    # GEMM pass + a q*k-bounded window — wall should grow ~linearly
+    # with the corpus GEMM, shuffle stays candidate-bounded (~flat).
+    "url_domain_dedup_report",
+    "domain_blocklist_rollup",
+    "snapshot_read_as_of",
+    "ann_lsh_topk",
+    "embedding_ann_recall_report",
+)
+
+
+def runr10() -> None:
+    d1, spark = _measure(
+        (("sf0.1", SRC_DIR), ("sf1", OUT_DIR)), QUERIES_R10, "r10d1",
+        "scale_r10",
+    )
+    spark.stop()
+    d2, spark = _measure(
+        (("sf1", OUT_DIR), ("sf10", OUT_DIR_10)), QUERIES_R10, "r10d2",
+        "scale_r10b",
+    )
+    print(json.dumps({"decade1_sf01_sf1": d1, "decade2_sf1_sf10": d2}))
+    spark.stop()
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "run"
     if cmd == "gen":
@@ -667,6 +705,8 @@ if __name__ == "__main__":
         gen_events()
     elif cmd == "runr9":
         runr9()
+    elif cmd == "runr10":
+        runr10()
     else:
         print("usage: scale_stress.py [gen|run|gen10|run10|runr5|runr6|"
               "runr6c|runr7|runr7b|runr8|gen_events|runr9]")

@@ -104,6 +104,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     # batch OHLC query now compiles operators/aggregates.py's shared
     # candle fragment, twinned by streaming ohlc_candle_sink
     "events_ohlc_15min",
+    # r10 REPLANNED (VERDICT r9 ask #3): single-pass fused GEMM plans
+    # (same oracles; 4.7x/4.8x -> 1.8x/2.4x vs DuckDB, BASELINE.md r10)
+    "ann_lsh_topk",
+    "embedding_ann_recall_report",
 )
 
 
