@@ -32,6 +32,10 @@ SMELLS = (
 # (query, needle) pairs where the flagged shape is the operator's design,
 # with the reason recorded in PLANS.md instead of a warning.
 INTENTIONAL = {
+    ("domain_blocklist_rollup", "BroadcastNestedLoopJoin"):
+        "single-ROW build side: the corpus-total URL count cross-joins "
+        "onto the 20-row domain rollup — O(domains × 1), the idiomatic "
+        "scalar attach (same shape as bm25's stats attach)",
     ("vocab_growth_curve", "BroadcastNestedLoopJoin"):
         "1-row × 1-row scalar attach: the two conditional aggregates "
         "(prefix token sums, prefix vocab counts) cross-join before the "
