@@ -1286,3 +1286,70 @@ def test_ohlc_candle_stream_equals_batch_bit_for_bit(spark, tmp_path):
     )
     q2.awaitTermination(180)
     assert key(S.read_ohlc_candles(spark, out)) == want
+
+
+def test_ohlc_compaction_preserves_candles_and_future_merges(spark, tmp_path):
+    """compact_ohlc_candles rewrites the delta layout as ONE merged
+    partial per candle at the max batch id: the serving read must be
+    byte-identical before/after (the combiner is associative), absorbed
+    partitions must be GONE, and a micro-batch arriving AFTER
+    compaction must keep merging correctly."""
+    from weather_data_data_pipeline_spark.operators.aggregates import (
+        ohlc_bucket,
+        ohlc_raw_aggs,
+    )
+
+    ev = (
+        load(spark, SF_DIR, "events")
+        .select("ts", "event_id", "event_type", "value")
+        .orderBy("ts", "event_id")
+    )
+    rows = ev.collect()
+    n = len(rows)
+    out = str(tmp_path / "cand")
+    # three "micro-batches" written directly as deltas (the sink's layout)
+    for v, chunk in enumerate(
+        (rows[: n // 3], rows[n // 3 : 2 * n // 3], rows[2 * n // 3 :])
+    ):
+        spark.createDataFrame(chunk, ev.schema).groupBy(
+            ohlc_bucket().alias("bucket_start"), "event_type"
+        ).agg(*ohlc_raw_aggs()).withColumn("v", F.lit(v)).write.mode(
+            "append"
+        ).partitionBy("v").parquet(out)
+
+    def key(df):
+        return sorted(
+            (str(r["bucket_start"]), r["event_type"]) + tuple(
+                str(r[c]) for c in ("n_events", "open", "high", "low",
+                                    "close", "sum_value")
+            )
+            for r in df.collect()
+        )
+
+    before = key(S.read_ohlc_candles(spark, out))
+    S.compact_ohlc_candles(spark, out)
+    after = key(S.read_ohlc_candles(spark, out))
+    assert after == before
+    vs = [r["v"] for r in
+          spark.read.parquet(out).select("v").distinct().collect()]
+    assert vs == [2], vs  # absorbed partitions deleted, max id kept
+
+    # a post-compaction batch still merges with the compacted state
+    extra = spark.createDataFrame(rows[: n // 4], ev.schema)
+    extra.groupBy(ohlc_bucket().alias("bucket_start"), "event_type").agg(
+        *ohlc_raw_aggs()
+    ).withColumn("v", F.lit(3)).write.mode("append").partitionBy(
+        "v"
+    ).parquet(out)
+    both = spark.createDataFrame(rows + rows[: n // 4], ev.schema)
+    want = key(
+        __import__(
+            "weather_data_data_pipeline_spark.operators.aggregates",
+            fromlist=["ohlc_surface"],
+        ).ohlc_surface(
+            both.groupBy(
+                ohlc_bucket().alias("bucket_start"), "event_type"
+            ).agg(*ohlc_raw_aggs())
+        )
+    )
+    assert key(S.read_ohlc_candles(spark, out)) == want

@@ -732,3 +732,123 @@ def snapshot_read_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "snapshot_version_diff",
+    # Recompute BOTH snapshots straight over the parquet events view and
+    # classify keys with a full outer join — any divergence in either
+    # snapshot read, the version predicates, or the winner selection
+    # diverges the per-type counts.
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_type, ts, event_id,
+             CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS v
+      FROM events
+    ),
+    mn AS (SELECT min(v) AS vmin FROM v),
+    snap1 AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM (SELECT v.*, row_number() OVER (
+              PARTITION BY user_id, event_type
+              ORDER BY v DESC, ts DESC, event_id DESC) AS rn
+            FROM v CROSS JOIN mn WHERE v.v <= vmin + 1)
+      WHERE rn = 1
+    ),
+    snap2 AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM (SELECT v.*, row_number() OVER (
+              PARTITION BY user_id, event_type
+              ORDER BY v DESC, ts DESC, event_id DESC) AS rn
+            FROM v CROSS JOIN mn WHERE v.v <= vmin + 2)
+      WHERE rn = 1
+    ),
+    j AS (
+      SELECT coalesce(s2.event_type, s1.event_type) AS event_type,
+             CASE WHEN s1.user_id IS NULL THEN 'added'
+                  WHEN s2.user_id IS NULL THEN 'removed'
+                  WHEN s1.event_id <> s2.event_id THEN 'changed'
+                  ELSE 'unchanged' END AS kind
+      FROM snap1 s1
+      FULL OUTER JOIN snap2 s2
+        ON s1.user_id = s2.user_id AND s1.event_type = s2.event_type
+    )
+    SELECT event_type,
+           CAST(sum(CASE WHEN kind = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_added,
+           CAST(sum(CASE WHEN kind = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed,
+           CAST(sum(CASE WHEN kind = 'unchanged' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unchanged,
+           CAST(sum(CASE WHEN kind = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed
+    FROM j GROUP BY event_type
+    """,
+    doc="CDC-style diff between two snapshot versions of the upsert "
+    "layout (r10, extends VERDICT r9 ask #7): per event_type, how many "
+    "(user_id, event_type) keys the v+1→v+2 delta ADDED, CHANGED "
+    "(latest winner moved to a newer event), or left untouched — the "
+    "audit a pipeline runs before promoting a new snapshot to serving "
+    "('this weekly delta rewrote 40% of keys' is an incident, not a "
+    "release). n_removed is the report's own self-check: an append-"
+    "only versioned layout can never remove a key, so the column must "
+    "be 0. Both sides are read_as_of partition-pruned reads off the "
+    "SAME written layout (one write, two pruned scans + struct-argmax "
+    "upserts + one key-space join) — at 100 TB the diff costs the two "
+    "snapshots' key spaces, never the event history. Oracle recomputes "
+    "both snapshots from the source table, so layout reads AND diff "
+    "classification are hash-checked end-to-end.",
+    tags=("maintenance", "timetravel", "bench"),
+)
+def snapshot_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from weather_data_data_pipeline_spark.sources.layout import read_as_of
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    week = F.floor(F.unix_timestamp("ts") / 604800)
+    tmp = tempfile.mkdtemp(prefix="snapshot_diff_")
+    try:
+        ev.withColumn("v", week).write.mode("overwrite").partitionBy(
+            "v"
+        ).parquet(f"{tmp}/events_versioned")
+        vmin = int(ev.agg(F.min(week).alias("m")).collect()[0]["m"])
+
+        def snap(cut: int) -> DataFrame:
+            return read_as_of(
+                spark,
+                f"{tmp}/events_versioned",
+                cut,
+                key_cols=["user_id", "event_type"],
+                order_cols=["ts", "event_id"],
+            ).select("user_id", "event_type", "event_id")
+
+        s1 = snap(vmin + 1)
+        s2 = snap(vmin + 2)
+        j = s1.alias("a").join(
+            s2.alias("b"), ["user_id", "event_type"], "full_outer"
+        )
+        kind = (
+            F.when(F.col("a.event_id").isNull(), F.lit("added"))
+            .when(F.col("b.event_id").isNull(), F.lit("removed"))
+            .when(F.col("a.event_id") != F.col("b.event_id"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+        )
+        out = (
+            j.select("event_type", kind.alias("kind"))
+            .groupBy("event_type")
+            .agg(
+                *[
+                    F.sum(F.when(F.col("kind") == k, 1).otherwise(0))
+                    .cast("bigint")
+                    .alias(f"n_{k}")
+                    for k in ("added", "changed", "unchanged", "removed")
+                ]
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -100,6 +100,7 @@ _ROUND_HEAD: tuple[str, ...] = (
     "url_domain_dedup_report",
     "domain_blocklist_rollup",
     "snapshot_read_as_of",
+    "snapshot_version_diff",
     # r10 REPLANNED (shared-fragment refactor, values identical): the
     # batch OHLC query now compiles operators/aggregates.py's shared
     # candle fragment, twinned by streaming ohlc_candle_sink

@@ -1077,3 +1077,35 @@ def read_ohlc_candles(spark: SparkSession, out_path: str) -> DataFrame:
         *ohlc_merge_aggs()
     )
     return ohlc_surface(merged)
+
+
+def compact_ohlc_candles(spark: SparkSession, out_path: str) -> None:
+    """Periodic compaction for :func:`ohlc_candle_sink`'s delta layout:
+    merge every per-batch partial into ONE partial per (bucket_start,
+    event_type) and rewrite the layout as a single delta at the highest
+    seen batch id. The merged rows keep the PARTIAL-state schema (the
+    open/close carrier structs and the exact decimal sum), so later
+    micro-batches keep merging on read exactly as before — the combiner
+    is associative, which is also why compaction can never change what
+    :func:`read_ohlc_candles` returns (pinned in tests). Run it when
+    the delta count makes the serving read's small aggregate wide; at
+    100 TB this is the standard log-structured maintenance cadence."""
+    from weather_data_data_pipeline_spark.operators.aggregates import (
+        ohlc_merge_aggs,
+    )
+
+    deltas = spark.read.parquet(out_path)
+    vmax = deltas.agg(F.max("v").alias("m")).collect()[0]["m"]
+    merged = (
+        deltas.drop("v")
+        .groupBy("bucket_start", "event_type")
+        .agg(*ohlc_merge_aggs())
+        .withColumn("v", F.lit(int(vmax)))
+    )
+    # full overwrite ON PURPOSE (not dynamic): compaction must DELETE
+    # the absorbed older partitions, not leave them beside the merge.
+    # localCheckpoint first — the plan reads the same files the write
+    # is about to replace.
+    merged.localCheckpoint(eager=True).write.mode("overwrite").partitionBy(
+        "v"
+    ).parquet(out_path)
