@@ -1353,3 +1353,91 @@ def test_ohlc_compaction_preserves_candles_and_future_merges(spark, tmp_path):
         )
     )
     assert key(S.read_ohlc_candles(spark, out)) == want
+
+
+def test_url_blocklist_monitor_stream_equals_batch_rollup(spark, tmp_path):
+    """Per-batch streaming domain rollup == the batch rollup expression
+    over the same micro-batch's URLs — both compile the same
+    functions/url.py kernels, so every share matches bit-for-bit."""
+    from weather_data_data_pipeline_spark.functions.url import (
+        canonical_host,
+        registrable_domain,
+    )
+
+    urls = [
+        "https://WWW.Good-Site.com/a?utm_source=x",
+        "http://good-site.com:80/a",
+        "http://evil.co.uk/x",
+        "https://sub.evil.co.uk/y#f",
+        "http://other.io/z?id=1",
+        "http://another.com.au/w/",
+    ]
+    rows = [(i, urls[i % len(urls)] + f"&n={i}") for i in range(24)]
+    full = spark.createDataFrame(rows, "req_id long, raw_url string")
+    src = str(tmp_path / "url_src")
+    first = full.where(F.col("req_id") < 12)
+    second = full.where(F.col("req_id") >= 12)
+    first.coalesce(1).write.parquet(src)
+    second.coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "url_out")
+    blocked = ("evil.co.uk", "another.com.au")
+    q = (
+        S.url_blocklist_monitor_sink(
+            spark.readStream.schema(full.schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(src),
+            blocked,
+            out,
+            str(tmp_path / "url_ck"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out).collect()
+    assert {r["batch_id"] for r in got} == {0, 1}
+    got_map = {
+        (r["batch_id"], r["domain"]): (
+            r["n_urls"], r["blocked"], str(r["batch_share"])
+        )
+        for r in got
+    }
+    order = (first, second) if min(
+        r["batch_id"] for r in got) == 0 else (second, first)
+    for bid, part in enumerate(order):
+        dom = part.select(
+            registrable_domain(canonical_host("raw_url")).alias("domain")
+        )
+        agg = dom.groupBy("domain").agg(
+            F.count("*").cast("bigint").alias("n_urls")
+        )
+        tot = agg.agg(F.sum("n_urls").alias("total"))
+        want = {
+            r["domain"]: (
+                r["n_urls"],
+                r["domain"] in blocked,
+                str(r["share"]),
+            )
+            for r in agg.crossJoin(F.broadcast(tot)).select(
+                "domain",
+                "n_urls",
+                F.round(
+                    (
+                        F.col("n_urls").cast("double")
+                        / F.col("total").cast("double")
+                    ).cast("decimal(38,15)"),
+                    6,
+                )
+                .cast("decimal(38,6)")
+                .cast("double")
+                .alias("share"),
+            ).collect()
+        }
+        for d, vals in want.items():
+            assert got_map[(bid, d)] == vals, (bid, d)
+    # the blocklist actually fired on the subdomain form too
+    assert any(r["blocked"] for r in got)
+    assert {r["domain"] for r in got if r["blocked"]} == set(blocked)

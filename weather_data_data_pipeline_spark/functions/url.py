@@ -91,12 +91,17 @@ def _parts(u: Column) -> dict[str, Column]:
         F.split_part(rest, F.lit("/"), F.lit(1)), F.lit("?"), F.lit(1)
     )
     pathq = F.substr(rest, F.length(hostport) + F.lit(1))
+    # userinfo (user:pass@) never survives canonicalization — and must
+    # strip BEFORE the port split, or 'u:p@host' would parse 'u' as the
+    # host. Any literal '@' inside userinfo is %-encoded per RFC 3986,
+    # so first '@' == the authority separator.
+    hostport_na = F.regexp_replace(hostport, r"^[^@]*@", "")
     host = F.regexp_replace(
-        F.lower(F.split_part(hostport, F.lit(":"), F.lit(1))),
+        F.lower(F.split_part(hostport_na, F.lit(":"), F.lit(1))),
         r"^www\.",
         "",
     )
-    port = F.split_part(hostport, F.lit(":"), F.lit(2))
+    port = F.split_part(hostport_na, F.lit(":"), F.lit(2))
     path = F.regexp_replace(
         F.split_part(pathq, F.lit("?"), F.lit(1)), r"/+$", ""
     )
@@ -193,11 +198,13 @@ def _parts_sql(expr: str) -> dict[str, str]:
     rest = f"CASE WHEN {has} THEN split_part({u0}, '://', 2) ELSE {u0} END"
     hostport = f"split_part(split_part({rest}, '/', 1), '?', 1)"
     pathq = f"substr({rest}, len({hostport}) + 1)"
+    # userinfo strips BEFORE the port split (see _parts)
+    hostport_na = f"regexp_replace({hostport}, '^[^@]*@', '')"
     host = (
-        f"regexp_replace(lower(split_part({hostport}, ':', 1)), "
+        f"regexp_replace(lower(split_part({hostport_na}, ':', 1)), "
         f"'^www\\.', '')"
     )
-    port = f"split_part({hostport}, ':', 2)"
+    port = f"split_part({hostport_na}, ':', 2)"
     path = f"regexp_replace(split_part({pathq}, '?', 1), '/+$', '')"
     query = (
         f"CASE WHEN strpos({pathq}, '?') > 0 "

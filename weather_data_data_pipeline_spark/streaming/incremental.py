@@ -1109,3 +1109,61 @@ def compact_ohlc_candles(spark: SparkSession, out_path: str) -> None:
     merged.localCheckpoint(eager=True).write.mode("overwrite").partitionBy(
         "v"
     ).parquet(out_path)
+
+
+def url_blocklist_monitor_sink(
+    stream: DataFrame,
+    blocked_domains: tuple[str, ...],
+    out_path: str,
+    checkpoint: str,
+    url_col: str = "raw_url",
+) -> DataStreamWriter:
+    """Live twin of the batch ``domain_blocklist_rollup`` policy
+    preview: per micro-batch, canonicalize the arriving URLs with the
+    SAME kernels the batch query compiles (functions/url.py), roll up
+    per registrable domain, flag blocklisted domains, and append
+    (batch_id, domain, n_urls, blocked, batch_share) — the monitor a
+    crawl front-end runs so a blocked domain surging to 30% of a fetch
+    batch pages someone BEFORE the batch lands in the corpus. The
+    share is per-BATCH by construction (a monitor alarms on the
+    arriving traffic, not the accumulated corpus; the batch query
+    remains the corpus-wide view). Decimal-pinned shares, so the
+    stream==batch equality test compares bits."""
+    from weather_data_data_pipeline_spark.functions.url import (
+        canonical_host,
+        registrable_domain,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dom = batch_df.select(
+            registrable_domain(canonical_host(url_col)).alias("domain")
+        )
+        agg = dom.groupBy("domain").agg(
+            F.count("*").cast("bigint").alias("n_urls")
+        )
+        tot = agg.agg(F.sum("n_urls").alias("total"))
+        out = agg.crossJoin(F.broadcast(tot)).select(
+            F.lit(int(batch_id)).alias("batch_id"),
+            "domain",
+            "n_urls",
+            F.col("domain").isin(*blocked_domains).alias("blocked"),
+            F.round(
+                (
+                    F.col("n_urls").cast("double")
+                    / F.col("total").cast("double")
+                ).cast("decimal(38,15)"),
+                6,
+            )
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("batch_share"),
+        )
+        out.write.mode("append").parquet(out_path)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
