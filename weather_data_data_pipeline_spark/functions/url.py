@@ -22,6 +22,13 @@ Canonicalization rules (the standard crawl-dedup set):
     ``igshid``, ``mc_eid``); survivors SORTED so param order never
     splits a canonical identity; an emptied query string disappears.
 
+Out of scope by contract (documented, unit-pinned for cross-engine
+AGREEMENT even so): bracketed IPv6 authorities (``[::1]:8080`` — the
+colon-split port parse predates RFC 3986 bracket handling) and
+percent-encoding case normalization. A deployment fronting raw crawl
+data normalizes those upstream or extends ``_parts``/``_parts_sql`` in
+lockstep.
+
 Registrable domain: last two host labels, or last three when the last
 two form a multi-part public suffix (``co.uk`` etc.). The embedded
 suffix set is a deliberately small, documented subset of the public
