@@ -1096,6 +1096,8 @@ def compact_ohlc_candles(spark: SparkSession, out_path: str) -> None:
 
     deltas = spark.read.parquet(out_path)
     vmax = deltas.agg(F.max("v").alias("m")).collect()[0]["m"]
+    if vmax is None:  # layout exists but holds no rows — nothing to do
+        return
     merged = (
         deltas.drop("v")
         .groupBy("bucket_start", "event_type")
