@@ -148,3 +148,57 @@ def test_embedding_kmeans_clusters_query_invariants(spark):
     assert all(r["sse"] >= 0 for r in rows)
     again = embedding_kmeans_clusters(spark, sf).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_kcenter_composable_single_partition_equals_exact(spark):
+    """On ONE partition the composable form IS the exact greedy: the
+    local Gonzalez prefix over the whole pool followed by the driver
+    greedy over it replays the k-round traversal pick-for-pick."""
+    from weather_data_data_pipeline_spark.functions.clustering import (
+        kcenter_select,
+        kcenter_select_composable,
+    )
+    from weather_data_data_pipeline_spark.sources.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings").coalesce(1)
+    exact = [
+        (r, i, None if d is None else round(float(d), 6))
+        for r, i, d in kcenter_select(emb, k=8)
+    ]
+    comp = [
+        (r, i, None if d is None else round(float(d), 6))
+        for r, i, d in kcenter_select_composable(emb, k=8)
+    ]
+    assert comp == exact
+
+
+def test_kcenter_composable_multi_partition_bounded_and_deterministic(spark):
+    """Across partitions the composable pick is an approximation with a
+    bounded coverage radius (composable-coreset guarantee): its radius
+    at k must be within a small constant of the exact greedy's, every
+    pick must be a real corpus id, and the result must be identical
+    across runs (partition-local greedy + sorted merge are both
+    deterministic)."""
+    from weather_data_data_pipeline_spark.functions.clustering import (
+        kcenter_select,
+        kcenter_select_composable,
+    )
+    from weather_data_data_pipeline_spark.sources.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings").repartition(8)
+    exact = kcenter_select(emb, k=8)
+    comp = kcenter_select_composable(emb, k=8)
+    again = kcenter_select_composable(emb, k=8)
+    assert comp == again
+    ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert all(i in ids for _, i, _ in comp)
+    assert len({i for _, i, _ in comp}) == 8
+    # coverage radius at k (the last pick's min-distance): bounded vs
+    # exact — on this data the two are near-identical; 2.5x is the
+    # generous constant-factor envelope
+    r_exact = float(exact[-1][2])
+    r_comp = float(comp[-1][2])
+    assert r_comp <= 2.5 * r_exact + 1e-9
+    # and it cannot be BETTER than the exact greedy's radius by more
+    # than rounding (the exact traversal maximizes each pick globally)
+    assert r_comp >= r_exact * 0.2

@@ -219,3 +219,100 @@ def kcenter_select(
         )
     base.unpersist()
     return selected
+
+
+def _greedy_kcenter_np(ids, V, k: int, dist_scale: int = 6):
+    """Driver/worker-local exact Gonzalez greedy over a numpy pool:
+    seed = lowest id, then argmax of rounded min squared distance,
+    ties to the lowest id — the same determinism contract as
+    :func:`kcenter_select`. Returns [(rank, id, dist|None)] plus the
+    selected vectors."""
+    import numpy as np
+
+    order = np.argsort(ids)
+    ids = ids[order]
+    V = V[order]
+    sel = [0]
+    out = [(1, int(ids[0]), None)]
+    mind = np.round(((V - V[0]) ** 2).sum(axis=1), dist_scale)
+    mind[0] = -np.inf
+    for rank in range(2, min(k, len(ids)) + 1):
+        # argmax with ties to the LOWEST id: ids ascending, so the
+        # first occurrence of the max is the winner
+        j = int(np.argmax(mind))
+        out.append((rank, int(ids[j]), float(mind[j])))
+        sel.append(j)
+        if rank == k:
+            break
+        d_new = np.round(((V - V[j]) ** 2).sum(axis=1), dist_scale)
+        mind = np.minimum(mind, d_new)
+        mind[j] = -np.inf
+    return out, V[sel]
+
+
+def kcenter_select_composable(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dist_scale: int = 6,
+    per_partition: int | None = None,
+) -> list[tuple[int, int, "object"]]:
+    """Greedy k-center, COMPOSABLE-CORESET formulation — the 100 TB
+    path for :func:`kcenter_select`. The exact Gonzalez traversal is
+    inherently k sequential global argmax rounds (k Spark jobs); this
+    variant does ONE distributed pass: each partition runs the same
+    greedy locally and emits its ``per_partition`` (default 2k)
+    farthest-point candidates, then the driver runs the exact greedy
+    over the candidate union (partitions × 2k rows — thousands, not
+    the corpus). Per-partition Gonzalez prefixes are a composable
+    coreset for the k-center objective (Indyk et al., NIPS 2014:
+    composing constant-factor coresets keeps a constant-factor
+    coverage-radius guarantee), so the merged pick's radius is within
+    a small constant of the exact greedy's — and on one partition the
+    result IS the exact greedy (pinned in tests/test_clustering.py).
+
+    Scale shape: one narrow mapInPandas pass (no shuffle), candidates
+    only to the driver. Use the exact k-round form when bit-replayable
+    selection matters (its oracle unrolls the traversal); use this
+    when the corpus is large enough that k separate passes dominate.
+    """
+    import numpy as np
+
+    cap = int(per_partition or 2 * k)
+
+    def gen(batches):
+        import pandas as pd
+
+        ids_parts, v_parts = [], []
+        for b in batches:
+            ids_parts.append(b[id_col].to_numpy())
+            v_parts.append(
+                np.stack(
+                    [np.asarray(v, dtype="float64") for v in b[vec_col]]
+                )
+            )
+        if not ids_parts:
+            return
+        ids = np.concatenate(ids_parts)
+        V = np.vstack(v_parts)
+        picks, _ = _greedy_kcenter_np(ids, V, cap, dist_scale)
+        keep = np.isin(ids, [p[1] for p in picks])
+        yield pd.DataFrame(
+            {
+                id_col: ids[keep],
+                vec_col: [row.tolist() for row in V[keep]],
+            }
+        )
+
+    cand = df.select(id_col, vec_col).mapInPandas(
+        gen, f"{id_col} long, {vec_col} array<double>"
+    ).collect()
+    if not cand:
+        return []
+    ids = np.array([r[id_col] for r in cand], dtype="int64")
+    V = np.stack([np.asarray(r[vec_col], dtype="float64") for r in cand])
+    picks, _ = _greedy_kcenter_np(ids, V, k, dist_scale)
+    return [
+        (r, i, None if d is None else float(d)) for r, i, d in picks
+    ]
