@@ -425,3 +425,29 @@ def test_lsh_recall_report_fused_equals_composition(spark):
         for r in joined.collect()
     }
     assert fused == want
+
+
+def test_semantic_dedup_fused_equals_unfused_both_branches(spark):
+    """semantic_dedup_fused (cell-local union-find inside the scoring
+    task) must equal semantic_dedup row-for-row — SemDeDup edges never
+    leave a cell, so the fusion is a plan change, not a semantic one.
+    Checked on BOTH branches: exact dense enumeration (no cap) and the
+    hot-cell star-edge path (cap far below the cell sizes)."""
+    from weather_data_data_pipeline_spark.functions.similarity import (
+        semantic_dedup,
+        semantic_dedup_fused,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    seeds = emb.orderBy("vec_id").limit(8).collect()
+    cents = [[float(x) for x in r["embedding"]] for r in seeds]
+    for cap in (None, 10):
+        key = lambda df: sorted(
+            (r["vec_id"], r["cluster"], r["rep_id"], r["kept"])
+            for r in df.collect()
+        )
+        assert key(
+            semantic_dedup_fused(emb, cents, threshold=0.35, max_cell_size=cap)
+        ) == key(
+            semantic_dedup(emb, cents, threshold=0.35, max_cell_size=cap)
+        ), f"cap={cap}"

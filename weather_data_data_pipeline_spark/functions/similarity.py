@@ -1115,6 +1115,100 @@ def semantic_dedup(
     )
 
 
+def semantic_dedup_fused(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    max_cell_size: int | None = None,
+) -> DataFrame:
+    """:func:`semantic_dedup`, fused into ONE pass (r10 prototype, the
+    r11 swap candidate): SemDeDup edges exist only WITHIN a k-means
+    cell, so near-dup components are cell-local by construction — the
+    per-cell ``applyInPandas`` task can run the union-find itself and
+    emit the final (id, cluster, rep_id, kept) rows directly, instead
+    of materializing a pair table, running a separate connected-
+    components step, and joining representatives back onto a
+    recomputed assignment. Same cell shuffle, strictly fewer stages;
+    semantics IDENTICAL (union of the same edge set the unfused form
+    scores — dense pairs in small cells, hub star edges in hot ones;
+    pinned equal in tests/test_similarity.py on both branches)."""
+    import numpy as np
+
+    from weather_data_data_pipeline_spark.functions.clustering import (
+        nearest_centroid,
+    )
+
+    df = _ensure_parallelism(df)
+    best = nearest_centroid(F.col(vec_col), centroids)
+    assigned = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        best["cluster"].alias("cluster"),
+    )
+    chunk_rows = _VERIFY_CHUNK
+
+    def dedup_cell(pdf):
+        import pandas as pd
+
+        ids = pdf["_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        V = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["_v"].iloc[order]]
+        )
+        m = len(ids)
+        parent = np.arange(m)
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        def union(i, j):
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                # attach the LARGER-index root under the smaller, so a
+                # component's root is always its min index == min id
+                # (ids are ascending)
+                if ri < rj:
+                    parent[rj] = ri
+                else:
+                    parent[ri] = rj
+
+        if max_cell_size is not None and m > max_cell_size:
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            cos = Vn[1:] @ Vn[0]
+            for j in np.nonzero(cos >= threshold)[0]:
+                union(0, int(j) + 1)
+        else:
+            pos = {int(v): i for i, v in enumerate(ids)}
+            id_a, id_b, _ = _pairs_above_threshold(
+                ids, V, threshold, chunk_rows
+            )
+            for a, b in zip(id_a, id_b):
+                union(pos[int(a)], pos[int(b)])
+
+        rep = np.array([ids[find(i)] for i in range(m)])
+        return pd.DataFrame(
+            {
+                "_id": ids,
+                "cluster": np.full(m, pdf["cluster"].iloc[0]),
+                "rep_id": rep,
+                "kept": rep == ids,
+            }
+        )
+
+    out_schema = "_id long, cluster int, rep_id long, kept boolean"
+    return (
+        assigned.groupBy("cluster")
+        .applyInPandas(dedup_cell, out_schema)
+        .withColumnRenamed("_id", id_col)
+    )
+
+
 def quantize_embeddings(
     df: DataFrame, vec_col: str = "embedding", out_col: str = "q_vec"
 ) -> DataFrame:
