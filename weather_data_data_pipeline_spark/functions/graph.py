@@ -69,6 +69,7 @@ def pagerank(
 
     ranks = vertices.withColumn("rank", F.lit(1.0 / n)).persist()
     ranks.count()
+    teleport = (1.0 - damping) / n  # python-float, same as always
     for _ in range(iters):
         contribs = (
             weighted.join(ranks, weighted.src == ranks.node)
@@ -76,26 +77,34 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        # Mass sitting on vertices with no out-edges, spread uniformly.
-        dangling = (
-            ranks.join(outdeg, ranks.node == outdeg.src, "left_anti")
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
-        )
-        base = (1.0 - damping) / n + damping * dangling / n
+        # Mass sitting on vertices with no out-edges, spread uniformly —
+        # attached as a BROADCAST 1-row aggregate instead of a driver
+        # collect (r10): one action per iteration instead of two. The
+        # expression mirrors the old python-float op order
+        # ((1-d)/n + (d*dang)/n) term for term, so ranks are
+        # bit-identical to the collect form.
+        dang = ranks.join(
+            outdeg, ranks.node == outdeg.src, "left_anti"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
+        # localCheckpoint (eager) BOTH materializes the iteration (the
+        # one action) and TRUNCATES lineage — required now that ranks
+        # feeds two branches (contribs + dang): persist alone caches
+        # data but keeps the logical plan, which would grow
+        # exponentially across iterations and OOM the planner's
+        # stringification by iteration ~10.
         new_ranks = (
             vertices.join(contribs, vertices.node == contribs.dst, "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    F.lit(teleport)
+                    + (F.lit(damping) * F.col("_dang")) / F.lit(float(n))
                     + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
                 ).alias("rank"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        new_ranks.count()
         ranks.unpersist()
         ranks = new_ranks
     vertices.unpersist()
