@@ -100,12 +100,17 @@ def _parts(u: Column) -> dict[str, Column]:
     pathq = F.substr(rest, F.length(hostport) + F.lit(1))
     # userinfo (user:pass@) never survives canonicalization — and must
     # strip BEFORE the port split, or 'u:p@host' would parse 'u' as the
-    # host. Any literal '@' inside userinfo is %-encoded per RFC 3986,
-    # so first '@' == the authority separator.
-    hostport_na = F.regexp_replace(hostport, r"^[^@]*@", "")
+    # host. GREEDY to the LAST '@' (browser behavior): RFC 3986 says a
+    # literal '@' in userinfo must be %-encoded, but crawl garbage
+    # contains raw multi-@ authorities, and first-@ stripping leaves
+    # 'u:p@host' behind — the fuzz-caught idempotence leak.
+    hostport_na = F.regexp_replace(hostport, r"^.*@", "")
+    # (www\.)+ not www\.: stripping ONE label would make
+    # canonicalization non-idempotent on degenerate www.www.* hosts
+    # (fuzz-pinned in tests/test_url.py)
     host = F.regexp_replace(
         F.lower(F.split_part(hostport_na, F.lit(":"), F.lit(1))),
-        r"^www\.",
+        r"^(www\.)+",
         "",
     )
     port = F.split_part(hostport_na, F.lit(":"), F.lit(2))
@@ -205,11 +210,12 @@ def _parts_sql(expr: str) -> dict[str, str]:
     rest = f"CASE WHEN {has} THEN split_part({u0}, '://', 2) ELSE {u0} END"
     hostport = f"split_part(split_part({rest}, '/', 1), '?', 1)"
     pathq = f"substr({rest}, len({hostport}) + 1)"
-    # userinfo strips BEFORE the port split (see _parts)
-    hostport_na = f"regexp_replace({hostport}, '^[^@]*@', '')"
+    # userinfo strips BEFORE the port split, greedy to the LAST '@'
+    # (see _parts)
+    hostport_na = f"regexp_replace({hostport}, '^.*@', '')"
     host = (
         f"regexp_replace(lower(split_part({hostport_na}, ':', 1)), "
-        f"'^www\\.', '')"
+        f"'^(www\\.)+', '')"
     )
     port = f"split_part({hostport_na}, ':', 2)"
     path = f"regexp_replace(split_part({pathq}, '?', 1), '/+$', '')"
