@@ -680,3 +680,47 @@ def test_ess_rollup_tiered_surface_large_sums(spark):
     # ...and the sub-tier groups kept the legacy 9-dp surface exactly
     assert got["mid"][0] == 999999.999999999
     assert got["small"][0] == 0.250000123
+
+
+def test_fuzz_normalize_twins_agree_in_contract(spark):
+    """Seeded fuzz over the IN-CONTRACT alphabet (ASCII word/punct/space/
+    tab/newline + non-ASCII letters): the Spark normalize_for_dedup and
+    the DuckDB _NORM_SQL twin agree byte-for-byte on every input, incl.
+    NULL and empty. Vertical tab (\\x0b) is deliberately absent — Java's
+    \\s includes it, RE2's does not; that divergence is documented as
+    out of contract in the kernel docstring."""
+    import random
+
+    import duckdb as _duckdb
+
+    from weather_data_data_pipeline_spark.functions.text import (
+        normalize_for_dedup,
+    )
+    from weather_data_data_pipeline_spark.plans.curation_queries import (
+        _NORM_SQL,
+    )
+
+    rng = random.Random(20260816)
+    alphabet = (
+        "abcXYZ019 _-.,!?;:#@/()\"'\t\n"
+        "äÉß汉…"
+    )
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+        for _ in range(300)
+    ] + ["", None, "  A  b\t\tC  ", "!!!", "\n\n"]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: r["n"]
+        for r in df.select("id", normalize_for_dedup("text").alias("n")).collect()
+    }
+
+    con = _duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = dict(con.execute(f"SELECT id, {_NORM_SQL} FROM t").fetchall())
+    con.close()
+    assert got == want, [
+        (texts[k], got[k], want[k]) for k in got if got[k] != want[k]
+    ][:5]

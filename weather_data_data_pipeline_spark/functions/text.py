@@ -461,7 +461,15 @@ def normalize_for_dedup(col: str | "F.Column") -> "F.Column":
     punctuation-only edits) that a raw content hash misses — the
     standard normalization step before exact dedup in corpus pipelines.
     All codegen'd string expressions; mirror the same four steps in SQL
-    for an engine-portable twin."""
+    for an engine-portable twin.
+
+    Twin contract boundary (fuzz-pinned in tests/test_text_ops.py):
+    Java's ``\\s`` includes vertical tab (\\x0b) where RE2's does not,
+    so texts containing \\x0b normalize differently between the Spark
+    form and the DuckDB ``_NORM_SQL`` twin ('a\\x0bb' -> 'a b' vs 'ab').
+    Every other ASCII whitespace/punct/word class agrees byte-for-byte;
+    a corpus with raw vertical tabs must pre-clean them (the same
+    upstream-normalization posture as url.py's IPv6 note)."""
     c = F.col(col) if isinstance(col, str) else col
     out = F.lower(c)
     out = F.regexp_replace(out, r"[^\w\s]", "")
