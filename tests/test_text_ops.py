@@ -724,3 +724,67 @@ def test_fuzz_normalize_twins_agree_in_contract(spark):
     assert got == want, [
         (texts[k], got[k], want[k]) for k in got if got[k] != want[k]
     ][:5]
+
+
+def test_fuzz_quality_and_token_twins_agree(spark):
+    """Same fuzz discipline for the other shared (Column, SQL) kernels:
+    composite quality_score vs curation's _quality_sql, whitespace token
+    count vs _WS_TOKENS_SQL, and the BPE-ish subword count vs its
+    regexp_extract_all SQL — byte/value agreement on 300 garbage texts
+    (band boundaries included: the score's ratio comparisons are
+    correctly-rounded doubles over the same ints on both engines)."""
+    import random
+
+    import duckdb as _duckdb
+
+    from weather_data_data_pipeline_spark.functions.text import (
+        bpe_ish_token_count,
+        quality_score,
+    )
+    from weather_data_data_pipeline_spark.plans.curation_queries import (
+        _WS_TOKENS_SQL,
+        _quality_sql,
+    )
+
+    rng = random.Random(77)
+    words = ["the", "a", "of", "slow", "zz", "x" * 13, "q", "table",
+             "value", "!!", "..", "a-b", "汉字"]
+    texts = [
+        " ".join(rng.choice(words) for _ in range(rng.randint(0, 60)))
+        + rng.choice(["", " ", "  ", "!?"])
+        for _ in range(300)
+    ] + ["", "   ", "x" * 49, "x" * 50, "the " * 30, None]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: (r["q"], r["ws"], r["bpe"])
+        for r in df.select(
+            "id",
+            F.round(quality_score("text"), 6).alias("q"),
+            F.size(
+                F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+            ).alias("ws"),
+            bpe_ish_token_count("text").alias("bpe"),
+        ).collect()
+    }
+    con = _duckdb.connect()
+    con.execute("CREATE TABLE documents(id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = {
+        i: (q, ws, bpe)
+        for i, q, ws, bpe in con.execute(
+            f"""SELECT id, round({_quality_sql()}, 6), {_WS_TOKENS_SQL},
+                       len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))
+                FROM documents"""
+        ).fetchall()
+    }
+    # Spark size(NULL array) yields -1/NULL vs DuckDB NULL: normalize
+    def norm(v):
+        return tuple(None if x in (None, -1) else x for x in v)
+
+    mism = [
+        (texts[k], norm(got[k]), norm(want[k]))
+        for k in got
+        if norm(got[k]) != norm(want[k])
+    ]
+    assert not mism, mism[:5]
