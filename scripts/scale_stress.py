@@ -709,5 +709,5 @@ if __name__ == "__main__":
         runr10()
     else:
         print("usage: scale_stress.py [gen|run|gen10|run10|runr5|runr6|"
-              "runr6c|runr7|runr7b|runr8|gen_events|runr9]")
+              "runr6c|runr7|runr7b|runr8|gen_events|runr9|runr10]")
         sys.exit(2)

@@ -316,3 +316,67 @@ def test_weekly_dup_rate_null_tuple_semantics_match_oracle(spark, tmp_path):
     # NULL-keyed row no longer reads as a dup, and the rate is over
     # n_keyed, not n_events
     assert got[0] == ("2024-01-01", 5, 2, 1, 1, 0.5)
+
+
+def test_snapshot_version_diff_null_keys_match_oracle(spark, tmp_path):
+    """NULL-keyed events are excluded from the snapshot diff on BOTH
+    engines (a NULL key never equality-joins to itself, so it would
+    otherwise read as a phantom added+removed pair — and the oracle's
+    old data-NULL classification would have diverged from Spark's
+    join-side test). Proven on crafted events WITH NULL user_id /
+    event_type rows spanning three weekly versions."""
+    import duckdb
+
+    from weather_data_data_pipeline_spark.plans.maintenance_queries import (
+        snapshot_version_diff,
+    )
+    from weather_data_data_pipeline_spark.registry import get_query
+
+    rows = [
+        # week 0: base keys
+        (0, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+        (1, "2024-01-02 10:00:00", 2, "view", 2.0, "{}"),
+        (2, "2024-01-03 10:00:00", None, "view", 3.0, "{}"),   # NULL key
+        # week 1 (inside the v<=vmin+1 snapshot): update key (1, click)
+        (3, "2024-01-08 10:00:00", 1, "click", 4.0, "{}"),
+        (4, "2024-01-09 10:00:00", 3, None, 5.0, "{}"),        # NULL key
+        # week 2 (inside v<=vmin+2 only): new key + update (2, view)
+        (5, "2024-01-15 10:00:00", 4, "buy", 6.0, "{}"),
+        (6, "2024-01-16 10:00:00", 2, "view", 7.0, "{}"),
+        (7, "2024-01-17 10:00:00", None, None, 8.0, "{}"),     # NULL key
+        # week 3 (outside both snapshots)
+        (8, "2024-01-22 10:00:00", 9, "click", 9.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "props",
+    )
+    src = str(tmp_path / "snapnull")
+    df.write.parquet(f"{src}/events.parquet")
+
+    got = sorted(map(tuple, snapshot_version_diff(spark, src).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM"
+        f" read_parquet('{src}/events.parquet/*.parquet')"
+    )
+    want = sorted(
+        map(tuple, con.execute(
+            get_query("snapshot_version_diff").oracle).fetchall())
+    )
+    con.close()
+    assert got == want
+    by_type = {r[0]: r[1:] for r in got}
+    # (added, changed, unchanged, removed): 'buy' added in week 2;
+    # (2, view) changed; (1, click) unchanged between the snapshots
+    # (its update happened in week 1, INSIDE both); nothing removed,
+    # and no phantom rows from the NULL-keyed events
+    assert by_type == {
+        "buy": (1, 0, 0, 0),
+        "view": (0, 1, 0, 0),
+        "click": (0, 0, 1, 0),
+    }

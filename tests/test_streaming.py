@@ -1441,3 +1441,23 @@ def test_url_blocklist_monitor_stream_equals_batch_rollup(spark, tmp_path):
     # the blocklist actually fired on the subdomain form too
     assert any(r["blocked"] for r in got)
     assert {r["domain"] for r in got if r["blocked"]} == set(blocked)
+
+    # replay convergence: a fresh-checkpoint drain re-delivers every
+    # batch; dynamic batch_id-partition overwrite must converge to the
+    # same rows, never append duplicates
+    q2 = (
+        S.url_blocklist_monitor_sink(
+            spark.readStream.schema(full.schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(src),
+            blocked,
+            out,
+            str(tmp_path / "url_ck2"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    again = spark.read.parquet(out).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, got))

@@ -628,6 +628,10 @@ def test_ess_rollup_tiered_surface_large_sums(spark):
         # small: tiny weights, deep in the 9-dp regime
         ("small", 0.000000123),
         ("small", 0.25),
+        # neg: large NEGATIVE sum must tier on MAGNITUDE (the helper is
+        # generic even though ESS weights are nonnegative)
+        ("neg", -2000000.5),
+        ("neg", 0.25),
     ]
     df = spark.createDataFrame(rows, "source string, final_weight double")
     got = {
@@ -670,7 +674,7 @@ def test_ess_rollup_tiered_surface_large_sums(spark):
     }
     con.close()
 
-    assert set(got) == {"big", "mid", "small"}
+    assert set(got) == {"big", "mid", "small", "neg"}
     for src in got:
         for g, o in zip(got[src], oracle[src]):
             assert g == o and str(g) == str(o), (src, got[src], oracle[src])
@@ -680,6 +684,8 @@ def test_ess_rollup_tiered_surface_large_sums(spark):
     # ...and the sub-tier groups kept the legacy 9-dp surface exactly
     assert got["mid"][0] == 999999.999999999
     assert got["small"][0] == 0.250000123
+    # the negative group took the 2-dp branch via abs()
+    assert got["neg"][0] == -2000000.25
 
 
 def test_fuzz_normalize_twins_agree_in_contract(spark):

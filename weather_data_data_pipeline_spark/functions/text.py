@@ -880,17 +880,21 @@ _TIER_AT = 1_000_000
 
 def tiered_sum_double(col: Column, scale: int = 9) -> Column:
     """Engine-exact DOUBLE surface for an exact decimal sum: full
-    ``scale``-dp below ``_TIER_AT``, 2-dp at/above (see comment above).
-    Keep in lockstep with :func:`tiered_sum_double_sql`."""
+    ``scale``-dp below ``_TIER_AT`` in MAGNITUDE, 2-dp at/above (see
+    comment above). Tiering on abs() keeps the guarantee symmetric —
+    current callers are nonnegative, but the helper is generic and a
+    large NEGATIVE sum in the small branch would re-enter the
+    divergent class. Keep in lockstep with
+    :func:`tiered_sum_double_sql`."""
     big = F.round(col, 2).cast("decimal(38,2)").cast("double")
     small = F.round(col, scale).cast(f"decimal(38,{scale})").cast("double")
-    return F.when(col >= F.lit(_TIER_AT), big).otherwise(small)
+    return F.when(F.abs(col) >= F.lit(_TIER_AT), big).otherwise(small)
 
 
 def tiered_sum_double_sql(expr: str, scale: int = 9) -> str:
     """DuckDB twin of :func:`tiered_sum_double` for oracle strings."""
     return (
-        f"CASE WHEN {expr} >= {_TIER_AT} "
+        f"CASE WHEN abs({expr}) >= {_TIER_AT} "
         f"THEN CAST(CAST(round({expr}, 2) AS DECIMAL(38,2)) AS DOUBLE) "
         f"ELSE CAST(CAST(round({expr}, {scale}) AS DECIMAL(38,{scale})) "
         f"AS DOUBLE) END"

@@ -745,6 +745,7 @@ def snapshot_read_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type, ts, event_id,
              CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS v
       FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
     ),
     mn AS (SELECT min(v) AS vmin FROM v),
     snap1 AS (
@@ -765,8 +766,8 @@ def snapshot_read_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     j AS (
       SELECT coalesce(s2.event_type, s1.event_type) AS event_type,
-             CASE WHEN s1.user_id IS NULL THEN 'added'
-                  WHEN s2.user_id IS NULL THEN 'removed'
+             CASE WHEN s1.event_id IS NULL THEN 'added'
+                  WHEN s2.event_id IS NULL THEN 'removed'
                   WHEN s1.event_id <> s2.event_id THEN 'changed'
                   ELSE 'unchanged' END AS kind
       FROM snap1 s1
@@ -806,8 +807,17 @@ def snapshot_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from weather_data_data_pipeline_spark.sources.layout import read_as_of
 
-    ev = load(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts", "event_id"
+    # NULL-keyed rows leave the diff on BOTH engines: a NULL key never
+    # matches itself in either engine's equality join, so it would read
+    # as one added + one removed phantom pair — excluded explicitly and
+    # identically (classification below keys off the join-side
+    # event_id, which is non-NULL by table contract, never the data)
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .where(
+            F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+        )
     )
     week = F.floor(F.unix_timestamp("ts") / 604800)
     tmp = tempfile.mkdtemp(prefix="snapshot_diff_")

@@ -1130,7 +1130,10 @@ def url_blocklist_monitor_sink(
     share is per-BATCH by construction (a monitor alarms on the
     arriving traffic, not the accumulated corpus; the batch query
     remains the corpus-wide view). Decimal-pinned shares, so the
-    stream==batch equality test compares bits."""
+    stream==batch equality test compares bits. Replay-safe like the
+    module's other sinks: rows land as a ``batch_id=<id>`` partition
+    under dynamic overwrite, so an at-least-once re-delivery rewrites
+    exactly its own partition instead of appending a duplicate copy."""
     from weather_data_data_pipeline_spark.functions.url import (
         canonical_host,
         registrable_domain,
@@ -1162,7 +1165,9 @@ def url_blocklist_monitor_sink(
             .cast("double")
             .alias("batch_share"),
         )
-        out.write.mode("append").parquet(out_path)
+        out.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id").parquet(out_path)
 
     return (
         stream.writeStream.foreachBatch(write_batch)
