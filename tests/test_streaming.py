@@ -1330,9 +1330,12 @@ def test_ohlc_compaction_preserves_candles_and_future_merges(spark, tmp_path):
     S.compact_ohlc_candles(spark, out)
     after = key(S.read_ohlc_candles(spark, out))
     assert after == before
-    vs = [r["v"] for r in
-          spark.read.parquet(out).select("v").distinct().collect()]
-    assert vs == [2], vs  # absorbed partitions deleted, max id kept
+    # absorbed v=* delta partitions are gone; the state lives in a
+    # complete base generation carrying the covered watermark
+    import os as _os
+
+    assert not [d for d in _os.listdir(out) if d.startswith("v=")]
+    assert _os.path.exists(f"{out}/_base/g=0/_SUCCESS")
 
     # a post-compaction batch still merges with the compacted state
     extra = spark.createDataFrame(rows[: n // 4], ev.schema)
@@ -1461,3 +1464,75 @@ def test_url_blocklist_monitor_stream_equals_batch_rollup(spark, tmp_path):
     q2.awaitTermination(180)
     again = spark.read.parquet(out).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, got))
+
+
+
+def test_ohlc_compaction_replay_and_crash_windows_are_benign(spark, tmp_path):
+    """The review-identified failure modes, pinned: (a) an at-least-once
+    REPLAY of an already-compacted batch id (re-created v<=covered
+    delta) must not change the serving read — the old in-place design
+    destroyed the whole merged history here; (b) the crash window
+    'base generation written, absorbed deltas not yet deleted' must
+    read correctly and a compaction re-run must be idempotent; (c) an
+    incomplete base generation (no _SUCCESS) is invisible."""
+    import os
+    import shutil
+
+    from weather_data_data_pipeline_spark.operators.aggregates import (
+        ohlc_bucket,
+        ohlc_raw_aggs,
+    )
+
+    ev = (
+        load(spark, SF_DIR, "events")
+        .select("ts", "event_id", "event_type", "value")
+        .orderBy("ts", "event_id")
+    )
+    rows = ev.collect()
+    n = len(rows)
+    out = str(tmp_path / "cand")
+    chunks = (rows[: n // 3], rows[n // 3 : 2 * n // 3], rows[2 * n // 3 :])
+
+    def write_delta(v, chunk):
+        spark.createDataFrame(chunk, ev.schema).groupBy(
+            ohlc_bucket().alias("bucket_start"), "event_type"
+        ).agg(*ohlc_raw_aggs()).withColumn("v", F.lit(v)).write.mode(
+            "append"
+        ).partitionBy("v").parquet(out)
+
+    for v, chunk in enumerate(chunks):
+        write_delta(v, chunk)
+
+    def key(df):
+        return sorted(map(tuple, df.collect()))
+
+    want = key(S.read_ohlc_candles(spark, out))
+    S.compact_ohlc_candles(spark, out)
+    assert key(S.read_ohlc_candles(spark, out)) == want
+
+    # (a) replay of absorbed batch 1: the sink would dynamic-overwrite
+    # v=1 with that batch's partials — recreate exactly that state
+    write_delta(1, chunks[1])
+    assert key(S.read_ohlc_candles(spark, out)) == want
+    # (b) same leftover also models the deletion-crash window; a re-run
+    # must be a no-op for the serving read (and clean the leftover up)
+    S.compact_ohlc_candles(spark, out)
+    assert key(S.read_ohlc_candles(spark, out)) == want
+    assert not [d for d in os.listdir(out) if d.startswith("v=")]
+
+    # a NEW batch after all of that still merges on top of the base
+    write_delta(7, chunks[0])
+    grown = key(S.read_ohlc_candles(spark, out))
+    assert grown != want
+
+    # (c) an incomplete (crashed) generation without _SUCCESS is
+    # invisible: fabricate one by copying the latest gen and removing
+    # its marker — the read must be unchanged
+    gens = sorted(
+        d for d in os.listdir(f"{out}/_base") if d.startswith("g=")
+    )
+    latest = f"{out}/_base/{gens[-1]}"
+    broken = f"{out}/_base/g={int(gens[-1][2:]) + 5}"
+    shutil.copytree(latest, broken)
+    os.remove(f"{broken}/_SUCCESS")
+    assert key(S.read_ohlc_candles(spark, out)) == grown

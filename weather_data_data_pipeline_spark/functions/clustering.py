@@ -221,12 +221,38 @@ def kcenter_select(
     return selected
 
 
+def _round_half_up(arr, scale: int):
+    """HALF_UP decimal rounding of a float64 array — Spark's
+    ``F.round(double, n)`` is BigDecimal.valueOf(x).setScale(n,
+    HALF_UP), i.e. shortest-repr-string based half-up, NOT numpy's
+    half-to-even: np.round diverges on EVERY exact half boundary.
+    Python ``repr(float)`` is the same shortest round-trip form
+    Double.toString produces (modulo pre-JDK19 non-shortest anomalies
+    on pathological doubles), so this replays the Spark rounding."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    q = Decimal(1).scaleb(-scale)
+    return np.array(
+        [
+            float(Decimal(repr(float(x))).quantize(q, ROUND_HALF_UP))
+            for x in arr
+        ],
+        dtype="float64",
+    )
+
+
 def _greedy_kcenter_np(ids, V, k: int, dist_scale: int = 6):
     """Driver/worker-local exact Gonzalez greedy over a numpy pool:
     seed = lowest id, then argmax of rounded min squared distance,
     ties to the lowest id — the same determinism contract as
-    :func:`kcenter_select`. Returns [(rank, id, dist|None)] plus the
-    selected vectors."""
+    :func:`kcenter_select`: distances are index-order double sums
+    (numpy's pairwise summation only departs from sequential order
+    above its 128-element block size, so for dim <= 128 the fold
+    matches :func:`_sq_dist` bit-for-bit) rounded HALF_UP like
+    ``F.round`` (see :func:`_round_half_up`). Returns
+    [(rank, id, dist|None)] plus the selected vectors."""
     import numpy as np
 
     order = np.argsort(ids)
@@ -234,7 +260,7 @@ def _greedy_kcenter_np(ids, V, k: int, dist_scale: int = 6):
     V = V[order]
     sel = [0]
     out = [(1, int(ids[0]), None)]
-    mind = np.round(((V - V[0]) ** 2).sum(axis=1), dist_scale)
+    mind = _round_half_up(((V - V[0]) ** 2).sum(axis=1), dist_scale)
     mind[0] = -np.inf
     for rank in range(2, min(k, len(ids)) + 1):
         # argmax with ties to the LOWEST id: ids ascending, so the
@@ -244,7 +270,7 @@ def _greedy_kcenter_np(ids, V, k: int, dist_scale: int = 6):
         sel.append(j)
         if rank == k:
             break
-        d_new = np.round(((V - V[j]) ** 2).sum(axis=1), dist_scale)
+        d_new = _round_half_up(((V - V[j]) ** 2).sum(axis=1), dist_scale)
         mind = np.minimum(mind, d_new)
         mind[j] = -np.inf
     return out, V[sel]

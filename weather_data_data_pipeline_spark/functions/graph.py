@@ -105,6 +105,12 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        # unpersist() frees the iteration-0 cached frame; for
+        # checkpointed generations it is a no-op (their blocks are not
+        # in the cache manager) — those are reclaimed by the
+        # ContextCleaner as soon as the previous `ranks` reference
+        # drops below, so at most one superseded generation is ever
+        # in flight
         ranks.unpersist()
         ranks = new_ranks
     vertices.unpersist()

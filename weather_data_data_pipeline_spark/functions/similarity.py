@@ -260,6 +260,36 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
+def _pack_buckets(bits, n_planes: int):
+    """(rows, n_tables*n_planes) sign bits → (rows, n_tables) int64
+    bucket ids, little-endian within each table — the ONE definition of
+    the LSH bucket encoding (rhp_table_buckets_from_planes, the fused
+    top-k, and the fused recall report all compile it; edits here keep
+    every oracle-replayed candidate set in lockstep)."""
+    import numpy as np
+
+    n_tables = bits.shape[1] // n_planes
+    out = np.zeros((bits.shape[0], n_tables), dtype="int64")
+    for t in range(n_tables):
+        for p in range(n_planes):
+            out[:, t] |= bits[:, t * n_planes + p].astype("int64") << p
+    return out
+
+
+def _query_matrix(queries: DataFrame, id_col: str, vec_col: str):
+    """Collect a (small by contract) query batch to (ids, raw float64
+    matrix, normalized matrix) — ONE collect, so the three stay
+    row-aligned (two separate collects would not guarantee the same
+    row order). The driver-side prep shared by every fused GEMM
+    operator (brute_force_topk_gemm's posture)."""
+    import numpy as np
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype="int64")
+    Q = np.stack([np.asarray(r[1], dtype="float64") for r in q_rows])
+    return q_ids, Q, Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+
 def rhp_table_buckets_from_planes(
     df: DataFrame,
     id_out: str,
@@ -287,15 +317,12 @@ def rhp_table_buckets_from_planes(
         for b in batches:
             ids = b[id_out].to_numpy()
             X = np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
-            bits = (X @ P.T) >= 0
+            buckets = _pack_buckets((X @ P.T) >= 0, n_planes)
             out_i, out_t, out_b = [], [], []
             for t in range(n_tables):
-                bk = np.zeros(len(ids), dtype=np.int64)
-                for p in range(n_planes):
-                    bk |= bits[:, t * n_planes + p].astype(np.int64) << p
                 out_i.append(ids)
                 out_t.append(np.full(len(ids), t, dtype=np.int32))
-                out_b.append(bk)
+                out_b.append(buckets[:, t])
             yield pd.DataFrame(
                 {
                     id_out: np.concatenate(out_i),
@@ -717,22 +744,11 @@ def lsh_topk_fused(
     if planes is None:
         raise ValueError("lsh_topk_fused requires literal planes")
     P = np.asarray(planes, dtype="float64")
-    n_tables = len(P) // n_planes
-
-    def pack(bits: "np.ndarray") -> "np.ndarray":
-        out = np.zeros((bits.shape[0], n_tables), dtype="int64")
-        for t in range(n_tables):
-            for pp in range(n_planes):
-                out[:, t] |= bits[:, t * n_planes + pp].astype(
-                    "int64"
-                ) << pp
-        return out
-
-    q_rows = queries.select(id_col, vec_col).collect()
-    q_ids = np.array([r[0] for r in q_rows], dtype="int64")
-    Q = np.stack([np.asarray(r[1], dtype="float64") for r in q_rows])
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    qbuckets = pack((Q @ P.T) >= 0)  # (n_queries, n_tables)
+    # sign bits come from the RAW query vectors (the same GEMM the
+    # corpus side runs), cosines from the normalized ones — one collect
+    # keeps them row-aligned
+    q_ids, Q, Qn = _query_matrix(queries, id_col, vec_col)
+    qbuckets = _pack_buckets((Q @ P.T) >= 0, n_planes)
 
     def gen(batches):
         import pandas as pd
@@ -742,7 +758,7 @@ def lsh_topk_fused(
             C = np.stack(
                 [np.asarray(v, dtype="float64") for v in b[vec_col]]
             )
-            buckets = pack((C @ P.T) >= 0)  # (batch, n_tables)
+            buckets = _pack_buckets((C @ P.T) >= 0, n_planes)
             Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
             S = Cn @ Qn.T  # (batch, n_queries) cosine matrix
             out_q, out_n, out_s = [], [], []
@@ -808,22 +824,8 @@ def lsh_recall_report_fused(
     if planes is None:
         raise ValueError("lsh_recall_report_fused requires literal planes")
     P = np.asarray(planes, dtype="float64")
-    n_tables = len(P) // n_planes
-
-    def pack(bits: "np.ndarray") -> "np.ndarray":
-        out = np.zeros((bits.shape[0], n_tables), dtype="int64")
-        for t in range(n_tables):
-            for pp in range(n_planes):
-                out[:, t] |= bits[:, t * n_planes + pp].astype(
-                    "int64"
-                ) << pp
-        return out
-
-    q_rows = queries.select(id_col, vec_col).collect()
-    q_ids = np.array([r[0] for r in q_rows], dtype="int64")
-    Q = np.stack([np.asarray(r[1], dtype="float64") for r in q_rows])
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    qbuckets = pack((Q @ P.T) >= 0)
+    q_ids, Q, Qn = _query_matrix(queries, id_col, vec_col)
+    qbuckets = _pack_buckets((Q @ P.T) >= 0, n_planes)
 
     def gen(batches):
         import pandas as pd
@@ -833,7 +835,7 @@ def lsh_recall_report_fused(
             C = np.stack(
                 [np.asarray(v, dtype="float64") for v in b[vec_col]]
             )
-            buckets = pack((C @ P.T) >= 0)
+            buckets = _pack_buckets((C @ P.T) >= 0, n_planes)
             Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
             S = Cn @ Qn.T
             fam, out_q, out_n, out_s = [], [], [], []

@@ -194,6 +194,39 @@ def registrable_domain(host: Column | str) -> Column:
     return F.when(h.isNull(), F.lit(None).cast("string")).otherwise(out)
 
 
+def domain_share_rollup(
+    dom_df,
+    blocked: tuple[str, ...],
+    share_alias: str = "corpus_share",
+):
+    """Per-domain volume rollup + blocklist flag + decimal-pinned share
+    of the input — the ONE definition compiled by BOTH the batch
+    ``domain_blocklist_rollup`` query and the streaming
+    ``url_blocklist_monitor_sink`` (per micro-batch), so the two paths
+    cannot drift. ``dom_df`` is a frame with a single ``domain``
+    column; share denominator = the frame's row count (the corpus for
+    the batch query, the arriving batch for the monitor)."""
+    agg = dom_df.groupBy("domain").agg(
+        F.count("*").cast("bigint").alias("n_urls")
+    )
+    tot = agg.agg(F.sum("n_urls").alias("total"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "n_urls",
+        F.col("domain").isin(*blocked).alias("blocked"),
+        F.round(
+            (
+                F.col("n_urls").cast("double")
+                / F.col("total").cast("double")
+            ).cast("decimal(38,15)"),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .cast("double")
+        .alias(share_alias),
+    )
+
+
 # --- DuckDB twins -----------------------------------------------------
 # Each *_sql builder inlines the full split pipeline per occurrence (no
 # shared CTE state) so oracle strings can use them anywhere. Keep the

@@ -2184,6 +2184,7 @@ def _domain_rollup_oracle() -> str:
 def domain_blocklist_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_data_data_pipeline_spark.functions.url import (
         canonical_host,
+        domain_share_rollup,
         registrable_domain,
     )
 
@@ -2191,21 +2192,6 @@ def domain_blocklist_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = docs.select(_raw_url_col().alias("raw_url")).select(
         registrable_domain(canonical_host("raw_url")).alias("domain")
     )
-    agg = c.groupBy("domain").agg(
-        F.count("*").cast("bigint").alias("n_urls")
-    )
-    tot = agg.agg(F.sum("n_urls").alias("total"))
-    return agg.crossJoin(F.broadcast(tot)).select(
-        "domain",
-        "n_urls",
-        F.col("domain").isin(*_BLOCKED_DOMAINS).alias("blocked"),
-        F.round(
-            (F.col("n_urls").cast("double") / F.col("total").cast("double")).cast(
-                "decimal(38,15)"
-            ),
-            6,
-        )
-        .cast("decimal(38,6)")
-        .cast("double")
-        .alias("corpus_share"),
-    )
+    # SHARED rollup fragment (functions/url.py) — the streaming
+    # url_blocklist_monitor_sink compiles the identical expressions
+    return domain_share_rollup(c, _BLOCKED_DOMAINS, "corpus_share")

@@ -1062,55 +1062,170 @@ def ohlc_candle_sink(
     )
 
 
+def _ohlc_fs(spark, path: str):
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    uri = jvm.java.net.URI.create(path if "://" in path else f"file://{path}")
+    return jvm.org.apache.hadoop.fs.FileSystem.get(uri, conf), jvm
+
+
+def _ohlc_base_gens(spark, out_path: str) -> list[tuple[int, str]]:
+    """COMPLETE base generations under ``{out_path}/_base`` (underscore
+    dirs are invisible to the delta parquet reader), ascending. A
+    generation counts only with its _SUCCESS marker — a compaction that
+    died mid-write never becomes visible."""
+    fs, jvm = _ohlc_fs(spark, out_path)
+    base_dir = jvm.org.apache.hadoop.fs.Path(f"{out_path}/_base")
+    if not fs.exists(base_dir):
+        return []
+    gens = []
+    for st in fs.listStatus(base_dir):
+        name = st.getPath().getName()
+        if not name.startswith("g="):
+            continue
+        ok = fs.exists(
+            jvm.org.apache.hadoop.fs.Path(str(st.getPath()) + "/_SUCCESS")
+        )
+        if ok:
+            gens.append((int(name[2:]), str(st.getPath())))
+    return sorted(gens)
+
+
+def _ohlc_state(spark, out_path: str):
+    """(base_partials|None, covered_v, deltas|None): the latest complete
+    base generation, the batch-id watermark it covers, and the raw
+    delta frame (None when no v=* partition exists)."""
+    from pyspark.errors import AnalysisException
+
+    gens = _ohlc_base_gens(spark, out_path)
+    base, covered = None, -1
+    if gens:
+        base = spark.read.parquet(gens[-1][1])
+        covered = int(
+            base.agg(F.max("covered_v").alias("m")).collect()[0]["m"]
+        )
+    try:
+        deltas = spark.read.parquet(out_path)
+    except AnalysisException:
+        deltas = None
+    return base, covered, deltas
+
+
 def read_ohlc_candles(spark: SparkSession, out_path: str) -> DataFrame:
-    """Serving view over :func:`ohlc_candle_sink`'s delta layout: merge
-    per-batch partial candles on (bucket_start, event_type) with the
-    shared associative combiner and surface the final candle columns —
-    the exact schema the batch ``events_ohlc_15min`` query returns."""
+    """Serving view over :func:`ohlc_candle_sink`'s layout: merge the
+    latest COMPLETE compacted base (if any) with every delta NEWER than
+    the base's covered watermark, on (bucket_start, event_type), with
+    the shared associative combiner — then surface the final candle
+    columns (the exact schema the batch ``events_ohlc_15min`` query
+    returns). Deltas at or below the watermark are ignored: they are
+    either compaction leftovers (deletion is the LAST step and may not
+    have happened yet) or an at-least-once replay of an already-
+    compacted batch — both read-safe by construction."""
     from weather_data_data_pipeline_spark.operators.aggregates import (
         ohlc_merge_aggs,
         ohlc_surface,
     )
 
-    deltas = spark.read.parquet(out_path).drop("v")
-    merged = deltas.groupBy("bucket_start", "event_type").agg(
+    base, covered, deltas = _ohlc_state(spark, out_path)
+    parts = []
+    if base is not None:
+        parts.append(base.drop("covered_v"))
+    if deltas is not None:
+        parts.append(deltas.where(F.col("v") > F.lit(covered)).drop("v"))
+    if not parts:
+        raise FileNotFoundError(f"no candle state under {out_path}")
+    acc = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    merged = acc.groupBy("bucket_start", "event_type").agg(
         *ohlc_merge_aggs()
     )
     return ohlc_surface(merged)
 
 
-def compact_ohlc_candles(spark: SparkSession, out_path: str) -> None:
-    """Periodic compaction for :func:`ohlc_candle_sink`'s delta layout:
-    merge every per-batch partial into ONE partial per (bucket_start,
-    event_type) and rewrite the layout as a single delta at the highest
-    seen batch id. The merged rows keep the PARTIAL-state schema (the
-    open/close carrier structs and the exact decimal sum), so later
-    micro-batches keep merging on read exactly as before — the combiner
-    is associative, which is also why compaction can never change what
-    :func:`read_ohlc_candles` returns (pinned in tests). Run it when
-    the delta count makes the serving read's small aggregate wide; at
-    100 TB this is the standard log-structured maintenance cadence."""
+def _ohlc_sweep_deltas(spark, out_path: str, up_to: int) -> None:
+    """Delete delta partitions with v <= up_to — only ever called with
+    an up_to the latest COMPLETE base generation already covers, so the
+    reader cannot need them."""
+    fs, jvm = _ohlc_fs(spark, out_path)
+    root = jvm.org.apache.hadoop.fs.Path(out_path)
+    if not fs.exists(root):
+        return
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("v="):
+            try:
+                if int(name[2:]) <= up_to:
+                    fs.delete(st.getPath(), True)
+            except ValueError:
+                continue
+
+
+def compact_ohlc_candles(
+    spark: SparkSession, out_path: str, up_to: int | None = None
+) -> None:
+    """Periodic compaction for :func:`ohlc_candle_sink`'s delta layout,
+    crash- and replay-safe by GENERATION, not in-place rewrite:
+
+    1. merge the current base (if any) with deltas in
+       ``covered < v <= up_to`` into one partial per candle;
+    2. write it as a NEW base generation ``_base/g=<k+1>`` carrying
+       ``covered_v = up_to`` (visible only once its _SUCCESS lands —
+       a compaction that dies mid-write changes nothing);
+    3. only then delete the absorbed ``v <= up_to`` delta partitions.
+
+    Every failure window is benign: base written but deltas not yet
+    deleted → the reader's ``v > covered`` filter ignores the
+    leftovers, and a re-run is idempotent (it reads ``v > covered``,
+    which excludes them too). An at-least-once replay of an absorbed
+    batch id re-creates a ``v <= covered`` delta that the reader
+    likewise ignores — the state it carried is already in the base. A
+    LIVE sink may keep writing newer deltas concurrently: they sort
+    above ``up_to`` and are neither merged nor deleted. ``up_to``
+    defaults to the max delta id present; pass an explicitly
+    checkpoint-committed batch id when compacting beside a running
+    stream, so a batch can never be absorbed before its checkpoint
+    commits. The merged rows keep the PARTIAL-state schema, so the
+    associative combiner guarantees compaction can never change what
+    :func:`read_ohlc_candles` returns (pinned in tests)."""
+    base, covered, deltas = _ohlc_state(spark, out_path)
+    if deltas is None:
+        return
+    if up_to is None:
+        m = deltas.agg(F.max("v").alias("m")).collect()[0]["m"]
+        if m is None:
+            return
+        up_to = int(m)
+    if up_to <= covered:
+        # nothing new to absorb — but sweep any absorbed-delta leftovers
+        # (deletion-crash residue or replays of compacted batch ids);
+        # the reader already ignores them, this is pure housekeeping
+        _ohlc_sweep_deltas(spark, out_path, covered)
+        return
     from weather_data_data_pipeline_spark.operators.aggregates import (
         ohlc_merge_aggs,
     )
 
-    deltas = spark.read.parquet(out_path)
-    vmax = deltas.agg(F.max("v").alias("m")).collect()[0]["m"]
-    if vmax is None:  # layout exists but holds no rows — nothing to do
-        return
-    merged = (
-        deltas.drop("v")
-        .groupBy("bucket_start", "event_type")
-        .agg(*ohlc_merge_aggs())
-        .withColumn("v", F.lit(int(vmax)))
+    fresh = deltas.where(
+        (F.col("v") > F.lit(covered)) & (F.col("v") <= F.lit(int(up_to)))
+    ).drop("v")
+    acc = fresh if base is None else base.drop("covered_v").unionByName(
+        fresh
     )
-    # full overwrite ON PURPOSE (not dynamic): compaction must DELETE
-    # the absorbed older partitions, not leave them beside the merge.
-    # localCheckpoint first — the plan reads the same files the write
-    # is about to replace.
-    merged.localCheckpoint(eager=True).write.mode("overwrite").partitionBy(
-        "v"
-    ).parquet(out_path)
+    merged = (
+        acc.groupBy("bucket_start", "event_type")
+        .agg(*ohlc_merge_aggs())
+        .withColumn("covered_v", F.lit(int(up_to)))
+    )
+    gens = _ohlc_base_gens(spark, out_path)
+    next_gen = (gens[-1][0] + 1) if gens else 0
+    merged.write.mode("overwrite").parquet(
+        f"{out_path}/_base/g={next_gen}"
+    )
+    # absorbed deltas (and superseded generations) go LAST — the reader
+    # never needs them again once g=<next_gen>'s _SUCCESS exists
+    _ohlc_sweep_deltas(spark, out_path, up_to)
+    fs, jvm = _ohlc_fs(spark, out_path)
+    for g, gpath in gens:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(gpath), True)
 
 
 def url_blocklist_monitor_sink(
@@ -1136,6 +1251,7 @@ def url_blocklist_monitor_sink(
     exactly its own partition instead of appending a duplicate copy."""
     from weather_data_data_pipeline_spark.functions.url import (
         canonical_host,
+        domain_share_rollup,
         registrable_domain,
     )
 
@@ -1145,26 +1261,9 @@ def url_blocklist_monitor_sink(
         dom = batch_df.select(
             registrable_domain(canonical_host(url_col)).alias("domain")
         )
-        agg = dom.groupBy("domain").agg(
-            F.count("*").cast("bigint").alias("n_urls")
-        )
-        tot = agg.agg(F.sum("n_urls").alias("total"))
-        out = agg.crossJoin(F.broadcast(tot)).select(
-            F.lit(int(batch_id)).alias("batch_id"),
-            "domain",
-            "n_urls",
-            F.col("domain").isin(*blocked_domains).alias("blocked"),
-            F.round(
-                (
-                    F.col("n_urls").cast("double")
-                    / F.col("total").cast("double")
-                ).cast("decimal(38,15)"),
-                6,
-            )
-            .cast("decimal(38,6)")
-            .cast("double")
-            .alias("batch_share"),
-        )
+        out = domain_share_rollup(
+            dom, blocked_domains, "batch_share"
+        ).select(F.lit(int(batch_id)).alias("batch_id"), "*")
         out.write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
         ).partitionBy("batch_id").parquet(out_path)
