@@ -1536,3 +1536,59 @@ def test_ohlc_compaction_replay_and_crash_windows_are_benign(spark, tmp_path):
     shutil.copytree(latest, broken)
     os.remove(f"{broken}/_SUCCESS")
     assert key(S.read_ohlc_candles(spark, out)) == grown
+
+
+def test_ohlc_candles_as_of_batch(spark, tmp_path):
+    """Time travel over the candle layout: as_of=N serves exactly the
+    candles the first N+1 batches produced; an as_of below the
+    compaction watermark raises instead of serving a wrong mixture."""
+    import pytest as _pytest
+
+    from weather_data_data_pipeline_spark.operators.aggregates import (
+        ohlc_bucket,
+        ohlc_raw_aggs,
+    )
+
+    ev = (
+        load(spark, SF_DIR, "events")
+        .select("ts", "event_id", "event_type", "value")
+        .orderBy("ts", "event_id")
+    )
+    rows = ev.collect()
+    n = len(rows)
+    out = str(tmp_path / "cand")
+    chunks = (rows[: n // 3], rows[n // 3 : 2 * n // 3], rows[2 * n // 3 :])
+    for v, chunk in enumerate(chunks):
+        spark.createDataFrame(chunk, ev.schema).groupBy(
+            ohlc_bucket().alias("bucket_start"), "event_type"
+        ).agg(*ohlc_raw_aggs()).withColumn("v", F.lit(v)).write.mode(
+            "append"
+        ).partitionBy("v").parquet(out)
+
+    def key(df):
+        return sorted(map(tuple, df.collect()))
+
+    full = key(S.read_ohlc_candles(spark, out))
+    as_of_1 = key(S.read_ohlc_candles(spark, out, as_of=1))
+    # recompute truth for batches 0..1 from the shared batch fragment
+    from weather_data_data_pipeline_spark.operators.aggregates import (
+        ohlc_surface,
+    )
+
+    two = spark.createDataFrame(chunks[0] + chunks[1], ev.schema)
+    want_1 = key(
+        ohlc_surface(
+            two.groupBy(
+                ohlc_bucket().alias("bucket_start"), "event_type"
+            ).agg(*ohlc_raw_aggs())
+        )
+    )
+    assert as_of_1 == want_1 and as_of_1 != full
+    assert key(S.read_ohlc_candles(spark, out, as_of=2)) == full
+
+    # compaction through batch 1 destroys the as_of=0 state: raise
+    S.compact_ohlc_candles(spark, out, up_to=1)
+    assert key(S.read_ohlc_candles(spark, out, as_of=1)) == want_1
+    assert key(S.read_ohlc_candles(spark, out)) == full
+    with _pytest.raises(ValueError, match="compacted away"):
+        S.read_ohlc_candles(spark, out, as_of=0)

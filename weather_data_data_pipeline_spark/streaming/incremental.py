@@ -1111,7 +1111,9 @@ def _ohlc_state(spark, out_path: str):
     return base, covered, deltas
 
 
-def read_ohlc_candles(spark: SparkSession, out_path: str) -> DataFrame:
+def read_ohlc_candles(
+    spark: SparkSession, out_path: str, as_of: int | None = None
+) -> DataFrame:
     """Serving view over :func:`ohlc_candle_sink`'s layout: merge the
     latest COMPLETE compacted base (if any) with every delta NEWER than
     the base's covered watermark, on (bucket_start, event_type), with
@@ -1120,18 +1122,34 @@ def read_ohlc_candles(spark: SparkSession, out_path: str) -> DataFrame:
     returns). Deltas at or below the watermark are ignored: they are
     either compaction leftovers (deletion is the LAST step and may not
     have happened yet) or an at-least-once replay of an already-
-    compacted batch — both read-safe by construction."""
+    compacted batch — both read-safe by construction.
+
+    ``as_of`` = time travel over the candle layout itself: the candles
+    as of batch id ``as_of`` (deltas above it ignored). Like every
+    log-structured store, history is bounded by compaction — an
+    ``as_of`` BELOW the base's covered watermark no longer exists as a
+    distinct state and raises (the Delta/Iceberg retention semantic),
+    rather than silently serving a wrong mixture."""
     from weather_data_data_pipeline_spark.operators.aggregates import (
         ohlc_merge_aggs,
         ohlc_surface,
     )
 
     base, covered, deltas = _ohlc_state(spark, out_path)
+    if as_of is not None and as_of < covered:
+        raise ValueError(
+            f"candle state as of batch {as_of} was compacted away "
+            f"(base covers through {covered}); compact less often or "
+            "snapshot the layout before compaction to keep history"
+        )
     parts = []
     if base is not None:
         parts.append(base.drop("covered_v"))
     if deltas is not None:
-        parts.append(deltas.where(F.col("v") > F.lit(covered)).drop("v"))
+        d = deltas.where(F.col("v") > F.lit(covered))
+        if as_of is not None:
+            d = d.where(F.col("v") <= F.lit(int(as_of)))
+        parts.append(d.drop("v"))
     if not parts:
         raise FileNotFoundError(f"no candle state under {out_path}")
     acc = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
