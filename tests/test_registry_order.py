@@ -21,29 +21,14 @@ WINDOW = 50
 # Mirror of registry._ROUND_HEAD — a deliberate copy so that editing the
 # head without thinking about the verification window fails a test.
 ROUND_HEAD = (
-    # r10 plan-changed (ADVICE r9 #1/#3): tiered sum surfaces + NULL-
-    # keyed dup arithmetic
-    "sampling_ess_by_source",
-    "quantization_error_report",
-    "weekly_event_dup_rate",
-    # r10 §2 staleness pins (VERDICT r9 ask #2)
-    "avg_value_in_range",
-    "recency_filter_last_hour",
-    "anti_join_dedup",
-    "jdbc_roundtrip",
-    # r10 NEW (VERDICT r9 asks #4/#7)
-    "url_domain_dedup_report",
-    "domain_blocklist_rollup",
-    "snapshot_read_as_of",
-    "snapshot_version_diff",
-    # r10 REPLANNED (shared-fragment refactor, values identical): the
-    # batch OHLC query now compiles operators/aggregates.py's shared
-    # candle fragment, twinned by streaming ohlc_candle_sink
-    "events_ohlc_15min",
-    # r10 REPLANNED (VERDICT r9 ask #3): single-pass fused GEMM plans
-    # (same oracles; 4.7x/4.8x -> 1.8x/2.4x vs DuckDB, BASELINE.md r10)
-    "ann_lsh_topk",
-    "embedding_ann_recall_report",
+    # r11 REPLANNED (VERDICT r10 ask #3): both SemDeDup queries now run
+    # semantic_dedup_fused (same oracles, row-equality pinned)
+    "semantic_dedup_keep",
+    "semantic_dedup_keep_capped",
+    # r11 explicit staleness pins (VERDICT r10 ask #1)
+    "ann_ivf_topk_seeded",
+    "ann_ivf_pq_topk_seeded",
+    "image_dhash_near_dup",
 )
 
 

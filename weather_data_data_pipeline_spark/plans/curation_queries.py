@@ -421,8 +421,11 @@ def _kcenter_oracle(k: int) -> str:
     "driver. Squared distances are index-order double folds rounded to "
     "6 dp decimal before ANY comparison, and argmax ties break to the "
     "lowest id, so the oracle (an unrolled CTE chain) replays the "
-    "selection exactly.",
-    tags=("llm", "similarity", "selection", "bench"),
+    "selection exactly. The k sequential driver rounds make this the "
+    "bit-replayable CORRECTNESS form; the benched 100 TB path is "
+    "kcenter_select_composable (one distributed pass, VERDICT r10 "
+    "ask #2).",
+    tags=("llm", "similarity", "selection"),
 )
 def kcenter_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_data_data_pipeline_spark.functions.clustering import (
@@ -431,6 +434,50 @@ def kcenter_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     picks = kcenter_select(emb, k=_KCENTER_K)
+    rows = [
+        (r, i, None if d is None else float(d)) for r, i, d in picks
+    ]
+    return spark.createDataFrame(
+        rows, schema="rank int, vec_id bigint, dist double"
+    )
+
+
+@register(
+    "kcenter_select_composable",
+    oracle=None,  # the per-partition Gonzalez prefixes depend on the
+    # physical partitioning, so the merged pick is not replayable from
+    # the table alone — the exact k-round twin (kcenter_coreset_select,
+    # same kernel, same rounding contract) carries the oracle; the
+    # composable-specific guarantees (single-partition equality to the
+    # exact greedy, bounded radius vs exact across partitions,
+    # determinism under repartition) are pinned in
+    # tests/test_clustering.py.
+    verified_by="kcenter_coreset_select",
+    doc=f"Greedy k-center selection (k={_KCENTER_K}) on the COMPOSABLE-"
+    "CORESET plan (functions/clustering.py:kcenter_select_composable; "
+    "Indyk et al., NIPS 2014) — the 100 TB form of "
+    "kcenter_coreset_select and its replacement on the bench "
+    "(VERDICT r10 ask #2): ONE narrow mapInPandas pass emits each "
+    "partition's 2k-point local Gonzalez prefix, the driver runs the "
+    "exact greedy over the candidate union (partitions × 2k rows, not "
+    "the corpus). One distributed job instead of k sequential "
+    "aggregate rounds — measured 0.21 s vs 1.41 s at sf0.1 with the "
+    "identical coverage radius (BASELINE.md r10 'r11-ready'). "
+    "Composing per-partition constant-factor coresets keeps a "
+    "constant-factor coverage-radius guarantee, so the pick set is a "
+    "valid diversity sample at any partition count; rows-only because "
+    "the pick depends on the physical partitioning.",
+    tags=("llm", "similarity", "selection", "bench", "rows-only"),
+)
+def kcenter_select_composable_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.clustering import (
+        kcenter_select_composable,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    picks = kcenter_select_composable(emb, k=_KCENTER_K)
     rows = [
         (r, i, None if d is None else float(d)) for r, i, d in picks
     ]

@@ -76,39 +76,25 @@ _loaded = False
 # PLAN/ORACLE changed this round and must (re-)earn a green row. Keep
 # tests/test_registry_order.py's ROUND_HEAD copy in sync.
 _ROUND_HEAD: tuple[str, ...] = (
-    # r10 is deliberately SMALL (VERDICT r9 ask #1): r9's 21 head rows
-    # rotate out so the LRU tail pulls the full 36-query r5-stale
-    # cohort through the ~50-slot gate window.
+    # r11 is deliberately SMALL again (VERDICT r10 ask #1): the LRU
+    # tail must pull the whole 33-query r6 oracle cohort (its 4-round
+    # staleness budget expires this round) through the ~50-slot gate
+    # window, so the head holds only the two replanned queries and the
+    # verdict's three explicit pins.
     #
-    # r10 plan-changed (ADVICE r9 #1/#3 — re-earn):
-    # tiered decimal→double sum surfaces (sum_w/sum_w2 in ess_rollup,
-    # sum_max_err) extend the engine-exactness bound from ~9e6 to ~9e13
-    "sampling_ess_by_source",
-    "quantization_error_report",
-    # NULL-keyed tuples leave BOTH sides of the duplicate arithmetic
-    # (n_keyed denominator) instead of silently counting as dupes
-    "weekly_event_dup_rate",
-    # r10 §2 staleness pins (VERDICT r9 ask #2): the reference's
-    # P7/P8, P9–P11, J1, S4/S5 heart — last gate-green r7; §2 rows
-    # never exceed 3 rounds unverified
-    "avg_value_in_range",
-    "recency_filter_last_hour",
-    "anti_join_dedup",
-    "jdbc_roundtrip",
-    # r10 NEW (VERDICT r9 asks #4/#7): URL/domain curation family and
-    # snapshot/time-travel reads
-    "url_domain_dedup_report",
-    "domain_blocklist_rollup",
-    "snapshot_read_as_of",
-    "snapshot_version_diff",
-    # r10 REPLANNED (shared-fragment refactor, values identical): the
-    # batch OHLC query now compiles operators/aggregates.py's shared
-    # candle fragment, twinned by streaming ohlc_candle_sink
-    "events_ohlc_15min",
-    # r10 REPLANNED (VERDICT r9 ask #3): single-pass fused GEMM plans
-    # (same oracles; 4.7x/4.8x -> 1.8x/2.4x vs DuckDB, BASELINE.md r10)
-    "ann_lsh_topk",
-    "embedding_ann_recall_report",
+    # r11 REPLANNED (VERDICT r10 ask #3): both SemDeDup queries now run
+    # functions/similarity.py:semantic_dedup_fused — cell-local
+    # union-find inside the per-cell applyInPandas task (same oracles,
+    # row-equality to the unfused form pinned on both branches;
+    # 0.72s vs 1.42s measured, BASELINE.md r10 "r11-ready")
+    "semantic_dedup_keep",
+    "semantic_dedup_keep_capped",
+    # r11 explicit staleness pins (VERDICT r10 ask #1): named by the
+    # judge out of the r6 cohort — the seeded IVF/IVF-PQ replays and
+    # the multimodal dHash near-dup
+    "ann_ivf_topk_seeded",
+    "ann_ivf_pq_topk_seeded",
+    "image_dhash_near_dup",
 )
 
 
