@@ -1327,7 +1327,9 @@ def test_ohlc_compaction_preserves_candles_and_future_merges(spark, tmp_path):
         )
 
     before = key(S.read_ohlc_candles(spark, out))
-    S.compact_ohlc_candles(spark, out)
+    # the absorption bound is explicit since ADVICE r10 #2 — the caller
+    # must name a checkpoint-committed batch id
+    S.compact_ohlc_candles(spark, out, up_to=2)
     after = key(S.read_ohlc_candles(spark, out))
     assert after == before
     # absorbed v=* delta partitions are gone; the state lives in a
@@ -1507,7 +1509,7 @@ def test_ohlc_compaction_replay_and_crash_windows_are_benign(spark, tmp_path):
         return sorted(map(tuple, df.collect()))
 
     want = key(S.read_ohlc_candles(spark, out))
-    S.compact_ohlc_candles(spark, out)
+    S.compact_ohlc_candles(spark, out, up_to=2)
     assert key(S.read_ohlc_candles(spark, out)) == want
 
     # (a) replay of absorbed batch 1: the sink would dynamic-overwrite
@@ -1516,7 +1518,7 @@ def test_ohlc_compaction_replay_and_crash_windows_are_benign(spark, tmp_path):
     assert key(S.read_ohlc_candles(spark, out)) == want
     # (b) same leftover also models the deletion-crash window; a re-run
     # must be a no-op for the serving read (and clean the leftover up)
-    S.compact_ohlc_candles(spark, out)
+    S.compact_ohlc_candles(spark, out, up_to=2)
     assert key(S.read_ohlc_candles(spark, out)) == want
     assert not [d for d in os.listdir(out) if d.startswith("v=")]
 
@@ -1592,3 +1594,90 @@ def test_ohlc_candles_as_of_batch(spark, tmp_path):
     assert key(S.read_ohlc_candles(spark, out)) == full
     with _pytest.raises(ValueError, match="compacted away"):
         S.read_ohlc_candles(spark, out, as_of=0)
+
+
+def test_ohlc_compaction_bound_and_generation_retention(spark, tmp_path):
+    """ADVICE r10 #1/#2: (a) compaction REFUSES to run without an
+    absorption bound; (b) the bound derives from a checkpoint's commit
+    log, so a delta whose files landed but whose checkpoint commit
+    hasn't is NOT absorbed; (c) superseded base generations are swept
+    lazily — each compaction keeps the newest one as a concurrent-
+    reader grace window and deletes it only a full cycle later."""
+    import os
+
+    import pytest as _pytest
+
+    from weather_data_data_pipeline_spark.operators.aggregates import (
+        ohlc_bucket,
+        ohlc_raw_aggs,
+    )
+
+    ev = (
+        load(spark, SF_DIR, "events")
+        .select("ts", "event_id", "event_type", "value")
+        .orderBy("ts", "event_id")
+        .limit(300)
+    )
+    rows = ev.collect()
+    out = str(tmp_path / "cand")
+    ck = str(tmp_path / "ck")
+
+    def write_delta(v, chunk):
+        spark.createDataFrame(chunk, ev.schema).groupBy(
+            ohlc_bucket().alias("bucket_start"), "event_type"
+        ).agg(*ohlc_raw_aggs()).withColumn("v", F.lit(v)).write.mode(
+            "append"
+        ).partitionBy("v").parquet(out)
+
+    def commit(batch_id):
+        os.makedirs(f"{ck}/commits", exist_ok=True)
+        with open(f"{ck}/commits/{batch_id}", "w") as f:
+            f.write("v1\n{}")
+
+    def key(df):
+        return sorted(map(tuple, df.collect()))
+
+    # (a) no bound, no checkpoint → refuse, layout untouched
+    write_delta(0, rows[:100])
+    with _pytest.raises(ValueError, match="absorption bound"):
+        S.compact_ohlc_candles(spark, out)
+    assert [d for d in os.listdir(out) if d.startswith("v=")] == ["v=0"]
+
+    # (b) v=1 committed, v=2 on disk but NOT in the commit log (the
+    # files-landed-before-checkpoint window): only v<=1 is absorbed
+    write_delta(1, rows[100:200])
+    write_delta(2, rows[200:])
+    commit(0)
+    commit(1)
+    full = key(S.read_ohlc_candles(spark, out))
+    S.compact_ohlc_candles(spark, out, checkpoint=ck)
+    assert [d for d in os.listdir(out) if d.startswith("v=")] == ["v=2"]
+    assert key(S.read_ohlc_candles(spark, out)) == full
+    # the uncommitted batch can still be replayed with different
+    # content and the reader picks the replay up (v=2 > covered)
+    assert os.path.exists(f"{out}/_base/g=0/_SUCCESS")
+
+    # (c) lazy retention: the next compaction supersedes g=0 but KEEPS
+    # it (keep_gens=1 grace window); a no-op re-run keeps it too —
+    # only a LATER compaction that pushes it out of the newest-1
+    # superseded window sweeps it
+    commit(2)
+    S.compact_ohlc_candles(spark, out, checkpoint=ck)
+    gens = sorted(
+        d for d in os.listdir(f"{out}/_base") if d.startswith("g=")
+    )
+    assert gens == ["g=0", "g=1"]
+    assert key(S.read_ohlc_candles(spark, out)) == full
+    S.compact_ohlc_candles(spark, out, up_to=2)  # no-op: within window
+    assert sorted(
+        d for d in os.listdir(f"{out}/_base") if d.startswith("g=")
+    ) == ["g=0", "g=1"]
+    write_delta(3, rows[:50])
+    commit(3)
+    S.compact_ohlc_candles(spark, out, checkpoint=ck)
+    gens = sorted(
+        d for d in os.listdir(f"{out}/_base") if d.startswith("g=")
+    )
+    assert gens == ["g=1", "g=2"]
+    grown = key(S.read_ohlc_candles(spark, out))
+    assert grown != full  # batch 3's events merged in

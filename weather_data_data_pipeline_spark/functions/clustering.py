@@ -247,11 +247,15 @@ def _greedy_kcenter_np(ids, V, k: int, dist_scale: int = 6):
     """Driver/worker-local exact Gonzalez greedy over a numpy pool:
     seed = lowest id, then argmax of rounded min squared distance,
     ties to the lowest id — the same determinism contract as
-    :func:`kcenter_select`: distances are index-order double sums
-    (numpy's pairwise summation only departs from sequential order
-    above its 128-element block size, so for dim <= 128 the fold
-    matches :func:`_sq_dist` bit-for-bit) rounded HALF_UP like
-    ``F.round`` (see :func:`_round_half_up`). Returns
+    :func:`kcenter_select` AFTER the HALF_UP rounding at
+    ``dist_scale`` (see :func:`_round_half_up`): numpy's reduction
+    uses 8-way unrolled partial sums even below its 128-element
+    pairwise block (ADVICE r10 #3), so for dim > 8 the raw double may
+    differ from :func:`_sq_dist`'s strict index-order fold in the
+    last bits — the agreement :func:`kcenter_select` relies on is the
+    ROUNDED 6-dp value, where a last-bit discrepancy would need a sum
+    sitting within ~1e-10 of a rounding boundary to surface (pinned
+    against the Spark traversal in tests/test_clustering.py). Returns
     [(rank, id, dist|None)] plus the selected vectors."""
     import numpy as np
 

@@ -626,6 +626,23 @@ def ivf_topk(
     )
 
 
+def _query_broadcast_hint(queries: DataFrame, threshold: int):
+    """Broadcast-or-shuffle gate for the query-side frames of the LSH
+    plans (ADVICE r10 #4): the broadcast hints below are only safe
+    while the query batch is small, and query cardinality is
+    data-dependent — a hard-coded hint silently turns a working
+    shuffle plan into a driver/executor OOM when someone feeds a
+    corpus-sized query frame. Probe with a bounded count
+    (``limit(threshold+1)`` short-circuits the scan) and return
+    ``F.broadcast`` only under the bound; above it (or at
+    ``threshold=0``, the explicit opt-out) return identity so every
+    join falls back to the optimizer's shuffle strategy."""
+    if threshold <= 0:
+        return lambda df: df
+    n_q = queries.limit(threshold + 1).count()
+    return F.broadcast if n_q <= threshold else (lambda df: df)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -636,6 +653,7 @@ def lsh_topk(
     n_tables: int = 16,
     dim: int = 64,
     planes: list[list[float]] | None = None,
+    broadcast_threshold: int = 65536,
 ) -> DataFrame:
     """ANN top-k via OR-amplified random-hyperplane LSH: ``n_tables``
     independent tables of ``n_planes`` planes each; a corpus vector is a
@@ -656,7 +674,17 @@ def lsh_topk(
     shape: the bucket join shuffles only (id, table, bucket) rows;
     embeddings are joined back by id for the exact re-rank, so the L×
     inflation never carries the vector payload.
+
+    ``broadcast_threshold`` gates the query-side broadcast hints
+    (ADVICE r10 #4): at or under the bound (bounded-probe counted) the
+    query buckets, candidate pairs and query vectors broadcast so the
+    corpus never shuffles; above it the plan falls back to shuffle
+    joins. The bound caps the query-side frames directly; candidate
+    inflation is still queries × L × bucket occupancy, so size the
+    threshold with expected occupancy in mind (or pass 0 to force the
+    shuffle plan outright on skew-prone corpora).
     """
+    hint = _query_broadcast_hint(queries, broadcast_threshold)
     if planes is not None:
         cb = rhp_table_buckets_from_planes(
             corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
@@ -676,10 +704,11 @@ def lsh_topk(
             "query_id", vec_col, n_planes, n_tables, dim,
         )
     # query-side buckets and surviving candidates are |queries|-bounded:
-    # broadcast both, so neither the corpus bucket table nor the corpus
-    # vectors ever shuffle (r10 — see lsh_topk_self for the reasoning)
+    # under the gate, broadcast both so neither the corpus bucket table
+    # nor the corpus vectors ever shuffle (r10 — see lsh_topk_self for
+    # the reasoning); above it, shuffle joins (ADVICE r10 #4)
     cand = (
-        cb.join(F.broadcast(qb), ["table", "bucket"])
+        cb.join(hint(qb), ["table", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
         .dropDuplicates()
@@ -690,7 +719,7 @@ def lsh_topk(
     q_vec = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    scored = F.broadcast(cand).join(c_vec, "neighbor_id").join(F.broadcast(q_vec), "query_id").select(
+    scored = hint(cand).join(c_vec, "neighbor_id").join(hint(q_vec), "query_id").select(
         "query_id",
         "neighbor_id",
         (_dot(F.col("q_vec"), F.col("c_vec"))
@@ -911,6 +940,7 @@ def lsh_topk_self(
     planes: list[list[float]] | None = None,
     n_tables: int = 16,
     dim: int = 64,
+    broadcast_threshold: int = 65536,
 ) -> DataFrame:
     """:func:`lsh_topk` specialized for the common "neighbors of these
     corpus rows" shape: ``query_pred`` (a boolean Column) selects the
@@ -948,20 +978,23 @@ def lsh_topk_self(
     # bucket membership in one aggregation buffer — unbounded on a
     # hot bucket at corpus scale — and was rejected.)
     qids = corpus.where(query_pred).select(F.col(id_col).alias("_qid"))
+    hint = _query_broadcast_hint(qids, broadcast_threshold)
     cb = tb.select(F.col("_id").alias("neighbor_id"), "table", "bucket")
     qb = (
-        tb.join(F.broadcast(qids), tb["_id"] == qids["_qid"], "left_semi")
+        tb.join(hint(qids), tb["_id"] == qids["_qid"], "left_semi")
         .select(F.col("_id").alias("query_id"), "table", "bucket")
     )
     # r10 (VERDICT r9 ask #3): the query-side bucket table is |queries|
-    # × L rows — BROADCAST it, so the corpus bucket side never shuffles
-    # on (table, bucket) at all (the 16N-row exchange was the measured
+    # × L rows — BROADCAST it (under the ADVICE-r10-#4 gate: the
+    # query_pred selectivity is data-dependent, so the hint is probed,
+    # not assumed), so the corpus bucket side never shuffles on
+    # (table, bucket) at all (the 16N-row exchange was the measured
     # cost center). mapInPandas output has no stats, so the optimizer
     # can't discover this on its own. Correct at 100 TB for the
     # query-batch shape this function serves (the all-corpus kNN-graph
     # shape belongs to lsh_near_dup_pairs' shuffle plan instead).
     cand = (
-        cb.join(F.broadcast(qb), ["table", "bucket"])
+        cb.join(hint(qb), ["table", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
         .dropDuplicates()
@@ -974,9 +1007,10 @@ def lsh_topk_self(
     )
     # same reasoning for the re-rank: candidates are bounded by queries
     # × L × bucket occupancy — broadcast THEM instead of shuffling the
-    # whole corpus by neighbor_id for a hash join
-    scored = F.broadcast(cand).join(c_vec, "neighbor_id").join(
-        F.broadcast(q_vec), "query_id"
+    # whole corpus by neighbor_id for a hash join (same gate: above
+    # the bound the occupancy product is exactly what OOMs)
+    scored = hint(cand).join(c_vec, "neighbor_id").join(
+        hint(q_vec), "query_id"
     ).select(
         "query_id",
         "neighbor_id",

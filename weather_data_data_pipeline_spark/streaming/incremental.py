@@ -1177,8 +1177,49 @@ def _ohlc_sweep_deltas(spark, out_path: str, up_to: int) -> None:
                 continue
 
 
+def _checkpoint_committed_max(spark, checkpoint: str) -> int | None:
+    """Highest batch id with a COMMIT marker under ``<checkpoint>/
+    commits`` — the only batch ids a foreachBatch sink is guaranteed
+    never to replay with different content. Files are named by batch id
+    (Structured Streaming's CommitLog); ``.tmp``/non-numeric entries
+    are in-flight or metadata and don't count."""
+    fs, jvm = _ohlc_fs(spark, checkpoint)
+    cdir = jvm.org.apache.hadoop.fs.Path(f"{checkpoint}/commits")
+    if not fs.exists(cdir):
+        return None
+    best: int | None = None
+    for st in fs.listStatus(cdir):
+        name = st.getPath().getName()
+        try:
+            b = int(name)
+        except ValueError:
+            continue
+        best = b if best is None else max(best, b)
+    return best
+
+
+def _ohlc_sweep_gens(
+    spark, out_path: str, superseded: list[tuple[int, str]], keep_gens: int
+) -> None:
+    """Delete superseded base generations EXCEPT the newest
+    ``keep_gens`` of them (ADVICE r10 #1): a reader that listed
+    generations just before a compaction may still be mid-read on the
+    previous latest generation, so superseded generations get a lazy
+    retention window — each compaction keeps the last ``keep_gens``
+    and sweeps the rest, so an old generation survives exactly
+    ``keep_gens`` further compaction cycles before deletion."""
+    fs, jvm = _ohlc_fs(spark, out_path)
+    doomed = superseded[:-keep_gens] if keep_gens > 0 else superseded
+    for _g, gpath in doomed:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(gpath), True)
+
+
 def compact_ohlc_candles(
-    spark: SparkSession, out_path: str, up_to: int | None = None
+    spark: SparkSession,
+    out_path: str,
+    up_to: int | None = None,
+    checkpoint: str | None = None,
+    keep_gens: int = 1,
 ) -> None:
     """Periodic compaction for :func:`ohlc_candle_sink`'s delta layout,
     crash- and replay-safe by GENERATION, not in-place rewrite:
@@ -1188,7 +1229,9 @@ def compact_ohlc_candles(
     2. write it as a NEW base generation ``_base/g=<k+1>`` carrying
        ``covered_v = up_to`` (visible only once its _SUCCESS lands —
        a compaction that dies mid-write changes nothing);
-    3. only then delete the absorbed ``v <= up_to`` delta partitions.
+    3. only then delete the absorbed ``v <= up_to`` delta partitions
+       and superseded base generations beyond the ``keep_gens``
+       retention window.
 
     Every failure window is benign: base written but deltas not yet
     deleted → the reader's ``v > covered`` filter ignores the
@@ -1197,26 +1240,51 @@ def compact_ohlc_candles(
     batch id re-creates a ``v <= covered`` delta that the reader
     likewise ignores — the state it carried is already in the base. A
     LIVE sink may keep writing newer deltas concurrently: they sort
-    above ``up_to`` and are neither merged nor deleted. ``up_to``
-    defaults to the max delta id present; pass an explicitly
-    checkpoint-committed batch id when compacting beside a running
-    stream, so a batch can never be absorbed before its checkpoint
-    commits. The merged rows keep the PARTIAL-state schema, so the
-    associative combiner guarantees compaction can never change what
-    :func:`read_ohlc_candles` returns (pinned in tests)."""
+    above ``up_to`` and are neither merged nor deleted.
+
+    The absorption bound is REQUIRED (ADVICE r10 #2): pass either an
+    explicitly checkpoint-committed ``up_to`` batch id, or the sink's
+    ``checkpoint`` directory to derive it (the highest batch id in the
+    checkpoint's commit log). Deriving the bound from the deltas on
+    disk was the old default and is unsafe beside a live stream — a
+    batch whose files landed but whose checkpoint commit hasn't would
+    be absorbed, and its replay would then be invisible behind the
+    ``v > covered`` filter forever.
+
+    ``keep_gens`` is the concurrent-reader grace window (ADVICE r10
+    #1): superseded base generations are swept LAZILY, each compaction
+    keeping the newest ``keep_gens`` of them, so a reader that listed
+    generations just before this compaction can finish reading the
+    previous generation. ``keep_gens=0`` restores eager deletion for
+    single-process layouts. The merged rows keep the PARTIAL-state
+    schema, so the associative combiner guarantees compaction can
+    never change what :func:`read_ohlc_candles` returns (pinned in
+    tests)."""
+    if up_to is None:
+        if checkpoint is None:
+            raise ValueError(
+                "compact_ohlc_candles needs an absorption bound: pass "
+                "up_to=<checkpoint-committed batch id> or checkpoint="
+                "<the sink's checkpoint dir> to derive it; absorbing "
+                "whatever is on disk can swallow a batch whose "
+                "checkpoint commit hasn't landed yet"
+            )
+        committed = _checkpoint_committed_max(spark, checkpoint)
+        if committed is None:
+            return
+        up_to = committed
     base, covered, deltas = _ohlc_state(spark, out_path)
     if deltas is None:
         return
-    if up_to is None:
-        m = deltas.agg(F.max("v").alias("m")).collect()[0]["m"]
-        if m is None:
-            return
-        up_to = int(m)
     if up_to <= covered:
         # nothing new to absorb — but sweep any absorbed-delta leftovers
-        # (deletion-crash residue or replays of compacted batch ids);
-        # the reader already ignores them, this is pure housekeeping
+        # (deletion-crash residue or replays of compacted batch ids) and
+        # superseded generations that have aged out of the retention
+        # window; the reader already ignores both, pure housekeeping
         _ohlc_sweep_deltas(spark, out_path, covered)
+        _ohlc_sweep_gens(
+            spark, out_path, _ohlc_base_gens(spark, out_path)[:-1], keep_gens
+        )
         return
     from weather_data_data_pipeline_spark.operators.aggregates import (
         ohlc_merge_aggs,
@@ -1238,12 +1306,12 @@ def compact_ohlc_candles(
     merged.write.mode("overwrite").parquet(
         f"{out_path}/_base/g={next_gen}"
     )
-    # absorbed deltas (and superseded generations) go LAST — the reader
-    # never needs them again once g=<next_gen>'s _SUCCESS exists
+    # absorbed deltas (and aged-out superseded generations) go LAST —
+    # the reader never needs them once g=<next_gen>'s _SUCCESS exists;
+    # the newest keep_gens superseded generations stay for readers
+    # already holding a pre-compaction listing
     _ohlc_sweep_deltas(spark, out_path, up_to)
-    fs, jvm = _ohlc_fs(spark, out_path)
-    for g, gpath in gens:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(gpath), True)
+    _ohlc_sweep_gens(spark, out_path, gens, keep_gens)
 
 
 def url_blocklist_monitor_sink(
