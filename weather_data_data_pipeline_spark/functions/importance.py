@@ -293,7 +293,7 @@ def dsir_model_ratios(
 
 def dsir_score_frozen(
     df: DataFrame,
-    ratios: DataFrame,
+    ratios,
     id_col: str,
     text_col: str,
     num_buckets: int = 256,
@@ -310,32 +310,85 @@ def dsir_score_frozen(
     per micro-batch), not approximate. One gram pass over ``df``; the
     model broadcasts.
 
-    ``carry`` columns (constant per document) ride through the gram
-    explode and both aggregates so callers never join the scores back
-    to the corpus. ``assume_nonempty=True`` additionally skips the
-    zero-gram join-back entirely — ONLY valid when the caller
-    guarantees every document tokenizes to ≥1 gram (e.g. a frame
-    already filtered to non-empty text); a zero-gram doc would silently
-    vanish instead of scoring log_w=0."""
+    ``carry`` columns (constant per document) ride through so callers
+    never join the scores back to the corpus. ``assume_nonempty`` is
+    kept for API stability but no longer changes the plan: the in-row
+    form scores a zero-gram document (log_w 0, n_grams 0) instead of
+    dropping it, which is the semantics the join-back existed to
+    restore.
+
+    Plan shape (r11): the model is FROZEN and bucket-indexed, so it
+    rides as a LITERAL array (the seeded-codebook device — ``ratios``
+    is collected once, ≤ num_buckets model rows) and the per-gram
+    ratio lookup is a codegen'd ``element_at(literal_array,
+    bucket+1)`` INSIDE the gram explode — no broadcast join, and the
+    old groupBy(doc,bucket) → join → groupBy(doc) pair collapses to
+    ONE partially-aggregated groupBy(doc): shuffle O(documents), not
+    O(grams × bucket fanout), and two exchanges become one. (A fully
+    in-row HOF fold was measured no faster: higher-order functions
+    evaluate interpreted, while the explode + hash-aggregate path
+    stays in whole-stage codegen.)
+
+    Exactness without decimal aggregation buffers: a DECIMAL(28,6)
+    ratio is exactly its UNSCALED long (r × 10⁶), so the literal
+    array carries micro-longs and the hot aggregate is a plain LONG
+    sum — whole-stage-codegen primitive arithmetic instead of per-row
+    Decimal objects (measured: the decimal-buffered sum dominated the
+    scorer's wall; the md5 gram hash itself is ~40 ms at sf0.1). The
+    long total converts back by one exact decimal multiply (total ×
+    0.000001 — both factors exact, product scale 6), so log_w is
+    bit-identical to the old decimal ``sum(n·r)``, to the oracle's
+    SQL SUM in any order, and across any batch split — the
+    invariance contract the streaming twin pins. Overflow headroom:
+    |log ratio| ≤ ~30 → |micros| ≤ 3×10⁷; a long saturates past
+    3×10¹¹ grams PER DOCUMENT, far beyond any real document.
+    Zero-gram documents are restored by the same left join-back as
+    before unless ``assume_nonempty`` skips it.
+
+    ``ratios`` is either a (bucket, r DECIMAL(28,6)) DataFrame or a
+    plain iterable of (bucket, Decimal) pairs. Prefer the literal
+    pairs for a frozen model: the DataFrame form pays a collect JOB
+    per call (measured ~0.3 s of the frozen scorer's sub-second wall
+    when the model was a parallelized 64-row frame), which is pure
+    overhead for model state that already lives driver-side."""
+    if isinstance(ratios, DataFrame):
+        r_pairs = [
+            (row["bucket"], row["r"])
+            for row in ratios.select("bucket", "r").collect()
+        ]
+    else:
+        r_pairs = list(ratios)
+    micros = {
+        int(b): int(r.scaleb(6).to_integral_value())
+        for b, r in r_pairs
+        if r is not None
+    }
+    r_arr = F.array(
+        *[
+            F.lit(micros.get(b, 0)).cast("long")
+            for b in range(num_buckets)
+        ]
+    )
     grams = hashed_gram_buckets(
         df, id_col, text_col, num_buckets, include_bigrams, carry=carry
     )
     per_doc = (
-        grams.groupBy(id_col, *carry, "bucket")
-        .agg(F.count("*").alias("n"))
-        # LEFT join + ratio-0 fill: a fresh corpus can hash grams into
-        # buckets absent from the fit-time model; score-time treats the
-        # absent bucket as ratio 0 (dsir_model_ratios contract) but its
-        # grams must still count toward n_grams — an inner join would
-        # silently shrink the denominator (ADVICE r5 #2)
-        .join(F.broadcast(ratios), "bucket", "left")
-        .withColumn(
-            "r", F.coalesce(F.col("r"), F.lit(0).cast(_RATIO_DECIMAL))
+        grams.select(
+            id_col,
+            *carry,
+            F.element_at(
+                r_arr, F.col("bucket").cast("int") + F.lit(1)
+            ).alias("r_micros"),
         )
         .groupBy(id_col, *carry)
         .agg(
-            F.sum("n").cast("bigint").alias("n_grams"),
-            F.sum(F.col("n") * F.col("r")).cast("double").alias("log_w"),
+            F.count("*").cast("bigint").alias("n_grams"),
+            (
+                F.sum("r_micros").cast("decimal(38,0)")
+                * F.lit("0.000001").cast("decimal(7,6)")
+            )
+            .cast("double")
+            .alias("log_w"),
         )
     )
     if assume_nonempty:

@@ -53,35 +53,73 @@ def bm25_scores(
     (score 0).
 
     Returns (id, score) with ``score`` unrounded — callers round/alias.
+
+    Plan shape (r11 — the explode→groupBy(doc,term)→groupBy(term)→
+    3-way-join chain cost 4-5 exchanges and dominated the hybrid
+    family's wall): for a bag-of-terms query the per-term tf is a
+    codegen'd ``size(filter(tokens, x -> x = term))`` COLUMN, so the
+    whole per-document side is ONE narrow projection with no explode
+    and no shuffle; (n_docs, avgdl, df_t…) collapse into ONE single-row
+    global aggregate broadcast back via the benign 1-row BNLJ, and the
+    score is a fixed-order expression sum (absent terms contribute
+    +0.0, which is IEEE-exact). Total: one scan, one 1-row aggregate
+    exchange — shuffle volume O(1) instead of O(matching docs ×
+    terms). The expression form scans each token list once per query
+    term, so it wins for interactive-sized term bags (m ≲ dozens); a
+    corpus-sized term table would want the explode path back.
     """
-    terms = [t for t in query_terms]
-    toks = df.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
-    ).where(F.col("term").isin(terms))
-    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    # document frequency per query term: tf rows are unique per (doc, term)
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    dl = df.select(
-        F.col(id_col), F.size(F.split(F.col(text_col), " ")).alias("dl")
+    terms = list(dict.fromkeys(query_terms))
+    toks = F.split(F.col(text_col), " ")
+
+    def _is_term(term: str):
+        # a one-arg factory, NOT a default-arg lambda: pyspark reads the
+        # lambda's arity to decide between (element) and (element, index)
+        # signatures, so a defaulted second parameter silently receives
+        # the INDEX column
+        return lambda x: x == F.lit(term)
+
+    proj = df.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, _is_term(t))).alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
     )
-    stats = dl.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    stats = proj.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
     )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    tf_norm = (F.col("tf") * (k1 + 1)) / (
-        F.col("tf")
-        + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+
+    def term_score(i: int):
+        tf = F.col(f"_tf{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"_df{i}") + 0.5)
+            / (F.col(f"_df{i}") + 0.5)
+        )
+        tf_norm = (tf * (k1 + 1)) / (
+            tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+        return F.when(F.col(f"_tf{i}") > 0, idf * tf_norm).otherwise(
+            F.lit(0.0)
+        )
+
+    total = term_score(0)
+    for i in range(1, len(terms)):
+        total = total + term_score(i)
+    matched = reduce(
+        lambda a, b: a | b,
+        [F.col(f"_tf{i}") > 0 for i in range(len(terms))],
     )
     return (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(stats))
-        .select(F.col(id_col), (idf * tf_norm).alias("term_score"))
-        .groupBy(id_col)
-        .agg(F.sum("term_score").alias("score"))
+        proj.crossJoin(F.broadcast(stats))
+        .where(matched)
+        .select(F.col(id_col), total.alias("score"))
     )
 
 

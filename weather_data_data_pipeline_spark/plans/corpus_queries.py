@@ -1167,10 +1167,18 @@ def hybrid_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
-    # ONE linear chain off the fused candidates: each extra consumer of
-    # `fused` re-executes the entire two-retriever pipeline (measured:
-    # the first cut fed two branches re-joined on doc_id — 2× the
-    # retrieval wall for a 20-row frame)
+    # ONE linear chain off the fused candidates, as ONE job: each extra
+    # consumer of `fused` re-executes the entire two-retriever pipeline
+    # (measured r9: a two-branch re-join doubled the retrieval wall),
+    # and every split-the-pipeline variant re-measured WORSE under the
+    # r11 interleaved A/B (collect-the-candidates 1.06 s,
+    # localCheckpoint+broadcast-prune 0.90 s, this chain 0.80 s min) —
+    # the job-count floor beats the shuffle cost at bench scale. At
+    # real SF the session keeps AQE on (session.tune_for_working_set),
+    # and AQE's runtime stats see the 20-row fused side and convert
+    # these joins to broadcast on their own — the static plan need not
+    # pre-commit to a join strategy the optimizer can pick better at
+    # run time.
     fused = _hybrid_candidates(spark, sf_dir).select("doc_id", "rrf_score")
     qv = emb.where(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qvec")

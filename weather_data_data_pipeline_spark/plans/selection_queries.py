@@ -244,12 +244,18 @@ _FROZEN_DSIR_RATIOS = [
     (63, "-0.033970"),
 ]
 
-def _frozen_dsir_ratios_df(spark: SparkSession) -> DataFrame:
+def _frozen_dsir_ratio_pairs() -> list:
+    """The frozen model as plain (bucket, Decimal) literal pairs — the
+    form dsir_score_frozen consumes without a collect job (r11: the
+    parallelized 64-row frame cost ~0.3 s per scoring call)."""
     from decimal import Decimal
 
+    return [(b, Decimal(r)) for b, r in _FROZEN_DSIR_RATIOS]
+
+
+def _frozen_dsir_ratios_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
-        [(b, Decimal(r)) for b, r in _FROZEN_DSIR_RATIOS],
-        "bucket bigint, r decimal(28,6)",
+        _frozen_dsir_ratio_pairs(), "bucket bigint, r decimal(28,6)"
     )
 
 
@@ -308,10 +314,10 @@ def dsir_score_frozen_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsir_score_frozen,
     )
 
-    ratios = _frozen_dsir_ratios_df(spark)
     docs = load_fanout(spark, sf_dir, "documents")
     return dsir_score_frozen(
-        docs, ratios, "doc_id", "text", num_buckets=_FROZEN_DSIR_NB
+        docs, _frozen_dsir_ratio_pairs(), "doc_id", "text",
+        num_buckets=_FROZEN_DSIR_NB,
     )
 
 
@@ -1068,12 +1074,11 @@ def curation_pipeline_frozen_e2e(
     # so the zero-gram join-back is skipped — the winners never join
     # back to the corpus and the whole pipeline is ONE linear plan with
     # a single consumer per stage (no checkpoint, nothing re-executes)
-    ratios = _frozen_dsir_ratios_df(spark)
     weights = dsir_score_frozen(
         kept.select(
             "doc_id", "kept_tokens", F.col("clean_text").alias("text")
         ),
-        ratios,
+        _frozen_dsir_ratio_pairs(),
         "doc_id",
         "text",
         num_buckets=_FROZEN_DSIR_NB,

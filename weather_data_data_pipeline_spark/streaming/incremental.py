@@ -480,7 +480,13 @@ def dsir_score_sink(
         dsir_score_frozen,
     )
 
-    frozen = ratios.select("bucket", "r")
+    # the model is frozen for the stream's lifetime: collect it ONCE at
+    # sink construction so each micro-batch scores against driver-side
+    # literals instead of paying a 64-row collect job per batch (r11)
+    frozen = [
+        (row["bucket"], row["r"])
+        for row in ratios.select("bucket", "r").collect()
+    ]
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
