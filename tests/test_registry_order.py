@@ -29,6 +29,12 @@ ROUND_HEAD = (
     "ann_ivf_topk_seeded",
     "ann_ivf_pq_topk_seeded",
     "image_dhash_near_dup",
+    # r11 REPLANNED (fused BM25 + literal frozen-DSIR model)
+    "bm25_search_topk",
+    "hybrid_search_rrf",
+    "hybrid_rerank_topk",
+    "dsir_score_frozen",
+    "curation_pipeline_frozen_e2e",
 )
 
 

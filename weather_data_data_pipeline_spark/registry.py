@@ -95,6 +95,16 @@ _ROUND_HEAD: tuple[str, ...] = (
     "ann_ivf_topk_seeded",
     "ann_ivf_pq_topk_seeded",
     "image_dhash_near_dup",
+    # r11 REPLANNED (VERDICT r10 ask #4 fallout — same oracles,
+    # re-earn): fused expression BM25 (functions/search.py, one scan +
+    # one 1-row exchange) feeds the whole hybrid family; the frozen
+    # DSIR model rides as literal micro-longs (functions/importance.py)
+    # through dsir_score_frozen and the e2e curation pipeline
+    "bm25_search_topk",
+    "hybrid_search_rrf",
+    "hybrid_rerank_topk",
+    "dsir_score_frozen",
+    "curation_pipeline_frozen_e2e",
 )
 
 
