@@ -129,6 +129,13 @@ INTENTIONAL = {
         "count, and the rank-1 window truncates map-side "
         "(WindowGroupLimit) so only one candidate per anchor per "
         "partition shuffles",
+    ("ann_pq_recall_seeded", "BroadcastNestedLoopJoin"):
+        "two benign bounded shapes from _pq_recall_rollup and the "
+        "seeded scorers: the 2-row family-label frame cross-joins the "
+        "(queries × k) truth pairs — O(queries·k × 2) — and the "
+        "broadcast per-query LUT attach is the same O(codes × "
+        "queries) ADC shape ann_pq_topk_seeded already adjudicates; "
+        "nothing corpus × corpus",
 }
 
 
