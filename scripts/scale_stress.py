@@ -665,6 +665,43 @@ QUERIES_R10 = (
 )
 
 
+QUERIES_R11 = (
+    # r11 replanned family (BASELINE.md round-11): fused expression
+    # BM25 — expect near-ZERO shuffle bytes at every SF (one 1-row
+    # stats aggregate), wall ~linear in the scan
+    "bm25_search_topk",
+    "hybrid_search_rrf",
+    "hybrid_rerank_topk",
+    # literal frozen-DSIR model: one partial-agg groupBy(doc) — shuffle
+    # ~O(docs), wall ~linear in gram count
+    "dsir_score_frozen",
+    "curation_pipeline_frozen_e2e",
+    # fused SemDeDup now REGISTERED: per-cell union-find, same cell
+    # shuffle as the unfused form measured r10 — re-measure the
+    # registered plan
+    "semantic_dedup_keep_capped",
+    # new rows-only bench row: one mapInPandas candidate pass, zero
+    # shuffle, driver-side exact greedy over partitions × 2k rows
+    "kcenter_select_composable",
+    # new oracle-bearing recall report: seeded PQ/IVF-PQ + GEMM truth
+    "ann_pq_recall_seeded",
+)
+
+
+def runr11() -> None:
+    d1, spark = _measure(
+        (("sf0.1", SRC_DIR), ("sf1", OUT_DIR)), QUERIES_R11, "r11d1",
+        "scale_r11",
+    )
+    spark.stop()
+    d2, spark = _measure(
+        (("sf1", OUT_DIR), ("sf10", OUT_DIR_10)), QUERIES_R11, "r11d2",
+        "scale_r11b",
+    )
+    print(json.dumps({"decade1_sf01_sf1": d1, "decade2_sf1_sf10": d2}))
+    spark.stop()
+
+
 def runr10() -> None:
     d1, spark = _measure(
         (("sf0.1", SRC_DIR), ("sf1", OUT_DIR)), QUERIES_R10, "r10d1",
@@ -707,7 +744,9 @@ if __name__ == "__main__":
         runr9()
     elif cmd == "runr10":
         runr10()
+    elif cmd == "runr11":
+        runr11()
     else:
         print("usage: scale_stress.py [gen|run|gen10|run10|runr5|runr6|"
-              "runr6c|runr7|runr7b|runr8|gen_events|runr9|runr10]")
+              "runr6c|runr7|runr7b|runr8|gen_events|runr9|runr10|runr11]")
         sys.exit(2)
