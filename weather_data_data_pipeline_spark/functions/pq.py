@@ -518,6 +518,145 @@ def ivf_pq_topk(
     )
 
 
+def pq_recall_candidates_fused(
+    corpus: DataFrame,
+    queries: DataFrame,
+    flat_codebooks,
+    centroids,
+    res_codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """ONE corpus pass emitting the per-batch top-k candidates of all
+    THREE rankings the seeded recall report needs — exact-L2 truth,
+    flat-PQ ADC, and IVF-PQ ADC — as (family, query_id, neighbor_id,
+    dist); a global window per (family, query) finishes the ranking.
+
+    The r11 fusion (the lsh_recall_report_fused pattern): the unfused
+    report paid three separate corpus passes (the GEMM truth kernel,
+    pq_encode + broadcast-LUT join, ivf_pq_encode + probe join) plus
+    their window stages — ~0.2 s of Arrow/stage floor EACH at bench
+    scale. With literal seed models every per-vector quantity (codes,
+    cell, residual codes) is computable inside one Arrow batch, so one
+    kernel re-uses one batch read for all three families. Arithmetic is
+    bit-compatible with the unfused kernels by construction: the truth
+    matrix is the same GEMM expansion as brute_force_l2_topk, codes and
+    cell assignment use the same pinned-order _subspace_sqdists, and
+    the ADC folds accumulate LUT entries in ascending-j order — the
+    same left fold the _adc_dist_expr chain and DuckDB's ORDER BY j
+    list_sum produce. Per-batch top-k provably contains the global
+    top-k under the (dist asc, id asc) total order, per family.
+
+    Scale shape: the corpus never shuffles — only ≤ 3 · |queries| · k
+    candidate rows per batch reach the window."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows])
+    Q = np.stack([np.asarray(r[1], dtype="float64") for r in q_rows])
+    nq = len(q_ids)
+    flat_lut = _subspace_sqdists(Q, flat_codebooks)  # (nq, m, k_cw)
+    C = np.asarray(centroids, dtype=np.float64)
+    cell_cb = [[list(map(float, c)) for c in centroids]]
+    qd2 = _subspace_sqdists(Q, cell_cb)[:, 0, :]
+    probes = np.argsort(qd2, axis=1, kind="stable")[:, :n_probe]
+    rluts = {}
+    for qi in range(nq):
+        R = Q[qi][None, :] - C[probes[qi]]
+        L = _subspace_sqdists(R, res_codebooks)  # (n_probe, m, k_cw)
+        for p, cell in enumerate(probes[qi]):
+            rluts[(qi, int(cell))] = L[p]
+    probe_sets = [
+        {int(c) for c in probes[qi]} for qi in range(nq)
+    ]
+    m = len(flat_codebooks)
+
+    def topk_rows(out, family, qi, ids_sel, dist_sel):
+        order = np.lexsort((ids_sel, dist_sel))[: min(k, len(ids_sel))]
+        for j in order:
+            out.append(
+                (family, q_ids[qi], ids_sel[j], float(dist_sel[j]))
+            )
+
+    def gen(batches):
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            out: list[tuple] = []
+            # truth: the brute_force_l2_topk GEMM expansion, verbatim
+            Ct = np.stack(
+                [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+            )
+            D = (
+                (Ct * Ct).sum(axis=1)[:, None]
+                - 2.0 * (Ct @ Q.T)
+                + (Q * Q).sum(axis=1)[None, :]
+            )
+            for qi in range(nq):
+                col = D[:, qi].copy()
+                col[ids == q_ids[qi]] = np.inf
+                fin = np.isfinite(col)
+                topk_rows(out, "truth", qi, ids[fin], col[fin])
+            # flat PQ: encode once, ADC per query in ascending-j order
+            Xf = _vec_matrix(pdf[vec_col])
+            codes = _subspace_sqdists(Xf, flat_codebooks).argmin(axis=2)
+            for qi in range(nq):
+                dist = flat_lut[qi, 0, codes[:, 0]]
+                for j in range(1, m):
+                    dist = dist + flat_lut[qi, j, codes[:, j]]
+                keep = ids != q_ids[qi]
+                topk_rows(out, "pq_seeded", qi, ids[keep], dist[keep])
+            # IVF-PQ: assign + residual-encode once, score probed cells
+            X64 = Xf.astype(np.float64)
+            d2 = _subspace_sqdists(X64, cell_cb)[:, 0, :]
+            cells = d2.argmin(axis=1)
+            R = X64 - C[cells]
+            rcodes = _subspace_sqdists(R, res_codebooks).argmin(axis=2)
+            for qi in range(nq):
+                sel = np.isin(cells, list(probe_sets[qi])) & (
+                    ids != q_ids[qi]
+                )
+                if not sel.any():
+                    continue
+                ids_s, cells_s, rc_s = ids[sel], cells[sel], rcodes[sel]
+                dist_s = np.empty(len(ids_s), dtype=np.float64)
+                for cell in np.unique(cells_s):
+                    cs = cells_s == cell
+                    lut = rluts[(qi, int(cell))]
+                    d = lut[0, rc_s[cs, 0]]
+                    for j in range(1, m):
+                        d = d + lut[j, rc_s[cs, j]]
+                    dist_s[cs] = d
+                topk_rows(out, "ivf_pq_seeded", qi, ids_s, dist_s)
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=["family", "query_id", "neighbor_id", "dist"],
+                )
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        gen,
+        schema=(
+            f"family string, query_id {id_type}, "
+            f"neighbor_id {id_type}, dist double"
+        ),
+    )
+    w = Window.partitionBy("family", "query_id").orderBy(
+        F.asc("dist"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("family", "query_id", "neighbor_id")
+    )
+
+
 def brute_force_l2_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -3741,26 +3741,23 @@ def _pq_recall_rollup(truth: DataFrame, approx: DataFrame) -> DataFrame:
     "codewords from ids 16..31) every stage INCLUDING the recall "
     "rollup itself is hash-checked in DuckDB, closing the loop the "
     "Lloyd-trained report can't (its trainer is iterative). Spark "
-    "plan: the same GEMM truth kernel (functions/pq.py:"
-    "brute_force_l2_topk — corpus streams, queries ride as a closure "
-    "matrix), the same broadcast-LUT ADC scorers, one semi-join + two "
-    "counts for the rollup; nothing corpus-sized shuffles.",
+    "plan (r11 FUSED — the unfused three-pass form measured 2.98x "
+    "interleaved): ONE mapInPandas corpus pass computes truth GEMM, "
+    "flat codes+ADC, and IVF-PQ assign+residual+ADC per Arrow batch "
+    "(functions/pq.py:pq_recall_candidates_fused, bit-compatible "
+    "pinned-order kernels), one window ranks the ≤3·q·k-per-batch "
+    "survivors, and the ≤300-row result rolls up driver-side — the "
+    "corpus is read once and never shuffles.",
     tags=("llm", "similarity", "bench"),
 )
 def ann_pq_recall_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_data_data_pipeline_spark.functions.pq import (
-        brute_force_l2_topk,
-        ivf_pq_topk,
-        pq_adc_topk,
-        pq_encode,
+        pq_recall_candidates_fused,
         split_codebooks,
     )
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    truth = brute_force_l2_topk(emb, queries, k=10).select(
-        "query_id", "neighbor_id"
-    )
     low32 = (
         emb.select("vec_id", "embedding").orderBy("vec_id").limit(32).collect()
     )
@@ -3771,21 +3768,31 @@ def ann_pq_recall_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     res_cbs = split_codebooks(
         [[float(x) for x in r["embedding"]] for r in low32[16:]], m=8
     )
-    flat = pq_adc_topk(
-        pq_encode(emb, "vec_id", "embedding", flat_cbs),
-        queries, flat_cbs, k=10,
-    ).select(
-        F.lit("pq_seeded").alias("family"), "query_id",
-        F.col("neighbor_id").alias("a_neighbor"),
+    rows = pq_recall_candidates_fused(
+        emb, queries, flat_cbs, centroids, res_cbs, k=10, n_probe=4
+    ).collect()  # ≤ 3 families × 10 queries × k rows — bounded
+    truth: dict = {}
+    approx: dict = {}
+    for r in rows:
+        if r["family"] == "truth":
+            truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        else:
+            approx.setdefault((r["family"], r["query_id"]), set()).add(
+                r["neighbor_id"]
+            )
+    out = []
+    for fam in sorted({f for f, _ in approx}):
+        for qid, tset in truth.items():
+            hits = len(tset & approx.get((fam, qid), set()))
+            out.append(
+                (fam, int(qid), len(tset), hits,
+                 round(hits / len(tset), 4))
+            )
+    return spark.createDataFrame(
+        out,
+        "family string, query_id bigint, n_true bigint, "
+        "n_hit bigint, recall double",
     )
-    ivfpq = ivf_pq_topk(
-        emb, queries, k=10, n_probe=4,
-        centroids=centroids, codebooks=res_cbs,
-    ).select(
-        F.lit("ivf_pq_seeded").alias("family"), "query_id",
-        F.col("neighbor_id").alias("a_neighbor"),
-    )
-    return _pq_recall_rollup(truth, flat.unionByName(ivfpq))
 
 
 @register(
