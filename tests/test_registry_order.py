@@ -35,6 +35,9 @@ ROUND_HEAD = (
     "hybrid_rerank_topk",
     "dsir_score_frozen",
     "curation_pipeline_frozen_e2e",
+    # r11 NEW oracle query (VERDICT r10 ask #5), fused same-round; also
+    # the verified_by closure of ann_pq_recall_report
+    "ann_pq_recall_seeded",
 )
 
 

@@ -3460,11 +3460,14 @@ def ann_ivf_pq_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_pq_recall_report",
     oracle=None,  # both codebook families are Lloyd-TRAINED (iterative
     # argmin loops on a bounded sample) — not SQL-expressible; the
-    # trainer, the L2 ground truth, and the IVF-PQ composition are each
-    # pinned in tests/test_pq.py (quantization-error reduction vs seed
+    # ENTIRE report shape (truth kernel, ADC scorers, recall rollup)
+    # is oracle-replayed by the registered seeded twin
+    # ann_pq_recall_seeded (r11), which differs only in where the
+    # codebooks come from; the trainer itself stays pinned in
+    # tests/test_pq.py (quantization-error reduction vs seed
     # codebooks, GEMM-L2 == direct computation, recall floors,
     # full-probe degradation, determinism under repartition)
-    verified_by="tests/test_pq.py",
+    verified_by="ann_pq_recall_seeded",
     doc="PQ PRODUCTION-path quality report (VERDICT r5 ask #3): "
     "per-query recall@10 of (a) flat PQ under Lloyd-TRAINED codebooks "
     "(functions/pq.py:pq_train_codebooks — per-subspace k-means on a "

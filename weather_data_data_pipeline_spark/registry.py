@@ -76,11 +76,10 @@ _loaded = False
 # PLAN/ORACLE changed this round and must (re-)earn a green row. Keep
 # tests/test_registry_order.py's ROUND_HEAD copy in sync.
 _ROUND_HEAD: tuple[str, ...] = (
-    # r11 is deliberately SMALL again (VERDICT r10 ask #1): the LRU
-    # tail must pull the whole 33-query r6 oracle cohort (its 4-round
-    # staleness budget expires this round) through the ~50-slot gate
-    # window, so the head holds only the two replanned queries and the
-    # verdict's three explicit pins.
+    # r11 head = 11 (2 SemDeDup re-earns + 3 judge pins + 5 BM25/DSIR
+    # replans + 1 new oracle query); the LRU tail still pulls the whole
+    # 33-query r6 oracle cohort (its 4-round staleness budget expires
+    # this round) through the ~50-slot gate window, plus 6 r7 rows.
     #
     # r11 REPLANNED (VERDICT r10 ask #3): both SemDeDup queries now run
     # functions/similarity.py:semantic_dedup_fused — cell-local
@@ -105,6 +104,9 @@ _ROUND_HEAD: tuple[str, ...] = (
     "hybrid_rerank_topk",
     "dsir_score_frozen",
     "curation_pipeline_frozen_e2e",
+    # r11 NEW oracle query (VERDICT r10 ask #5), fused same-round; also
+    # the verified_by closure of ann_pq_recall_report
+    "ann_pq_recall_seeded",
 )
 
 
