@@ -38,6 +38,10 @@ ROUND_HEAD = (
     # r11 NEW oracle query (VERDICT r10 ask #5), fused same-round; also
     # the verified_by closure of ann_pq_recall_report
     "ann_pq_recall_seeded",
+    # r11 REPLANNED: Arrow-batched char-entropy kernel replaces the
+    # interpreted HOF fold (functions/text.py:char_entropy_columns)
+    "doc_char_entropy",
+    "quality_proxy_agreement",
 )
 
 

@@ -208,31 +208,17 @@ def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text", "quality", "bench"),
 )
 def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r11: one Arrow-batched kernel (functions/text.py:
+    # char_entropy_columns) replaces the interpreted O(alphabet ×
+    # length) HOF fold; same per-term 6-dp HALF_UP rounding, exact
+    # micro-integer sum, 4-dp surface — values bit-identical to the
+    # oracle by the same contract
+    from weather_data_data_pipeline_spark.functions.text import (
+        char_entropy_columns,
+    )
+
     docs = load(spark, sf_dir, "documents")
-    cs = F.split("text", "")
-    n = F.size(cs)
-
-    def _term(c):
-        k = F.size(F.filter(cs, lambda x: x == c))
-        p = k.cast("double") / n
-        return F.round(-p * F.log(p), 6).cast(_DEC)
-
-    entropy = F.aggregate(
-        F.array_distinct(cs),
-        F.lit(0).cast(_DEC),
-        lambda acc, c: acc + _term(c),
-    )
-    return docs.select(
-        "doc_id",
-        n.cast("int").alias("n_chars_exact"),
-        F.size(F.array_distinct(cs)).cast("int").alias("uniq_chars"),
-        # round in the DECIMAL domain (half-up on the exact 6-dp sum),
-        # THEN cast — rounding after a double cast can flip a half-way
-        # case (hit at sf0.01: 2.706450 → 2.7064 vs 2.7065)
-        F.when(n > 0, F.round(entropy, 4).cast("double")).alias(
-            "char_entropy"
-        ),
-    )
+    return char_entropy_columns(docs, "text", passthrough=("doc_id",))
 
 
 _NOVELTY_N = 3  # token n-gram width
@@ -1884,31 +1870,25 @@ _ENTROPY_SQL = """
     tags=("llm", "quality", "bench"),
 )
 def quality_proxy_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from weather_data_data_pipeline_spark.functions.text import quality_score
+    from weather_data_data_pipeline_spark.functions.text import (
+        char_entropy_columns,
+        quality_score,
+    )
 
     docs = load(spark, sf_dir, "documents")
-    cs = F.split("text", "")
-    nch = F.size(cs)
-
-    def _term(c):
-        p = F.size(F.filter(cs, lambda x: x == c)).cast("double") / nch
-        return F.round(-p * F.log(p), 6).cast(_DEC)
-
-    entropy = F.when(
-        nch > 0,
-        F.round(
-            F.aggregate(
-                F.array_distinct(cs),
-                F.lit(0).cast(_DEC),
-                lambda acc, c: acc + _term(c),
-            ),
-            4,
-        ).cast("double"),
-    )
-    scored = docs.select(
+    # r11: the composite quality score stays a codegen'd expression and
+    # rides THROUGH the Arrow entropy kernel as a passthrough column, so
+    # the interpreted HOF entropy fold (the measured wall of this query)
+    # is replaced without adding a join or a shuffle
+    pre = docs.select(
         "source",
-        F.round(quality_score("text"), 2).cast("decimal(18,6)").alias("x"),
-        entropy.cast("decimal(18,6)").alias("y"),
+        F.round(quality_score("text"), 2).alias("_x"),
+        "text",
+    )
+    scored = char_entropy_columns(pre, "text", passthrough=("source", "_x")).select(
+        "source",
+        F.col("_x").cast("decimal(18,6)").alias("x"),
+        F.col("char_entropy").cast("decimal(18,6)").alias("y"),
     ).where(F.col("y").isNotNull())
     m = scored.groupBy("source").agg(
         F.count("*").alias("n"),

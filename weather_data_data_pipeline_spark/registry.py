@@ -76,10 +76,11 @@ _loaded = False
 # PLAN/ORACLE changed this round and must (re-)earn a green row. Keep
 # tests/test_registry_order.py's ROUND_HEAD copy in sync.
 _ROUND_HEAD: tuple[str, ...] = (
-    # r11 head = 11 (2 SemDeDup re-earns + 3 judge pins + 5 BM25/DSIR
-    # replans + 1 new oracle query); the LRU tail still pulls the whole
-    # 33-query r6 oracle cohort (its 4-round staleness budget expires
-    # this round) through the ~50-slot gate window, plus 6 r7 rows.
+    # r11 head = 13 (2 SemDeDup re-earns + 3 judge pins + 5 BM25/DSIR
+    # replans + 1 new oracle query + 2 entropy-kernel replans); the LRU
+    # tail still pulls the whole 33-query r6 oracle cohort (its 4-round
+    # staleness budget expires this round) through the ~50-slot gate
+    # window, plus the oldest r7 rows.
     #
     # r11 REPLANNED (VERDICT r10 ask #3): both SemDeDup queries now run
     # functions/similarity.py:semantic_dedup_fused — cell-local
@@ -107,6 +108,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     # r11 NEW oracle query (VERDICT r10 ask #5), fused same-round; also
     # the verified_by closure of ann_pq_recall_report
     "ann_pq_recall_seeded",
+    # r11 REPLANNED: Arrow-batched char-entropy kernel replaces the
+    # interpreted HOF fold (functions/text.py:char_entropy_columns)
+    "doc_char_entropy",
+    "quality_proxy_agreement",
 )
 
 
