@@ -794,3 +794,94 @@ def test_fuzz_quality_and_token_twins_agree(spark):
         if norm(got[k]) != norm(want[k])
     ]
     assert not mism, mism[:5]
+
+
+def test_char_entropy_columns_edges_and_hof_equivalence(spark):
+    """The r11 Arrow entropy kernel (char_entropy_columns) must agree
+    bit-for-bit with the interpreted HOF fold it replaced — same 6-dp
+    HALF_UP per-character terms, exact order-proof sum, 4-dp surface —
+    and handle NULL text (NULL row values), empty text ((0, 0, NULL)),
+    and passthrough columns."""
+    from weather_data_data_pipeline_spark.functions.text import (
+        char_entropy_columns,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aabbbbcc", "s1"),
+            (2, "", "s1"),
+            (3, None, "s2"),
+            (4, "zzzzzzzz", "s2"),           # single-char alphabet → 0.0
+            (5, "the quick brown fox", "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_chars_exact"], r["uniq_chars"], r["char_entropy"],
+            r["source"],
+        )
+        for r in char_entropy_columns(
+            docs, "text", passthrough=("doc_id", "source")
+        ).collect()
+    }
+    assert got[2] == (0, 0, None, "s1")
+    assert got[3] == (None, None, None, "s2")
+    assert got[4] == (8, 1, 0.0, "s2")
+    # the replaced HOF fold, reconstructed, as the equivalence oracle
+    cs = F.split("text", "")
+    n = F.size(cs)
+
+    def _term(c):
+        k = F.size(F.filter(cs, lambda x: x == c))
+        p = k.cast("double") / n
+        return F.round(-p * F.log(p), 6).cast("decimal(38,6)")
+
+    entropy = F.aggregate(
+        F.array_distinct(cs),
+        F.lit(0).cast("decimal(38,6)"),
+        lambda acc, c: acc + _term(c),
+    )
+    # HOF comparison excludes the empty doc: Spark's split('', '')
+    # yields [''] (n=1, entropy 0.0) while DuckDB's string_split and
+    # the kernel both yield [] → (0, 0, NULL) — the kernel follows the
+    # ORACLE's semantics, which the HOF silently diverged from (never
+    # hit: the corpora contain no empty texts)
+    want = {
+        r["doc_id"]: (
+            r["n"], r["u"], r["e"]
+        )
+        for r in docs.where(
+            F.col("text").isNotNull() & (F.length("text") > 0)
+        ).select(
+            "doc_id",
+            n.cast("int").alias("n"),
+            F.size(F.array_distinct(cs)).cast("int").alias("u"),
+            F.when(n > 0, F.round(entropy, 4).cast("double")).alias("e"),
+        ).collect()
+    }
+    for doc_id, (nn, uu, ee) in want.items():
+        assert got[doc_id][:3] == (nn, uu, ee), (doc_id, got[doc_id], (nn, uu, ee))
+
+
+def test_lsh_topk_broadcast_gate_fallback_identical(spark):
+    """ADVICE r10 #4: above the broadcast bound (or at threshold 0)
+    lsh_topk must fall back to shuffle joins with IDENTICAL results —
+    the gate changes the physical strategy, never the answer."""
+    from weather_data_data_pipeline_spark.functions.similarity import (
+        lsh_topk,
+        seeded_sign_planes,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    planes = seeded_sign_planes(4, 16, 64, seed=11)
+    q = emb.where(F.col("vec_id") < 5)
+
+    def key(df):
+        return sorted(map(tuple, df.collect()))
+
+    hinted = key(lsh_topk(emb, q, k=5, planes=planes))
+    shuffled = key(
+        lsh_topk(emb, q, k=5, planes=planes, broadcast_threshold=0)
+    )
+    assert hinted == shuffled and len(hinted) > 0
