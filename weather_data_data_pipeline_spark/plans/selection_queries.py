@@ -626,12 +626,16 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "quality_classifier_scores",
-    verified_by="tests/test_classifier.py",
+    # the SCORING machinery (hashing, margin, sigmoid, decimal pin) is
+    # oracle-replayed by the registered frozen-weights twin
+    # quality_classifier_frozen_scores (r11 closure upgrade — the
+    # dsir_score_frozen pattern); only the L-BFGS fit itself is
+    # engine-specific, and that stays pinned in tests/test_classifier.py
+    # (separable-corpus accuracy, same-session determinism, NULL-text
+    # survival, scoring parity with a hand-computed sigmoid(w·x + b))
+    verified_by="quality_classifier_frozen_scores",
     oracle=None,  # the scores are L-BFGS-fitted logistic-regression
-    # outputs — an iterative optimizer, not SQL-expressible; the
-    # pipeline is pinned in tests/test_classifier.py (separable-corpus
-    # accuracy, same-session determinism, NULL-text survival, scoring
-    # parity with a hand-computed sigmoid(w·x + b))
+    # outputs — an iterative optimizer, not SQL-expressible
     doc="Learned quality filter, the fastText/DCLM pattern "
     "(functions/classifier.py): label a curated slice positive "
     "(sources src0-src3 stand in for the 'Wikipedia/books' side), the "
