@@ -687,6 +687,28 @@ QUERIES_R11 = (
     "ann_pq_recall_seeded",
 )
 
+# r11 late additions (winnowing family): doc-keyed gram windows — wall
+# should track gram count ~linearly, the pair query's postings cap
+# bounds the join
+QUERIES_R11B = (
+    "winnowing_fingerprint_summary",
+    "winnowing_overlap_pairs",
+)
+
+
+def runr11b() -> None:
+    d1, spark = _measure(
+        (("sf0.1", SRC_DIR), ("sf1", OUT_DIR)), QUERIES_R11B, "r11bd1",
+        "scale_r11b1",
+    )
+    spark.stop()
+    d2, spark = _measure(
+        (("sf1", OUT_DIR), ("sf10", OUT_DIR_10)), QUERIES_R11B, "r11bd2",
+        "scale_r11b2",
+    )
+    print(json.dumps({"decade1_sf01_sf1": d1, "decade2_sf1_sf10": d2}))
+    spark.stop()
+
 
 def runr11() -> None:
     d1, spark = _measure(
@@ -746,6 +768,8 @@ if __name__ == "__main__":
         runr10()
     elif cmd == "runr11":
         runr11()
+    elif cmd == "runr11b":
+        runr11b()
     else:
         print("usage: scale_stress.py [gen|run|gen10|run10|runr5|runr6|"
               "runr6c|runr7|runr7b|runr8|gen_events|runr9|runr10|runr11]")

@@ -1,0 +1,128 @@
+"""Winnowing fingerprints (functions/winnow.py): the coverage
+guarantee, selection density, rightmost-tie robustness, determinism
+under repartition, and the stop-fingerprint cap."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from weather_data_data_pipeline_spark.functions.winnow import (
+    winnow_fingerprints,
+    winnow_overlap_pairs,
+    winnow_summary,
+)
+from weather_data_data_pipeline_spark.sources.tables import load
+
+K, W = 4, 4
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_winnowing_theorem_shared_run_shares_fingerprint(spark):
+    """Any shared token run of length >= w + k - 1 must surface as a
+    shared fingerprint HASH (the winnowing guarantee) — here a 12-token
+    copied span inside otherwise-different documents."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    docs = _mk(
+        spark,
+        [
+            (1, "one two three " + shared + " four five six"),
+            (2, "seven eight " + shared + " nine ten eleven twelve"),
+        ],
+    )
+    fps = winnow_fingerprints(docs, k=K, w=W)
+    h1 = {r["h"] for r in fps.where(F.col("doc_id") == 1).collect()}
+    h2 = {r["h"] for r in fps.where(F.col("doc_id") == 2).collect()}
+    assert h1 & h2, "copied 12-token span produced no shared fingerprint"
+    pairs = winnow_overlap_pairs(docs, k=K, w=W, min_shared=1).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_every_window_is_covered_and_density_bounded(spark):
+    """Per document: at least one selected position in EVERY window of
+    w consecutive grams (coverage), and the fingerprint count is
+    bounded by the window count (<= G - w + 1 distinct selections)."""
+    docs = load(spark, SF_DIR, "documents").limit(50)
+    fps = winnow_fingerprints(docs, k=K, w=W)
+    summ = {
+        r["doc_id"]: (r["n_grams"], r["n_fingerprints"])
+        for r in winnow_summary(docs, k=K, w=W).collect()
+    }
+    by_doc: dict[int, list[int]] = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r["pos"])
+    for doc_id, (g, nf) in summ.items():
+        pos = sorted(by_doc[doc_id])
+        assert nf == len(pos)
+        n_windows = max(g - W, 0) + 1
+        assert nf <= n_windows
+        # coverage: consecutive selected positions at most w apart, and
+        # the first/last windows are covered
+        assert pos[0] <= W - 1 and pos[-1] >= g - W
+        assert all(b - a <= W for a, b in zip(pos, pos[1:]))
+
+
+def test_rightmost_tie_rule(spark):
+    """A document whose grams all hash equal (one repeated token) must
+    select the RIGHTMOST position of each window — i.e. positions
+    w-1, ..., G-1 plus nothing earlier."""
+    docs = _mk(spark, [(1, " ".join(["tok"] * 12))])  # 9 grams, all equal
+    pos = sorted(
+        r["pos"] for r in winnow_fingerprints(docs, k=K, w=W).collect()
+    )
+    g = 12 - K + 1
+    assert pos == list(range(W - 1, g)), pos
+
+
+def test_deterministic_under_repartition(spark):
+    docs = load(spark, SF_DIR, "documents").limit(40)
+    a = sorted(map(tuple, winnow_fingerprints(docs, k=K, w=W).collect()))
+    b = sorted(
+        map(
+            tuple,
+            winnow_fingerprints(docs.repartition(7), k=K, w=W).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_stop_fingerprint_cap_bounds_pairs(spark):
+    """With max_postings=1 no hash can join two documents — the pair
+    set must be empty regardless of real overlap; the uncapped run on
+    the same corpus is non-empty (the cap is the only difference)."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = _mk(
+        spark,
+        [(i, f"doc{i} filler{i} " + shared) for i in range(1, 5)],
+    )
+    open_pairs = winnow_overlap_pairs(
+        docs, k=K, w=W, min_shared=1, max_postings=64
+    ).collect()
+    assert open_pairs
+    capped = winnow_overlap_pairs(
+        docs, k=K, w=W, min_shared=1, max_postings=1
+    ).collect()
+    assert capped == []
+
+
+def test_short_and_degenerate_docs(spark):
+    """Documents with fewer than k tokens contribute nothing; documents
+    with 1 <= G < w grams contribute exactly ONE truncated window."""
+    docs = _mk(
+        spark,
+        [
+            (1, "a b c"),              # 3 tokens < k → no grams
+            (2, "a b c d e"),          # G = 2 < w → one window
+            (3, None),
+            (4, ""),
+        ],
+    )
+    fps = winnow_fingerprints(docs, k=K, w=W).collect()
+    assert {r["doc_id"] for r in fps} == {2}
+    assert len(fps) == 1
+    summ = winnow_summary(docs, k=K, w=W).collect()
+    assert len(summ) == 1 and summ[0]["doc_id"] == 2
+    assert summ[0]["n_grams"] == 2 and summ[0]["n_fingerprints"] == 1

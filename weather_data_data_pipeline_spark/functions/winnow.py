@@ -1,0 +1,240 @@
+"""Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+SIGMOD 2003 — the MOSS local fingerprinting algorithm).
+
+Capability the reference (a fixed-schema weather ETL, ref:
+src/weather_report_pipeline/) never needed but a training-data pipeline
+does: position-robust LOCAL fingerprints with a coverage guarantee —
+any shared substring of at least ``w + k - 1`` tokens between two
+documents is guaranteed to surface as a shared fingerprint (the
+winnowing theorem), which neither MinHash (whole-document similarity)
+nor the exact-substring span family (exact positions, no sampling)
+gives at a tunable density. The standard tool for plagiarism-style
+overlap detection and a practical candidate generator for partial-copy
+dedup.
+
+Algorithm, per document: word ``k``-grams are hashed (md5-derived
+32-bit, the repo's engine-portable family); over every window of ``w``
+consecutive gram hashes the MINIMUM hash is selected, ties broken to
+the RIGHTMOST position (the robust-winnowing rule: overlapping windows
+then re-select the same position, maximizing fingerprint reuse);
+selected (position, hash) pairs dedupe to the fingerprint set. Expected
+density is 2/(w+1) of the gram count.
+
+Engine portability: hashes replay verbatim in DuckDB (``CAST('0x' ||
+substr(md5(g), 1, 8) AS BIGINT)``), the window min and the
+rightmost-tie selection are two standard SQL window functions over a
+``ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING`` frame, and window
+starts are filtered to ``i <= max(G - w, 0)`` so short documents
+(fewer than ``w`` grams) contribute exactly ONE truncated window
+instead of a ragged tail — the whole pipeline is hash-checkable.
+
+Scale shape (100 TB): gram explode and both window functions partition
+by doc_id — one shuffle keyed by document, no skew beyond document
+length, fingerprints are a ~2/(w+1) sample of grams. The pair query
+caps postings per fingerprint hash (stop-fingerprint rule, the same
+bounded-join device as the MinHash ``max_bucket_size`` and n-gram
+``max_df`` caps) so one boilerplate fingerprint cannot create a
+quadratic join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _gram_hashes(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, i, h): position-indexed word-k-gram 32-bit md5 hashes."""
+    toks = F.filter(
+        F.split(F.col(text_col), " "), lambda t: t != F.lit("")
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    )
+    g = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(F.size(toks) >= k, grams).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("i", "g"),
+    )
+    return g.select(
+        id_col,
+        "i",
+        F.conv(F.substring(F.md5("g"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """(id, pos, h): the winnowing fingerprint set — distinct selected
+    (position, hash) pairs per document. See the module docstring for
+    the selection rule and portability contract."""
+    grams = _gram_hashes(df, id_col, text_col, k)
+    frame = (
+        Window.partitionBy(id_col)
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    part = Window.partitionBy(id_col)
+    # ONE window min over struct(h, -i): lowest hash first, ties to the
+    # most negative -i = the RIGHTMOST position (the robust rule) — a
+    # single un-nested window call both engines evaluate identically
+    annotated = grams.select(
+        id_col,
+        "i",
+        F.min(
+            F.struct(
+                F.col("h").alias("h"), (-F.col("i")).alias("ni")
+            )
+        )
+        .over(frame)
+        .alias("m"),
+        F.count("*").over(part).alias("n_grams"),
+    )
+    starts = annotated.where(
+        F.col("i") <= F.greatest(F.col("n_grams") - w, F.lit(0))
+    )
+    return (
+        starts.select(
+            F.col(id_col),
+            (-F.col("m.ni")).alias("pos"),
+            F.col("m.h").alias("h"),
+        )
+        .dropDuplicates([id_col, "pos"])
+    )
+
+
+def winnow_summary(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """(id, n_grams, n_fingerprints, fp_xor): per-document fingerprint
+    census — gram count, selected-fingerprint count (the ~2/(w+1)
+    density check), and an order-independent BIT_XOR checksum of the
+    selected hashes (xor over the distinct (pos, hash) set, so two
+    documents with identical fingerprint sets collide on it — a cheap
+    whole-set equality probe)."""
+    grams = _gram_hashes(df, id_col, text_col, k)
+    frame = (
+        Window.partitionBy(id_col)
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    part = Window.partitionBy(id_col)
+    # ONE doc-keyed pipeline: the window's hash partitioning satisfies
+    # the groupBy's distribution, so the whole census is a single
+    # exchange — collect_set deduplicates the (pos, hash) selections
+    # in the aggregation buffer (bounded by the window count per doc)
+    # instead of a separate distinct exchange + count join, and the
+    # xor checksum folds over that set in-row
+    annotated = grams.select(
+        id_col,
+        "i",
+        F.min(
+            F.struct(
+                F.col("h").alias("h"), (-F.col("i")).alias("ni")
+            )
+        )
+        .over(frame)
+        .alias("m"),
+        F.count("*").over(part).alias("n_grams"),
+    )
+    starts = annotated.where(
+        F.col("i") <= F.greatest(F.col("n_grams") - w, F.lit(0))
+    )
+    return (
+        starts.groupBy(id_col)
+        .agg(
+            F.first("n_grams").cast("bigint").alias("n_grams"),
+            F.collect_set("m").alias("_ms"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            F.size("_ms").cast("bigint").alias("n_fingerprints"),
+            F.aggregate(
+                "_ms",
+                F.lit(0).cast("long"),
+                lambda acc, x: acc.bitwiseXOR(x["h"]),
+            ).alias("fp_xor"),
+        )
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_postings: int = 64,
+) -> DataFrame:
+    """(id_a, id_b, n_shared, overlap_frac): document pairs sharing at
+    least ``min_shared`` distinct fingerprint HASHES, with the MOSS
+    overlap measure n_shared / min(|fp_a|, |fp_b|) (6-dp decimal-
+    pinned double).
+
+    ``max_postings`` is the stop-fingerprint cap: a hash present in
+    more documents is boilerplate (the closed-vocabulary analogue of a
+    stop word) and is dropped from pair generation — pair traffic is
+    bounded by max_postings × surviving postings, never quadratic in
+    the corpus. |fp| in the denominator keeps counting ALL distinct
+    hashes (capped ones included), so the fraction stays a property of
+    the documents, not of the cap."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    hashes = fps.select(id_col, "h").dropDuplicates()
+    sizes = hashes.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_fp")
+    )
+    postings = hashes.withColumn(
+        "_df", F.count("*").over(Window.partitionBy("h"))
+    ).where(F.col("_df") <= max_postings)
+    a = postings.select(F.col(id_col).alias("id_a"), "h")
+    b = postings.select(F.col(id_col).alias("id_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("id_a"), F.col("n_fp").alias("fp_a")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("id_b"), F.col("n_fp").alias("fp_b")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.round(
+                (
+                    F.col("n_shared").cast("double")
+                    / F.least("fp_a", "fp_b").cast("double")
+                ).cast("decimal(38,15)"),
+                6,
+            )
+            .cast("double")
+            .alias("overlap_frac"),
+        )
+    )

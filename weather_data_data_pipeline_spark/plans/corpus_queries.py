@@ -2047,3 +2047,150 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return row.select(F.explode(points).alias("r")).select("r.*")
+
+
+_WINNOW_K = 4
+_WINNOW_W = 4
+_WINNOW_MIN_SHARED = 2
+_WINNOW_MAX_POSTINGS = 64
+
+# Shared oracle CTE chain for the winnowing family: position-indexed
+# word-k-gram md5 hashes → window min + rightmost-tie selection over
+# ROWS frames → distinct (doc, pos, hash) fingerprints. Mirrors
+# functions/winnow.py expression for expression.
+_WINNOW_FPS_CTES = f"""
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, u.i AS i,
+             CAST('0x' || substr(md5(u.g), 1, 8) AS BIGINT) AS h
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - {_WINNOW_K} + 2),
+                      i -> struct_pack(i := i - 1,
+                           g := array_to_string(
+                               t[i:i+{_WINNOW_K - 1}], ' ')))) AS u
+        FROM toks WHERE len(t) >= {_WINNOW_K}
+      )
+    ),
+    ann AS (
+      SELECT doc_id, i,
+             min(struct_pack(h := h, ni := -i)) OVER wf AS m,
+             count(*) OVER (PARTITION BY doc_id) AS n_grams
+      FROM grams
+      WINDOW wf AS (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN CURRENT ROW
+                         AND {_WINNOW_W - 1} FOLLOWING)
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, -(m.ni) AS pos, m.h AS h
+      FROM ann
+      WHERE i <= greatest(n_grams - {_WINNOW_W}, 0)
+    )"""
+
+
+@register(
+    "winnowing_fingerprint_summary",
+    oracle=f"""
+    WITH {_WINNOW_FPS_CTES},
+    counts AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+      FROM grams GROUP BY doc_id
+    ),
+    per AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_fingerprints,
+             bit_xor(h) AS fp_xor
+      FROM fps GROUP BY doc_id
+    )
+    SELECT c.doc_id, c.n_grams, p.n_fingerprints, p.fp_xor
+    FROM counts c JOIN per p USING (doc_id)
+    """,
+    doc=f"Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, "
+    f"SIGMOD 2003 — the MOSS algorithm; functions/winnow.py): word "
+    f"{_WINNOW_K}-gram md5 hashes, window-of-{_WINNOW_W} minimum "
+    "selection with the rightmost-tie robust rule, per-document census "
+    "of (gram count, selected-fingerprint count, order-independent "
+    "BIT_XOR checksum of the fingerprint set). The winnowing theorem "
+    f"guarantees any shared run of ≥ {_WINNOW_W + _WINNOW_K - 1} "
+    "tokens between documents surfaces as a shared fingerprint, at an "
+    f"expected density of 2/(w+1) ≈ {2 / (_WINNOW_W + 1):.2f} of the "
+    "grams — local fingerprinting neither MinHash (global similarity) "
+    "nor exact-substring spans (no sampling) provide. Plan: one gram "
+    "explode + two window functions, all partitioned by doc_id — one "
+    "document-keyed shuffle at any corpus size; the oracle replays "
+    "hashing, window selection, tie-breaks, and the xor checksum.",
+    tags=("llm", "dedup", "text", "bench"),
+)
+def winnowing_fingerprint_summary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.winnow import (
+        winnow_summary,
+    )
+
+    docs = load_fanout(spark, sf_dir, "documents")
+    return winnow_summary(
+        docs, "doc_id", "text", k=_WINNOW_K, w=_WINNOW_W
+    )
+
+
+@register(
+    "winnowing_overlap_pairs",
+    oracle=f"""
+    WITH {_WINNOW_FPS_CTES},
+    hs AS (SELECT DISTINCT doc_id, h FROM fps),
+    sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+      FROM hs GROUP BY doc_id
+    ),
+    posting AS (
+      SELECT doc_id, h FROM (
+        SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM hs
+      ) WHERE df <= {_WINNOW_MAX_POSTINGS}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM posting a JOIN posting b USING (h)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= {_WINNOW_MIN_SHARED}
+    )
+    SELECT id_a, id_b, n_shared,
+           CAST(round(CAST(CAST(n_shared AS DOUBLE)
+                           / CAST(least(sa.n_fp, sb.n_fp) AS DOUBLE)
+                      AS DECIMAL(38,15)), 6) AS DOUBLE) AS overlap_frac
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = pairs.id_a
+    JOIN sizes sb ON sb.doc_id = pairs.id_b
+    """,
+    doc="MOSS-style partial-copy candidate pairs over the winnowing "
+    "fingerprints: documents sharing ≥ "
+    f"{_WINNOW_MIN_SHARED} distinct fingerprint hashes, scored with "
+    "the overlap measure n_shared / min(|fp_a|, |fp_b|) (6-dp "
+    "decimal-pinned). Stop-fingerprint cap: a hash present in more "
+    f"than {_WINNOW_MAX_POSTINGS} documents is boilerplate and leaves "
+    "pair generation (the MinHash max_bucket_size / n-gram max_df "
+    "bounded-join device) — pair traffic ≤ cap × surviving postings, "
+    "never corpus-quadratic; |fp| denominators still count every "
+    "distinct hash so the fraction is a document property, not a cap "
+    "artifact. The oracle replays fingerprinting, the cap, the pair "
+    "join, and the rounded fraction end-to-end.",
+    tags=("llm", "dedup", "bench"),
+)
+def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.winnow import (
+        winnow_overlap_pairs,
+    )
+
+    docs = load_fanout(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(
+        docs, "doc_id", "text",
+        k=_WINNOW_K, w=_WINNOW_W,
+        min_shared=_WINNOW_MIN_SHARED,
+        max_postings=_WINNOW_MAX_POSTINGS,
+    )
