@@ -126,3 +126,80 @@ def test_short_and_degenerate_docs(spark):
     summ = winnow_summary(docs, k=K, w=W).collect()
     assert len(summ) == 1 and summ[0]["doc_id"] == 2
     assert summ[0]["n_grams"] == 2 and summ[0]["n_fingerprints"] == 1
+
+
+def test_winnow_match_sink_equals_batch_probe(spark, tmp_path):
+    """Streaming partial-copy screening against a frozen winnowing
+    index == the batch probe over the union: fingerprints depend only
+    on the document and the index is frozen, so micro-batch boundaries
+    cannot change a match row. Also pins replay convergence: re-running
+    the stream from a fresh checkpoint dynamic-overwrites the same
+    partitions to the same rows."""
+    from weather_data_data_pipeline_spark.functions.winnow import (
+        build_winnow_index,
+        winnow_probe_index,
+    )
+    from weather_data_data_pipeline_spark.streaming import incremental as S
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    ref = docs.where(F.col("doc_id") % 3 == 0)
+    fresh = docs.where(F.col("doc_id") % 3 != 0).limit(120)
+    idx = str(tmp_path / "widx")
+    build_winnow_index(ref, idx, k=K, w=W, max_postings=64)
+
+    rows = fresh.orderBy("doc_id").collect()
+    half = len(rows) // 2
+    src = str(tmp_path / "wm_src")
+    for lo, hi in ((0, half), (half, len(rows))):
+        spark.createDataFrame(rows[lo:hi], fresh.schema).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "wm_out")
+    stream = (
+        spark.readStream.schema(fresh.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    q = (
+        S.winnow_match_sink(
+            stream, idx, out, str(tmp_path / "wm_ck"),
+            k=K, w=W, min_shared=1,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    def key(rows_):
+        return sorted((r["doc_id"], r["match_id"], r["n_shared"]) for r in rows_)
+
+    got = key(spark.read.parquet(out).collect())
+    want = key(
+        winnow_probe_index(
+            spark, idx, spark.createDataFrame(rows, fresh.schema),
+            k=K, w=W, min_shared=1,
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+    assert spark.read.parquet(out).select("batch_id").distinct().count() == 2
+
+    # replay: a second run from a FRESH checkpoint rewrites its own
+    # batch partitions and converges to the same bytes
+    q2 = (
+        S.winnow_match_sink(
+            (
+                spark.readStream.schema(fresh.schema)
+                .format("parquet")
+                .option("maxFilesPerTrigger", "1")
+                .load(src)
+            ),
+            idx, out, str(tmp_path / "wm_ck2"),
+            k=K, w=W, min_shared=1,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    assert key(spark.read.parquet(out).collect()) == want

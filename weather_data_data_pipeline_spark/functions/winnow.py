@@ -238,3 +238,66 @@ def winnow_overlap_pairs(
             .alias("overlap_frac"),
         )
     )
+
+
+def build_winnow_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+    max_postings: int = 64,
+) -> None:
+    """Materialize the winnowing fingerprint index a served
+    decontamination/partial-copy probe needs: ``<path>/postings``
+    (distinct (id, h), with hashes over the stop-fingerprint cap
+    REMOVED at build time — the cap is a property of the reference
+    corpus, so paying it once here keeps every probe free of the
+    per-hash frequency pass) and ``<path>/sizes`` ((id, n_fp) with the
+    UNCAPPED per-document fingerprint counts, so overlap fractions
+    stay document properties). Probes join new documents' fingerprints
+    against postings — the index rows are 2 longs per kept
+    fingerprint, and at 100 TB the postings partition/bucket by hash
+    like any posting list."""
+    fps = winnow_fingerprints(corpus, id_col, text_col, k, w)
+    hashes = fps.select(id_col, "h").dropDuplicates()
+    hashes.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_fp")
+    ).write.mode("overwrite").parquet(f"{path}/sizes")
+    hashes.withColumn(
+        "_df", F.count("*").over(Window.partitionBy("h"))
+    ).where(F.col("_df") <= max_postings).drop("_df").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/postings")
+
+
+def winnow_probe_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """(id, match_id, n_shared): new documents probed against a
+    :func:`build_winnow_index` layout — the serving form of
+    :func:`winnow_overlap_pairs` where one side is a frozen reference
+    corpus. Only the new batch is fingerprinted; the reference side
+    costs a postings read."""
+    postings = spark.read.parquet(f"{path}/postings").select(
+        F.col(id_col).alias("match_id"), "h"
+    )
+    fresh = (
+        winnow_fingerprints(new_docs, id_col, text_col, k, w)
+        .select(id_col, "h")
+        .dropDuplicates()
+    )
+    return (
+        fresh.join(postings, "h")
+        .groupBy(id_col, "match_id")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

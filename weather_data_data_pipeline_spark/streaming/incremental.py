@@ -1365,3 +1365,60 @@ def url_blocklist_monitor_sink(
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
     )
+
+
+def winnow_match_sink(
+    stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+) -> DataStreamWriter:
+    """Streaming partial-copy screening against a FROZEN winnowing
+    fingerprint index (functions/winnow.py:build_winnow_index) — the
+    live twin of the batch ``winnowing_overlap_pairs`` family for the
+    serving shape where one side is a reference corpus: every arriving
+    document is fingerprinted and probed against the index's postings,
+    and matches append as (batch_id, id, match_id, n_shared).
+
+    Because the index is frozen and winnowing fingerprints a document
+    in isolation, a document's matches depend only on itself — batch
+    boundaries are irrelevant and the stream equals the batch probe
+    over the union bit-for-bit (pinned in tests/test_streaming.py).
+    Replay-safe like the module's other sinks: rows land as a
+    ``batch_id=<id>`` partition under dynamic overwrite, so an
+    at-least-once re-delivery rewrites exactly its own partition.
+    State never grows with the stream — it IS the index, and the
+    stop-fingerprint cap was already applied at index build."""
+    from weather_data_data_pipeline_spark.functions.winnow import (
+        winnow_probe_index,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        matches = winnow_probe_index(
+            batch_df.sparkSession,
+            index_path,
+            batch_df,
+            id_col,
+            text_col,
+            k=k,
+            w=w,
+            min_shared=min_shared,
+        )
+        matches.withColumn("batch_id", F.lit(int(batch_id))).select(
+            "batch_id", id_col, "match_id", "n_shared"
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id").parquet(out_path)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
