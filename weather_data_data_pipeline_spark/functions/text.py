@@ -1037,7 +1037,17 @@ def char_entropy_columns(
     decimal fold), the total rounded HALF_UP to 4 dp and surfaced
     DOUBLE. ln is the host libm — the same library DuckDB calls, where
     the previous JVM Math.log agreed only to within 1 ulp. NULL text →
-    NULL row values; empty text → (0, 0, NULL).
+    NULL row values; empty text → (0, 0, NULL) — note the HOF this
+    replaced silently DIVERGED from the oracle there (Spark's
+    ``split('', '')`` yields ``['']``; pinned in tests/test_text_ops).
+
+    Character model: Python code points. Identical to DuckDB's
+    ``string_split(text, '')`` and Spark's ``split`` on BMP text (all
+    the test corpora); on astral-plane text Spark's UTF-16 split
+    counts surrogate halves and DuckDB splits grapheme clusters, so
+    NO two of the three agree — a corpus with such text needs one
+    declared character model first (the kernel's code points are the
+    sanest default).
 
     Scale shape: embarrassingly parallel per row, zero shuffle — the
     kernel pipelines into the scan stage like every other text
