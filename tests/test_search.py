@@ -190,3 +190,17 @@ def test_rrf_fuse_topk_truncates_deterministically(spark):
     )
     rows = rrf_fuse([ranks], "doc_id", k_rrf=60, topk=4).collect()
     assert [r.doc_id for r in rows] == [0, 1, 2, 3]
+
+
+def test_bm25_empty_query_returns_no_rows(spark):
+    """An empty (or all-duplicate-collapsed-to-empty) term bag matches
+    no document — the expression form must degrade like the explode
+    form did instead of indexing a nonexistent first term."""
+    from weather_data_data_pipeline_spark.functions.search import (
+        bm25_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "spark join stream")], "doc_id long, text string"
+    )
+    assert bm25_scores(docs, "doc_id", "text", []).collect() == []

@@ -69,6 +69,14 @@ def bm25_scores(
     corpus-sized term table would want the explode path back.
     """
     terms = list(dict.fromkeys(query_terms))
+    if not terms:
+        # empty query → no document matches any term (the explode form
+        # returned an empty frame here; the expression form would
+        # otherwise index terms[0])
+        return (
+            df.select(F.col(id_col), F.lit(0.0).alias("score"))
+            .where(F.lit(False))
+        )
     toks = F.split(F.col(text_col), " ")
 
     def _is_term(term: str):
