@@ -358,11 +358,21 @@ def dsir_score_frozen(
         ]
     else:
         r_pairs = list(ratios)
-    micros = {
-        int(b): int(r.scaleb(6).to_integral_value())
-        for b, r in r_pairs
-        if r is not None
-    }
+    micros = {}
+    for b, r in r_pairs:
+        if r is None:
+            continue
+        scaled = r.scaleb(6)
+        if scaled != scaled.to_integral_value():
+            # the exactness contract is DECIMAL(28,6): silently rounding
+            # a finer ratio here would break bit-equality with the
+            # oracle's decimal sum — fail loudly instead
+            raise ValueError(
+                f"frozen DSIR ratio for bucket {b} has more than 6 "
+                f"decimal places ({r}); the micro-long exact-sum "
+                "contract requires scale <= 6"
+            )
+        micros[int(b)] = int(scaled)
     r_arr = F.array(
         *[
             F.lit(micros.get(b, 0)).cast("long")
