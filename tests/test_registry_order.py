@@ -21,27 +21,12 @@ WINDOW = 50
 # Mirror of registry._ROUND_HEAD — a deliberate copy so that editing the
 # head without thinking about the verification window fails a test.
 ROUND_HEAD = (
-    # r11 REPLANNED (VERDICT r10 ask #3): both SemDeDup queries now run
-    # semantic_dedup_fused (same oracles, row-equality pinned)
-    "semantic_dedup_keep",
-    "semantic_dedup_keep_capped",
-    # r11 explicit staleness pins (VERDICT r10 ask #1)
-    "ann_ivf_topk_seeded",
-    "ann_ivf_pq_topk_seeded",
-    "image_dhash_near_dup",
-    # r11 REPLANNED (fused BM25 + literal frozen-DSIR model)
-    "bm25_search_topk",
-    "hybrid_search_rrf",
-    "hybrid_rerank_topk",
-    "dsir_score_frozen",
-    "curation_pipeline_frozen_e2e",
-    # r11 NEW oracle query (VERDICT r10 ask #5), fused same-round; also
-    # the verified_by closure of ann_pq_recall_report
-    "ann_pq_recall_seeded",
-    # r11 REPLANNED: Arrow-batched char-entropy kernel replaces the
-    # interpreted HOF fold (functions/text.py:char_entropy_columns)
-    "doc_char_entropy",
-    "quality_proxy_agreement",
+    # r12 head = new-this-round only (VERDICT r11 ask #1: keep it
+    # SMALL so the LRU tail sweeps the 26-query r7 staleness cohort)
+    #
+    # r12 NEW oracle query (VERDICT r11 ask #2): serving form of the
+    # winnowing family (build_winnow_index → winnow_probe_index)
+    "winnowing_index_probe",
 )
 
 

@@ -260,16 +260,30 @@ def build_winnow_index(
     against postings — the index rows are 2 longs per kept
     fingerprint, and at 100 TB the postings partition/bucket by hash
     like any posting list."""
+    from pyspark import StorageLevel
+
     fps = winnow_fingerprints(corpus, id_col, text_col, k, w)
-    hashes = fps.select(id_col, "h").dropDuplicates()
-    hashes.groupBy(id_col).agg(
-        F.count("*").cast("bigint").alias("n_fp")
-    ).write.mode("overwrite").parquet(f"{path}/sizes")
-    hashes.withColumn(
-        "_df", F.count("*").over(Window.partitionBy("h"))
-    ).where(F.col("_df") <= max_postings).drop("_df").write.mode(
-        "overwrite"
-    ).parquet(f"{path}/postings")
+    # Both artifacts derive from the same distinct (id, h) set; cache it
+    # for the build so the gram explode + window selection (the expensive
+    # part of the lineage) runs ONCE, not once per write. Two longs per
+    # kept fingerprint — at 100 TB this is the index's own size, and
+    # MEMORY_AND_DISK spills rather than recomputes.
+    hashes = (
+        fps.select(id_col, "h")
+        .dropDuplicates()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        hashes.groupBy(id_col).agg(
+            F.count("*").cast("bigint").alias("n_fp")
+        ).write.mode("overwrite").parquet(f"{path}/sizes")
+        hashes.withColumn(
+            "_df", F.count("*").over(Window.partitionBy("h"))
+        ).where(F.col("_df") <= max_postings).drop("_df").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/postings")
+    finally:
+        hashes.unpersist()
 
 
 def winnow_probe_index(

@@ -2194,3 +2194,92 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_shared=_WINNOW_MIN_SHARED,
         max_postings=_WINNOW_MAX_POSTINGS,
     )
+
+
+@register(
+    "winnowing_index_probe",
+    # The oracle recomputes BOTH sides' fingerprints from the source
+    # table (there is no oracle-side index write), so the engine's
+    # build→persist→probe round-trip is hash-checked end-to-end against
+    # a pure recompute — same write-vs-recompute asymmetry as
+    # snapshot_version_diff (adjudicated r10): the parquet write IS the
+    # query's point, so its wall ratio is not compute waste.
+    oracle=f"""
+    WITH {_WINNOW_FPS_CTES},
+    hs AS (SELECT DISTINCT doc_id, h FROM fps),
+    ref AS (SELECT doc_id, h FROM hs WHERE doc_id % 3 <> 0),
+    sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+      FROM ref GROUP BY doc_id
+    ),
+    posting AS (
+      SELECT doc_id, h FROM (
+        SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM ref
+      ) WHERE df <= {_WINNOW_MAX_POSTINGS}
+    ),
+    fresh AS (SELECT doc_id, h FROM hs WHERE doc_id % 3 = 0),
+    pairs AS (
+      SELECT f.doc_id AS doc_id, p.doc_id AS match_id,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM fresh f JOIN posting p USING (h)
+      GROUP BY 1, 2
+      HAVING count(*) >= {_WINNOW_MIN_SHARED}
+    )
+    SELECT pairs.doc_id, pairs.match_id, pairs.n_shared,
+           s.n_fp AS match_fp
+    FROM pairs JOIN sizes s ON s.doc_id = pairs.match_id
+    """,
+    doc="The SERVING form of the winnowing family (functions/winnow.py:"
+    "build_winnow_index / winnow_probe_index, the batch twin of the "
+    "streaming winnow_match_sink): documents with doc_id % 3 <> 0 play "
+    "the frozen reference corpus — their fingerprint postings (stop-"
+    "fingerprint cap ≤ "
+    f"{_WINNOW_MAX_POSTINGS} applied once at BUILD time, so probes "
+    "never pay the per-hash frequency pass) and uncapped per-document "
+    "sizes are WRITTEN to a parquet index — and the doc_id % 3 = 0 "
+    "batch probes it: only the new batch is fingerprinted, the "
+    "reference side costs a postings read. Output: (probe doc, matched "
+    "reference doc, shared-fingerprint count ≥ "
+    f"{_WINNOW_MIN_SHARED}, reference doc's uncapped fingerprint "
+    "census from the index's sizes artifact). At 100 TB the index is "
+    "two longs per kept fingerprint, bucketed by hash like any posting "
+    "list, and an incoming batch costs its own fingerprints + one "
+    "capped join — the decontamination / partial-copy gate shape. The "
+    "oracle replays split, hashing, window selection, build-time cap, "
+    "probe join, and the sizes join end-to-end.",
+    tags=("llm", "dedup", "serving"),
+)
+def winnowing_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from weather_data_data_pipeline_spark.functions.winnow import (
+        build_winnow_index,
+        winnow_probe_index,
+    )
+
+    docs = load_fanout(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 3 != 0)
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+    tmp = tempfile.mkdtemp(prefix="winnow_index_")
+    try:
+        build_winnow_index(
+            ref, tmp, "doc_id", "text",
+            k=_WINNOW_K, w=_WINNOW_W,
+            max_postings=_WINNOW_MAX_POSTINGS,
+        )
+        matches = winnow_probe_index(
+            spark, tmp, batch, "doc_id", "text",
+            k=_WINNOW_K, w=_WINNOW_W,
+            min_shared=_WINNOW_MIN_SHARED,
+        )
+        sizes = spark.read.parquet(f"{tmp}/sizes").select(
+            F.col("doc_id").alias("match_id"),
+            F.col("n_fp").alias("match_fp"),
+        )
+        out = matches.join(sizes, "match_id").select(
+            "doc_id", "match_id", "n_shared", "match_fp"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

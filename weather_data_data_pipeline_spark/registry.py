@@ -76,42 +76,16 @@ _loaded = False
 # PLAN/ORACLE changed this round and must (re-)earn a green row. Keep
 # tests/test_registry_order.py's ROUND_HEAD copy in sync.
 _ROUND_HEAD: tuple[str, ...] = (
-    # r11 head = 13 (2 SemDeDup re-earns + 3 judge pins + 5 BM25/DSIR
-    # replans + 1 new oracle query + 2 entropy-kernel replans); the LRU
-    # tail still pulls the whole 33-query r6 oracle cohort (its 4-round
-    # staleness budget expires this round) through the ~50-slot gate
-    # window, plus the oldest r7 rows.
+    # r12 head is deliberately SMALL (VERDICT r11 ask #1): the round's
+    # gate budget belongs to the LRU tail, which must pull all 26
+    # oracle-bearing queries last green r7 (their 4-round staleness
+    # budget expires this round) through the ~50-slot window. Head =
+    # new-this-round queries only; 26 + never-green + this head fits.
     #
-    # r11 REPLANNED (VERDICT r10 ask #3): both SemDeDup queries now run
-    # functions/similarity.py:semantic_dedup_fused — cell-local
-    # union-find inside the per-cell applyInPandas task (same oracles,
-    # row-equality to the unfused form pinned on both branches;
-    # 0.72s vs 1.42s measured, BASELINE.md r10 "r11-ready")
-    "semantic_dedup_keep",
-    "semantic_dedup_keep_capped",
-    # r11 explicit staleness pins (VERDICT r10 ask #1): named by the
-    # judge out of the r6 cohort — the seeded IVF/IVF-PQ replays and
-    # the multimodal dHash near-dup
-    "ann_ivf_topk_seeded",
-    "ann_ivf_pq_topk_seeded",
-    "image_dhash_near_dup",
-    # r11 REPLANNED (VERDICT r10 ask #4 fallout — same oracles,
-    # re-earn): fused expression BM25 (functions/search.py, one scan +
-    # one 1-row exchange) feeds the whole hybrid family; the frozen
-    # DSIR model rides as literal micro-longs (functions/importance.py)
-    # through dsir_score_frozen and the e2e curation pipeline
-    "bm25_search_topk",
-    "hybrid_search_rrf",
-    "hybrid_rerank_topk",
-    "dsir_score_frozen",
-    "curation_pipeline_frozen_e2e",
-    # r11 NEW oracle query (VERDICT r10 ask #5), fused same-round; also
-    # the verified_by closure of ann_pq_recall_report
-    "ann_pq_recall_seeded",
-    # r11 REPLANNED: Arrow-batched char-entropy kernel replaces the
-    # interpreted HOF fold (functions/text.py:char_entropy_columns)
-    "doc_char_entropy",
-    "quality_proxy_agreement",
+    # r12 NEW oracle query (VERDICT r11 ask #2): the serving form of
+    # the winnowing family — build_winnow_index → parquet postings +
+    # sizes → winnow_probe_index, oracle-replayed end-to-end
+    "winnowing_index_probe",
 )
 
 
