@@ -374,3 +374,41 @@ def test_ann_pq_recall_report_query_invariants(spark):
     assert sum(r["n_hit"] for r in flat) >= 0.25 * sum(
         r["n_true"] for r in flat
     )
+
+
+def test_truth_rank_boundary_gap_is_macroscopic():
+    """ADVICE r11 #4: the seeded recall report's truth family uses the
+    BLAS GEMM expansion while the DuckDB oracle folds per-dimension, so
+    truth top-10 SET equality relies on the rank-10/rank-11 distance
+    boundary being macroscopic relative to the ~1e-10 float-association
+    discrepancy between the two computations. Pin that margin on the
+    actual gate data (sf0.001 for the suite, sf0.01 for the driver
+    gate) so a future test-data regeneration cannot silently make the
+    hash comparison fragile — if this fails, re-seed the data or switch
+    the truth kernel to the per-dimension fold."""
+    import duckdb
+    import numpy as np
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = duckdb.sql(
+            "SELECT vec_id, embedding FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+        ).fetchall()
+        ids = np.array([r[0] for r in rows])
+        E = np.stack([np.asarray(r[1], dtype="float64") for r in rows])
+        Q = E[ids < 10]
+        # the kernel's exact expansion (pq_recall_candidates_fused):
+        # ||c||^2 - 2 c.q + ||q||^2, float64
+        D = (
+            (E * E).sum(axis=1)[:, None]
+            - 2.0 * (E @ Q.T)
+            + (Q * Q).sum(axis=1)[None, :]
+        )
+        min_gap = np.inf
+        for qi in range(Q.shape[0]):
+            d = np.sort(D[:, qi], kind="stable")
+            min_gap = min(min_gap, d[10] - d[9])
+        assert min_gap > 1e-6, (
+            f"{sf_dir}: truth rank-10/11 gap {min_gap:.3e} is within "
+            "float-noise of the oracle's fold order"
+        )

@@ -311,11 +311,13 @@ def dsir_score_frozen(
     model broadcasts.
 
     ``carry`` columns (constant per document) ride through so callers
-    never join the scores back to the corpus. ``assume_nonempty`` is
-    kept for API stability but no longer changes the plan: the in-row
-    form scores a zero-gram document (log_w 0, n_grams 0) instead of
-    dropping it, which is the semantics the join-back existed to
-    restore.
+    never join the scores back to the corpus. Zero-gram documents emit
+    no gram rows, so the aggregate alone drops them; the default path
+    restores them as (log_w 0, n_grams 0) via a left join-back against
+    the corpus ids. ``assume_nonempty`` skips that join-back — callers
+    who KNOW every document tokenizes to ≥1 gram save the extra join,
+    but with it set a zero-gram document silently vanishes from the
+    output.
 
     Plan shape (r11): the model is FROZEN and bucket-indexed, so it
     rides as a LITERAL array (the seeded-codebook device — ``ratios``
@@ -362,6 +364,16 @@ def dsir_score_frozen(
     for b, r in r_pairs:
         if r is None:
             continue
+        if not 0 <= int(b) < num_buckets:
+            # a model fit with a different num_buckets than score time
+            # would otherwise silently drop its out-of-range buckets and
+            # mis-score every document — fail loudly, like the scale
+            # check below
+            raise ValueError(
+                f"frozen DSIR model bucket {b} is outside [0, "
+                f"{num_buckets}); the model was fit with a different "
+                "num_buckets than this scorer"
+            )
         scaled = r.scaleb(6)
         if scaled != scaled.to_integral_value():
             # the exactness contract is DECIMAL(28,6): silently rounding

@@ -634,10 +634,18 @@ def _query_broadcast_hint(queries: DataFrame, threshold: int):
     shuffle plan into a driver/executor OOM when someone feeds a
     corpus-sized query frame. Probe with a bounded count
     (``limit(threshold+1)`` short-circuits the scan) and return
-    ``F.broadcast`` only under the bound; above it (or at
-    ``threshold=0``, the explicit opt-out) return identity so every
-    join falls back to the optimizer's shuffle strategy."""
-    if threshold <= 0:
+    ``F.broadcast`` only under the bound; at ``threshold=0`` (the
+    explicit opt-out) or above the bound return identity so every
+    join falls back to the optimizer's shuffle strategy.
+
+    The probe is an EAGER Spark job at plan-construction time — in
+    :func:`lsh_topk_self` it filters the full corpus by the query
+    predicate, an extra corpus scan when matches are sparse (ADVICE
+    r11 #3). Callers that already KNOW the query batch is small pass
+    ``threshold < 0``: force broadcast, no probe job."""
+    if threshold < 0:
+        return F.broadcast
+    if threshold == 0:
         return lambda df: df
     n_q = queries.limit(threshold + 1).count()
     return F.broadcast if n_q <= threshold else (lambda df: df)
@@ -682,7 +690,9 @@ def lsh_topk(
     joins. The bound caps the query-side frames directly; candidate
     inflation is still queries × L × bucket occupancy, so size the
     threshold with expected occupancy in mind (or pass 0 to force the
-    shuffle plan outright on skew-prone corpora).
+    shuffle plan outright on skew-prone corpora, or a negative value
+    to force broadcast WITHOUT the probe job when the caller already
+    knows the batch is small — ADVICE r11 #3).
     """
     hint = _query_broadcast_hint(queries, broadcast_threshold)
     if planes is not None:
