@@ -108,12 +108,16 @@ def jaccard_pairs(
     df-ranked head, found with one aggregate and removed with a
     broadcast anti-join.
 
-    Shape note (measured): a posting-list variant (collect_list per
-    shingle + HOF pair generation) is ~15% faster at sf0.1 but builds
-    each shingle's full pair array inside ONE row's interpreted lambda —
-    a hot shingle shared by 10k docs would materialize 50M pairs in a
-    single task. The self-join distributes exactly that blow-up across
-    the shuffle, so it is the shape that survives skew at 100 TB.
+    Shape note (measured, re-confirmed r12 same-session 3-way): a
+    posting-list variant (collect_list per shingle + in-task pair
+    generation) measured 1.52 s vs the self-join's 1.01 s at sf0.1 —
+    collect_list forces ObjectHashAggregate off the codegen path — on
+    top of the skew objection: without a df cap a hot shingle shared
+    by 10k docs materializes 50M pairs in ONE task's array, and even
+    WITH the cap the pre-cut needs its own pass. The self-join
+    distributes exactly that blow-up across the shuffle and stays in
+    whole-stage codegen, so it is the shape that survives skew at
+    100 TB AND the faster one at bench scale.
     """
     overlaps = _pair_overlap(df, id_col, text_col, n, max_df)
     return (
@@ -179,7 +183,9 @@ def _pair_overlap(
     :func:`containment_pairs`: (id_a, id_b, n_common, n_a, n_b) for every
     document pair sharing ≥1 (df-capped) shingle. See jaccard_pairs for
     the measured shape rationale (checkpointed index, broadcast anti-join
-    hot cut, 8-byte-hash self-join)."""
+    hot cut, 8-byte-hash self-join); BASELINE.md r12 records the full
+    plan-shape study (posting-list, lazy-ReuseExchange, codegen shingle
+    hashing — all measured same-session, none beat this shape)."""
     # Materialize the inverted index ONCE. Both join sides derive from
     # it, and Spark re-executes unmaterialized lineage per side — the
     # corpus would be exploded and hashed twice (measured 1.5× slower at
@@ -198,12 +204,15 @@ def _pair_overlap(
             .where(F.col("_df") > max_df)
             .select("h")
         )
-        # Materialized: three consumers (counts, both join sides) would
-        # otherwise re-run the anti-join per consumer — measured 40%
-        # slower lazy than checkpointed at sf0.1.
-        sh = sh.join(F.broadcast(hot), "h", "left_anti").localCheckpoint(
-            eager=True
-        )
+        # LAZY anti-join (r12 re-measure): all three consumers below
+        # apply it map-side over the checkpointed index blocks, and
+        # ReuseExchange dedups the hot broadcast inside the one
+        # physical plan — re-checkpointing the capped index cost a
+        # second materialization job for nothing (same-session 3-way
+        # interleave: 0.97 s lazy vs 1.11 s checkpointed; the r4-era
+        # "40% slower lazy" measurement predates the checkpointed
+        # FIRST index this now reads from).
+        sh = sh.join(F.broadcast(hot), "h", "left_anti")
         # cardinalities over the capped vocabulary, from the capped index
         counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     else:
