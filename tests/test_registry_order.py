@@ -27,6 +27,9 @@ ROUND_HEAD = (
     # r12 NEW oracle query (VERDICT r11 ask #2): serving form of the
     # winnowing family (build_winnow_index → winnow_probe_index)
     "winnowing_index_probe",
+    # r12 NEW oracle query (VERDICT r11 ask #7): suffix-array-style
+    # maximal-exact-match extraction over diagonal gram runs
+    "exact_substring_mems",
 )
 
 

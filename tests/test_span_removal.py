@@ -475,3 +475,67 @@ def test_span_stats_match_suffix_sort_oracle_adversarial(spark):
     assert got[0][1] >= n and got[1][1] >= n
     # the short doc kept everything
     assert got[3] == (2, 0, 2, 0)
+
+
+def _mems(spark, rows, **kw):
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        maximal_match_pairs,
+    )
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = maximal_match_pairs(df, "doc_id", "text", **kw)
+    return {
+        (r["id_a"], r["id_b"], r["start_a"]): (
+            r["start_b"],
+            r["match_tokens"],
+        )
+        for r in out.collect()
+    }
+
+
+def _words(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_mem_reports_exact_offsets_and_length(spark):
+    """A 15-token substring planted at different offsets in two docs
+    must surface as ONE maximal diagonal run with both 0-based start
+    offsets and the exact shared length — the suffix-array semantics
+    (Lee et al. 2022 ExactSubstr) the ordered-gram-run formulation
+    replays."""
+    shared = _words("s", 15)
+    rows = [
+        (1, shared + " " + _words("a", 10)),          # match at offset 0
+        (2, _words("b", 5) + " " + shared + " " + _words("c", 4)),
+    ]
+    mems = _mems(spark, rows, n=8, min_tokens=12, max_df=100)
+    assert mems == {(1, 2, 0): (5, 15)}
+
+
+def test_mem_threshold_and_two_runs(spark):
+    """Matches shorter than min_tokens are dropped; two separate shared
+    substrings between the same pair produce two MEM rows (different
+    diagonals/islands), not one merged span."""
+    s1 = _words("x", 12)   # exactly at the threshold
+    s2 = _words("y", 11)   # one token short — must not appear
+    rows = [
+        (1, s1 + " " + _words("p", 9) + " " + s2),
+        (2, s2 + " " + _words("q", 9) + " " + s1),
+    ]
+    mems = _mems(spark, rows, n=8, min_tokens=12, max_df=100)
+    assert mems == {(1, 2, 0): (20, 12)}
+    # lowering the threshold to 11 surfaces the second run too
+    mems11 = _mems(spark, rows, n=8, min_tokens=11, max_df=100)
+    assert mems11 == {(1, 2, 0): (20, 12), (1, 2, 21): (0, 11)}
+
+
+def test_mem_min_tokens_validation(spark):
+    import pytest
+
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        maximal_match_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        maximal_match_pairs(df, "doc_id", "text", n=8, min_tokens=7)

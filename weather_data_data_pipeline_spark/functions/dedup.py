@@ -1414,6 +1414,104 @@ def span_dedup_stats(
     )
 
 
+def maximal_match_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_tokens: int = 12,
+    max_df: int = 100,
+) -> DataFrame:
+    """Maximal exact matches (MEMs) between document pairs — the
+    suffix-array formulation of exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr), re-expressed as ORDERED-GRAM-RUN extraction so both
+    engines replay it: a substring of length m ≥ ``min_tokens`` shared
+    verbatim by two documents is exactly a run of m − n + 1 consecutive
+    positional n-gram matches on one DIAGONAL of the match matrix
+    (pos_a − pos_b constant), so maximal matches fall out of the same
+    gaps-and-islands machinery as :func:`span_dedup_stats` — grouped by
+    (id_a, id_b, diagonal) instead of per document. Where the span
+    family reports the per-document UNION of duplicated windows (each
+    window may match a different partner), a MEM names the partner,
+    both start offsets, and the exact shared length — the per-pair
+    evidence an attribution/contamination audit needs.
+
+    Output: (id_a, id_b, start_a, start_b, match_tokens) with
+    id_a < id_b, one row per maximal diagonal run of ≥
+    ``min_tokens − n + 1`` consecutive matching n-grams; ``start_*``
+    are 0-based token offsets (the positional-gram index convention of
+    :func:`_positional_gram_hashes`).
+
+    Scale shape: positional gram hashes (codegen'd, hashed after the
+    posexplode) checkpoint once as the inverted index; grams in more
+    than ``max_df`` documents' positions leave the feature space via
+    the broadcast anti-join stop-gram cut (the bounded-join device of
+    the whole pair family — pair traffic ≤ cap × surviving postings,
+    never corpus-quadratic; a hot boilerplate gram inside a long match
+    splits the reported run, which is the documented capped-vocabulary
+    semantics). The diagonal islands use the pos − row_number() trick
+    (one window over rows already keyed by (id_a, id_b, diag) — pos_a
+    is unique within a diagonal by construction) so runs need no lag
+    self-comparison, and the output is one row per MEM, not per gram.
+    """
+    min_grams = min_tokens - n + 1
+    if min_grams < 1:
+        raise ValueError(
+            f"min_tokens ({min_tokens}) must be >= n ({n})"
+        )
+    toks = _span_toks(df, id_col, text_col)
+    grams = _positional_gram_hashes(toks, id_col, n).localCheckpoint(
+        eager=True
+    )
+    hot = (
+        grams.groupBy("h")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") > max_df)
+        .select("h")
+    )
+    kept = grams.join(F.broadcast(hot), "h", "left_anti")
+    a = kept.select(
+        F.col(id_col).alias("id_a"), F.col("pos").alias("pos_a"), "h"
+    )
+    b = kept.select(
+        F.col(id_col).alias("id_b"), F.col("pos").alias("pos_b"), "h"
+    )
+    from pyspark.sql import Window
+
+    matches = (
+        a.join(b, "h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "pos_a",
+            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+        )
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    runs = matches.withColumn(
+        "_isl", F.col("pos_a") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("id_a", "id_b", "diag", "_isl")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            (F.count("*") + F.lit(n - 1)).alias("match_tokens"),
+        )
+        .where(F.col("match_tokens") >= min_tokens)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("start_a").cast("bigint").alias("start_a"),
+            (F.col("start_a") - F.col("diag")).cast("bigint").alias(
+                "start_b"
+            ),
+            F.col("match_tokens").cast("bigint").alias("match_tokens"),
+        )
+    )
+
+
 def span_dedup_clean(
     df: DataFrame,
     id_col: str,

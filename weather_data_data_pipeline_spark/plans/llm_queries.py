@@ -1985,6 +1985,74 @@ def span_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "exact_substring_mems",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, u.i AS pos, u.g AS gram
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) - 6),
+                          i -> struct_pack(i := i - 1,
+                               g := array_to_string(t[i:i+7], ' ')))) AS u
+            FROM toks WHERE len(t) >= 8
+        )
+    ),
+    cold AS (
+        SELECT gram FROM grams GROUP BY gram HAVING count(*) <= 100
+    ),
+    kept AS (SELECT g.* FROM grams g JOIN cold USING (gram)),
+    m AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a,
+               a.pos - b.pos AS diag
+        FROM kept a JOIN kept b
+          ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+        SELECT id_a, id_b, diag, pos_a,
+               pos_a - row_number() OVER (
+                   PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS isl
+        FROM m
+    )
+    SELECT id_a, id_b,
+           CAST(min(pos_a) AS BIGINT) AS start_a,
+           CAST(min(pos_a) - diag AS BIGINT) AS start_b,
+           CAST(count(*) + 7 AS BIGINT) AS match_tokens
+    FROM runs GROUP BY id_a, id_b, diag, isl
+    HAVING count(*) + 7 >= 12
+    """,
+    doc="Maximal exact matches between document pairs (functions/"
+    "dedup.py:maximal_match_pairs) — the suffix-array formulation of "
+    "exact-substring dedup (Lee et al. 2022, ExactSubstr), as ordered-"
+    "gram-run extraction: a ≥12-token substring shared verbatim by two "
+    "documents is exactly a maximal run of consecutive positional "
+    "8-gram matches on one DIAGONAL (pos_a − pos_b constant) of the "
+    "match matrix, pulled out with the span family's gaps-and-islands "
+    "machinery grouped by (pair, diagonal) via the pos − row_number() "
+    "trick. Unlike span_dedup_profile's per-document duplicated-window "
+    "UNION (each window may match a DIFFERENT partner), a MEM names "
+    "the partner document, both start offsets, and the exact shared "
+    "length — the per-pair evidence attribution and contamination "
+    "audits need. Stop-gram cap df ≤ 100 bounds the positional join "
+    "(the pair family's bounded-join device); the oracle replays "
+    "grams, cap, diagonal join, islands, and the length threshold "
+    "end-to-end.",
+    tags=("llm", "dedup", "bench"),
+)
+def exact_substring_mems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        maximal_match_pairs,
+    )
+
+    docs = load_fanout(spark, sf_dir, "documents")
+    return maximal_match_pairs(
+        docs, "doc_id", "text", n=8, min_tokens=12, max_df=100
+    )
+
+
+@register(
     "span_dedup_removal",
     oracle="""
     WITH toks AS (

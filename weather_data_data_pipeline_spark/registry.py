@@ -86,6 +86,9 @@ _ROUND_HEAD: tuple[str, ...] = (
     # the winnowing family — build_winnow_index → parquet postings +
     # sizes → winnow_probe_index, oracle-replayed end-to-end
     "winnowing_index_probe",
+    # r12 NEW oracle query (VERDICT r11 ask #7): suffix-array-style
+    # maximal-exact-match extraction over diagonal gram runs
+    "exact_substring_mems",
 )
 
 
