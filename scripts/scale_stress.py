@@ -710,6 +710,36 @@ def runr11b() -> None:
     spark.stop()
 
 
+QUERIES_R12 = (
+    # r12 new operators. winnowing_index_probe: the serving round-trip
+    # (build index -> parquet postings+sizes -> probe the doc_id%3==0
+    # batch) — fingerprinting is the linear winnow scan measured in
+    # r11b; the probe join is capped-postings-bounded, so expect
+    # ~linear wall and postings-linear bytes. exact_substring_mems:
+    # positional-gram index (linear) + capped diagonal join; on the
+    # closed 31-token stress vocabulary the diagonal-run pair family
+    # densifies like every exact pair family here (documented r4
+    # workload property) — the df<=100 stop-gram cap is what bounds
+    # the join at all SFs.
+    "winnowing_index_probe",
+    "exact_substring_mems",
+)
+
+
+def runr12() -> None:
+    d1, spark = _measure(
+        (("sf0.1", SRC_DIR), ("sf1", OUT_DIR)), QUERIES_R12, "r12d1",
+        "scale_r12d1",
+    )
+    spark.stop()
+    d2, spark = _measure(
+        (("sf1", OUT_DIR), ("sf10", OUT_DIR_10)), QUERIES_R12, "r12d2",
+        "scale_r12d2",
+    )
+    print(json.dumps({"decade1_sf01_sf1": d1, "decade2_sf1_sf10": d2}))
+    spark.stop()
+
+
 def runr11() -> None:
     d1, spark = _measure(
         (("sf0.1", SRC_DIR), ("sf1", OUT_DIR)), QUERIES_R11, "r11d1",
@@ -770,6 +800,8 @@ if __name__ == "__main__":
         runr11()
     elif cmd == "runr11b":
         runr11b()
+    elif cmd == "runr12":
+        runr12()
     else:
         print("usage: scale_stress.py [gen|run|gen10|run10|runr5|runr6|"
               "runr6c|runr7|runr7b|runr8|gen_events|runr9|runr10|runr11]")
