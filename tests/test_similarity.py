@@ -451,3 +451,22 @@ def test_semantic_dedup_fused_equals_unfused_both_branches(spark):
         ) == key(
             semantic_dedup(emb, cents, threshold=0.35, max_cell_size=cap)
         ), f"cap={cap}"
+
+
+def test_query_broadcast_hint_sentinel_skips_probe(spark):
+    """ADVICE r11 #3: threshold < 0 forces broadcast WITHOUT the eager
+    limit+count probe job; 0 still opts out to the shuffle plan."""
+    from unittest.mock import patch
+
+    from pyspark.sql import functions as F
+
+    from weather_data_data_pipeline_spark.functions import similarity as S
+
+    df = spark.range(5)
+    with patch.object(df.__class__, "count", side_effect=AssertionError(
+        "sentinel must not run a count job"
+    )):
+        assert S._query_broadcast_hint(df, -1) is F.broadcast
+        ident = S._query_broadcast_hint(df, 0)
+    out = ident(df)
+    assert out is df  # identity, no broadcast hint

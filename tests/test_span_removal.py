@@ -539,3 +539,113 @@ def test_mem_min_tokens_validation(spark):
     df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         maximal_match_pairs(df, "doc_id", "text", n=8, min_tokens=7)
+
+
+def test_mem_probe_index_matches_planted_truth(spark, tmp_path):
+    """The serving probe (frozen positional-gram index → diagonal-run
+    extraction) reports the same planted substring the batch MEM form
+    finds, and drops self-matches when a probe document is also in the
+    index."""
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        build_mem_index,
+        mem_probe_index,
+    )
+
+    shared = _words("s", 15)
+    ref_rows = [
+        (10, _words("r", 6) + " " + shared),        # shared at offset 6
+        (11, _words("z", 30)),
+    ]
+    ref = spark.createDataFrame(ref_rows, ["doc_id", "text"])
+    idx = str(tmp_path / "memidx")
+    build_mem_index(ref, idx, n=8, max_df=100)
+
+    probe_rows = [
+        (1, shared + " " + _words("a", 5)),          # shared at offset 0
+        (10, ref_rows[0][1]),                        # self — must drop
+    ]
+    probe = spark.createDataFrame(probe_rows, ["doc_id", "text"])
+    out = {
+        (r["doc_id"], r["match_id"], r["start_a"]): (
+            r["start_b"],
+            r["match_tokens"],
+        )
+        for r in mem_probe_index(
+            spark, idx, probe, n=8, min_tokens=12
+        ).collect()
+    }
+    assert out == {(1, 10, 0): (6, 15)}
+
+
+def test_mem_match_sink_equals_batch_probe(spark, tmp_path):
+    """Streaming MEM screening against a frozen index == the batch
+    probe over the union: positional grams depend only on the document
+    and the index is frozen, so micro-batch boundaries cannot change a
+    MEM row. Also pins the batch_id partition layout."""
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        build_mem_index,
+        mem_probe_index,
+    )
+    from weather_data_data_pipeline_spark.streaming import incremental as S
+
+    shared1 = _words("s", 14)
+    shared2 = _words("t", 13)
+    ref = spark.createDataFrame(
+        [
+            (100, _words("r", 4) + " " + shared1),
+            (101, shared2 + " " + _words("q", 7)),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "msidx")
+    build_mem_index(ref, idx, n=8, max_df=100)
+
+    fresh_rows = [
+        (1, shared1 + " " + _words("a", 3)),
+        (2, _words("b", 9) + " " + shared2),
+        (3, _words("c", 25)),                        # no match
+        (4, shared2 + " " + shared1),                # matches both refs
+    ]
+    schema = "doc_id LONG, text STRING"
+    src = str(tmp_path / "ms_src")
+    for lo, hi in ((0, 2), (2, 4)):
+        spark.createDataFrame(fresh_rows[lo:hi], schema).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "ms_out")
+    q = (
+        S.mem_match_sink(
+            (
+                spark.readStream.schema(schema)
+                .format("parquet")
+                .option("maxFilesPerTrigger", "1")
+                .load(src)
+            ),
+            idx, out, str(tmp_path / "ms_ck"),
+            n=8, min_tokens=12,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    def key(rows_):
+        return sorted(
+            (
+                r["doc_id"], r["match_id"], r["start_a"],
+                r["start_b"], r["match_tokens"],
+            )
+            for r in rows_
+        )
+
+    got = key(spark.read.parquet(out).collect())
+    want = key(
+        mem_probe_index(
+            spark, idx,
+            spark.createDataFrame(fresh_rows, schema),
+            n=8, min_tokens=12,
+        ).collect()
+    )
+    assert got == want and len(got) >= 3
+    assert spark.read.parquet(out).select("batch_id").distinct().count() == 2

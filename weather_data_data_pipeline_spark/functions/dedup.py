@@ -1512,6 +1512,109 @@ def maximal_match_pairs(
     )
 
 
+def build_mem_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    max_df: int = 100,
+) -> None:
+    """Materialize the positional-gram index a served maximal-exact-
+    match probe needs: ``<path>/postings`` = (id, pos, h) rows with
+    grams occurring more than ``max_df`` times across the reference
+    corpus REMOVED at build time (the stop-gram cap is a property of
+    the reference corpus, so paying it once here keeps every probe
+    free of the per-gram frequency pass — the
+    :func:`~weather_data_data_pipeline_spark.functions.winnow.build_winnow_index`
+    convention). The index is three longs per kept gram position; at
+    100 TB it partitions/buckets by hash like any posting list."""
+    from pyspark import StorageLevel
+
+    toks = _span_toks(corpus, id_col, text_col)
+    grams = _positional_gram_hashes(toks, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        hot = (
+            grams.groupBy("h")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > max_df)
+            .select("h")
+        )
+        grams.join(F.broadcast(hot), "h", "left_anti").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/postings")
+    finally:
+        grams.unpersist()
+
+
+def mem_probe_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_tokens: int = 12,
+) -> DataFrame:
+    """(id, match_id, start_a, start_b, match_tokens): new documents
+    probed against a :func:`build_mem_index` layout — the serving form
+    of :func:`maximal_match_pairs` where one side is a frozen reference
+    corpus (attribution / contamination gating on arriving documents).
+    Only the new batch pays gram extraction; the reference side costs a
+    postings read, and the build-time stop-gram cap bounds the join.
+    ``start_a`` is the 0-based offset in the PROBE document, ``start_b``
+    in the matched reference document; rows where a probe document
+    matches ITSELF in the index (same id) are dropped so re-screening
+    an already-indexed corpus is not all self-reports. The diagonal
+    islands use the same pos − row_number() device as the batch form —
+    MEM semantics are identical by construction (pinned by the
+    stream == batch-probe test)."""
+    min_grams = min_tokens - n + 1
+    if min_grams < 1:
+        raise ValueError(f"min_tokens ({min_tokens}) must be >= n ({n})")
+    postings = spark.read.parquet(f"{path}/postings").select(
+        F.col(id_col).alias("match_id"), F.col("pos").alias("pos_b"), "h"
+    )
+    fresh = _positional_gram_hashes(
+        _span_toks(new_docs, id_col, text_col), id_col, n
+    ).select(F.col(id_col), F.col("pos").alias("pos_a"), "h")
+    from pyspark.sql import Window
+
+    matches = (
+        fresh.join(postings, "h")
+        .where(F.col(id_col) != F.col("match_id"))
+        .select(
+            id_col,
+            "match_id",
+            "pos_a",
+            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+        )
+    )
+    w = Window.partitionBy(id_col, "match_id", "diag").orderBy("pos_a")
+    runs = matches.withColumn(
+        "_isl", F.col("pos_a") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy(id_col, "match_id", "diag", "_isl")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            (F.count("*") + F.lit(n - 1)).alias("match_tokens"),
+        )
+        .where(F.col("match_tokens") >= min_tokens)
+        .select(
+            id_col,
+            "match_id",
+            F.col("start_a").cast("bigint").alias("start_a"),
+            (F.col("start_a") - F.col("diag")).cast("bigint").alias(
+                "start_b"
+            ),
+            F.col("match_tokens").cast("bigint").alias("match_tokens"),
+        )
+    )
+
+
 def span_dedup_clean(
     df: DataFrame,
     id_col: str,

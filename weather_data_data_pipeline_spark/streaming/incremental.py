@@ -1422,3 +1422,62 @@ def winnow_match_sink(
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
     )
+
+
+def mem_match_sink(
+    stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_tokens: int = 12,
+) -> DataStreamWriter:
+    """Streaming maximal-exact-match screening against a FROZEN
+    positional-gram index (functions/dedup.py:build_mem_index) — the
+    live twin of the batch ``exact_substring_mems`` family for the
+    serving shape where one side is a reference corpus: every arriving
+    document's MEMs against the index append as (batch_id, id,
+    match_id, start_a, start_b, match_tokens). Same contract as
+    :func:`winnow_match_sink`, exact spans instead of sampled
+    fingerprints: the index is frozen and a document's positional grams
+    depend only on itself, so batch boundaries cannot change a MEM row
+    and the stream equals the batch probe over the union bit-for-bit
+    (pinned in tests/test_span_removal.py). Replay-safe: rows land as a
+    ``batch_id=<id>`` partition under dynamic overwrite, so an
+    at-least-once re-delivery rewrites exactly its own partition. State
+    never grows with the stream — it IS the index, and the stop-gram
+    cap was already applied at index build."""
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        mem_probe_index,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        mems = mem_probe_index(
+            batch_df.sparkSession,
+            index_path,
+            batch_df,
+            id_col,
+            text_col,
+            n=n,
+            min_tokens=min_tokens,
+        )
+        mems.withColumn("batch_id", F.lit(int(batch_id))).select(
+            "batch_id",
+            id_col,
+            "match_id",
+            "start_a",
+            "start_b",
+            "match_tokens",
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id").parquet(out_path)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
