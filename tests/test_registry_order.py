@@ -30,6 +30,9 @@ ROUND_HEAD = (
     # r12 NEW oracle query (VERDICT r11 ask #7): suffix-array-style
     # maximal-exact-match extraction over diagonal gram runs
     "exact_substring_mems",
+    # r12 NEW oracle query: serving round-trip of the MEM family
+    # (build_mem_index -> parquet postings -> mem_probe_index)
+    "mem_index_probe",
 )
 
 

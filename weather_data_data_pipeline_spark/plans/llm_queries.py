@@ -2053,6 +2053,90 @@ def exact_substring_mems(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mem_index_probe",
+    # Same write-vs-recompute oracle asymmetry as winnowing_index_probe
+    # / snapshot_version_diff: the engine builds and persists the
+    # postings index then probes it; the oracle recomputes both sides.
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, u.i AS pos, u.g AS gram
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) - 6),
+                          i -> struct_pack(i := i - 1,
+                               g := array_to_string(t[i:i+7], ' ')))) AS u
+            FROM toks WHERE len(t) >= 8
+        )
+    ),
+    ref AS (SELECT * FROM grams WHERE doc_id % 3 <> 0),
+    cold AS (
+        SELECT gram FROM ref GROUP BY gram HAVING count(*) <= 100
+    ),
+    posting AS (SELECT r.* FROM ref r JOIN cold USING (gram)),
+    fresh AS (SELECT * FROM grams WHERE doc_id % 3 = 0),
+    m AS (
+        SELECT f.doc_id AS doc_id, p.doc_id AS match_id,
+               f.pos AS pos_a, f.pos - p.pos AS diag
+        FROM fresh f JOIN posting p USING (gram)
+    ),
+    runs AS (
+        SELECT doc_id, match_id, diag, pos_a,
+               pos_a - row_number() OVER (
+                   PARTITION BY doc_id, match_id, diag
+                   ORDER BY pos_a) AS isl
+        FROM m
+    )
+    SELECT doc_id, match_id,
+           CAST(min(pos_a) AS BIGINT) AS start_a,
+           CAST(min(pos_a) - diag AS BIGINT) AS start_b,
+           CAST(count(*) + 7 AS BIGINT) AS match_tokens
+    FROM runs GROUP BY doc_id, match_id, diag, isl
+    HAVING count(*) + 7 >= 12
+    """,
+    doc="The SERVING form of the maximal-exact-match family (functions/"
+    "dedup.py:build_mem_index / mem_probe_index, batch twin of the "
+    "streaming mem_match_sink): documents with doc_id % 3 <> 0 play "
+    "the frozen reference corpus — their positional-gram postings "
+    "(stop-gram cap df ≤ 100 applied once at BUILD time) are WRITTEN "
+    "to a parquet index — and the doc_id % 3 = 0 batch probes it: "
+    "only the new batch pays gram extraction, then the diagonal-run "
+    "island extraction reports each maximal ≥12-token shared "
+    "substring with the matched reference doc and both 0-based "
+    "offsets. The decontamination / attribution gate shape at 100 TB: "
+    "the index is three longs per kept gram position, bucketed by "
+    "hash, and an incoming batch costs its own grams + one capped "
+    "join. The oracle recomputes split, grams, build-time cap, probe "
+    "join, islands, and threshold end-to-end against the persisted "
+    "round-trip.",
+    tags=("llm", "dedup", "serving"),
+)
+def mem_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        build_mem_index,
+        mem_probe_index,
+    )
+
+    docs = load_fanout(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 3 != 0)
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+    tmp = tempfile.mkdtemp(prefix="mem_index_")
+    try:
+        build_mem_index(ref, tmp, "doc_id", "text", n=8, max_df=100)
+        out = mem_probe_index(
+            spark, tmp, batch, "doc_id", "text", n=8, min_tokens=12
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
     "span_dedup_removal",
     oracle="""
     WITH toks AS (
