@@ -649,3 +649,57 @@ def test_mem_match_sink_equals_batch_probe(spark, tmp_path):
     )
     assert got == want and len(got) >= 3
     assert spark.read.parquet(out).select("batch_id").distinct().count() == 2
+
+
+def test_mem_matches_brute_force_reference(spark):
+    """Randomized ground truth for the MEM formulation itself: the
+    DuckDB oracle replays the SAME diagonal-run construction, so a
+    formulation bug would hash-match on both engines — this pins the
+    construction against an independent token-level reference (maximal
+    common substrings by direct diagonal scan over the token arrays)
+    on seeded random corpora from a 3-token alphabet (dense matches by
+    construction). Cap set high so the stop-gram device is inert."""
+    import random
+
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        maximal_match_pairs,
+    )
+
+    N, MIN_TOK = 3, 4
+
+    def brute(ta, tb):
+        out = []
+        for d in range(-(len(tb) - 1), len(ta)):
+            i, run = max(0, d), 0
+            j = i - d
+            while i <= len(ta) and j <= len(tb):
+                if i < len(ta) and j < len(tb) and ta[i] == tb[j]:
+                    run += 1
+                else:
+                    if run >= MIN_TOK:
+                        out.append((i - run, j - run, run))
+                    run = 0
+                i += 1
+                j += 1
+        return out
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        docs = [
+            (k, " ".join(rng.choice("a b c".split()) for _ in range(rng.randint(0, 25))))
+            for k in range(8)
+        ]
+        toks = {k: t.split(" ") if t else [] for k, t in docs}
+        want = set()
+        for a in range(8):
+            for b in range(a + 1, 8):
+                for sa, sb, m in brute(toks[a], toks[b]):
+                    want.add((a, b, sa, sb, m))
+        got = {
+            (r["id_a"], r["id_b"], r["start_a"], r["start_b"], r["match_tokens"])
+            for r in maximal_match_pairs(
+                spark.createDataFrame(docs, ["doc_id", "text"]),
+                "doc_id", "text", n=N, min_tokens=MIN_TOK, max_df=10**6,
+            ).collect()
+        }
+        assert got == want, f"seed {seed}: {got ^ want}"
