@@ -454,10 +454,13 @@ def test_semantic_dedup_fused_equals_unfused_both_branches(spark):
 
 
 def test_query_broadcast_hint_sentinel_skips_probe(spark):
-    """ADVICE r11 #3: threshold < 0 forces broadcast WITHOUT the eager
-    limit+count probe job; 0 still opts out to the shuffle plan."""
+    """ADVICE r11 #3 + ADVICE r12: FORCE_BROADCAST (None) forces
+    broadcast WITHOUT the eager limit+count probe job; 0 still opts
+    out to the shuffle plan; negative thresholds raise instead of
+    silently inverting the pre-r12 opt-out meaning of -1."""
     from unittest.mock import patch
 
+    import pytest
     from pyspark.sql import functions as F
 
     from weather_data_data_pipeline_spark.functions import similarity as S
@@ -466,7 +469,10 @@ def test_query_broadcast_hint_sentinel_skips_probe(spark):
     with patch.object(df.__class__, "count", side_effect=AssertionError(
         "sentinel must not run a count job"
     )):
-        assert S._query_broadcast_hint(df, -1) is F.broadcast
+        assert S._query_broadcast_hint(df, S.FORCE_BROADCAST) is F.broadcast
+        assert S._query_broadcast_hint(df, None) is F.broadcast
         ident = S._query_broadcast_hint(df, 0)
+        with pytest.raises(ValueError, match="broadcast_threshold"):
+            S._query_broadcast_hint(df, -1)
     out = ident(df)
     assert out is df  # identity, no broadcast hint

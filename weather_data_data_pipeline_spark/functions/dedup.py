@@ -1528,7 +1528,13 @@ def build_mem_index(
     free of the per-gram frequency pass — the
     :func:`~weather_data_data_pipeline_spark.functions.winnow.build_winnow_index`
     convention). The index is three longs per kept gram position; at
-    100 TB it partitions/buckets by hash like any posting list."""
+    100 TB it partitions/buckets by hash like any posting list.
+
+    On-disk columns are CANONICAL — (id, pos, h) — regardless of
+    ``id_col``, so a probe never needs to know what the build-side
+    frame called its id column (ADVICE r12: a probe called with a
+    different ``id_col`` than the build used to fail with a
+    missing-column error)."""
     from pyspark import StorageLevel
 
     toks = _span_toks(corpus, id_col, text_col)
@@ -1542,9 +1548,9 @@ def build_mem_index(
             .where(F.col("_df") > max_df)
             .select("h")
         )
-        grams.join(F.broadcast(hot), "h", "left_anti").write.mode(
-            "overwrite"
-        ).parquet(f"{path}/postings")
+        grams.join(F.broadcast(hot), "h", "left_anti").select(
+            F.col(id_col).alias("id"), "pos", "h"
+        ).write.mode("overwrite").parquet(f"{path}/postings")
     finally:
         grams.unpersist()
 
@@ -1563,7 +1569,9 @@ def mem_probe_index(
     of :func:`maximal_match_pairs` where one side is a frozen reference
     corpus (attribution / contamination gating on arriving documents).
     Only the new batch pays gram extraction; the reference side costs a
-    postings read, and the build-time stop-gram cap bounds the join.
+    postings read (canonical (id, pos, h) columns — the probe's
+    ``id_col`` names only the PROBE frame's id), and the build-time
+    stop-gram cap bounds the join.
     ``start_a`` is the 0-based offset in the PROBE document, ``start_b``
     in the matched reference document; rows where a probe document
     matches ITSELF in the index (same id) are dropped so re-screening
@@ -1575,7 +1583,7 @@ def mem_probe_index(
     if min_grams < 1:
         raise ValueError(f"min_tokens ({min_tokens}) must be >= n ({n})")
     postings = spark.read.parquet(f"{path}/postings").select(
-        F.col(id_col).alias("match_id"), F.col("pos").alias("pos_b"), "h"
+        F.col("id").alias("match_id"), F.col("pos").alias("pos_b"), "h"
     )
     fresh = _positional_gram_hashes(
         _span_toks(new_docs, id_col, text_col), id_col, n

@@ -626,7 +626,14 @@ def ivf_topk(
     )
 
 
-def _query_broadcast_hint(queries: DataFrame, threshold: int):
+# Sentinel for broadcast_threshold: skip the bounded-count probe and
+# apply F.broadcast unconditionally — for callers that already KNOW the
+# query batch is small (e.g. a handful of seeded query vectors). A
+# distinct value (not a repurposed int range) per ADVICE r12.
+FORCE_BROADCAST = None
+
+
+def _query_broadcast_hint(queries: DataFrame, threshold: "int | None"):
     """Broadcast-or-shuffle gate for the query-side frames of the LSH
     plans (ADVICE r10 #4): the broadcast hints below are only safe
     while the query batch is small, and query cardinality is
@@ -642,9 +649,23 @@ def _query_broadcast_hint(queries: DataFrame, threshold: int):
     :func:`lsh_topk_self` it filters the full corpus by the query
     predicate, an extra corpus scan when matches are sparse (ADVICE
     r11 #3). Callers that already KNOW the query batch is small pass
-    ``threshold < 0``: force broadcast, no probe job."""
-    if threshold < 0:
+    ``threshold=None`` (the :data:`FORCE_BROADCAST` sentinel): force
+    broadcast, no probe job. Negative thresholds are a ValueError —
+    r12 briefly repurposed ``threshold < 0`` as the force sentinel,
+    silently inverting what a pre-r12 ``-1`` (opt out to the shuffle
+    plan) meant; ADVICE r12 flagged the flip, so the force sentinel
+    is now a DISTINCT value that never meant anything else."""
+    if threshold is FORCE_BROADCAST:
         return F.broadcast
+    if threshold < 0:
+        raise ValueError(
+            "broadcast_threshold must be >= 0 (0 opts out to the "
+            "shuffle plan) or FORCE_BROADCAST/None to force the "
+            "broadcast hint without the probe job; got "
+            f"{threshold!r}. Negative values are rejected: pre-r12 "
+            "they opted OUT, r12 briefly made them force broadcast — "
+            "an unprobed broadcast of a possibly corpus-sized frame."
+        )
     if threshold == 0:
         return lambda df: df
     n_q = queries.limit(threshold + 1).count()
@@ -661,7 +682,7 @@ def lsh_topk(
     n_tables: int = 16,
     dim: int = 64,
     planes: list[list[float]] | None = None,
-    broadcast_threshold: int = 65536,
+    broadcast_threshold: "int | None" = 65536,
 ) -> DataFrame:
     """ANN top-k via OR-amplified random-hyperplane LSH: ``n_tables``
     independent tables of ``n_planes`` planes each; a corpus vector is a
@@ -690,9 +711,12 @@ def lsh_topk(
     joins. The bound caps the query-side frames directly; candidate
     inflation is still queries × L × bucket occupancy, so size the
     threshold with expected occupancy in mind (or pass 0 to force the
-    shuffle plan outright on skew-prone corpora, or a negative value
-    to force broadcast WITHOUT the probe job when the caller already
-    knows the batch is small — ADVICE r11 #3).
+    shuffle plan outright on skew-prone corpora, or
+    ``FORCE_BROADCAST``/``None`` to force broadcast WITHOUT the probe
+    job when the caller already knows the batch is small — ADVICE
+    r11 #3). BREAKING (r13, ADVICE r12): negative thresholds now
+    raise — r12 briefly treated them as the force sentinel, inverting
+    the pre-r12 opt-out meaning of ``-1``.
     """
     hint = _query_broadcast_hint(queries, broadcast_threshold)
     if planes is not None:
@@ -950,7 +974,7 @@ def lsh_topk_self(
     planes: list[list[float]] | None = None,
     n_tables: int = 16,
     dim: int = 64,
-    broadcast_threshold: int = 65536,
+    broadcast_threshold: "int | None" = 65536,
 ) -> DataFrame:
     """:func:`lsh_topk` specialized for the common "neighbors of these
     corpus rows" shape: ``query_pred`` (a boolean Column) selects the
@@ -964,7 +988,12 @@ def lsh_topk_self(
     mirrors exactly how the DuckDB oracle expresses the query (bucket
     CTE + WHERE for the query side), keeping replayed plans aligned.
     Verified row-identical to the two-sided form in
-    tests/test_similarity.py."""
+    tests/test_similarity.py.
+
+    ``broadcast_threshold``: same gate as :func:`lsh_topk` — 0 opts
+    out to the shuffle plan, ``FORCE_BROADCAST``/``None`` skips the
+    probe job, and negative values raise (BREAKING r13, ADVICE r12:
+    r12 briefly made negatives force an unprobed broadcast)."""
     if planes is not None:
         tb = rhp_table_buckets_from_planes(
             corpus.select(F.col(id_col).alias("_id"), F.col(vec_col)),

@@ -259,7 +259,13 @@ def build_winnow_index(
     stay document properties). Probes join new documents' fingerprints
     against postings — the index rows are 2 longs per kept
     fingerprint, and at 100 TB the postings partition/bucket by hash
-    like any posting list."""
+    like any posting list.
+
+    On-disk columns are CANONICAL — ``postings`` = (id, h), ``sizes``
+    = (id, n_fp) — regardless of ``id_col``, so a probe (or any other
+    reader) never needs to know what the build-side frame called its
+    id column (ADVICE r12: a probe called with a different ``id_col``
+    than the build used to fail with a missing-column error)."""
     from pyspark import StorageLevel
 
     fps = winnow_fingerprints(corpus, id_col, text_col, k, w)
@@ -269,12 +275,12 @@ def build_winnow_index(
     # kept fingerprint — at 100 TB this is the index's own size, and
     # MEMORY_AND_DISK spills rather than recomputes.
     hashes = (
-        fps.select(id_col, "h")
+        fps.select(F.col(id_col).alias("id"), "h")
         .dropDuplicates()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     try:
-        hashes.groupBy(id_col).agg(
+        hashes.groupBy("id").agg(
             F.count("*").cast("bigint").alias("n_fp")
         ).write.mode("overwrite").parquet(f"{path}/sizes")
         hashes.withColumn(
@@ -300,9 +306,15 @@ def winnow_probe_index(
     :func:`build_winnow_index` layout — the serving form of
     :func:`winnow_overlap_pairs` where one side is a frozen reference
     corpus. Only the new batch is fingerprinted; the reference side
-    costs a postings read."""
+    costs a postings read (canonical (id, h) columns — the probe's
+    ``id_col`` names only the PROBE frame's id). Rows where a probe
+    document matches ITSELF in the index (same id) are dropped, so
+    re-screening an already-indexed corpus is not all self-reports —
+    the same semantics as :func:`~weather_data_data_pipeline_spark.
+    functions.dedup.mem_probe_index` (ADVICE r12: the two serving
+    APIs used to disagree here)."""
     postings = spark.read.parquet(f"{path}/postings").select(
-        F.col(id_col).alias("match_id"), "h"
+        F.col("id").alias("match_id"), "h"
     )
     fresh = (
         winnow_fingerprints(new_docs, id_col, text_col, k, w)
@@ -311,6 +323,7 @@ def winnow_probe_index(
     )
     return (
         fresh.join(postings, "h")
+        .where(F.col(id_col) != F.col("match_id"))
         .groupBy(id_col, "match_id")
         .agg(F.count("*").cast("bigint").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)

@@ -2274,7 +2274,8 @@ def winnowing_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             min_shared=_WINNOW_MIN_SHARED,
         )
         sizes = spark.read.parquet(f"{tmp}/sizes").select(
-            F.col("doc_id").alias("match_id"),
+            # canonical index columns since ADVICE r12: sizes = (id, n_fp)
+            F.col("id").alias("match_id"),
             F.col("n_fp").alias("match_fp"),
         )
         out = matches.join(sizes, "match_id").select(
