@@ -21,18 +21,20 @@ WINDOW = 50
 # Mirror of registry._ROUND_HEAD — a deliberate copy so that editing the
 # head without thinking about the verification window fails a test.
 ROUND_HEAD = (
-    # r12 head = new-this-round only (VERDICT r11 ask #1: keep it
-    # SMALL so the LRU tail sweeps the 26-query r7 staleness cohort)
+    # r13 head = 1 new + 2 §2 staleness pins + 2 plan-changed (VERDICT
+    # r12 ask #1: keep it SMALL so the LRU tail sweeps the 9-query r8
+    # cohort + 36 of the 44-query r9 cohort through the window)
     #
-    # r12 NEW oracle query (VERDICT r11 ask #2): serving form of the
-    # winnowing family (build_winnow_index → winnow_probe_index)
-    "winnowing_index_probe",
-    # r12 NEW oracle query (VERDICT r11 ask #7): suffix-array-style
-    # maximal-exact-match extraction over diagonal gram runs
-    "exact_substring_mems",
-    # r12 NEW oracle query: serving round-trip of the MEM family
-    # (build_mem_index -> parquet postings -> mem_probe_index)
+    # r13 NEW oracle query (VERDICT r12 ask #7): ExactSubstr removal —
+    # keep one copy of each maximal shared span, cut the higher-id side
+    "exact_substring_removal",
+    # §2 pins: r9-stamped, >3 rounds at r13 (registry rule below)
+    "scalar_transforms",
+    "weekly_avg_value",
+    # plan-changed by the ADVICE r12 fixes (canonical index columns;
+    # winnow probe self-match filter) — must re-earn green
     "mem_index_probe",
+    "winnowing_index_probe",
 )
 
 

@@ -703,3 +703,51 @@ def test_mem_matches_brute_force_reference(spark):
             ).collect()
         }
         assert got == want, f"seed {seed}: {got ^ want}"
+
+
+def test_mem_span_removal_planted_truth(spark):
+    """Planted-span ground truth for the ExactSubstr removal policy
+    (keep one copy — the lower id — cut the higher): identical docs
+    lose everything on the higher-id side, OVERLAPPING cut intervals
+    from different partners merge into one contiguous island, disjoint
+    shared spans count as separate cut spans, and documents never
+    named as id_b keep everything."""
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        mem_span_removal,
+    )
+
+    u = [f"u{i}" for i in range(25)]
+    v = [f"v{i}" for i in range(15)]
+    rows = [
+        (1, " ".join(u[0:15])),                  # keeps (lowest id with u)
+        (2, " ".join(u[8:23])),                  # keeps (id_a vs doc 5/8)
+        (3, " ".join(u[0:15])),                  # identical to 1 → fully cut
+        (4, " ".join(v)),                        # keeps (id_a vs doc 8)
+        # overlap-merge target: [0,15) via docs 1/3, [8,23) via doc 2
+        # → one island [0,23)
+        (5, " ".join(u[0:25])),
+        # two DISJOINT cut spans: u[0:15) at offset 0 (via 1/3/5) and
+        # v at offset 20 (via 4) — the m-filler breaks adjacency
+        (8, " ".join(u[0:15]) + " " + _words("m", 5) + " " + " ".join(v)),
+        (9, _words("z", 20)),                    # no partner at all
+    ]
+    out = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["cut_tokens"],
+            r["kept_tokens"],
+            r["cut_frac"],
+            r["n_cut_spans"],
+        )
+        for r in mem_span_removal(
+            spark.createDataFrame(rows, ["doc_id", "text"]),
+            "doc_id", "text", n=8, min_tokens=12, max_df=100,
+        ).collect()
+    }
+    assert out[1] == (15, 0, 15, 0.0, 0)
+    assert out[2] == (15, 0, 15, 0.0, 0)
+    assert out[3] == (15, 15, 0, 1.0, 1)
+    assert out[5] == (25, 23, 2, 0.92, 1)
+    assert out[4] == (15, 0, 15, 0.0, 0)
+    assert out[8] == (35, 30, 5, 0.8571, 2)
+    assert out[9] == (20, 0, 20, 0.0, 0)

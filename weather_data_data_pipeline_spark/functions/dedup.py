@@ -1623,6 +1623,101 @@ def mem_probe_index(
     )
 
 
+def mem_span_removal(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_tokens: int = 12,
+    max_df: int = 100,
+) -> DataFrame:
+    """ExactSubstr REMOVAL (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better" §4: keep one copy of each
+    duplicated span, cut the rest): consumes :func:`maximal_match_pairs`
+    evidence and charges every maximal shared substring to the
+    HIGHER-id document of the pair — id_a keeps its copy, id_b is cut
+    over ``[start_b, start_b + match_tokens)``. The per-PAIR complement
+    of :func:`span_dedup_stats`, which cuts the duplicated-window union
+    in EVERY document that has it (no copy survives a corpus-wide
+    duplicate); here exactly one copy of each shared span survives,
+    which is the paper's actual dedup policy.
+
+    A document cut by several partners (or by several MEMs from one
+    partner) may hold overlapping cut intervals — they merge
+    gaps-and-islands style over interval endpoints: ordered by (s, e)
+    per doc, an interval starts a new island iff its start lies beyond
+    the running max end of everything before it (ROWS frame, so ties
+    are deterministic after the distinct), and each island's union is
+    contiguous by construction, costing max(e) − min(s) tokens.
+
+    Output: (id, n_tokens, cut_tokens, kept_tokens, cut_frac,
+    n_cut_spans) — one row per input document; documents never named
+    as id_b keep everything. ``keep-lower-id`` is deterministic and
+    partition-invariant but transitive-blind by design (a<b<c chains
+    can cut b and c for the same span family) — the documented
+    ExactSubstr behavior, which dedups pairwise evidence, not cliques.
+
+    Scale shape: inherits the bounded pair join of
+    :func:`maximal_match_pairs` (stop-gram cap ``max_df``); the
+    interval merge adds one distinct + one per-doc window over MEM
+    endpoints — rows bounded by MEM count, not token count — and the
+    final stats join is per-doc. No driver state, no collect.
+    """
+    pairs = maximal_match_pairs(
+        df, id_col, text_col, n=n, min_tokens=min_tokens, max_df=max_df
+    )
+    # Identical (doc, interval) cuts can arrive from different partners
+    # (or the same partner on different diagonals is impossible, but
+    # symmetric duplicates are): distinct first, so the window ordering
+    # key (s, e) is unique per doc and the ROWS-frame island logic is
+    # deterministic.
+    cuts = pairs.select(
+        F.col("id_b").alias(id_col),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("match_tokens")).alias("e"),
+    ).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = cuts.withColumn(
+        "_new",
+        F.when(F.col("s") > F.coalesce(prev_max_e, F.lit(-1)), 1).otherwise(
+            0
+        ),
+    )
+    islands = marked.withColumn(
+        "_isl", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_doc = (
+        islands.groupBy(id_col, "_isl")
+        .agg((F.max("e") - F.min("s")).alias("_cut"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_cut").alias("cut_tokens"),
+            F.count("*").alias("n_cut_spans"),
+        )
+    )
+    base = _span_toks(df, id_col, text_col).select(
+        id_col, F.col("_len").cast("bigint").alias("n_tokens")
+    )
+    cut_tokens = F.coalesce("cut_tokens", F.lit(0)).cast("bigint")
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        cut_tokens.alias("cut_tokens"),
+        (F.col("n_tokens") - cut_tokens).cast("bigint").alias("kept_tokens"),
+        F.round(
+            cut_tokens.cast("double") / F.greatest("n_tokens", F.lit(1)), 4
+        ).alias("cut_frac"),
+        F.coalesce("n_cut_spans", F.lit(0)).cast("bigint").alias(
+            "n_cut_spans"
+        ),
+    )
+
+
 def span_dedup_clean(
     df: DataFrame,
     id_col: str,

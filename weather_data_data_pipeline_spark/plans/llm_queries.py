@@ -2137,6 +2137,118 @@ def mem_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "exact_substring_removal",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, u.i AS pos, u.g AS gram
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) - 6),
+                          i -> struct_pack(i := i - 1,
+                               g := array_to_string(t[i:i+7], ' ')))) AS u
+            FROM toks WHERE len(t) >= 8
+        )
+    ),
+    cold AS (
+        SELECT gram FROM grams GROUP BY gram HAVING count(*) <= 100
+    ),
+    kept AS (SELECT g.* FROM grams g JOIN cold USING (gram)),
+    m AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a,
+               a.pos - b.pos AS diag
+        FROM kept a JOIN kept b
+          ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+        SELECT id_a, id_b, diag, pos_a,
+               pos_a - row_number() OVER (
+                   PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS isl
+        FROM m
+    ),
+    mems AS (
+        SELECT id_b,
+               CAST(min(pos_a) - diag AS BIGINT) AS start_b,
+               CAST(count(*) + 7 AS BIGINT) AS match_tokens
+        FROM runs GROUP BY id_a, id_b, diag, isl
+        HAVING count(*) + 7 >= 12
+    ),
+    cuts AS (
+        SELECT DISTINCT id_b AS doc_id, start_b AS s,
+               start_b + match_tokens AS e
+        FROM mems
+    ),
+    marked AS (
+        SELECT doc_id, s, e,
+               CASE WHEN s > coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS new_isl
+        FROM cuts
+    ),
+    islands AS (
+        SELECT doc_id, s, e,
+               sum(new_isl) OVER (PARTITION BY doc_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS isl
+        FROM marked
+    ),
+    per_isl AS (
+        SELECT doc_id, isl, max(e) - min(s) AS cut_len
+        FROM islands GROUP BY doc_id, isl
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(sum(cut_len) AS BIGINT) AS cut_tokens,
+               count(*) AS n_cut_spans
+        FROM per_isl GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(coalesce(p.cut_tokens, 0) AS BIGINT) AS cut_tokens,
+           CAST(len(string_split(d.text, ' '))
+                - coalesce(p.cut_tokens, 0) AS BIGINT) AS kept_tokens,
+           round(CAST(coalesce(p.cut_tokens, 0) AS DOUBLE)
+                 / greatest(len(string_split(d.text, ' ')), 1), 4)
+               AS cut_frac,
+           CAST(coalesce(p.n_cut_spans, 0) AS BIGINT) AS n_cut_spans
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+    doc="ExactSubstr REMOVAL (Lee et al. 2022 §4 — keep ONE copy of "
+    "each duplicated span; functions/dedup.py:mem_span_removal): "
+    "consumes exact_substring_mems' per-pair maximal-match evidence "
+    "and charges every ≥12-token shared substring to the HIGHER-id "
+    "document (id_a keeps, id_b cut over [start_b, start_b + "
+    "match_tokens)), the per-pair complement of span_dedup_removal's "
+    "per-document duplicated-window union, which cuts EVERY copy. "
+    "Overlapping cut intervals from multiple partners merge "
+    "gaps-and-islands style over interval ENDPOINTS (distinct → "
+    "per-doc running-max-end window with a ROWS frame, so ties are "
+    "deterministic), and each contiguous island costs max(e) − "
+    "min(s) tokens. Keep-lower-id is deterministic and "
+    "partition-invariant but transitive-blind by design — the "
+    "paper's pairwise policy, not clique dedup. Scale: inherits the "
+    "stop-gram-capped (df ≤ 100) bounded pair join of the MEM "
+    "family; the merge adds one distinct + one per-doc window over "
+    "MEM endpoints (rows ~ matches, not tokens). The oracle replays "
+    "grams, cap, diagonal islands, the keep/cut policy, and the "
+    "interval merge end-to-end.",
+    tags=("llm", "dedup", "bench"),
+)
+def exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        mem_span_removal,
+    )
+
+    docs = load_fanout(spark, sf_dir, "documents")
+    return mem_span_removal(
+        docs, "doc_id", "text", n=8, min_tokens=12, max_df=100
+    )
+
+
+@register(
     "span_dedup_removal",
     oracle="""
     WITH toks AS (

@@ -76,22 +76,26 @@ _loaded = False
 # PLAN/ORACLE changed this round and must (re-)earn a green row. Keep
 # tests/test_registry_order.py's ROUND_HEAD copy in sync.
 _ROUND_HEAD: tuple[str, ...] = (
-    # r12 head is deliberately SMALL (VERDICT r11 ask #1): the round's
-    # gate budget belongs to the LRU tail, which must pull all 26
-    # oracle-bearing queries last green r7 (their 4-round staleness
-    # budget expires this round) through the ~50-slot window. Head =
-    # new-this-round queries only; 26 + never-green + this head fits.
+    # r13 head stays SMALL so the LRU tail pulls the staleness cohort
+    # (VERDICT r12 ask #1): all 9 oracle queries last green r8 (budget
+    # expires this round) + 36 of the 44-query r9 cohort fit behind
+    # this head in the ~50-slot window; the 6 r9 leftovers become the
+    # oldest cohort for r14.
     #
-    # r12 NEW oracle query (VERDICT r11 ask #2): the serving form of
-    # the winnowing family — build_winnow_index → parquet postings +
-    # sizes → winnow_probe_index, oracle-replayed end-to-end
-    "winnowing_index_probe",
-    # r12 NEW oracle query (VERDICT r11 ask #7): suffix-array-style
-    # maximal-exact-match extraction over diagonal gram runs
-    "exact_substring_mems",
-    # r12 NEW oracle query: serving round-trip of the MEM family
-    # (build_mem_index -> parquet postings -> mem_probe_index)
+    # r13 NEW oracle query (VERDICT r12 ask #7): ExactSubstr removal —
+    # cut one copy of each maximal shared span (id_a keeps, id_b cut),
+    # interval-merged per doc (functions/dedup.py:mem_span_removal)
+    "exact_substring_removal",
+    # §2 staleness pins (VERDICT r12 ask #1 / registry rule: SURVEY-§2
+    # queries >3 rounds since last green must be pinned — both are
+    # r9-stamped, and weekly_avg_value sorts LAST in the r9 cohort so
+    # the LRU tail alone would miss it)
+    "scalar_transforms",
+    "weekly_avg_value",
+    # plan-changed this round (ADVICE r12: canonical on-disk index
+    # columns; winnow probe self-match filter) — must re-earn green
     "mem_index_probe",
+    "winnowing_index_probe",
 )
 
 
