@@ -106,7 +106,27 @@ def main() -> None:
     for name in names:
         q = registry.get_query(name)
         if q.oracle is None:
-            print(f"skip {name}: rows-only (no oracle to A/B against)")
+            # rows-only query: no DuckDB side to alternate with, but a
+            # same-session REPEATED-median wall still settles whether a
+            # single-shot driver-bench number was drift (VERDICT r12
+            # ask #5: quality_classifier_scores has no oracle pairing —
+            # MLlib L-BFGS training is not SQL-expressible).
+            for _ in range(3):
+                run_spark(q.fn)
+                release()
+            s_times = []
+            for _ in range(reps):
+                s_times.append(run_spark(q.fn))
+                release()
+            s_med = round(statistics.median(s_times), 3)
+            summary[name] = {
+                "spark_median": s_med,
+                "duckdb_median": None,
+                "ratio": None,
+                "spark_reps": [round(t, 3) for t in s_times],
+                "note": "rows-only: spark-only repeated median",
+            }
+            print(json.dumps({"query": name, **summary[name]}))
             continue
         for _ in range(3):  # Spark warmup (C2/codegen)
             run_spark(q.fn)

@@ -740,6 +740,37 @@ def runr12() -> None:
     spark.stop()
 
 
+QUERIES_R13 = (
+    # mem_index_probe: the MEM serving round-trip (build_mem_index ->
+    # parquet postings (id,pos,h) -> probe the doc_id%3==0 batch) —
+    # landed r12 AFTER scale_stress_r12.json was generated (VERDICT
+    # r12 ask #3). Build side is the linear positional-gram scan +
+    # build-time df<=100 stop cut; the probe pays only the batch's
+    # grams + one capped join, so expect the winnowing_index_probe
+    # pattern: sub-linear-ish wall, closed-vocab densification on d2
+    # bytes (documented stress-corpus class).
+    "mem_index_probe",
+    # exact_substring_removal: r13 new — maximal_match_pairs (measured
+    # r12 as exact_substring_mems) + a distinct + per-doc interval
+    # window whose rows scale with MATCH count, not token count.
+    "exact_substring_removal",
+)
+
+
+def runr13() -> None:
+    d1, spark = _measure(
+        (("sf0.1", SRC_DIR), ("sf1", OUT_DIR)), QUERIES_R13, "r13d1",
+        "scale_r13d1",
+    )
+    spark.stop()
+    d2, spark = _measure(
+        (("sf1", OUT_DIR), ("sf10", OUT_DIR_10)), QUERIES_R13, "r13d2",
+        "scale_r13d2",
+    )
+    print(json.dumps({"decade1_sf01_sf1": d1, "decade2_sf1_sf10": d2}))
+    spark.stop()
+
+
 def runr11() -> None:
     d1, spark = _measure(
         (("sf0.1", SRC_DIR), ("sf1", OUT_DIR)), QUERIES_R11, "r11d1",
@@ -802,6 +833,8 @@ if __name__ == "__main__":
         runr11b()
     elif cmd == "runr12":
         runr12()
+    elif cmd == "runr13":
+        runr13()
     else:
         print("usage: scale_stress.py [gen|run|gen10|run10|runr5|runr6|"
               "runr6c|runr7|runr7b|runr8|gen_events|runr9|runr10|runr11]")
