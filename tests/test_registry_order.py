@@ -21,13 +21,17 @@ WINDOW = 50
 # Mirror of registry._ROUND_HEAD — a deliberate copy so that editing the
 # head without thinking about the verification window fails a test.
 ROUND_HEAD = (
-    # r13 head = 1 new + 2 §2 staleness pins + 2 plan-changed (VERDICT
+    # r13 head = 3 new + 2 §2 staleness pins + 2 plan-changed (VERDICT
     # r12 ask #1: keep it SMALL so the LRU tail sweeps the 9-query r8
-    # cohort + 36 of the 44-query r9 cohort through the window)
+    # cohort + 34 of the 44-query r9 cohort through the window)
     #
     # r13 NEW oracle query (VERDICT r12 ask #7): ExactSubstr removal —
     # keep one copy of each maximal shared span, cut the higher-id side
     "exact_substring_removal",
+    # r13 NEW: the applied rebuild form of the same policy (clean_text)
+    "exact_substring_clean",
+    # r13 NEW: PMI collocation mining (Church & Hanks 1990)
+    "pmi_collocations",
     # §2 pins: r9-stamped, >3 rounds at r13 (registry rule below)
     "scalar_transforms",
     "weekly_avg_value",

@@ -751,3 +751,36 @@ def test_mem_span_removal_planted_truth(spark):
     assert out[4] == (15, 0, 15, 0.0, 0)
     assert out[8] == (35, 30, 5, 0.8571, 2)
     assert out[9] == (20, 0, 20, 0.0, 0)
+
+
+def test_mem_span_clean_rebuilds_planted_truth(spark):
+    """The applied ExactSubstr rebuild: the higher-id copy of each
+    planted span disappears from the text, the lower-id copy survives
+    verbatim, untouched docs pass through, and kept_tokens matches the
+    stats form's arithmetic."""
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        mem_span_clean,
+    )
+
+    u = [f"u{i}" for i in range(25)]
+    keep_tail = _words("a", 4)
+    rows = [
+        (1, " ".join(u[0:15])),                   # keeps (lowest id)
+        (3, " ".join(u[0:15]) + " " + keep_tail), # span cut, tail kept
+        (5, " ".join(u[0:25])),                   # [0,15)+[8,23) → [0,23)
+        (9, _words("z", 20)),                     # untouched
+    ]
+    # doc 2 provides the second overlapping span in doc 5
+    rows.insert(1, (2, " ".join(u[8:23])))
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["kept_tokens"])
+        for r in mem_span_clean(
+            spark.createDataFrame(rows, ["doc_id", "text"]),
+            "doc_id", "text", n=8, min_tokens=12, max_df=100,
+        ).collect()
+    }
+    assert out[1] == (" ".join(u[0:15]), 15, 15)
+    assert out[2] == (" ".join(u[8:23]), 15, 15)
+    assert out[3] == (keep_tail, 19, 4)
+    assert out[5] == (" ".join(u[23:25]), 25, 2)
+    assert out[9] == (_words("z", 20), 20, 20)

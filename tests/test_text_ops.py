@@ -885,3 +885,33 @@ def test_lsh_topk_broadcast_gate_fallback_identical(spark):
         lsh_topk(emb, q, k=5, planes=planes, broadcast_threshold=0)
     )
     assert hinted == shuffled and len(hinted) > 0
+
+
+def test_pmi_collocations_hand_computed(spark):
+    """PMI against hand arithmetic: corpus 'a b a b' + 'a c' gives
+    unigrams a:3 b:2 c:1 (N=6), bigrams (a,b):2 (b,a):1 (a,c):1 (B=4);
+    PMI(a,b) = PMI(a,c) = ln 3, PMI(b,a) = ln 1.5 — and the (w1, w2)
+    tie-break orders the ln-3 pair (a,b) before (a,c)."""
+    import math
+
+    from weather_data_data_pipeline_spark.functions.text import (
+        pmi_collocations,
+    )
+
+    docs = spark.createDataFrame([("a b a b",), ("a c",)], ["text"])
+    rows = [
+        (r["w1"], r["w2"], r["pair_count"], r["pmi"], r["rn"])
+        for r in pmi_collocations(docs, "text", min_count=1, k=10)
+        .orderBy("rn")
+        .collect()
+    ]
+    ln3 = round(math.log(3), 4)
+    ln15 = round(math.log(1.5), 4)
+    assert rows == [
+        ("a", "b", 2, ln3, 1),
+        ("a", "c", 1, ln3, 2),
+        ("b", "a", 1, ln15, 3),
+    ]
+    # min_count floors rare pairs
+    floored = pmi_collocations(docs, "text", min_count=2, k=10).collect()
+    assert [(r["w1"], r["w2"]) for r in floored] == [("a", "b")]

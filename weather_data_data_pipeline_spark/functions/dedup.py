@@ -1623,6 +1623,56 @@ def mem_probe_index(
     )
 
 
+def _mem_cut_islands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    min_tokens: int,
+    max_df: int,
+) -> DataFrame:
+    """Merged cut intervals (id, s, e) under the ExactSubstr
+    keep-one-copy policy: every :func:`maximal_match_pairs` MEM is
+    charged to the HIGHER-id document (``[start_b, start_b +
+    match_tokens)``), then overlapping intervals merge gaps-and-islands
+    style — ordered by (s, e) per doc after a distinct (identical cuts
+    arrive from different partners), an interval starts a new island
+    iff its start lies beyond the running max end of everything before
+    it (ROWS frame, deterministic once keys are unique), and each
+    island's union is contiguous by construction. Shared by
+    :func:`mem_span_removal` (stats) and :func:`mem_span_clean`
+    (applied rebuild)."""
+    pairs = maximal_match_pairs(
+        df, id_col, text_col, n=n, min_tokens=min_tokens, max_df=max_df
+    )
+    cuts = pairs.select(
+        F.col("id_b").alias(id_col),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("match_tokens")).alias("e"),
+    ).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = cuts.withColumn(
+        "_new",
+        F.when(F.col("s") > F.coalesce(prev_max_e, F.lit(-1)), 1).otherwise(
+            0
+        ),
+    )
+    return (
+        marked.withColumn(
+            "_isl",
+            F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(id_col, "_isl")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .select(id_col, "s", "e")
+    )
+
+
 def mem_span_removal(
     df: DataFrame,
     id_col: str,
@@ -1663,42 +1713,12 @@ def mem_span_removal(
     endpoints — rows bounded by MEM count, not token count — and the
     final stats join is per-doc. No driver state, no collect.
     """
-    pairs = maximal_match_pairs(
+    islands = _mem_cut_islands(
         df, id_col, text_col, n=n, min_tokens=min_tokens, max_df=max_df
     )
-    # Identical (doc, interval) cuts can arrive from different partners
-    # (or the same partner on different diagonals is impossible, but
-    # symmetric duplicates are): distinct first, so the window ordering
-    # key (s, e) is unique per doc and the ROWS-frame island logic is
-    # deterministic.
-    cuts = pairs.select(
-        F.col("id_b").alias(id_col),
-        F.col("start_b").alias("s"),
-        (F.col("start_b") + F.col("match_tokens")).alias("e"),
-    ).distinct()
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(id_col).orderBy("s", "e")
-    prev_max_e = F.max("e").over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    marked = cuts.withColumn(
-        "_new",
-        F.when(F.col("s") > F.coalesce(prev_max_e, F.lit(-1)), 1).otherwise(
-            0
-        ),
-    )
-    islands = marked.withColumn(
-        "_isl", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
-    per_doc = (
-        islands.groupBy(id_col, "_isl")
-        .agg((F.max("e") - F.min("s")).alias("_cut"))
-        .groupBy(id_col)
-        .agg(
-            F.sum("_cut").alias("cut_tokens"),
-            F.count("*").alias("n_cut_spans"),
-        )
+    per_doc = islands.groupBy(id_col).agg(
+        F.sum(F.col("e") - F.col("s")).alias("cut_tokens"),
+        F.count("*").alias("n_cut_spans"),
     )
     base = _span_toks(df, id_col, text_col).select(
         id_col, F.col("_len").cast("bigint").alias("n_tokens")
@@ -1716,6 +1736,35 @@ def mem_span_removal(
             "n_cut_spans"
         ),
     )
+
+
+def mem_span_clean(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_tokens: int = 12,
+    max_df: int = 100,
+) -> DataFrame:
+    """The applied form of :func:`mem_span_removal`: returns each
+    document with the ExactSubstr keep-one-copy policy EXECUTED — (id,
+    clean_text, n_tokens, kept_tokens), where the higher-id side of
+    every maximal shared span (Lee et al. 2022 §4) is cut and the text
+    reassembled. Exactly one copy of each shared span survives in the
+    corpus (in the lowest-id document that carries it), completing the
+    MEM family loop: evidence (:func:`maximal_match_pairs`) → stats
+    (:func:`mem_span_removal`) → applied rebuild (this).
+
+    Reconstruction rides :func:`_rebuild_clean` — one groupBy(id)
+    collecting the merged cut islands into an array and a codegen'd
+    higher-order filter; tokens never shuffle, only (id, islands)
+    pairs. Documents never named as id_b pass through untouched, and
+    NULL text stays NULL."""
+    islands = _mem_cut_islands(
+        df, id_col, text_col, n=n, min_tokens=min_tokens, max_df=max_df
+    )
+    toks = _span_toks(df, id_col, text_col)
+    return _rebuild_clean(toks, islands, id_col)
 
 
 def span_dedup_clean(

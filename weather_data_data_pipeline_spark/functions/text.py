@@ -1112,3 +1112,91 @@ def char_entropy_columns(
             "char_entropy double"
         ),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k adjacent-bigram collocations by pointwise mutual
+    information (Church & Hanks 1990): PMI(w1, w2) = ln( p(w1,w2) /
+    (p(w1) p(w2)) ) with the joint estimated over adjacent bigram
+    occurrences and the marginals over unigram occurrences — the
+    classic collocation-mining statistic (and the matrix word2vec SGNS
+    implicitly factorizes, Levy & Goldberg 2014). Corpus-analysis use:
+    surfaces multi-word expressions ("new york") and templated
+    boilerplate whose components rarely appear apart — high-PMI mass
+    is a boilerplate/dedup smell the count-based vocab reports miss.
+
+    ``min_count`` floors the joint count (PMI's low-frequency bias:
+    a pair seen once has spuriously high PMI), and ``k`` bounds the
+    report. Output (w1, w2, pair_count, pmi, rn), ranked by rounded
+    PMI desc with the (w1, w2) tie-break so the order — and the
+    row_number — is engine-portable (ties in raw PMI below 1e-4 would
+    otherwise order differently across engines).
+
+    Scale shape: two map-side-combinable aggregates (unigram counts,
+    bigram counts — both Zipf-small relative to the corpus), two hash
+    joins of the FILTERED bigram table back to unigram counts, two
+    single-row totals that ride as broadcast cross joins, and a
+    distributed TakeOrdered top-k — no global sort of the corpus, no
+    Python, state bounded by vocabulary size at any corpus scale.
+    """
+    arr = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    arrs = df.select(arr.alias("_t"))
+    bi = (
+        arrs.where(F.size("_t") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_t") - 2),
+                    lambda i: F.struct(
+                        F.col("_t")[i].alias("w1"),
+                        F.col("_t")[i + 1].alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    uni = (
+        arrs.select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("double").alias("n"))
+    btot = bi.agg(F.count("*").cast("double").alias("b"))
+    bg = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+        .where(F.col("c2") >= min_count)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1a"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c1b"))
+    scored = (
+        bg.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c2").cast("bigint").alias("pair_count"),
+            F.round(
+                F.log(
+                    (F.col("c2") / F.col("b"))
+                    / ((F.col("c1a") / F.col("n")) * (F.col("c1b") / F.col("n")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(F.desc("pmi"), "w1", "w2").limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("pmi"), "w1", "w2")
+    return top.withColumn(
+        "rn", F.row_number().over(w).cast("int")
+    ).select("w1", "w2", "pair_count", "pmi", "rn")

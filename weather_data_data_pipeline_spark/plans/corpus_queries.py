@@ -845,6 +845,67 @@ def doc_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pmi_collocations",
+    oracle="""
+    WITH arrs AS (
+      SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    bi AS (
+      SELECT u.w1 AS w1, u.w2 AS w2 FROM (
+        SELECT unnest(list_transform(range(1, len(t)),
+                      i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS u
+        FROM arrs WHERE len(t) >= 2
+      )
+    ),
+    uni AS (
+      SELECT u AS w, count(*) AS c
+      FROM (SELECT unnest(t) AS u FROM arrs) GROUP BY u
+    ),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uni),
+    btot AS (SELECT CAST(count(*) AS DOUBLE) AS b FROM bi),
+    bg AS (
+      SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2
+      HAVING count(*) >= 5
+    ),
+    scored AS (
+      SELECT bg.w1, bg.w2, CAST(bg.c2 AS BIGINT) AS pair_count,
+             round(ln((bg.c2 / b.b)
+                      / ((u1.c / t.n) * (u2.c / t.n))), 4) AS pmi
+      FROM bg JOIN uni u1 ON bg.w1 = u1.w JOIN uni u2 ON bg.w2 = u2.w
+      CROSS JOIN tot t CROSS JOIN btot b
+    )
+    SELECT w1, w2, pair_count, pmi,
+           CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS INT)
+               AS rn
+    FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 50
+    """,
+    doc="Top-50 adjacent-bigram collocations by pointwise mutual "
+    "information (Church & Hanks 1990; the statistic word2vec SGNS "
+    "implicitly factorizes, Levy & Goldberg 2014) — "
+    "functions/text.py:pmi_collocations. PMI = ln(p(w1,w2) / "
+    "(p(w1)p(w2))), joint over adjacent bigrams, marginals over "
+    "unigrams, pair_count >= 5 floor against PMI's low-frequency "
+    "bias. Surfaces multi-word expressions and templated boilerplate "
+    "whose components rarely appear apart — high-PMI mass the "
+    "count-based vocab reports miss. Ranked by ROUNDED pmi with a "
+    "(w1, w2) tie-break so order and row_number are engine-portable. "
+    "Scale: two Zipf-small map-side-combinable aggregates, two hash "
+    "joins of the floored bigram table, two broadcast single-row "
+    "totals, distributed TakeOrdered top-k — no corpus-sized sort, "
+    "no Python, state bounded by vocabulary size.",
+    tags=("llm", "text", "bench"),
+)
+def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.text import (
+        pmi_collocations,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return pmi_collocations(docs, "text", min_count=5, k=50)
+
+
+@register(
     "vocab_zipf_fit",
     oracle="""
     WITH toks AS (

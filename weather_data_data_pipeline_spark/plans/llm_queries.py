@@ -2249,6 +2249,127 @@ def exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "exact_substring_clean",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, u.i AS pos, u.g AS gram
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) - 6),
+                          i -> struct_pack(i := i - 1,
+                               g := array_to_string(t[i:i+7], ' ')))) AS u
+            FROM toks WHERE len(t) >= 8
+        )
+    ),
+    cold AS (
+        SELECT gram FROM grams GROUP BY gram HAVING count(*) <= 100
+    ),
+    kept_g AS (SELECT g.* FROM grams g JOIN cold USING (gram)),
+    m AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a,
+               a.pos - b.pos AS diag
+        FROM kept_g a JOIN kept_g b
+          ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+        SELECT id_a, id_b, diag, pos_a,
+               pos_a - row_number() OVER (
+                   PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS isl
+        FROM m
+    ),
+    mems AS (
+        SELECT id_b,
+               CAST(min(pos_a) - diag AS BIGINT) AS start_b,
+               CAST(count(*) + 7 AS BIGINT) AS match_tokens
+        FROM runs GROUP BY id_a, id_b, diag, isl
+        HAVING count(*) + 7 >= 12
+    ),
+    cuts AS (
+        SELECT DISTINCT id_b AS doc_id, start_b AS s,
+               start_b + match_tokens AS e
+        FROM mems
+    ),
+    marked AS (
+        SELECT doc_id, s, e,
+               CASE WHEN s > coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS new_isl
+        FROM cuts
+    ),
+    islands AS (
+        SELECT doc_id, s, e,
+               sum(new_isl) OVER (PARTITION BY doc_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS isl
+        FROM marked
+    ),
+    per_isl AS (
+        SELECT doc_id, min(s) AS s, max(e) AS e
+        FROM islands GROUP BY doc_id, isl
+    ),
+    tok_pos AS (
+        SELECT doc_id, u.i AS i, u.tok AS tok FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) + 1),
+                          i -> struct_pack(i := i - 1, tok := t[i]))) AS u
+            FROM toks
+        )
+    ),
+    surv AS (
+        SELECT tp.doc_id, tp.i, tp.tok
+        FROM tok_pos tp
+        WHERE NOT EXISTS (
+            SELECT 1 FROM per_isl b
+            WHERE b.doc_id = tp.doc_id AND tp.i >= b.s AND tp.i < b.e
+        )
+    ),
+    clean AS (
+        SELECT doc_id,
+               string_agg(tok, ' ' ORDER BY i) AS clean_text,
+               count(*) AS kept
+        FROM surv GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE coalesce(c.clean_text, '') END AS clean_text,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE CAST(coalesce(c.kept, 0) AS BIGINT) END AS kept_tokens
+    FROM documents d LEFT JOIN clean c USING (doc_id)
+    """,
+    doc="ExactSubstr CLEANING — the applied form of "
+    "exact_substring_removal (functions/dedup.py:mem_span_clean): the "
+    "keep-one-copy policy EXECUTED, returning every document with the "
+    "higher-id side of each maximal ≥12-token shared span cut and the "
+    "text reassembled — exactly one copy of every shared span "
+    "survives in the corpus, in the lowest-id document carrying it "
+    "(Lee et al. 2022 §4's actual dedup output, where "
+    "span_dedup_clean cuts EVERY copy of a corpus-duplicated window). "
+    "Same merged cut islands as the stats form, then the span "
+    "family's higher-order token rebuild: one groupBy(id) collects "
+    "the islands per doc and a codegen'd filter drops covered tokens "
+    "— tokens never shuffle, only (id, islands) pairs. The oracle "
+    "replays the MEM chain, the keep/cut policy, the interval merge, "
+    "and the rebuild via an interval anti-join + ordered string_agg.",
+    tags=("llm", "dedup", "bench"),
+)
+def exact_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        mem_span_clean,
+    )
+
+    docs = load_fanout(spark, sf_dir, "documents")
+    return mem_span_clean(
+        docs, "doc_id", "text", n=8, min_tokens=12, max_df=100
+    )
+
+
+@register(
     "span_dedup_removal",
     oracle="""
     WITH toks AS (

@@ -78,14 +78,18 @@ _loaded = False
 _ROUND_HEAD: tuple[str, ...] = (
     # r13 head stays SMALL so the LRU tail pulls the staleness cohort
     # (VERDICT r12 ask #1): all 9 oracle queries last green r8 (budget
-    # expires this round) + 36 of the 44-query r9 cohort fit behind
-    # this head in the ~50-slot window; the 6 r9 leftovers become the
+    # expires this round) + 34 of the 44-query r9 cohort fit behind
+    # this head in the ~50-slot window; the 8 r9 leftovers become the
     # oldest cohort for r14.
     #
     # r13 NEW oracle query (VERDICT r12 ask #7): ExactSubstr removal —
     # cut one copy of each maximal shared span (id_a keeps, id_b cut),
     # interval-merged per doc (functions/dedup.py:mem_span_removal)
     "exact_substring_removal",
+    # r13 NEW: the applied rebuild form of the same policy (clean_text)
+    "exact_substring_clean",
+    # r13 NEW: PMI collocation mining (Church & Hanks 1990)
+    "pmi_collocations",
     # §2 staleness pins (VERDICT r12 ask #1 / registry rule: SURVEY-§2
     # queries >3 rounds since last green must be pinned — both are
     # r9-stamped, and weekly_avg_value sorts LAST in the r9 cohort so
