@@ -784,3 +784,165 @@ def test_mem_span_clean_rebuilds_planted_truth(spark):
     assert out[3] == (keep_tail, 19, 4)
     assert out[5] == (" ".join(u[23:25]), 25, 2)
     assert out[9] == (_words("z", 20), 20, 20)
+
+
+def test_mem_probe_clean_planted_truth(spark, tmp_path):
+    """Serving-side cleaning: a probe document loses exactly the span
+    it shares with the frozen reference (the reference keeps its copy),
+    overlapping index matches merge, and clean docs pass untouched."""
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        build_mem_index,
+        mem_probe_clean,
+    )
+
+    u = [f"u{i}" for i in range(25)]
+    ref = spark.createDataFrame(
+        [(100, " ".join(u[0:15])), (101, " ".join(u[8:23]))],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "mcidx")
+    build_mem_index(ref, idx, n=8, max_df=100)
+
+    tail = _words("a", 4)
+    probe = spark.createDataFrame(
+        [
+            (1, " ".join(u[0:15]) + " " + tail),  # cut [0,15), keep tail
+            (2, " ".join(u[0:25])),               # [0,15)∪[8,23) → [0,23)
+            (3, _words("z", 20)),                 # untouched
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["kept_tokens"])
+        for r in mem_probe_clean(
+            spark, idx, probe, n=8, min_tokens=12
+        ).collect()
+    }
+    assert out[1] == (tail, 19, 4)
+    assert out[2] == (" ".join(u[23:25]), 25, 2)
+    assert out[3] == (_words("z", 20), 20, 20)
+
+
+def test_mem_index_clean_registered_consistent_with_probe(spark):
+    """Runs the REGISTERED rows-only query (its verified_by anchor) and
+    pins it to the oracle-checked probe: merging mem_index_probe's
+    start_a intervals in pure Python must reproduce every document's
+    kept_tokens, and clean_text's token count must equal kept_tokens."""
+    from tests.conftest import SF_DIR
+
+    from weather_data_data_pipeline_spark import registry
+
+    cleaned = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["kept_tokens"])
+        for r in registry.get_query("mem_index_clean").fn(
+            spark, SF_DIR
+        ).collect()
+    }
+    assert cleaned and all(
+        0 <= k <= n for _, n, k in cleaned.values()
+    )
+    # independent recompute from the hash-checked probe's evidence
+    probe_rows = registry.get_query("mem_index_probe").fn(
+        spark, SF_DIR
+    ).collect()
+    spans: dict[int, list[tuple[int, int]]] = {}
+    for r in probe_rows:
+        spans.setdefault(r["doc_id"], []).append(
+            (r["start_a"], r["start_a"] + r["match_tokens"])
+        )
+    for doc_id, (clean_text, n_tokens, kept) in cleaned.items():
+        ivs = sorted(set(spans.get(doc_id, [])))
+        cut = 0
+        cur_s = cur_e = None
+        for s, e in ivs:
+            if cur_s is None:
+                cur_s, cur_e = s, e
+            elif s > cur_e:
+                cut += cur_e - cur_s
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        if cur_s is not None:
+            cut += cur_e - cur_s
+        assert kept == n_tokens - cut, f"doc {doc_id}"
+        got_tokens = len(clean_text.split(" ")) if clean_text else 0
+        assert got_tokens == kept or (clean_text == "" and kept == 0), (
+            f"doc {doc_id}: clean_text token count != kept_tokens"
+        )
+
+
+def test_mem_clean_sink_equals_batch_probe_clean(spark, tmp_path):
+    """Streaming cleaning against a frozen index == the batch
+    mem_probe_clean over the union: grams, cut islands, and the rebuilt
+    text depend only on the document and the frozen index, so
+    micro-batch boundaries cannot change a cleaned row. Also pins the
+    batch_id partition layout."""
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        build_mem_index,
+        mem_probe_clean,
+    )
+    from weather_data_data_pipeline_spark.streaming import incremental as S
+
+    shared1 = _words("s", 14)
+    shared2 = _words("t", 13)
+    ref = spark.createDataFrame(
+        [
+            (100, _words("r", 4) + " " + shared1),
+            (101, shared2 + " " + _words("q", 7)),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "mcsidx")
+    build_mem_index(ref, idx, n=8, max_df=100)
+
+    fresh_rows = [
+        (1, shared1 + " " + _words("a", 3)),
+        (2, _words("b", 9) + " " + shared2),
+        (3, _words("c", 25)),
+        (4, shared2 + " " + shared1),
+    ]
+    schema = "doc_id LONG, text STRING"
+    src = str(tmp_path / "mcs_src")
+    for lo, hi in ((0, 2), (2, 4)):
+        spark.createDataFrame(fresh_rows[lo:hi], schema).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "mcs_out")
+    q = (
+        S.mem_clean_sink(
+            (
+                spark.readStream.schema(schema)
+                .format("parquet")
+                .option("maxFilesPerTrigger", "1")
+                .load(src)
+            ),
+            idx, out, str(tmp_path / "mcs_ck"),
+            n=8, min_tokens=12,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    def key(rows_):
+        return sorted(
+            (r["doc_id"], r["clean_text"], r["n_tokens"], r["kept_tokens"])
+            for r in rows_
+        )
+
+    got = key(spark.read.parquet(out).collect())
+    want = key(
+        mem_probe_clean(
+            spark, idx,
+            spark.createDataFrame(fresh_rows, schema),
+            n=8, min_tokens=12,
+        ).collect()
+    )
+    assert got == want and len(got) == 4
+    assert spark.read.parquet(out).select("batch_id").distinct().count() == 2
+    # the planted spans actually disappeared
+    by_id = {d: c for d, c, _, _ in key(spark.read.parquet(out).collect())}
+    assert by_id[1] == _words("a", 3)
+    assert by_id[3] == _words("c", 25)
+    assert by_id[4] == ""

@@ -1649,14 +1649,25 @@ def _mem_cut_islands(
         F.col("id_b").alias(id_col),
         F.col("start_b").alias("s"),
         (F.col("start_b") + F.col("match_tokens")).alias("e"),
-    ).distinct()
+    )
+    return _merge_intervals(cuts, id_col)
+
+
+def _merge_intervals(cuts: DataFrame, id_col: str) -> DataFrame:
+    """Union of possibly-overlapping half-open intervals (id, s, e) →
+    disjoint merged islands (id, s, e): distinct (identical intervals
+    arrive from different partners), then per-doc running-max-end over
+    (s, e) order — an interval starts a new island iff its start lies
+    beyond everything before it (ROWS frame, deterministic once the
+    distinct makes keys unique), and each island's union is contiguous
+    by construction. Rows scale with interval count, never tokens."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy("s", "e")
     prev_max_e = F.max("e").over(
         w.rowsBetween(Window.unboundedPreceding, -1)
     )
-    marked = cuts.withColumn(
+    marked = cuts.distinct().withColumn(
         "_new",
         F.when(F.col("s") > F.coalesce(prev_max_e, F.lit(-1)), 1).otherwise(
             0
@@ -1736,6 +1747,43 @@ def mem_span_removal(
             "n_cut_spans"
         ),
     )
+
+
+def mem_probe_clean(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_tokens: int = 12,
+) -> DataFrame:
+    """The serving form of :func:`mem_span_clean`: arriving documents
+    are probed against a frozen :func:`build_mem_index` reference
+    corpus and every maximal ≥``min_tokens``-token span they share
+    with it is CUT from the ARRIVING side (the reference keeps its
+    copy — it is the frozen training set), returning (id, clean_text,
+    n_tokens, kept_tokens). The decontamination-cleaning gate shape at
+    100 TB: an incoming batch pays its own gram extraction + one
+    capped postings join + its own rebuild; reference docs are never
+    re-read, and the build-time stop-gram cap bounds the join.
+
+    Cut intervals come from :func:`mem_probe_index`'s ``start_a``
+    offsets (the PROBE document side) and merge with the same
+    running-max-end island device as :func:`_mem_cut_islands`;
+    self-matches were already dropped by the probe, so re-screening an
+    indexed corpus cuts only genuinely cross-document spans."""
+    mems = mem_probe_index(
+        spark, path, new_docs, id_col, text_col, n=n, min_tokens=min_tokens
+    )
+    cuts = mems.select(
+        id_col,
+        F.col("start_a").alias("s"),
+        (F.col("start_a") + F.col("match_tokens")).alias("e"),
+    )
+    islands = _merge_intervals(cuts, id_col)
+    toks = _span_toks(new_docs, id_col, text_col)
+    return _rebuild_clean(toks, islands, id_col)
 
 
 def mem_span_clean(

@@ -2137,6 +2137,54 @@ def mem_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mem_index_clean",
+    oracle=None,  # serving round-trip of the CLEANING form: the batch
+    # algorithm is oracle-replayed end-to-end as exact_substring_clean
+    # and the index/probe round-trip as mem_index_probe; this query's
+    # own plan (probe a persisted index, cut the probe side, rebuild)
+    # is pinned by a planted-truth unit that RUNS the registered query
+    # plus a stream==batch bit-equality test (mem_clean_sink).
+    verified_by="tests/test_span_removal.py",
+    doc="The SERVING form of ExactSubstr cleaning (functions/dedup.py:"
+    "mem_probe_clean, streaming twin streaming/incremental.py:"
+    "mem_clean_sink): documents with doc_id % 3 <> 0 play the frozen "
+    "reference corpus (their capped positional-gram postings persisted "
+    "by build_mem_index), and every doc_id % 3 = 0 document has each "
+    "maximal >=12-token span it shares with the reference CUT from "
+    "the ARRIVING side and the text reassembled — (doc_id, "
+    "clean_text, n_tokens, kept_tokens). The decontamination-cleaning "
+    "gate at 100 TB: an incoming batch pays its own grams + one "
+    "capped postings join + its own rebuild; the reference is never "
+    "re-read. Rows-only: the identical batch algorithm is "
+    "hash-checked as exact_substring_clean and the index round-trip "
+    "as mem_index_probe; this composition is pinned by planted-truth "
+    "+ stream==batch units in tests/test_span_removal.py.",
+    tags=("llm", "dedup", "serving"),
+)
+def mem_index_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        build_mem_index,
+        mem_probe_clean,
+    )
+
+    docs = load_fanout(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 3 != 0)
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+    tmp = tempfile.mkdtemp(prefix="mem_clean_")
+    try:
+        build_mem_index(ref, tmp, "doc_id", "text", n=8, max_df=100)
+        out = mem_probe_clean(
+            spark, tmp, batch, "doc_id", "text", n=8, min_tokens=12
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
     "exact_substring_removal",
     oracle="""
     WITH toks AS (

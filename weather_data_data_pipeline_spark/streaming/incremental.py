@@ -1481,3 +1481,64 @@ def mem_match_sink(
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
     )
+
+
+def mem_clean_sink(
+    stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_tokens: int = 12,
+) -> DataStreamWriter:
+    """Streaming decontamination CLEANING against a FROZEN positional-
+    gram index (functions/dedup.py:build_mem_index) — the live twin of
+    the batch ``exact_substring_clean`` family for the serving shape
+    where one side is a frozen reference/training corpus: every
+    arriving document has its maximal >=min_tokens-token spans shared
+    with the index CUT (the reference keeps its copy) and lands
+    reassembled as (batch_id, id, clean_text, n_tokens, kept_tokens).
+    Same contract as :func:`mem_match_sink`, with the rebuild executed
+    instead of reported: the index is frozen and a document's grams,
+    cut islands, and rebuilt text depend only on itself, so batch
+    boundaries cannot change a cleaned row and the stream equals the
+    batch :func:`~weather_data_data_pipeline_spark.functions.dedup.
+    mem_probe_clean` over the union bit-for-bit (pinned in
+    tests/test_span_removal.py). Replay-safe: rows land as a
+    ``batch_id=<id>`` partition under dynamic overwrite, so an
+    at-least-once re-delivery rewrites exactly its own partition.
+    State never grows with the stream — it IS the index, and the
+    stop-gram cap was already applied at index build."""
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        mem_probe_clean,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cleaned = mem_probe_clean(
+            batch_df.sparkSession,
+            index_path,
+            batch_df,
+            id_col,
+            text_col,
+            n=n,
+            min_tokens=min_tokens,
+        )
+        cleaned.withColumn("batch_id", F.lit(int(batch_id))).select(
+            "batch_id",
+            id_col,
+            "clean_text",
+            "n_tokens",
+            "kept_tokens",
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id").parquet(out_path)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
