@@ -65,6 +65,11 @@ INTENTIONAL = {
     ("doc_unigram_logppl", "BroadcastNestedLoopJoin"):
         "single-ROW build side: the corpus token total attaches to the "
         "token table — O(n × 1) scalar attach",
+    ("pmi_collocations", "BroadcastNestedLoopJoin"):
+        "two single-ROW build sides: the corpus unigram total (N) and "
+        "bigram total (B) attach to the min-count-floored bigram table "
+        "before the log — O(pairs × 1) scalar attaches, the "
+        "doc_unigram_logppl device twice",
     ("ccnet_ppl_buckets", "BroadcastNestedLoopJoin"):
         "single-ROW build side: the corpus token total attaches to the "
         "token table — the doc_unigram_logppl machinery feeding the "
