@@ -946,3 +946,30 @@ def test_mem_clean_sink_equals_batch_probe_clean(spark, tmp_path):
     assert by_id[1] == _words("a", 3)
     assert by_id[3] == _words("c", 25)
     assert by_id[4] == ""
+
+
+def test_mem_probe_works_with_different_id_col_than_build(spark, tmp_path):
+    """ADVICE r12: the on-disk index columns are canonical (id, pos, h),
+    so a probe whose frame names its id column differently from the
+    build-side frame must still work — pre-fix this raised a confusing
+    missing-column error."""
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        build_mem_index,
+        mem_probe_index,
+    )
+
+    shared = _words("s", 15)
+    ref = spark.createDataFrame(
+        [(10, _words("r", 6) + " " + shared)], ["doc_id", "text"]
+    )
+    idx = str(tmp_path / "xcolidx")
+    build_mem_index(ref, idx, "doc_id", "text", n=8, max_df=100)
+
+    probe = spark.createDataFrame(
+        [(1, shared + " " + _words("a", 5))], ["item_id", "body"]
+    )
+    rows = mem_probe_index(
+        spark, idx, probe, "item_id", "body", n=8, min_tokens=12
+    ).collect()
+    assert [(r["item_id"], r["match_id"], r["start_a"], r["start_b"],
+             r["match_tokens"]) for r in rows] == [(1, 10, 0, 6, 15)]

@@ -203,3 +203,40 @@ def test_winnow_match_sink_equals_batch_probe(spark, tmp_path):
     )
     q2.awaitTermination(180)
     assert key(spark.read.parquet(out).collect()) == want
+
+
+def test_winnow_probe_works_with_different_id_col_than_build(spark, tmp_path):
+    """ADVICE r12: canonical (id, h) postings — a probe whose frame
+    names its id column differently from the build-side frame must
+    still work, and self-matches drop (same semantics as the MEM
+    probe)."""
+    from weather_data_data_pipeline_spark.functions.winnow import (
+        build_winnow_index,
+        winnow_probe_index,
+    )
+
+    shared = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu"
+    )
+    ref = spark.createDataFrame(
+        [(10, shared + " ref tail words here"), (11, "totally other doc")],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "wxcolidx")
+    build_winnow_index(ref, idx, "doc_id", "text", k=K, w=W)
+
+    probe = spark.createDataFrame(
+        [
+            (1, shared + " probe suffix"),
+            (10, shared + " ref tail words here"),  # same id as an
+            # indexed doc — its self-report row must drop
+        ],
+        ["item_id", "body"],
+    )
+    rows = winnow_probe_index(
+        spark, idx, probe, "item_id", "body", k=K, w=W, min_shared=1
+    ).collect()
+    got = {(r["item_id"], r["match_id"]) for r in rows}
+    assert (1, 10) in got
+    assert (10, 10) not in got
