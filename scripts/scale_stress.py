@@ -757,6 +757,30 @@ QUERIES_R13 = (
 )
 
 
+QUERIES_R13B = (
+    # the applied/serving CLEAN forms that landed after the first r13
+    # stress run — same MEM core as runr13's queries plus the
+    # higher-order token rebuild (batch) / probe-side rebuild (serving):
+    # rebuild rows scale with doc count, islands with match count.
+    "exact_substring_clean",
+    "mem_index_clean",
+)
+
+
+def runr13b() -> None:
+    d1, spark = _measure(
+        (("sf0.1", SRC_DIR), ("sf1", OUT_DIR)), QUERIES_R13B, "r13bd1",
+        "scale_r13b1",
+    )
+    spark.stop()
+    d2, spark = _measure(
+        (("sf1", OUT_DIR), ("sf10", OUT_DIR_10)), QUERIES_R13B, "r13bd2",
+        "scale_r13b2",
+    )
+    print(json.dumps({"decade1_sf01_sf1": d1, "decade2_sf1_sf10": d2}))
+    spark.stop()
+
+
 def runr13() -> None:
     d1, spark = _measure(
         (("sf0.1", SRC_DIR), ("sf1", OUT_DIR)), QUERIES_R13, "r13d1",
@@ -835,6 +859,8 @@ if __name__ == "__main__":
         runr12()
     elif cmd == "runr13":
         runr13()
+    elif cmd == "runr13b":
+        runr13b()
     else:
         print("usage: scale_stress.py [gen|run|gen10|run10|runr5|runr6|"
               "runr6c|runr7|runr7b|runr8|gen_events|runr9|runr10|runr11]")
