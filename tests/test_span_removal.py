@@ -973,3 +973,99 @@ def test_mem_probe_works_with_different_id_col_than_build(spark, tmp_path):
     ).collect()
     assert [(r["item_id"], r["match_id"], r["start_a"], r["start_b"],
              r["match_tokens"]) for r in rows] == [(1, 10, 0, 6, 15)]
+
+
+def test_mem_span_removal_and_clean_match_brute_force(spark):
+    """Randomized ground truth for the keep-one-copy policy + interval
+    merge: on seeded random corpora from a 3-token alphabet (dense,
+    heavily-overlapping matches by construction — touching islands,
+    nested intervals, multi-partner cuts all occur), an independent
+    pure-Python pipeline (diagonal-scan MEMs → charge id_b → interval
+    union → token filter) must reproduce mem_span_removal's stats AND
+    mem_span_clean's rebuilt text exactly. The DuckDB oracle replays
+    the same construction, so a policy bug would hash-match on both
+    engines — this pins it to first principles instead."""
+    import random
+
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        mem_span_clean,
+        mem_span_removal,
+    )
+
+    N, MIN_TOK = 3, 4
+
+    def brute_mems(ta, tb):
+        out = []
+        for d in range(-(len(tb) - 1), len(ta)):
+            i, run = max(0, d), 0
+            j = i - d
+            while i <= len(ta) and j <= len(tb):
+                if i < len(ta) and j < len(tb) and ta[i] == tb[j]:
+                    run += 1
+                else:
+                    if run >= MIN_TOK:
+                        out.append((i - run, j - run, run))
+                    run = 0
+                i += 1
+                j += 1
+        return out
+
+    for seed in (5, 41, 77):
+        rng = random.Random(seed)
+        docs = [
+            (k, " ".join(
+                rng.choice("a b c".split())
+                for _ in range(rng.randint(0, 25))
+            ))
+            for k in range(8)
+        ]
+        # match split() semantics: "" tokenizes to [""] (one empty
+        # token), exactly as Spark's split and DuckDB's string_split do
+        toks = {k: t.split(" ") for k, t in docs}
+        cuts: dict[int, set[tuple[int, int]]] = {}
+        for a in range(8):
+            for b in range(a + 1, 8):
+                for _, sb, m in brute_mems(toks[a], toks[b]):
+                    cuts.setdefault(b, set()).add((sb, sb + m))
+        want_stats, want_clean = {}, {}
+        for k, t in docs:
+            tk = toks[k]
+            ivs = sorted(cuts.get(k, set()))
+            merged = []
+            for s, e in ivs:
+                if merged and s <= merged[-1][1]:
+                    merged[-1][1] = max(merged[-1][1], e)
+                else:
+                    merged.append([s, e])
+            cut = sum(e - s for s, e in merged)
+            covered = set()
+            for s, e in merged:
+                covered.update(range(s, e))
+            kept = [w for i, w in enumerate(tk) if i not in covered]
+            want_stats[k] = (
+                len(tk), cut, len(tk) - cut,
+                round(cut / max(len(tk), 1), 4), len(merged),
+            )
+            want_clean[k] = (" ".join(kept), len(tk), len(tk) - cut)
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got_stats = {
+            r["doc_id"]: (
+                r["n_tokens"], r["cut_tokens"], r["kept_tokens"],
+                r["cut_frac"], r["n_cut_spans"],
+            )
+            for r in mem_span_removal(
+                df, "doc_id", "text", n=N, min_tokens=MIN_TOK,
+                max_df=10**6,
+            ).collect()
+        }
+        got_clean = {
+            r["doc_id"]: (
+                r["clean_text"], r["n_tokens"], r["kept_tokens"]
+            )
+            for r in mem_span_clean(
+                df, "doc_id", "text", n=N, min_tokens=MIN_TOK,
+                max_df=10**6,
+            ).collect()
+        }
+        assert got_stats == want_stats, f"seed {seed}"
+        assert got_clean == want_clean, f"seed {seed}"
