@@ -1069,3 +1069,81 @@ def test_mem_span_removal_and_clean_match_brute_force(spark):
         }
         assert got_stats == want_stats, f"seed {seed}"
         assert got_clean == want_clean, f"seed {seed}"
+
+
+def test_mem_probe_clean_matches_brute_force(spark, tmp_path):
+    """Randomized pin for the SERVING clean path: probe random docs
+    against a frozen index of a disjoint random reference set; a
+    pure-Python pipeline (diagonal-scan MEMs vs each reference doc →
+    interval union on the probe side → token filter) must reproduce
+    the rebuilt text exactly."""
+    import random
+
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        build_mem_index,
+        mem_probe_clean,
+    )
+
+    N, MIN_TOK = 3, 4
+
+    def brute_mems(ta, tb):
+        out = []
+        for d in range(-(len(tb) - 1), len(ta)):
+            i, run = max(0, d), 0
+            j = i - d
+            while i <= len(ta) and j <= len(tb):
+                if i < len(ta) and j < len(tb) and ta[i] == tb[j]:
+                    run += 1
+                else:
+                    if run >= MIN_TOK:
+                        out.append((i - run, j - run, run))
+                    run = 0
+                i += 1
+                j += 1
+        return out
+
+    for seed in (13, 57):
+        rng = random.Random(seed)
+        mk = lambda k0, n_docs: [  # noqa: E731
+            (k0 + k, " ".join(
+                rng.choice("a b c".split())
+                for _ in range(rng.randint(0, 25))
+            ))
+            for k in range(n_docs)
+        ]
+        ref_rows, probe_rows = mk(100, 5), mk(0, 5)
+        idx = str(tmp_path / f"bfidx{seed}")
+        build_mem_index(
+            spark.createDataFrame(ref_rows, ["doc_id", "text"]),
+            idx, n=N, max_df=10**6,
+        )
+        want = {}
+        ref_toks = {k: t.split(" ") for k, t in ref_rows}
+        for k, t in probe_rows:
+            tk = t.split(" ")
+            ivs = set()
+            for rt in ref_toks.values():
+                for sa, _, m in brute_mems(tk, rt):
+                    ivs.add((sa, sa + m))
+            merged = []
+            for s, e in sorted(ivs):
+                if merged and s <= merged[-1][1]:
+                    merged[-1][1] = max(merged[-1][1], e)
+                else:
+                    merged.append([s, e])
+            covered = set()
+            for s, e in merged:
+                covered.update(range(s, e))
+            kept = [w for i, w in enumerate(tk) if i not in covered]
+            want[k] = (" ".join(kept), len(tk), len(kept))
+        got = {
+            r["doc_id"]: (
+                r["clean_text"], r["n_tokens"], r["kept_tokens"]
+            )
+            for r in mem_probe_clean(
+                spark, idx,
+                spark.createDataFrame(probe_rows, ["doc_id", "text"]),
+                n=N, min_tokens=MIN_TOK,
+            ).collect()
+        }
+        assert got == want, f"seed {seed}"

@@ -915,3 +915,58 @@ def test_pmi_collocations_hand_computed(spark):
     # min_count floors rare pairs
     floored = pmi_collocations(docs, "text", min_count=2, k=10).collect()
     assert [(r["w1"], r["w2"]) for r in floored] == [("a", "b")]
+
+
+def test_pmi_collocations_matches_counter_reference(spark):
+    """Randomized pin: PMI, counts, ordering, and row_number against a
+    pure-Python Counter reference on seeded random corpora from a
+    4-token alphabet (dense bigrams, many exact PMI ties — the
+    tie-break path is exercised for real)."""
+    import math
+    import random
+    from collections import Counter
+
+    from weather_data_data_pipeline_spark.functions.text import (
+        pmi_collocations,
+    )
+
+    for seed in (3, 19):
+        rng = random.Random(seed)
+        docs = [
+            (" ".join(
+                rng.choice("a b c d".split())
+                for _ in range(rng.randint(0, 30))
+            ),)
+            for _ in range(40)
+        ]
+        uni: Counter = Counter()
+        bi: Counter = Counter()
+        for (t,) in docs:
+            # the engine filters empty tokens (the list_filter
+            # convention of doc_bigram_logppl) — mirror it
+            toks = [w for w in t.split(" ") if w != ""]
+            uni.update(toks)
+            bi.update(zip(toks, toks[1:]))
+        n = sum(uni.values())
+        b = sum(bi.values())
+        want = []
+        for (w1, w2), c2 in bi.items():
+            if c2 < 2:
+                continue
+            pmi = round(
+                math.log((c2 / b) / ((uni[w1] / n) * (uni[w2] / n))), 4
+            )
+            want.append((w1, w2, c2, pmi))
+        want.sort(key=lambda r: (-r[3], r[0], r[1]))
+        want = [
+            (w1, w2, c2, pmi, i + 1)
+            for i, (w1, w2, c2, pmi) in enumerate(want[:10])
+        ]
+        got = [
+            (r["w1"], r["w2"], r["pair_count"], r["pmi"], r["rn"])
+            for r in pmi_collocations(
+                spark.createDataFrame(docs, ["text"]),
+                "text", min_count=2, k=10,
+            ).orderBy("rn").collect()
+        ]
+        assert got == want, f"seed {seed}"
