@@ -1326,10 +1326,21 @@ def _span_islands(
 
 def _span_toks(df: "DataFrame", id_col: str, text_col: str) -> "DataFrame":
     """(id, _t token array, _len) — the per-doc token frame every span
-    transform projects from."""
+    transform projects from.
+
+    ``_len`` is NULL (not -1) for NULL text: ``F.size`` returns -1 on
+    NULL input under Spark's default ``legacy.sizeOfNull``, which would
+    surface ``n_tokens = -1`` where every DuckDB oracle yields NULL
+    (ADVICE r13 #1). NULL-text docs still fall out of the gram pass —
+    ``NULL >= n`` filters them exactly like -1 did."""
     return df.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("_t")
-    ).withColumn("_len", F.size("_t"))
+    ).withColumn(
+        "_len",
+        F.when(F.col("_t").isNull(), F.lit(None).cast("int")).otherwise(
+            F.size("_t")
+        ),
+    )
 
 
 def _positional_gram_hashes(
@@ -1582,7 +1593,11 @@ def mem_probe_index(
     min_grams = min_tokens - n + 1
     if min_grams < 1:
         raise ValueError(f"min_tokens ({min_tokens}) must be >= n ({n})")
-    postings = spark.read.parquet(f"{path}/postings").select(
+    from weather_data_data_pipeline_spark.functions.index_io import (
+        read_postings,
+    )
+
+    postings = read_postings(spark, path, ("id", "pos", "h")).select(
         F.col("id").alias("match_id"), F.col("pos").alias("pos_b"), "h"
     )
     fresh = _positional_gram_hashes(
@@ -1798,10 +1813,15 @@ def mem_span_clean(
     document with the ExactSubstr keep-one-copy policy EXECUTED — (id,
     clean_text, n_tokens, kept_tokens), where the higher-id side of
     every maximal shared span (Lee et al. 2022 §4) is cut and the text
-    reassembled. Exactly one copy of each shared span survives in the
-    corpus (in the lowest-id document that carries it), completing the
-    MEM family loop: evidence (:func:`maximal_match_pairs`) → stats
-    (:func:`mem_span_removal`) → applied rebuild (this).
+    reassembled. One copy per CROSS-DOCUMENT span family survives (in
+    the lowest-id document that carries it); spans repeated WITHIN a
+    single document keep all their copies — the evidence source
+    (:func:`maximal_match_pairs`) emits only ``id_a < id_b`` pairs, so
+    intra-document repeats are out of scope by construction (pairwise
+    evidence, not the paper's full suffix-array pass, which would cut
+    them too — ADVICE r13 #2). Completes the MEM family loop: evidence
+    (:func:`maximal_match_pairs`) → stats (:func:`mem_span_removal`) →
+    applied rebuild (this).
 
     Reconstruction rides :func:`_rebuild_clean` — one groupBy(id)
     collecting the merged cut islands into an array and a codegen'd
@@ -1874,7 +1894,11 @@ def _rebuild_clean(
                 F.col("_t").isNull(), F.lit(None).cast("string")
             ).otherwise(F.concat_ws(" ", F.col("_kept"))).alias("clean_text"),
             F.col("_len").cast("bigint").alias("n_tokens"),
-            F.size("_kept").cast("bigint").alias("kept_tokens"),
+            # NULL text → NULL counts (F.size(NULL) would yield -1 under
+            # legacy.sizeOfNull where the oracle yields NULL, ADVICE r13)
+            F.when(F.col("_t").isNull(), F.lit(None).cast("bigint"))
+            .otherwise(F.size("_kept").cast("bigint"))
+            .alias("kept_tokens"),
         )
     )
 

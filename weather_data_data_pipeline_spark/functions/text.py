@@ -1200,3 +1200,138 @@ def pmi_collocations(
     return top.withColumn(
         "rn", F.row_number().over(w).cast("int")
     ).select("w1", "w2", "pair_count", "pmi", "rn")
+
+
+def _boiler_line_positions(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str,
+    max_docs: int,
+) -> DataFrame:
+    """(id, pos) of every line occurring in more than ``max_docs``
+    DISTINCT documents — the shared core of the CCNet-style line-level
+    cross-corpus dedup pair (Wenzek et al. 2019 §3.2 "deduplication",
+    the RedPajama web-boilerplate killer: navigation bars, cookie
+    banners, and footers repeat across SITES, so intra-document
+    paragraph dedup never sees them).
+
+    Lines hash to 8 bytes (xxhash64) before any shuffle; the document
+    frequency is one map-side-combinable count(DISTINCT id) per hash
+    (a line repeated inside one document counts that document once);
+    and the boilerplate set — Zipf-head lines with df > max_docs, the
+    same shape as the span family's stop-gram set — broadcasts back as
+    a semi-join, so the corpus-sized lines frame never shuffles.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "_line"),
+    ).select(id_col, "pos", F.xxhash64("_line").alias("h"))
+    boiler = (
+        lines.groupBy("h")
+        .agg(F.count_distinct(id_col).alias("_df"))
+        .where(F.col("_df") > max_docs)
+        .select("h")
+    )
+    return lines.join(F.broadcast(boiler), "h", "left_semi").select(
+        id_col, "pos"
+    )
+
+
+def line_boilerplate_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    max_docs: int = 8,
+) -> DataFrame:
+    """CCNet-style line-level cross-corpus dedup STATS: (id, n_lines,
+    boiler_lines, kept_lines, boiler_frac) — how much of each document
+    is corpus-wide boilerplate (lines shared by more than ``max_docs``
+    distinct documents). Complements :func:`dedup_paragraphs`, which is
+    intra-document only. Every copy of a boilerplate line counts
+    (per-position flags), while document frequency counts a document
+    once however often it repeats the line. NULL text → NULL counts
+    (never -1), matching every oracle's ``len(string_split(NULL))``.
+    """
+    flagged = _boiler_line_positions(df, id_col, text_col, sep, max_docs)
+    per_doc = flagged.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("boiler_lines")
+    )
+    n_lines_raw = F.size(F.split(F.col(text_col), sep))
+    base = df.select(
+        F.col(id_col),
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("bigint"))
+        .otherwise(n_lines_raw.cast("bigint"))
+        .alias("n_lines"),
+    )
+    boiler = F.coalesce("boiler_lines", F.lit(0)).cast("bigint")
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_lines",
+        boiler.alias("boiler_lines"),
+        (F.col("n_lines") - boiler).cast("bigint").alias("kept_lines"),
+        F.round(
+            boiler.cast("double") / F.greatest("n_lines", F.lit(1)), 4
+        ).alias("boiler_frac"),
+    )
+
+
+def line_boilerplate_clean(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    max_docs: int = 8,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """The applied form of :func:`line_boilerplate_stats`: every line
+    occurring in more than ``max_docs`` distinct documents is dropped
+    from EVERY document (CCNet removes boilerplate wholesale — there is
+    no keep-one-copy winner for a cookie banner), and the survivors
+    rejoin with ``sep`` in original order. Output: (id, out_col,
+    n_lines, kept_lines).
+
+    Rebuild rides the span family's device: only (id, pos) pairs of
+    boilerplate lines shuffle (bounded by flagged-line count, not
+    corpus size) — one groupBy(id) collects them into an array and a
+    codegen'd higher-order filter drops those positions from the split
+    array. Documents with no boilerplate pass through untouched; NULL
+    text stays NULL.
+    """
+    flagged = _boiler_line_positions(df, id_col, text_col, sep, max_docs)
+    drops = flagged.groupBy(id_col).agg(
+        F.collect_list("pos").alias("_drop")
+    )
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), sep).alias("_l")
+    )
+    kept = F.filter(
+        F.zip_with(
+            F.col("_l"),
+            F.sequence(F.lit(0), F.size("_l") - 1),
+            lambda line, i: F.struct(line.alias("line"), i.alias("i")),
+        ),
+        lambda p: ~F.array_contains(F.col("_drop"), p["i"]),
+    )
+    return (
+        toks.join(drops, id_col, "left")
+        .withColumn(
+            "_kept",
+            F.when(F.col("_drop").isNull(), F.col("_l")).otherwise(
+                F.transform(kept, lambda p: p["line"])
+            ),
+        )
+        .select(
+            id_col,
+            F.when(F.col("_l").isNull(), F.lit(None).cast("string"))
+            .otherwise(F.array_join(F.col("_kept"), sep))
+            .alias(out_col),
+            F.when(F.col("_l").isNull(), F.lit(None).cast("bigint"))
+            .otherwise(F.size("_l").cast("bigint"))
+            .alias("n_lines"),
+            F.when(F.col("_l").isNull(), F.lit(None).cast("bigint"))
+            .otherwise(F.size("_kept").cast("bigint"))
+            .alias("kept_lines"),
+        )
+    )

@@ -313,7 +313,11 @@ def winnow_probe_index(
     the same semantics as :func:`~weather_data_data_pipeline_spark.
     functions.dedup.mem_probe_index` (ADVICE r12: the two serving
     APIs used to disagree here)."""
-    postings = spark.read.parquet(f"{path}/postings").select(
+    from weather_data_data_pipeline_spark.functions.index_io import (
+        read_postings,
+    )
+
+    postings = read_postings(spark, path, ("id", "h")).select(
         F.col("id").alias("match_id"), "h"
     )
     fresh = (
