@@ -21,24 +21,28 @@ WINDOW = 50
 # Mirror of registry._ROUND_HEAD — a deliberate copy so that editing the
 # head without thinking about the verification window fails a test.
 ROUND_HEAD = (
-    # r13 head = 3 new + 2 §2 staleness pins + 2 plan-changed (VERDICT
-    # r12 ask #1: keep it SMALL so the LRU tail sweeps the 9-query r8
-    # cohort + 34 of the 44-query r9 cohort through the window)
+    # r14 head = 5 due rows (r9-stamped, budget expires r14) + 6
+    # plan-changed under the ADVICE r13 #1 NULL-text guard (set found
+    # mechanically by scripts/plan_hashes.py) + 2 NEW CCNet queries.
     #
-    # r13 NEW oracle query (VERDICT r12 ask #7): ExactSubstr removal —
-    # keep one copy of each maximal shared span, cut the higher-id side
+    # §2 pins, due r14 (reference-tagged — enforced by
+    # test_reference_queries_pinned_before_staleness below)
+    "weather_weekly_avg_temp",
+    "weather_avg_humidity_range",
+    # due r14: r9-stamped oracle rows
+    "train_holdout_split",
+    "truncation_loss_sweep",
+    "vocab_growth_curve",
+    # plan-changed r14 (NULL guards in _span_toks/_rebuild_clean)
     "exact_substring_removal",
-    # r13 NEW: the applied rebuild form of the same policy (clean_text)
     "exact_substring_clean",
-    # r13 NEW: PMI collocation mining (Church & Hanks 1990)
-    "pmi_collocations",
-    # §2 pins: r9-stamped, >3 rounds at r13 (registry rule below)
-    "scalar_transforms",
-    "weekly_avg_value",
-    # plan-changed by the ADVICE r12 fixes (canonical index columns;
-    # winnow probe self-match filter) — must re-earn green
-    "mem_index_probe",
-    "winnowing_index_probe",
+    "span_dedup_removal",
+    "span_dedup_clean_corpus",
+    "decontamination_clean_corpus",
+    "curation_pipeline_frozen_e2e",
+    # r14 NEW: CCNet line-level cross-corpus dedup (VERDICT r13 ask #6)
+    "ccnet_line_dedup",
+    "ccnet_line_clean",
 )
 
 
@@ -227,3 +231,48 @@ def test_rows_only_closures_stay_fresh():
                 f"{name}: twin {vb} last gate-green r{twin_round} "
                 f"(> {budget} rounds stale) — pin it into _ROUND_HEAD"
             )
+
+
+def test_reference_queries_pinned_before_staleness():
+    """VERDICT r13 ask #4: a SURVEY-§2 / reference-tagged query must
+    never reach a freshness deadline without a head pin. If its stamp
+    age exceeds 3 rounds (the pre-deadline pin point the
+    scalar_transforms r13 and weather-twin r14 pins used), it must be
+    in _ROUND_HEAD this round."""
+    ledger = _ledger()
+    latest = max(ledger.values())
+    oracles = registry.oracle_sql()
+    offenders = []
+    for name in registry.query_names():
+        q = registry.get_query(name)
+        if "reference" not in q.tags or name not in oracles:
+            continue
+        stamp = ledger.get(name, 0)
+        if latest - stamp > 3 and name not in registry._ROUND_HEAD:
+            offenders.append((name, stamp))
+    assert not offenders, (
+        f"reference-surface queries >3 rounds stale without a head pin: "
+        f"{offenders}"
+    )
+
+
+def test_every_due_query_is_inside_the_gate_window():
+    """Plan-stable freshness amendment (VERDICT r13 ask #2): every
+    oracle-bearing query whose deadline falls at the NEXT driver round
+    (latest ledger round + 1) must sit inside the ~50-query window the
+    driver will actually verify — 6-round budget for plan-stable
+    queries (scripts/plan_hashes.json unchanged since the stamp / r13
+    bootstrap), 5-round otherwise, no deadline for mirror-maintained
+    rows-only queries."""
+    ledger = _ledger()
+    next_round = max(ledger.values()) + 1
+    window = set(registry.query_names()[:WINDOW])
+    overdue = [
+        (name, deadline, registry.freshness_budget(name))
+        for name, deadline in registry.freshness_deadlines().items()
+        if deadline <= next_round and name not in window
+    ]
+    assert not overdue, (
+        f"queries due at r{next_round} outside the gate window "
+        f"(name, deadline, budget): {overdue}"
+    )

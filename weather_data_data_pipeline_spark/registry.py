@@ -76,31 +76,117 @@ _loaded = False
 # PLAN/ORACLE changed this round and must (re-)earn a green row. Keep
 # tests/test_registry_order.py's ROUND_HEAD copy in sync.
 _ROUND_HEAD: tuple[str, ...] = (
-    # r13 head stays SMALL so the LRU tail pulls the staleness cohort
-    # (VERDICT r12 ask #1): all 9 oracle queries last green r8 (budget
-    # expires this round) + 34 of the 44-query r9 cohort fit behind
-    # this head in the ~50-slot window; the 8 r9 leftovers become the
-    # oldest cohort for r14.
+    # r14 head: the 5 rows whose 5-round budget expires THIS round
+    # (VERDICT r13 ask #1 — the r9-stamped leftovers of the r13 sweep),
+    # the 6 queries whose plans changed under the ADVICE r13 #1
+    # NULL-text guard in _span_toks/_rebuild_clean (plan-changed must
+    # re-earn, the mem_index_probe precedent; set identified
+    # mechanically by scripts/plan_hashes.py), and the 2 NEW CCNet
+    # line-dedup queries (VERDICT r13 ask #6). Behind these 13, the
+    # LRU tail pulls 37 of the 54-query r10 cohort; the ~17 leftovers
+    # are plan-stable and carry the 6-round budget (VERDICT r13 ask #2
+    # amendment) to r16.
     #
-    # r13 NEW oracle query (VERDICT r12 ask #7): ExactSubstr removal —
-    # cut one copy of each maximal shared span (id_a keeps, id_b cut),
-    # interval-merged per doc (functions/dedup.py:mem_span_removal)
+    # §2 staleness pins, due r14 (r9-stamped, reference-tagged — the
+    # automatic pin test in tests/test_registry_order.py now enforces
+    # this class, VERDICT r13 ask #4)
+    "weather_weekly_avg_temp",
+    "weather_avg_humidity_range",
+    # due r14: r9-stamped oracle rows
+    "train_holdout_split",
+    "truncation_loss_sweep",
+    "vocab_growth_curve",
+    # plan-changed r14 (ADVICE r13 #1: _len NULL guard in _span_toks +
+    # kept_tokens NULL guard in _rebuild_clean) — must re-earn green
     "exact_substring_removal",
-    # r13 NEW: the applied rebuild form of the same policy (clean_text)
     "exact_substring_clean",
-    # r13 NEW: PMI collocation mining (Church & Hanks 1990)
-    "pmi_collocations",
-    # §2 staleness pins (VERDICT r12 ask #1 / registry rule: SURVEY-§2
-    # queries >3 rounds since last green must be pinned — both are
-    # r9-stamped, and weekly_avg_value sorts LAST in the r9 cohort so
-    # the LRU tail alone would miss it)
-    "scalar_transforms",
-    "weekly_avg_value",
-    # plan-changed this round (ADVICE r12: canonical on-disk index
-    # columns; winnow probe self-match filter) — must re-earn green
-    "mem_index_probe",
-    "winnowing_index_probe",
+    "span_dedup_removal",
+    "span_dedup_clean_corpus",
+    "decontamination_clean_corpus",
+    "curation_pipeline_frozen_e2e",
+    # r14 NEW: CCNet-style line-level cross-corpus dedup (stats +
+    # applied clean), VERDICT r13 ask #6
+    "ccnet_line_dedup",
+    "ccnet_line_clean",
 )
+
+
+# --- plan-stable freshness amendment (VERDICT r13 ask #2, granted) ----
+#
+# Every oracle-bearing query must re-earn a green driver-gate stamp
+# within its freshness budget. The budget is 5 rounds; a query whose
+# PHYSICAL PLAN is provably unchanged since its last green stamp earns
+# 6 (the plan cannot have regressed if it is byte-identical, and the
+# full-surface two-scale mirror re-verifies values every round anyway).
+# Plan stability comes from scripts/plan_hashes.json — normalized
+# formatted-plan fingerprints maintained by scripts/plan_hashes.py,
+# whose ``since_round`` only moves forward when a hash changes.
+#
+# Bootstrap: the hash file was first recorded against the r13-close
+# tree, so ``since_round = 13`` is the earliest attestable round — a
+# query stamped r10 with an unchanged-since-bootstrap hash counts as
+# plan-stable (its r13 hash ran green in the r13 two-scale mirror; the
+# per-round shuffle gate covered r10→r13). Rows-only queries are
+# MIRROR-MAINTAINED: they can never enter the oracle gate, their
+# verified_by closures re-run every round, so they carry no deadline
+# and cost no window slot.
+FRESHNESS_BUDGET = 5
+FRESHNESS_BUDGET_STABLE = 6
+PLAN_HASH_BOOTSTRAP_ROUND = 13
+
+_PLAN_HASH_CACHE: dict[str, dict] | None = None
+
+
+def _load_plan_hashes() -> dict[str, dict]:
+    global _PLAN_HASH_CACHE
+    if _PLAN_HASH_CACHE is not None:
+        return _PLAN_HASH_CACHE
+    import json
+    from pathlib import Path
+
+    path = (
+        Path(__file__).resolve().parent.parent
+        / "scripts"
+        / "plan_hashes.json"
+    )
+    try:
+        _PLAN_HASH_CACHE = json.loads(path.read_text())
+    except (OSError, ValueError):
+        _PLAN_HASH_CACHE = {}
+    return _PLAN_HASH_CACHE
+
+
+def freshness_budget(name: str) -> int | None:
+    """Rounds this query's current green stamp stays fresh — 6 when the
+    plan hash is unchanged since the stamp (or since the r13 bootstrap),
+    5 otherwise; None for rows-only queries (mirror-maintained, no
+    deadline)."""
+    _ensure_loaded()
+    if _REGISTRY[name].oracle is None:
+        return None
+    stamp = _load_ledger().get(name)
+    meta = _load_plan_hashes().get(name)
+    if stamp is not None and meta is not None and meta["since_round"] <= max(
+        stamp, PLAN_HASH_BOOTSTRAP_ROUND
+    ):
+        return FRESHNESS_BUDGET_STABLE
+    return FRESHNESS_BUDGET
+
+
+def freshness_deadlines() -> dict[str, int]:
+    """{oracle-bearing query: round by which it must re-earn a green
+    driver stamp}. Never-green queries get deadline 0 (verify ASAP)."""
+    _ensure_loaded()
+    ledger = _load_ledger()
+    out: dict[str, int] = {}
+    for q in _REGISTRY.values():
+        if q.oracle is None:
+            continue
+        stamp = ledger.get(q.name)
+        out[q.name] = (
+            0 if stamp is None else stamp + freshness_budget(q.name)
+        )
+    return out
 
 
 _LEDGER_CACHE: dict[str, int] | None = None
