@@ -43,6 +43,9 @@ ROUND_HEAD = (
     # r14 NEW: CCNet line-level cross-corpus dedup (VERDICT r13 ask #6)
     "ccnet_line_dedup",
     "ccnet_line_clean",
+    # r14 NEW: the contamination-family batch replan (VERDICT r13 ask
+    # #3 — exact broadcast prescreen; the Bloom twin is serving-tagged)
+    "corpus_contamination_prescreen",
 )
 
 

@@ -204,3 +204,49 @@ def test_bm25_empty_query_returns_no_rows(spark):
         [(1, "spark join stream")], "doc_id long, text string"
     )
     assert bm25_scores(docs, "doc_id", "text", []).collect() == []
+
+
+def test_prescreen_contamination_equals_plain(spark):
+    """ngram_contamination_prescreen (the r14 batch replan) must return
+    the PLAIN form's result exactly: the broadcast left-semi prescreen
+    is EXACT, so it admits precisely the overlapping train grams and
+    the output is provably identical — on the closed-vocabulary corpus
+    (high overlap) AND on a mostly-disjoint synthetic train side."""
+    from weather_data_data_pipeline_spark.functions.search import (
+        ngram_contamination_prescreen,
+    )
+    from weather_data_data_pipeline_spark.sources.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    train = docs.where(F.col("source") != "src0")
+    ev = docs.where(F.col("source") == "src0")
+    plain = sorted(
+        map(tuple, ngram_contamination(train, ev, "doc_id", "text", n=3).collect())
+    )
+    pre = sorted(
+        map(
+            tuple,
+            ngram_contamination_prescreen(
+                train, ev, "doc_id", "text", n=3
+            ).collect(),
+        )
+    )
+    assert pre == plain
+    t2 = spark.createDataFrame(
+        [(i, f"u{i} v{i} w{i} x{i} y{i}") for i in range(200)],
+        ["doc_id", "text"],
+    )
+    ev2 = spark.createDataFrame(
+        [(900, "u1 v1 w1 x1 y1"), (901, "only novel grams here now")],
+        ["doc_id", "text"],
+    )
+    assert sorted(
+        map(
+            tuple,
+            ngram_contamination_prescreen(
+                t2, ev2, "doc_id", "text", n=3
+            ).collect(),
+        )
+    ) == sorted(
+        map(tuple, ngram_contamination(t2, ev2, "doc_id", "text", n=3).collect())
+    )

@@ -286,6 +286,49 @@ def ngram_contamination(
     )
 
 
+def ngram_contamination_prescreen(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """:func:`ngram_contamination` with an EXACT broadcast prescreen on
+    the train side — the one-job batch shape adopted by the r14 replan
+    (VERDICT r13 ask #3; study: scripts/replan_contamination_r14.py).
+
+    The bounded eval set's distinct gram hashes broadcast to the train
+    gram scan as a left-semi probe BEFORE any shuffle, so only train
+    grams that genuinely overlap the eval set leave the scan stage —
+    and because the prescreen is exact (not a Bloom), the surviving
+    train gram set is a SUBSET of the eval gram set, hence itself
+    bounded by the eval premise and broadcast BACK to the per-doc hit
+    count. Net: the 100 TB train side contributes one scan plus a
+    KB-scale distinct of the overlap sliver; no driver-side action, no
+    corpus-wide dropDuplicates, no shuffle of eval grams.
+
+    vs :func:`ngram_contamination_bloom`: the Bloom form pays one extra
+    bounded driver ACTION to freeze the filter into a literal — the
+    right trade when the filter must outlive the query (streaming
+    sinks, :func:`~weather_data_data_pipeline_spark.functions.dedup.
+    decontamination_eval_state`) or when the eval gram set outgrows an
+    exact broadcast (the Bloom stays KB-scale up to 2^23 bits). For a
+    one-shot batch query the extra action is pure overhead — measured
+    at bench SF it WAS the entire over-bar gap.
+    """
+    ev_grams = hashed_shingles(eval_df, id_col, text_col, n)
+    ev_h = ev_grams.select("h").dropDuplicates()
+    train_grams = (
+        train.select(F.explode(shingle_array(text_col, n)).alias("g"))
+        .select(F.xxhash64("g").alias("h"))
+        .join(F.broadcast(ev_h), "h", "left_semi")
+        .dropDuplicates()
+    )
+    return _contamination_from_grams(
+        ev_grams, F.broadcast(train_grams), eval_df, id_col, text_col, n
+    )
+
+
 def ngram_contamination_bloom(
     train: DataFrame,
     eval_df: DataFrame,

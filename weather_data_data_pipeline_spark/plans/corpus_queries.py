@@ -277,8 +277,15 @@ def decontamination_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distinct+join — only might-overlap grams ever shuffle. Output "
     "bit-identical to corpus_contamination (no false negatives; "
     "false positives die in the exact semi-join), so the same oracle "
-    "hash-checks the optimized plan.",
-    tags=("llm", "dedup", "quality", "bench"),
+    "hash-checks the optimized plan. SERVING-tagged since r14 "
+    "(VERDICT r13 ask #3, second consecutive over-both-bars "
+    "interleaved round): the frozen-literal filter is the shape for "
+    "streaming sinks and reusable eval state, where the extra "
+    "bounded build ACTION amortizes across batches — for a one-shot "
+    "batch query that action is pure overhead (measured as the "
+    "entire over-bar gap, scripts/replan_contamination_r14.py), so "
+    "the benched batch form is corpus_contamination_prescreen.",
+    tags=("llm", "dedup", "quality", "serving"),
 )
 def corpus_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_data_data_pipeline_spark.functions.search import (
@@ -287,6 +294,72 @@ def corpus_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return ngram_contamination_bloom(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        "doc_id",
+        "text",
+        n=3,
+    )
+
+
+@register(
+    "corpus_contamination_prescreen",
+    # Same contract as corpus_contamination_bloom: output provably
+    # identical to corpus_contamination (the prescreen is EXACT — the
+    # broadcast left-semi probe admits precisely the overlapping
+    # grams), so the identical oracle hash-checks this plan too.
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(range(1, len(t) - 1),
+                             i -> array_to_string(t[i:i+2], ' '))) AS g
+        FROM toks
+    ),
+    train AS (
+        SELECT DISTINCT unnest(g) AS gram FROM grams WHERE source <> 'src0'
+    ),
+    ev AS (
+        SELECT doc_id, unnest(g) AS gram FROM grams WHERE source = 'src0'
+    ),
+    tot AS (
+        SELECT doc_id, len(g) AS n_ngrams FROM grams WHERE source = 'src0'
+    ),
+    hits AS (
+        SELECT ev.doc_id, count(*) AS n_contaminated
+        FROM ev JOIN train USING (gram) GROUP BY ev.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.n_ngrams AS INTEGER) AS n_ngrams,
+           CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           round(CAST(coalesce(h.n_contaminated, 0) AS DOUBLE)
+                 / greatest(t.n_ngrams, 1), 4) AS contamination
+    FROM tot t LEFT JOIN hits h USING (doc_id)
+    """,
+    doc="Train/eval decontamination with an EXACT broadcast prescreen "
+    "(functions/search.py:ngram_contamination_prescreen) — the r14 "
+    "replan of the contamination family's batch form (VERDICT r13 "
+    "ask #3): the bounded eval set's distinct gram hashes broadcast "
+    "into the train gram scan as a left-semi probe BEFORE any "
+    "shuffle, and the surviving sliver — a subset of the eval gram "
+    "set, so bounded by the same premise — broadcasts back to the "
+    "per-doc hit count. One job, no driver action, the 100 TB train "
+    "side pays one scan plus a KB-scale distinct. The Bloom-literal "
+    "twin (corpus_contamination_bloom, serving-tagged) remains the "
+    "shape for streaming sinks / reusable frozen eval state.",
+    tags=("llm", "dedup", "quality", "bench"),
+)
+def corpus_contamination_prescreen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.search import (
+        ngram_contamination_prescreen,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return ngram_contamination_prescreen(
         docs.where(F.col("source") != "src0"),
         docs.where(F.col("source") == "src0"),
         "doc_id",

@@ -108,6 +108,9 @@ _ROUND_HEAD: tuple[str, ...] = (
     # applied clean), VERDICT r13 ask #6
     "ccnet_line_dedup",
     "ccnet_line_clean",
+    # r14 NEW: the contamination-family batch replan (VERDICT r13 ask
+    # #3 — exact broadcast prescreen; the Bloom twin is serving-tagged)
+    "corpus_contamination_prescreen",
 )
 
 
