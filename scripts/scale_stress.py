@@ -781,6 +781,38 @@ def runr13b() -> None:
     spark.stop()
 
 
+QUERIES_R14 = (
+    # ccnet_line_dedup / ccnet_line_clean: r14 new — one distinct
+    # (h, id) pass + count-per-hash (Zipf-small boilerplate head) +
+    # broadcast semi-join back. The 4-line fabricated bodies make line
+    # volume linear in docs; the boilerplate set is bounded by the
+    # source/lang cross (40 lines), so expect ~linear wall/shuffle with
+    # the closed-vocab densification on the distinct pass.
+    "ccnet_line_dedup",
+    "ccnet_line_clean",
+    # corpus_contamination_prescreen: r14 replan — the train gram scan
+    # probes the broadcast eval hash set BEFORE any shuffle; only the
+    # overlap sliver (bounded by the eval gram set, here the closed
+    # 31-token vocabulary saturates it) shuffles to the distinct, so
+    # wall should track the scan and shuffle bytes stay near-flat.
+    "corpus_contamination_prescreen",
+)
+
+
+def runr14() -> None:
+    d1, spark = _measure(
+        (("sf0.1", SRC_DIR), ("sf1", OUT_DIR)), QUERIES_R14, "r14d1",
+        "scale_r14d1",
+    )
+    spark.stop()
+    d2, spark = _measure(
+        (("sf1", OUT_DIR), ("sf10", OUT_DIR_10)), QUERIES_R14, "r14d2",
+        "scale_r14d2",
+    )
+    print(json.dumps({"decade1_sf01_sf1": d1, "decade2_sf1_sf10": d2}))
+    spark.stop()
+
+
 def runr13() -> None:
     d1, spark = _measure(
         (("sf0.1", SRC_DIR), ("sf1", OUT_DIR)), QUERIES_R13, "r13d1",
@@ -857,6 +889,8 @@ if __name__ == "__main__":
         runr11b()
     elif cmd == "runr12":
         runr12()
+    elif cmd == "runr14":
+        runr14()
     elif cmd == "runr13":
         runr13()
     elif cmd == "runr13b":
