@@ -380,3 +380,102 @@ def test_snapshot_version_diff_null_keys_match_oracle(spark, tmp_path):
         "view": (0, 1, 0, 0),
         "click": (0, 0, 1, 0),
     }
+
+
+# --- r14 NULL-audit regressions (scripts/null_audit.py findings) ------
+
+
+def test_rolling_fingerprint_null_does_not_poison_batch(spark):
+    """One NULL text in an Arrow batch must not change its batch-mates'
+    fingerprints: the old .map() path coerced the result series to
+    float64 when a None was present, silently rounding every int64
+    fingerprint in the batch to 1-in-2^53 precision (ulp 256 at 2^60)."""
+    from weather_data_data_pipeline_spark.functions.text import (
+        rolling_fingerprint,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog" * 4
+    MOD, BASE = (1 << 61) - 1, 257
+    want = 0
+    for b in text.encode("utf-8"):
+        want = (want * BASE + b) % MOD
+
+    df = spark.createDataFrame(
+        [(1, text), (2, None), (3, text)], "doc_id long, text string"
+    ).coalesce(1)  # one partition → one Arrow batch shares the None
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", rolling_fingerprint("text").alias("fp")
+        ).collect()
+    }
+    assert got[1] == want and got[3] == want  # EXACT, not float-rounded
+    assert got[2] is None
+
+
+def test_mean_token_length_null_on_empty(spark):
+    from weather_data_data_pipeline_spark.functions.text import (
+        mean_token_length,
+    )
+
+    rows = {
+        r["doc_id"]: r["wl"]
+        for r in spark.createDataFrame(
+            [(1, "ab abcd"), (2, ""), (3, None)],
+            "doc_id long, text string",
+        )
+        .select("doc_id", mean_token_length("text").alias("wl"))
+        .collect()
+    }
+    assert rows[1] == 3.0
+    assert rows[2] is None  # was 0.0 — flipped band rules to False
+    assert rows[3] is None
+
+
+def test_doc_repetition_quality_survives_short_and_null_docs(spark, tmp_path):
+    """sequence(1, size-1) descended for <2-token docs and slice(toks,
+    0, 2) threw — the guarded form drops them like the oracle's empty
+    range()."""
+    import pandas as pd
+
+    from weather_data_data_pipeline_spark import registry
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a b a b", "solo", "", None],
+            "lang": ["en"] * 4,
+            "source": ["src1"] * 4,
+            "n_chars": [7, 4, 0, 0],
+        }
+    ).to_parquet(d / "documents.parquet", index=False)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["top_bigram_frac"])
+        for r in registry.get_query("doc_repetition_quality")
+        .fn(spark, str(d))
+        .collect()
+    }
+    assert got == {1: (4, 0.6667)}  # "a b" fills 2 of 3 bigram slots
+
+
+def test_multimodal_decode_and_frames_degrade_on_null_content(spark):
+    from weather_data_data_pipeline_spark.multimodal.binary import (
+        decode_features,
+        sample_frames,
+    )
+    from pyspark.sql import functions as F
+
+    media = spark.createDataFrame(
+        [("m1", b"hello", "image", {"duration_ms": 3000}),
+         ("m2", None, "video", {"duration_ms": 3000})],
+        "media_id string, content binary, modality string, "
+        "meta map<string,int>",
+    )
+    dec = {r["media_id"]: r for r in decode_features(media, fake=True).collect()}
+    assert dec["m1"]["n_bytes"] == 5 and len(dec["m1"]["feature"]) == 16
+    assert dec["m2"]["n_bytes"] is None and dec["m2"]["feature"] is None
+    frames = sample_frames(media, every_ms=1000, fake=True).collect()
+    assert {r["media_id"] for r in frames} == {"m1"}  # m2 emits nothing
+    assert len([r for r in frames if r["media_id"] == "m1"]) == 3

@@ -46,6 +46,28 @@ ROUND_HEAD = (
     # r14 NEW: the contamination-family batch replan (VERDICT r13 ask
     # #3 — exact broadcast prescreen; the Bloom twin is serving-tagged)
     "corpus_contamination_prescreen",
+    # r14 NULL-audit wave (scripts/null_audit.py — ADVICE r13 #1
+    # generalized): plan-changed by the mean_token_length NULL-on-empty
+    # and doc_repetition_quality guards (hash diff), oracle-changed
+    # (string_split('','') quirk), or Pandas-UDF-body-changed (batch
+    # poisoning / NULL degrade) — all must re-earn green
+    "dedup_keep_best_quality",
+    "doc_quality_by_lang",
+    "doc_quality_deciles",
+    "doc_quality_filter",
+    "doc_repetition_quality",
+    "doc_sampling_weights",
+    "doc_token_stats",
+    "length_quality_curve",
+    "multimodal_decode_stats",
+    "packing_pipeline_e2e",
+    "quality_proxy_agreement",
+    "quality_rule_ablation",
+    "sampling_ess_by_source",
+    "url_domain_dedup_report",
+    "doc_char_entropy",
+    "doc_fingerprint",
+    "multimodal_frame_counts",
 )
 
 

@@ -67,7 +67,13 @@ def mean_token_length(col: Column | str) -> Column:
     total = F.aggregate(
         F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
     )
-    return total / F.greatest(F.size(toks), F.lit(1))
+    # mean over ZERO tokens is NULL, not 0.0 — every SQL twin computes
+    # list_sum([]) / greatest(0, 1) = NULL, and a 0.0 here silently
+    # flipped downstream band rules from NULL to False on empty text
+    # (r14 NULL audit); NULL text already propagates via total = NULL
+    return F.when(F.size(toks) == 0, F.lit(None).cast("double")).otherwise(
+        total / F.size(toks)
+    )
 
 
 def quality_score(col: Column | str) -> Column:
@@ -113,7 +119,14 @@ def rolling_fingerprint(texts: pd.Series) -> pd.Series:
     """Polynomial rolling hash over UTF-8 bytes, mod 2^61-1 (Arrow-batched
     Pandas UDF — character-positional fold isn't expressible as a built-in).
     Deterministic across runs/partitions, suitable as a shard-stable
-    document fingerprint."""
+    document fingerprint.
+
+    The result is built as NULLABLE Int64 explicitly: a plain
+    ``texts.map(...)`` series containing a None coerces to float64 on
+    the Arrow boundary, silently rounding EVERY fingerprint in that
+    batch to 1-in-2^53 precision (ulp 256 at 2^60 magnitudes) — one
+    NULL document corrupted its batch-mates' fingerprints (r14 NULL
+    audit, scripts/null_audit.py)."""
     MOD = (1 << 61) - 1
     BASE = 257
 
@@ -123,7 +136,9 @@ def rolling_fingerprint(texts: pd.Series) -> pd.Series:
             h = (h * BASE + b) % MOD
         return h
 
-    return texts.map(lambda s: fp(s) if s is not None else None)
+    return pd.Series(
+        [fp(s) if s is not None else None for s in texts], dtype="Int64"
+    )
 
 
 def doc_profile(df: DataFrame, text_col: str = "text") -> DataFrame:

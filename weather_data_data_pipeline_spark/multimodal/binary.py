@@ -120,14 +120,28 @@ def decode_features(df: DataFrame, fake: bool = False) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         decode = _fake_decode if fake else _real_decode
         for pdf in batches:
+            # NULL content degrades per-row (NULL feature/n_bytes), never
+            # throws — at 100 TB every pathological value exists somewhere
+            # and one bytes(None) must not poison the partition (r14 NULL
+            # audit)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "modality": pdf["modality"],
                     "feature": [
-                        decode(bytes(c)).tolist() for c in pdf["content"]
+                        None if c is None else decode(bytes(c)).tolist()
+                        for c in pdf["content"]
                     ],
-                    "n_bytes": [len(bytes(c)) for c in pdf["content"]],
+                    # nullable Int32 (DECODED_SCHEMA's n_bytes is
+                    # IntegerType): a plain list with a None would coerce
+                    # to float64 at the Arrow boundary
+                    "n_bytes": pd.array(
+                        [
+                            None if c is None else len(bytes(c))
+                            for c in pdf["content"]
+                        ],
+                        dtype="Int32",
+                    ),
                 }
             )
 
@@ -240,6 +254,8 @@ def sample_frames(
             if not fake:
                 ids, idxs, frames = [], [], []
                 for _, row in pdf.iterrows():
+                    if row["content"] is None:  # degrade per-row, no frames
+                        continue
                     duration = (row["meta"] or {}).get("duration_ms")
                     if duration is None or duration != duration:
                         duration = 0
@@ -255,6 +271,8 @@ def sample_frames(
                 continue
             ids, idxs, frames = [], [], []
             for _, row in pdf.iterrows():
+                if row["content"] is None:  # degrade per-row, no frames
+                    continue
                 duration = (row["meta"] or {}).get("duration_ms")
                 # Arrow → pandas surfaces nullable ints as float (NaN for null)
                 if duration is None or duration != duration:

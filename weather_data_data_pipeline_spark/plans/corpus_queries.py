@@ -622,10 +622,17 @@ def pii_scrub_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
-    )
+    # guarded for <2-token and NULL docs: an unguarded sequence(1,
+    # size-1) built a DESCENDING sequence for them and slice(toks, 0, 2)
+    # threw (r14 NULL audit) — the empty array explodes to nothing, so
+    # those docs fall out exactly like the oracle's empty range()
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     # Bigram mode per doc: explode then xxhash64 (codegen'd, AFTER the
     # interpreted HOF lambda) so both aggregation shuffles carry
     # (long, long) rows instead of (long, int, int, string) — measured

@@ -181,7 +181,10 @@ def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_char_entropy",
     oracle="""
     WITH ch AS (
-      SELECT doc_id, string_split(text, '') AS cs FROM documents)
+      SELECT doc_id,
+             CASE WHEN text = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(text, '') END AS cs
+      FROM documents)
     SELECT doc_id,
            CAST(len(cs) AS INTEGER) AS n_chars_exact,
            CAST(len(list_distinct(cs)) AS INTEGER) AS uniq_chars,
@@ -1828,7 +1831,9 @@ _ENTROPY_SQL = """
              CAST(round({_quality_sql()}, 2) AS DECIMAL(18,6)) AS x,
              CAST({_ENTROPY_SQL}
                   AS DECIMAL(18,6)) AS y
-      FROM (SELECT source, text, string_split(text, '') AS cs
+      FROM (SELECT source, text,
+                   CASE WHEN text = '' THEN CAST([] AS VARCHAR[])
+                        ELSE string_split(text, '') END AS cs
             FROM documents)
     ),
     m AS (

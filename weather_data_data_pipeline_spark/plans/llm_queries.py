@@ -1555,7 +1555,7 @@ def _media_from_documents(docs: DataFrame) -> DataFrame:
            CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
                 WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
            CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-           16 AS feature_dim
+           CASE WHEN text IS NULL THEN NULL ELSE 16 END AS feature_dim
     FROM documents
     """,
     doc="Multimodal decode plumbing under the gate: documents re-typed as "
@@ -1572,7 +1572,11 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "modality",
         "n_bytes",
-        F.size("feature").alias("feature_dim"),
+        # NULL content → NULL feature → NULL dim (F.size(NULL) is -1
+        # under legacy.sizeOfNull where the oracle yields NULL)
+        F.when(F.col("feature").isNull(), F.lit(None).cast("int"))
+        .otherwise(F.size("feature"))
+        .alias("feature_dim"),
     )
 
 

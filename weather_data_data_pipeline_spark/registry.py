@@ -76,15 +76,15 @@ _loaded = False
 # PLAN/ORACLE changed this round and must (re-)earn a green row. Keep
 # tests/test_registry_order.py's ROUND_HEAD copy in sync.
 _ROUND_HEAD: tuple[str, ...] = (
-    # r14 head: the 5 rows whose 5-round budget expires THIS round
+    # r14 head (31): the 5 rows whose 5-round budget expires THIS round
     # (VERDICT r13 ask #1 — the r9-stamped leftovers of the r13 sweep),
-    # the 6 queries whose plans changed under the ADVICE r13 #1
-    # NULL-text guard in _span_toks/_rebuild_clean (plan-changed must
-    # re-earn, the mem_index_probe precedent; set identified
-    # mechanically by scripts/plan_hashes.py), and the 2 NEW CCNet
-    # line-dedup queries (VERDICT r13 ask #6). Behind these 13, the
-    # LRU tail pulls 37 of the 54-query r10 cohort; the ~17 leftovers
-    # are plan-stable and carry the 6-round budget (VERDICT r13 ask #2
+    # the 6 queries the ADVICE r13 #1 NULL-text guard re-planned, the 3
+    # NEW queries (CCNet pair, VERDICT r13 ask #6; contamination
+    # prescreen replan, ask #3), and the 17-query NULL-audit wave (all
+    # plan/oracle/UDF-changed sets identified mechanically by
+    # scripts/plan_hashes.py diffs). Behind these 31, the LRU tail
+    # pulls ~19 of the 54-query r10 cohort; the leftovers are
+    # plan-stable and carry the 6-round budget (VERDICT r13 ask #2
     # amendment) to r16.
     #
     # §2 staleness pins, due r14 (r9-stamped, reference-tagged — the
@@ -111,6 +111,28 @@ _ROUND_HEAD: tuple[str, ...] = (
     # r14 NEW: the contamination-family batch replan (VERDICT r13 ask
     # #3 — exact broadcast prescreen; the Bloom twin is serving-tagged)
     "corpus_contamination_prescreen",
+    # r14 NULL-audit wave (scripts/null_audit.py — ADVICE r13 #1
+    # generalized): plan-changed by the mean_token_length NULL-on-empty
+    # and doc_repetition_quality guards (hash diff), oracle-changed
+    # (string_split('','') quirk), or Pandas-UDF-body-changed (batch
+    # poisoning / NULL degrade) — all must re-earn green
+    "dedup_keep_best_quality",
+    "doc_quality_by_lang",
+    "doc_quality_deciles",
+    "doc_quality_filter",
+    "doc_repetition_quality",
+    "doc_sampling_weights",
+    "doc_token_stats",
+    "length_quality_curve",
+    "multimodal_decode_stats",
+    "packing_pipeline_e2e",
+    "quality_proxy_agreement",
+    "quality_rule_ablation",
+    "sampling_ess_by_source",
+    "url_domain_dedup_report",
+    "doc_char_entropy",
+    "doc_fingerprint",
+    "multimodal_frame_counts",
 )
 
 
