@@ -38,7 +38,10 @@ def build_injected_dir() -> None:
     shutil.rmtree(DST, ignore_errors=True)
     os.makedirs(DST)
     for f in os.listdir(SRC):
-        if f.endswith(".parquet") and f != "documents.parquet":
+        if f.endswith(".parquet") and f not in (
+            "documents.parquet",
+            "embeddings.parquet",
+        ):
             shutil.copy(os.path.join(SRC, f), os.path.join(DST, f))
     t = pq.read_table(os.path.join(SRC, "documents.parquet"))
     mx = max(t.column("doc_id").to_pylist())
@@ -54,6 +57,25 @@ def build_injected_dir() -> None:
     merged = pa.concat_tables([t.select(extra.column_names), extra])
     pq.write_table(merged, os.path.join(DST, "documents.parquet"))
     print(f"built {DST}: {merged.num_rows} documents (3 pathological)")
+    # embeddings: a zero vector (cosine undefined — DuckDB x/0.0 is
+    # NULL, Spark ANSI throws) and a NULL vector (ragged Arrow batch —
+    # crashes any unguarded np.stack kernel). Injected at MAX ids so
+    # the seeded queries' lowest-id codebooks/centroids are unchanged.
+    e = pq.read_table(os.path.join(SRC, "embeddings.parquet"))
+    emx = max(e.column("vec_id").to_pylist())
+    dim = len(e.column("embedding").to_pylist()[0])
+    e_extra = pa.table(
+        {
+            "vec_id": pa.array([emx + 1, emx + 2], pa.int64()),
+            "embedding": pa.array(
+                [[0.0] * dim, None], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0, 1], pa.int32()),
+        }
+    )
+    e_merged = pa.concat_tables([e.select(e_extra.column_names), e_extra])
+    pq.write_table(e_merged, os.path.join(DST, "embeddings.parquet"))
+    print(f"built {DST}: {e_merged.num_rows} embeddings (2 pathological)")
 
 
 def main() -> int:

@@ -1,15 +1,16 @@
 #!/usr/bin/env python
-"""Plan-hash ledger: normalized physical-plan fingerprints per query.
+"""Plan-hash ledger: normalized ANALYZED-plan fingerprints per query.
 
 Implements the plan-stable freshness amendment (VERDICT r13 ask #2): a
-query whose physical plan is byte-identical (after normalizing the
-session-dependent tokens below) since its last green driver stamp earns a
-6-round verification budget instead of 5; plan-changed or new queries keep
-the 5-round budget and must re-earn in the next gate window.
+query whose analyzed logical plan is byte-identical (after normalizing
+the session-dependent tokens below) since its last green driver stamp
+earns a 6-round verification budget instead of 5; plan-changed or new
+queries keep the 5-round budget and must re-earn in the next gate
+window.
 
-This script explains every ORACLE-BEARING registered query at sf0.01,
-normalizes the formatted plan, and maintains
-``scripts/plan_hashes.json``::
+This script analyzes every ORACLE-BEARING registered query at sf0.01,
+normalizes its ANALYZED logical plan (see ``formatted_plan`` for why
+not the physical plan), and maintains ``scripts/plan_hashes.json``::
 
     {query: {"hash": sha256-hex, "since_round": R}}
 
@@ -27,12 +28,10 @@ Queries whose plan embeds genuinely run-varying content (random temp
 table names inside SQL text, literal timestamps) will simply never look
 stable — they conservatively keep the 5-round budget.
 
-Known flap: ``embedding_drift_by_label`` hashes differently in ~1/3 of
-full sweeps (its CBO join planning appears sensitive to whether the
-cached embeddings table's async statistics have landed when its
-predecessors finish; isolated re-runs are bit-stable). The degradation
-is conservative — an occasional spurious "changed" only shortens that
-one query's budget to 5 rounds.
+(The physical-plan protocol this replaced had two measured leaks —
+CBO statistics from predecessors' eager actions, and a cached-table
+flap on ``embedding_drift_by_label`` — both gone under analyzed-plan
+hashing with cold per-query state.)
 
 Usage:
     python scripts/plan_hashes.py --round 14           # update the ledger
@@ -59,6 +58,12 @@ SF_DIR = "/root/testdata/sf0.01"
 
 _NORM = (
     (re.compile(r"#\d+L?"), "#x"),
+    # higher-order-function lambda variables are named from a
+    # session-GLOBAL counter (x_35, y_96, ...) — the value depends on
+    # how many lambdas earlier queries created, so it must not
+    # fingerprint
+    (re.compile(r"\blambda ([A-Za-z])\w*_\d+"), r"lambda \1_"),
+    (re.compile(r"\b([a-z])_\d+#"), r"\1_#"),
     (re.compile(r"plan_id=\d+"), "plan_id=x"),
     (re.compile(r"file:/[^\s,\]\)]+"), "<path>"),
     (re.compile(r"\[[^\[\]]*\.parquet[^\[\]]*\]"), "[<path>]"),
@@ -74,33 +79,43 @@ def normalize(plan: str) -> str:
 
 
 def formatted_plan(spark, df) -> str:
-    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "formatted"
-    )
-    return df._jdf.queryExecution().explainString(mode)
+    """The ANALYZED logical plan — the amendment's question is "did the
+    author change this query", and the analyzed plan is a pure function
+    of the query expression + input schemas. The PHYSICAL plan is not:
+    it folds in cache state and CBO statistics that other queries'
+    eager actions (index builds, seed collects) mutate mid-sweep, so a
+    code change to one operator re-fingerprinted ~97 untouched queries
+    (r14). Physical-shape regressions are separately gated by
+    scripts/explain_audit.py (Exchange counts) and
+    scripts/check_shuffle_bytes.py (volume)."""
+    return df._jdf.queryExecution().analyzed().toString()
 
 
 def compute_hashes() -> dict[str, str]:
     """Fingerprint every oracle-bearing query under an ORDER-INVARIANT
-    protocol: warm every table cache up front, then sweep in
-    ALPHABETICAL order. A query's plan can depend on session state that
-    earlier queries created (most visibly: a warm-key table caches on
-    first touch, flipping later scans from parquet to
-    InMemoryTableScan) — sweeping in registry order would make hashes
-    depend on the per-round LRU rotation, producing spurious
-    "plan changed" resets every time the ledger reshuffles. Alphabetical
-    order + full pre-warm pins the predecessor state regardless of head
-    or ledger churn."""
-    from weather_data_data_pipeline_spark.sources.tables import warm_cache
+    protocol: COLD session state per query (caches cleared before each
+    explain), alphabetical sweep. Query fns make plan choices off
+    session state (cache substitution, ``load_fanout``'s
+    getNumPartitions branch), so any shared warmth would make a
+    fingerprint depend on which queries ran before it — the ledger's
+    LRU rotation or one new query would then spuriously re-fingerprint
+    untouched queries every round."""
+    from weather_data_data_pipeline_spark.sources.tables import clear_cache
 
     spark = get_spark(app_name="plan_hashes")
     spark.sparkContext.setLogLevel("ERROR")
-    warm_cache(spark, SF_DIR)
     out: dict[str, str] = {}
     for name in sorted(registry.query_names()):
         q = registry.get_query(name)
         if q.oracle is None:
             continue  # rows-only queries are mirror-maintained (VERDICT r13)
+        # COLD state per query: fns make plan choices off session state
+        # (load_fanout's getNumPartitions branch reads the table cache),
+        # so any shared warmth makes a fingerprint depend on which
+        # queries ran before it — one new alphabetically-early query
+        # re-fingerprinted dozens of untouched ones until this reset
+        clear_cache()
+        spark.catalog.clearCache()
         try:
             plan = formatted_plan(spark, q.fn(spark, SF_DIR))
         except Exception as e:  # noqa: BLE001 — report, don't abort the sweep

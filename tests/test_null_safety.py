@@ -479,3 +479,48 @@ def test_multimodal_decode_and_frames_degrade_on_null_content(spark):
     frames = sample_frames(media, every_ms=1000, fake=True).collect()
     assert {r["media_id"] for r in frames} == {"m1"}  # m2 emits nothing
     assert len([r for r in frames if r["media_id"] == "m1"]) == 3
+
+
+def test_embedding_operators_survive_null_and_zero_vectors(spark):
+    """r14 embeddings NULL audit: a NULL embedding (ragged Arrow batch)
+    or a zero-norm vector (cosine division by zero — Spark ANSI throws
+    where DuckDB yields NULL) must never crash an operator or enter a
+    cosine ranking."""
+    from weather_data_data_pipeline_spark.functions.similarity import (
+        brute_force_topk_gemm,
+        cosine,
+        cosine_near_dup_pairs,
+        semantic_dedup_fused,
+    )
+    from pyspark.sql import functions as F
+
+    dim = 8
+    base = [(i, [float(i == j) for j in range(dim)]) for i in range(4)]
+    emb = spark.createDataFrame(
+        base + [(90, [0.0] * dim), (91, None)],
+        "vec_id long, embedding array<float>",
+    )
+    # Column-level cosine: NULL for NULL/zero inputs, no ANSI throw
+    paired = emb.alias("a").crossJoin(emb.alias("b")).select(
+        F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib"),
+        cosine(F.col("a.embedding"), F.col("b.embedding")).alias("c"),
+    ).collect()
+    for r in paired:
+        if 90 in (r["ia"], r["ib"]) or 91 in (r["ia"], r["ib"]):
+            assert r["c"] is None
+    # GEMM top-k: pathological rows excluded, valid ones intact
+    topk = brute_force_topk_gemm(emb, emb, k=3).collect()
+    ids = {r["query_id"] for r in topk} | {r["neighbor_id"] for r in topk}
+    assert ids <= {0, 1, 2, 3}
+    # pair scorer: no pairs involving invalid vectors
+    pairs = cosine_near_dup_pairs(emb, "vec_id", "embedding", threshold=-1.0)
+    assert {r["id_a"] for r in pairs.collect()} <= {0, 1, 2, 3}
+    # SemDeDup: invalid vectors still LABELED (kept, rep=self), no edges
+    out = {
+        r["vec_id"]: (r["kept"], r["rep_id"])
+        for r in semantic_dedup_fused(
+            emb, [[1.0] + [0.0] * (dim - 1)], threshold=0.5
+        ).collect()
+    }
+    assert len(out) == 6
+    assert out[90] == (True, 90) and out[91] == (True, 91)

@@ -68,6 +68,24 @@ ROUND_HEAD = (
     "doc_char_entropy",
     "doc_fingerprint",
     "multimodal_frame_counts",
+    # r14 embeddings NULL-audit wave (second sweep — NULL/zero-norm
+    # vectors): plan-changed by the drop_invalid_vectors entry guards /
+    # NULL-safe cosine (mechanical analyzed-plan hash diff vs the r13
+    # tree), oracle-changed (PQ encode NULL filter; decontamination
+    # report exclusion), or kernel-body-changed (SemDeDup cell masks)
+    "ann_ivf_topk_seeded",
+    "ann_lsh_topk",
+    "ann_pq_topk_seeded",
+    "ann_pq_recall_seeded",
+    "contrastive_triplets",
+    "embedding_ann_recall_report",
+    "embedding_cosine_topk",
+    "embedding_near_dup",
+    "hybrid_rerank_topk",
+    "hybrid_search_rrf",
+    "semantic_decontamination",
+    "semantic_dedup_keep",
+    "semantic_dedup_keep_capped",
 )
 
 

@@ -335,9 +335,15 @@ def kcenter_select_composable(
             }
         )
 
-    cand = df.select(id_col, vec_col).mapInPandas(
-        gen, f"{id_col} long, {vec_col} array<double>"
-    ).collect()
+    # NULL embeddings cannot be k-center points (ragged np.stack crash
+    # — r14 embeddings NULL audit); zero vectors are legitimate L2
+    # points and stay
+    cand = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
+        .mapInPandas(gen, f"{id_col} long, {vec_col} array<double>")
+        .collect()
+    )
     if not cand:
         return []
     ids = np.array([r[id_col] for r in cand], dtype="int64")

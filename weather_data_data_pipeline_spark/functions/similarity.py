@@ -43,7 +43,28 @@ def with_norm(df: DataFrame, vec_col: str, out_col: str = "norm") -> DataFrame:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """NULL-safe cosine: NULL for NULL inputs AND for zero-norm vectors
+    — the exact semantics every DuckDB oracle gets for free (x / 0.0 is
+    NULL there, while Spark's ANSI mode THROWS on the division; found
+    by the r14 embeddings NULL audit). NULL scores then fall out of
+    thresholds and rankings identically in both engines."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom > 0, _dot(a, b) / denom)
+
+
+def drop_invalid_vectors(
+    df: DataFrame, vec_col: str, require_nonzero: bool = False
+) -> DataFrame:
+    """Operator-entry guard: NULL embeddings never participate (a
+    ragged Arrow batch crashes every np.stack kernel, and at 100 TB a
+    NULL vector exists somewhere); ``require_nonzero`` additionally
+    drops zero-norm vectors for cosine families, where their score is
+    undefined (NULL in both engines) so they can never appear in
+    results anyway."""
+    cond = F.col(vec_col).isNotNull()
+    if require_nonzero:
+        cond = cond & (_norm(F.col(vec_col)) > 0)
+    return df.where(cond)
 
 
 def brute_force_topk(
@@ -60,6 +81,8 @@ def brute_force_topk(
     full — only (query, candidate) scores shuffle for ranking, and at
     scale that ranking collapses map-side via TakeOrdered semantics.
     """
+    queries = drop_invalid_vectors(queries, vec_col, require_nonzero=True)
+    corpus = drop_invalid_vectors(corpus, vec_col, require_nonzero=True)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
@@ -116,6 +139,8 @@ def brute_force_topk_gemm(
     """
     import numpy as np
 
+    queries = drop_invalid_vectors(queries, vec_col, require_nonzero=True)
+    corpus = drop_invalid_vectors(corpus, vec_col, require_nonzero=True)
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype="int64")
     Q = np.stack([np.asarray(r[1], dtype="float64") for r in q_rows])
@@ -176,6 +201,7 @@ def cosine_near_dup_pairs(
     Brute-force O(n²) scoring — correct baseline; use
     :func:`lsh_near_dup_pairs` as the candidate generator at scale.
     """
+    df = drop_invalid_vectors(df, vec_col, require_nonzero=True)
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
@@ -284,7 +310,10 @@ def _query_matrix(queries: DataFrame, id_col: str, vec_col: str):
     operator (brute_force_topk_gemm's posture)."""
     import numpy as np
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    q_rows = [
+        r for r in queries.select(id_col, vec_col).collect()
+        if r[1] is not None
+    ]
     q_ids = np.array([r[0] for r in q_rows], dtype="int64")
     Q = np.stack([np.asarray(r[1], dtype="float64") for r in q_rows])
     return q_ids, Q, Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -368,7 +397,9 @@ def lsh_near_dup_pairs(
     """
     import numpy as np
 
-    df = _ensure_parallelism(df)
+    df = _ensure_parallelism(
+        drop_invalid_vectors(df, vec_col, require_nonzero=True)
+    )
     if planes is not None:
         tb = rhp_table_buckets_from_planes(
             df.select(F.col(id_col).alias("_id"), F.col(vec_col)),
@@ -515,6 +546,7 @@ def train_ivf_centroids(
     """
     import numpy as np
 
+    corpus = drop_invalid_vectors(corpus, vec_col, require_nonzero=True)
     sample = np.array(
         [
             r["v"]
@@ -588,6 +620,8 @@ def ivf_topk(
     exact brute force.
     """
     spark = corpus.sparkSession
+    corpus = drop_invalid_vectors(corpus, vec_col, require_nonzero=True)
+    queries = drop_invalid_vectors(queries, vec_col, require_nonzero=True)
     cents = train_ivf_centroids(
         corpus, id_col, vec_col, n_centroids, sample_size
     )
@@ -718,6 +752,8 @@ def lsh_topk(
     raise — r12 briefly treated them as the force sentinel, inverting
     the pre-r12 opt-out meaning of ``-1``.
     """
+    corpus = drop_invalid_vectors(corpus, vec_col, require_nonzero=True)
+    queries = drop_invalid_vectors(queries, vec_col, require_nonzero=True)
     hint = _query_broadcast_hint(queries, broadcast_threshold)
     if planes is not None:
         cb = rhp_table_buckets_from_planes(
@@ -806,6 +842,7 @@ def lsh_topk_fused(
 
     if planes is None:
         raise ValueError("lsh_topk_fused requires literal planes")
+    corpus = drop_invalid_vectors(corpus, vec_col, require_nonzero=True)
     P = np.asarray(planes, dtype="float64")
     # sign bits come from the RAW query vectors (the same GEMM the
     # corpus side runs), cosines from the normalized ones — one collect
@@ -886,6 +923,7 @@ def lsh_recall_report_fused(
 
     if planes is None:
         raise ValueError("lsh_recall_report_fused requires literal planes")
+    corpus = drop_invalid_vectors(corpus, vec_col, require_nonzero=True)
     P = np.asarray(planes, dtype="float64")
     q_ids, Q, Qn = _query_matrix(queries, id_col, vec_col)
     qbuckets = _pack_buckets((Q @ P.T) >= 0, n_planes)
@@ -994,6 +1032,7 @@ def lsh_topk_self(
     out to the shuffle plan, ``FORCE_BROADCAST``/``None`` skips the
     probe job, and negative values raise (BREAKING r13, ADVICE r12:
     r12 briefly made negatives force an unprobed broadcast)."""
+    corpus = drop_invalid_vectors(corpus, vec_col, require_nonzero=True)
     if planes is not None:
         tb = rhp_table_buckets_from_planes(
             corpus.select(F.col(id_col).alias("_id"), F.col(vec_col)),
@@ -1155,22 +1194,42 @@ def semantic_dedup(
         ids = pdf["_id"].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
-        V = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in pdf["_v"].iloc[order]]
+        m = len(ids)
+        # NULL embeddings score NULL cosine against everything (the
+        # oracle's semantics), so they contribute no edges — mask them
+        # out of the GEMM instead of crashing np.stack (r14 NULL audit)
+        vecs = pdf["_v"].iloc[order].tolist()
+        vidx = np.array(
+            [i for i, v in enumerate(vecs) if v is not None], dtype="int64"
         )
-        if max_cell_size is not None and len(ids) > max_cell_size:
-            # hot cell: star edges to the min-id hub, O(m·d) not O(m²·d)
+        empty = pd.DataFrame(
+            {
+                "id_a": np.array([], dtype="int64"),
+                "id_b": np.array([], dtype="int64"),
+                "cosine_raw": np.array([], dtype="float64"),
+            }
+        )
+        if len(vidx) < 2:
+            return empty
+        V = np.stack([np.asarray(vecs[i], dtype=np.float64) for i in vidx])
+        vids = ids[vidx]
+        if max_cell_size is not None and m > max_cell_size:
+            # hot cell: star edges to the min-id hub, O(m·d) not O(m²·d).
+            # The hub is the cell's min id; if ITS vector is NULL every
+            # hub cosine is NULL → no star edges (oracle parity)
+            if vidx[0] != 0:
+                return empty
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
             cos = Vn[1:] @ Vn[0]
             hit = cos >= threshold
             return pd.DataFrame(
                 {
                     "id_a": np.full(int(hit.sum()), ids[0], dtype=ids.dtype),
-                    "id_b": ids[1:][hit],
+                    "id_b": vids[1:][hit],
                     "cosine_raw": cos[hit],
                 }
             )
-        id_a, id_b, cos = _pairs_above_threshold(ids, V, threshold, chunk_rows)
+        id_a, id_b, cos = _pairs_above_threshold(vids, V, threshold, chunk_rows)
         return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine_raw": cos})
 
     pairs = assigned.groupBy("cluster").applyInPandas(
@@ -1230,10 +1289,20 @@ def semantic_dedup_fused(
         ids = pdf["_id"].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
-        V = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in pdf["_v"].iloc[order]]
-        )
         m = len(ids)
+        # NULL embeddings contribute no edges (NULL cosine in the
+        # oracle) but MUST still appear in the output labeled kept —
+        # mask them out of the scoring arrays only (r14 NULL audit)
+        vecs = pdf["_v"].iloc[order].tolist()
+        vidx = np.array(
+            [i for i, v in enumerate(vecs) if v is not None], dtype="int64"
+        )
+        V = (
+            np.stack([np.asarray(vecs[i], dtype=np.float64) for i in vidx])
+            if len(vidx)
+            else np.zeros((0, 1))
+        )
+        vids = ids[vidx]
         parent = np.arange(m)
 
         def find(i):
@@ -1254,14 +1323,17 @@ def semantic_dedup_fused(
                     parent[ri] = rj
 
         if max_cell_size is not None and m > max_cell_size:
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-            cos = Vn[1:] @ Vn[0]
-            for j in np.nonzero(cos >= threshold)[0]:
-                union(0, int(j) + 1)
-        else:
+            # star hub = the cell's min id; a NULL hub vector means every
+            # hub cosine is NULL → no star edges (oracle parity)
+            if len(vidx) >= 2 and vidx[0] == 0:
+                Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+                cos = Vn[1:] @ Vn[0]
+                for j in np.nonzero(cos >= threshold)[0]:
+                    union(0, int(vidx[int(j) + 1]))
+        elif len(vidx) >= 2:
             pos = {int(v): i for i, v in enumerate(ids)}
             id_a, id_b, _ = _pairs_above_threshold(
-                ids, V, threshold, chunk_rows
+                vids, V, threshold, chunk_rows
             )
             for a, b in zip(id_a, id_b):
                 union(pos[int(a)], pos[int(b)])
@@ -1348,6 +1420,7 @@ def build_ivf_index(
     same assignment scan on the new batch.
     """
     spark = corpus.sparkSession
+    corpus = drop_invalid_vectors(corpus, vec_col, require_nonzero=True)
     cents = train_ivf_centroids(corpus, id_col, vec_col, n_centroids, sample_size)
     centroids_df = spark.createDataFrame(
         [(i, c) for i, c in enumerate(cents)], "cell int, centroid array<double>"
@@ -1377,6 +1450,7 @@ def ivf_topk_from_index(
     assignment was paid once at build. The postings join keys on the
     partition column, so only probed cells' files are scanned.
     """
+    queries = drop_invalid_vectors(queries, vec_col, require_nonzero=True)
     centroids_df = spark.read.parquet(f"{path}/centroids")
     postings = spark.read.parquet(f"{path}/postings")
     q_cells = _nearest_cells(
@@ -1515,7 +1589,14 @@ def nearest_in_set(
     # corrupt a non-bigint reference id column
     id_type = corpus.schema[id_col].dataType.simpleString()
     ref_id_type = ref.schema[id_col].dataType.simpleString()
-    r_rows = ref.select(id_col, vec_col).collect()
+    # NULL vectors cannot be scored under any contract: dropped from
+    # both sides (ragged np.stack otherwise — r14 NULL audit); the r7
+    # zero-norm = 0.0 contract below is untouched
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    r_rows = [
+        r for r in ref.select(id_col, vec_col).collect()
+        if r[1] is not None
+    ]
     r_ids = np.array([r[0] for r in r_rows])
     order0 = np.argsort(r_ids)  # ref columns in ascending-id order so
     r_ids = r_ids[order0]       # the first max IS the lowest-id tie

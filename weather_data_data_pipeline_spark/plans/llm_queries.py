@@ -3684,7 +3684,10 @@ def ann_ivf_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
                   - CAST(c.cvec[s.j*8 + i] AS DOUBLE))
                * (CAST(e.embedding[s.j*8 + i] AS DOUBLE)
                   - CAST(c.cvec[s.j*8 + i] AS DOUBLE)))) AS d
+      -- NULL embeddings have nothing to encode (pq_encode drops them);
+      -- without this filter row_number silently codes them to cell 0
       FROM embeddings e CROSS JOIN subs s CROSS JOIN cents c
+      WHERE e.embedding IS NOT NULL
     ),
     codes AS (
       SELECT vec_id, j, cell AS code FROM (
@@ -4038,7 +4041,10 @@ def _pq_recall_rollup(truth: DataFrame, approx: DataFrame) -> DataFrame:
                   - CAST(c.cvec[s.j*8 + i] AS DOUBLE))
                * (CAST(e.embedding[s.j*8 + i] AS DOUBLE)
                   - CAST(c.cvec[s.j*8 + i] AS DOUBLE)))) AS d
+      -- NULL embeddings have nothing to encode (pq_encode drops them);
+      -- without this filter row_number silently codes them to cell 0
       FROM embeddings e CROSS JOIN subs s CROSS JOIN cents c
+      WHERE e.embedding IS NOT NULL
     ),
     codes AS (
       SELECT vec_id, j, cell AS code FROM (
@@ -4380,7 +4386,13 @@ _SEMDECON_T = 0.35
       SELECT t.vec_id, ev.vec_id AS ev_id,
              {_DCOS.format(a="t.embedding", b="ev.embedding")} AS c
       FROM embeddings t, ev
-      WHERE t.vec_id >= {_SEMDECON_EVAL_MAX}),
+      WHERE t.vec_id >= {_SEMDECON_EVAL_MAX}
+        -- unscoreable train vectors (NULL / zero-norm: cosine NULL
+        -- against every eval vector) are excluded from the report
+        -- rather than reported with a meaningless tie-break neighbor
+        AND t.embedding IS NOT NULL
+        AND list_sum(list_transform(t.embedding,
+                                    x -> CAST(x AS DOUBLE) * x)) > 0),
     ranked AS (
       SELECT vec_id, ev_id, c,
              row_number() OVER (PARTITION BY vec_id
@@ -4412,9 +4424,20 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         nearest_in_set,
     )
 
+    from weather_data_data_pipeline_spark.functions.similarity import (
+        drop_invalid_vectors,
+    )
+
     emb = load(spark, sf_dir, "embeddings")
     ev = emb.where(F.col("vec_id") < _SEMDECON_EVAL_MAX)
-    train = emb.where(F.col("vec_id") >= _SEMDECON_EVAL_MAX)
+    # unscoreable train vectors are excluded from the report (oracle
+    # mirrors the filter) — nearest_in_set's own zero-norm = 0.0
+    # contract (ADVICE r7) is for callers that want every row scored
+    train = drop_invalid_vectors(
+        emb.where(F.col("vec_id") >= _SEMDECON_EVAL_MAX),
+        "embedding",
+        require_nonzero=True,
+    )
     best = nearest_in_set(train, ev)
     return best.select(
         "vec_id",

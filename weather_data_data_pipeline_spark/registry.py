@@ -76,16 +76,16 @@ _loaded = False
 # PLAN/ORACLE changed this round and must (re-)earn a green row. Keep
 # tests/test_registry_order.py's ROUND_HEAD copy in sync.
 _ROUND_HEAD: tuple[str, ...] = (
-    # r14 head (31): the 5 rows whose 5-round budget expires THIS round
+    # r14 head (44): the 5 rows whose 5-round budget expires THIS round
     # (VERDICT r13 ask #1 — the r9-stamped leftovers of the r13 sweep),
     # the 6 queries the ADVICE r13 #1 NULL-text guard re-planned, the 3
     # NEW queries (CCNet pair, VERDICT r13 ask #6; contamination
-    # prescreen replan, ask #3), and the 17-query NULL-audit wave (all
-    # plan/oracle/UDF-changed sets identified mechanically by
-    # scripts/plan_hashes.py diffs). Behind these 31, the LRU tail
-    # pulls ~19 of the 54-query r10 cohort; the leftovers are
-    # plan-stable and carry the 6-round budget (VERDICT r13 ask #2
-    # amendment) to r16.
+    # prescreen replan, ask #3), and the two NULL-audit waves (17
+    # document-side + 13 embeddings-side; every plan/oracle/UDF-changed
+    # set identified mechanically by scripts/plan_hashes.py analyzed-
+    # plan diffs against the r13 tree). Behind these 44, the LRU tail
+    # pulls ~6 of the r10 cohort; the leftovers are plan-stable and
+    # carry the 6-round budget (VERDICT r13 ask #2 amendment) to r16.
     #
     # §2 staleness pins, due r14 (r9-stamped, reference-tagged — the
     # automatic pin test in tests/test_registry_order.py now enforces
@@ -133,6 +133,24 @@ _ROUND_HEAD: tuple[str, ...] = (
     "doc_char_entropy",
     "doc_fingerprint",
     "multimodal_frame_counts",
+    # r14 embeddings NULL-audit wave (second sweep — NULL/zero-norm
+    # vectors): plan-changed by the drop_invalid_vectors entry guards /
+    # NULL-safe cosine (mechanical analyzed-plan hash diff vs the r13
+    # tree), oracle-changed (PQ encode NULL filter; decontamination
+    # report exclusion), or kernel-body-changed (SemDeDup cell masks)
+    "ann_ivf_topk_seeded",
+    "ann_lsh_topk",
+    "ann_pq_topk_seeded",
+    "ann_pq_recall_seeded",
+    "contrastive_triplets",
+    "embedding_ann_recall_report",
+    "embedding_cosine_topk",
+    "embedding_near_dup",
+    "hybrid_rerank_topk",
+    "hybrid_search_rrf",
+    "semantic_decontamination",
+    "semantic_dedup_keep",
+    "semantic_dedup_keep_capped",
 )
 
 
@@ -140,18 +158,22 @@ _ROUND_HEAD: tuple[str, ...] = (
 #
 # Every oracle-bearing query must re-earn a green driver-gate stamp
 # within its freshness budget. The budget is 5 rounds; a query whose
-# PHYSICAL PLAN is provably unchanged since its last green stamp earns
-# 6 (the plan cannot have regressed if it is byte-identical, and the
-# full-surface two-scale mirror re-verifies values every round anyway).
-# Plan stability comes from scripts/plan_hashes.json — normalized
-# formatted-plan fingerprints maintained by scripts/plan_hashes.py,
-# whose ``since_round`` only moves forward when a hash changes.
+# ANALYZED LOGICAL PLAN is provably unchanged since its last green
+# stamp earns 6 (the authored query cannot have changed if the
+# analyzed plan is byte-identical, and the full-surface two-scale
+# mirror re-verifies values every round anyway; physical regressions
+# are separately gated by explain_audit Exchange counts + the
+# shuffle-byte gate). Plan stability comes from
+# scripts/plan_hashes.json — normalized analyzed-plan fingerprints
+# maintained by scripts/plan_hashes.py, whose ``since_round`` only
+# moves forward when a hash changes.
 #
-# Bootstrap: the hash file was first recorded against the r13-close
-# tree, so ``since_round = 13`` is the earliest attestable round — a
-# query stamped r10 with an unchanged-since-bootstrap hash counts as
-# plan-stable (its r13 hash ran green in the r13 two-scale mirror; the
-# per-round shuffle gate covered r10→r13). Rows-only queries are
+# Bootstrap: the baseline hashes were computed AGAINST THE ACTUAL
+# r13-close tree (git worktree of commit 3d15971, same protocol), so
+# ``since_round = 13`` is a true attestation — a query stamped r10
+# with an unchanged-since-r13 hash counts as plan-stable (its r13
+# form ran green in the r13 two-scale mirror; the per-round shuffle
+# gate covered r10→r13). Rows-only queries are
 # MIRROR-MAINTAINED: they can never enter the oracle gate, their
 # verified_by closures re-run every round, so they carry no deadline
 # and cost no window slot.
