@@ -21,71 +21,22 @@ WINDOW = 50
 # Mirror of registry._ROUND_HEAD — a deliberate copy so that editing the
 # head without thinking about the verification window fails a test.
 ROUND_HEAD = (
-    # r14 head = 5 due rows (r9-stamped, budget expires r14) + 6
-    # plan-changed under the ADVICE r13 #1 NULL-text guard (set found
-    # mechanically by scripts/plan_hashes.py) + 2 NEW CCNet queries.
+    # r15 head = 3 §2 staleness pins + 2 plan-changed (ADVICE r14 #3
+    # NULL-propagating _ccnet_fab) + 2 NEW intra-doc ExactSubstr rows.
+    # The 36-query r10 cohort due under the strict budget amendment
+    # rides the LRU tail (oldest stamps sort first mechanically).
     #
-    # §2 pins, due r14 (reference-tagged — enforced by
+    # §2 pins (r10-stamped, reference-tagged — enforced by
     # test_reference_queries_pinned_before_staleness below)
-    "weather_weekly_avg_temp",
-    "weather_avg_humidity_range",
-    # due r14: r9-stamped oracle rows
-    "train_holdout_split",
-    "truncation_loss_sweep",
-    "vocab_growth_curve",
-    # plan-changed r14 (NULL guards in _span_toks/_rebuild_clean)
-    "exact_substring_removal",
-    "exact_substring_clean",
-    "span_dedup_removal",
-    "span_dedup_clean_corpus",
-    "decontamination_clean_corpus",
-    "curation_pipeline_frozen_e2e",
-    # r14 NEW: CCNet line-level cross-corpus dedup (VERDICT r13 ask #6)
+    "recency_filter_last_hour",
+    "tumbling_window_daily",
+    "weekly_avg_incremental_merge",
+    # plan-changed r15 (NULL-propagating _ccnet_fab concat)
     "ccnet_line_dedup",
     "ccnet_line_clean",
-    # r14 NEW: the contamination-family batch replan (VERDICT r13 ask
-    # #3 — exact broadcast prescreen; the Bloom twin is serving-tagged)
-    "corpus_contamination_prescreen",
-    # r14 NULL-audit wave (scripts/null_audit.py — ADVICE r13 #1
-    # generalized): plan-changed by the mean_token_length NULL-on-empty
-    # and doc_repetition_quality guards (hash diff), oracle-changed
-    # (string_split('','') quirk), or Pandas-UDF-body-changed (batch
-    # poisoning / NULL degrade) — all must re-earn green
-    "dedup_keep_best_quality",
-    "doc_quality_by_lang",
-    "doc_quality_deciles",
-    "doc_quality_filter",
-    "doc_repetition_quality",
-    "doc_sampling_weights",
-    "doc_token_stats",
-    "length_quality_curve",
-    "multimodal_decode_stats",
-    "packing_pipeline_e2e",
-    "quality_proxy_agreement",
-    "quality_rule_ablation",
-    "sampling_ess_by_source",
-    "url_domain_dedup_report",
-    "doc_char_entropy",
-    "doc_fingerprint",
-    "multimodal_frame_counts",
-    # r14 embeddings NULL-audit wave (second sweep — NULL/zero-norm
-    # vectors): plan-changed by the drop_invalid_vectors entry guards /
-    # NULL-safe cosine (mechanical analyzed-plan hash diff vs the r13
-    # tree), oracle-changed (PQ encode NULL filter; decontamination
-    # report exclusion), or kernel-body-changed (SemDeDup cell masks)
-    "ann_ivf_topk_seeded",
-    "ann_lsh_topk",
-    "ann_pq_topk_seeded",
-    "ann_pq_recall_seeded",
-    "contrastive_triplets",
-    "embedding_ann_recall_report",
-    "embedding_cosine_topk",
-    "embedding_near_dup",
-    "hybrid_rerank_topk",
-    "hybrid_search_rrf",
-    "semantic_decontamination",
-    "semantic_dedup_keep",
-    "semantic_dedup_keep_capped",
+    # r15 NEW: intra-document ExactSubstr (VERDICT r14 ask #3)
+    "exact_substring_self_removal",
+    "exact_substring_self_clean",
 )
 
 

@@ -307,15 +307,32 @@ def _query_matrix(queries: DataFrame, id_col: str, vec_col: str):
     matrix, normalized matrix) — ONE collect, so the three stay
     row-aligned (two separate collects would not guarantee the same
     row order). The driver-side prep shared by every fused GEMM
-    operator (brute_force_topk_gemm's posture)."""
+    operator (brute_force_topk_gemm's posture).
+
+    NULL *and* zero-norm query vectors are dropped here (ADVICE r14:
+    the non-fused forms route through ``drop_invalid_vectors(
+    require_nonzero=True)``; a zero-norm row surviving into the
+    normalized matrix becomes all-NaN and NaN cosines can still win a
+    lexsort, breaking the fused==non-fused output contract). An empty
+    post-filter batch raises a clear error instead of np.stack's
+    opaque "need at least one array to stack"."""
     import numpy as np
 
-    q_rows = [
-        r for r in queries.select(id_col, vec_col).collect()
-        if r[1] is not None
-    ]
+    q_rows = []
+    for r in queries.select(id_col, vec_col).collect():
+        if r[1] is None:
+            continue
+        v = np.asarray(r[1], dtype="float64")
+        if not np.linalg.norm(v) > 0:
+            continue
+        q_rows.append((r[0], v))
+    if not q_rows:
+        raise ValueError(
+            "query batch has no scoreable vectors (all NULL or "
+            "zero-norm) — nothing to search for"
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype="int64")
-    Q = np.stack([np.asarray(r[1], dtype="float64") for r in q_rows])
+    Q = np.stack([r[1] for r in q_rows])
     return q_ids, Q, Q / np.linalg.norm(Q, axis=1, keepdims=True)
 
 
@@ -1597,6 +1614,14 @@ def nearest_in_set(
         r for r in ref.select(id_col, vec_col).collect()
         if r[1] is not None
     ]
+    if not r_rows:
+        # ADVICE r14: an all-NULL reference set would otherwise die in
+        # np.stack with "need at least one array to stack" — name the
+        # actual problem instead
+        raise ValueError(
+            "reference set has no non-NULL vectors — nothing to score "
+            "the corpus against"
+        )
     r_ids = np.array([r[0] for r in r_rows])
     order0 = np.argsort(r_ids)  # ref columns in ascending-id order so
     r_ids = r_ids[order0]       # the first max IS the lowest-id tie

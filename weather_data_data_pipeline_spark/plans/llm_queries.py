@@ -2422,6 +2422,226 @@ def exact_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Both engines fabricate the same body per ≥30-token document so the
+# corpus actually HAS intra-document repeats straddling the min_tokens=12
+# threshold: doc_id%4==0 repeats its first 12 tokens at the end (cut of
+# exactly 12 — at threshold), %4==1 repeats 11 tokens (below threshold —
+# must NOT cut), %4==2 is a 10-token chunk three times (periodic
+# overlapping diagonals — one merged cut [10,30)), %4==3 is natural text
+# (plus whatever organic repeats it carries — the oracle replays those
+# too). All slices are over split() output (non-NULL elements), so
+# concat_ws here and array_to_string/|| there agree.
+_SELFREP_FAB_SQL = """
+    fab AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 = 0 THEN
+                        array_to_string(w[1:12], ' ') || ' ' ||
+                        array_to_string(w[13:24], ' ') || ' ' ||
+                        array_to_string(w[1:12], ' ')
+                    WHEN doc_id % 4 = 1 THEN
+                        array_to_string(w[1:11], ' ') || ' ' ||
+                        array_to_string(w[12:24], ' ') || ' ' ||
+                        array_to_string(w[1:11], ' ')
+                    WHEN doc_id % 4 = 2 THEN
+                        array_to_string(w[1:10], ' ') || ' ' ||
+                        array_to_string(w[1:10], ' ') || ' ' ||
+                        array_to_string(w[1:10], ' ')
+                    ELSE array_to_string(w[1:30], ' ')
+               END AS body
+        FROM (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents)
+        WHERE len(w) >= 30
+    )
+"""
+
+# The shared self-match chain both final projections hang off: positional
+# 8-grams → corpus stop-gram cap (df ≤ 100) → SAME-document self-join
+# (pos_a < pos_b, diag = pos_b − pos_a) → diagonal islands → maximal
+# ≥12-token self-matches cutting the LATER occurrence → merged intervals.
+_SELFREP_CORE_SQL = _SELFREP_FAB_SQL + """,
+    toks AS (SELECT doc_id, string_split(body, ' ') AS t FROM fab),
+    grams AS (
+        SELECT doc_id, u.i AS pos, u.g AS gram
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) - 6),
+                          i -> struct_pack(i := i - 1,
+                               g := array_to_string(t[i:i+7], ' ')))) AS u
+            FROM toks WHERE len(t) >= 8
+        )
+    ),
+    cold AS (
+        SELECT gram FROM grams GROUP BY gram HAVING count(*) <= 100
+    ),
+    kept_g AS (SELECT g.* FROM grams g JOIN cold USING (gram)),
+    m AS (
+        SELECT a.doc_id AS doc_id, a.pos AS pos_a, b.pos - a.pos AS diag
+        FROM kept_g a JOIN kept_g b
+          ON a.doc_id = b.doc_id AND a.gram = b.gram AND a.pos < b.pos
+    ),
+    runs AS (
+        SELECT doc_id, diag, pos_a,
+               pos_a - row_number() OVER (
+                   PARTITION BY doc_id, diag ORDER BY pos_a) AS isl
+        FROM m
+    ),
+    mems AS (
+        SELECT doc_id,
+               CAST(min(pos_a) + diag AS BIGINT) AS s,
+               CAST(min(pos_a) + diag + count(*) + 7 AS BIGINT) AS e
+        FROM runs GROUP BY doc_id, diag, isl
+        HAVING count(*) + 7 >= 12
+    ),
+    cuts AS (SELECT DISTINCT doc_id, s, e FROM mems),
+    marked AS (
+        SELECT doc_id, s, e,
+               CASE WHEN s > coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS new_isl
+        FROM cuts
+    ),
+    islands AS (
+        SELECT doc_id, s, e,
+               sum(new_isl) OVER (PARTITION BY doc_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS isl
+        FROM marked
+    ),
+    per_isl AS (
+        SELECT doc_id, isl, min(s) AS s, max(e) AS e
+        FROM islands GROUP BY doc_id, isl
+    )
+"""
+
+
+def _selfrep_fab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_fanout(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    m = F.col("doc_id") % 4
+    body = (
+        F.when(m == 0, F.concat_ws(
+            " ", F.slice(w, 1, 12), F.slice(w, 13, 12), F.slice(w, 1, 12)))
+        .when(m == 1, F.concat_ws(
+            " ", F.slice(w, 1, 11), F.slice(w, 12, 13), F.slice(w, 1, 11)))
+        .when(m == 2, F.concat_ws(
+            " ", F.slice(w, 1, 10), F.slice(w, 1, 10), F.slice(w, 1, 10)))
+        .otherwise(F.concat_ws(" ", F.slice(w, 1, 30)))
+    )
+    return docs.where(F.size(w) >= 30).select(
+        "doc_id", body.alias("body")
+    )
+
+
+@register(
+    "exact_substring_self_removal",
+    oracle="WITH " + _SELFREP_CORE_SQL + """,
+    per_doc AS (
+        SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS cut_tokens,
+               count(*) AS n_cut_spans
+        FROM per_isl GROUP BY doc_id
+    )
+    SELECT f.doc_id,
+           CAST(len(string_split(f.body, ' ')) AS BIGINT) AS n_tokens,
+           CAST(coalesce(p.cut_tokens, 0) AS BIGINT) AS cut_tokens,
+           CAST(len(string_split(f.body, ' '))
+                - coalesce(p.cut_tokens, 0) AS BIGINT) AS kept_tokens,
+           round(CAST(coalesce(p.cut_tokens, 0) AS DOUBLE)
+                 / greatest(len(string_split(f.body, ' ')), 1), 4)
+               AS cut_frac,
+           CAST(coalesce(p.n_cut_spans, 0) AS BIGINT) AS n_cut_spans
+    FROM fab f LEFT JOIN per_doc p USING (doc_id)
+    """,
+    doc="INTRA-document ExactSubstr removal (Lee et al. 2022 §4 within "
+    "one document — functions/dedup.py:self_span_removal, VERDICT r14 "
+    "ask #3): every maximal ≥12-token substring repeated at two "
+    "offsets of the SAME document keeps its EARLIEST occurrence and "
+    "charges the later ones as cut; overlapping cuts merge gaps-and-"
+    "islands style. Closes the one acknowledged hole of the pairwise "
+    "cross-document MEM family (id_a < id_b evidence cannot see "
+    "self-repeats). Self-matches never leave their document, so the "
+    "engine groups the stop-gram-capped gram frame ONCE by (id, hash) "
+    "and expands ordered position pairs with a codegen'd slice/"
+    "transform HOF — one gram-frame shuffle instead of the pair "
+    "family's two-sided h-keyed join, and the corpus df≤100 cap "
+    "bounds within-document multiplicity too. The fabricated corpus "
+    "straddles the threshold (12-token repeat cut, 11-token repeat "
+    "kept, periodic triple merged); the oracle replays fabrication, "
+    "grams, cap, diagonal self-islands, the keep-earliest policy, and "
+    "the interval merge end-to-end.",
+    tags=("llm", "dedup", "bench"),
+)
+def exact_substring_self_removal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        self_span_removal,
+    )
+
+    return self_span_removal(
+        _selfrep_fab(spark, sf_dir), "doc_id", "body",
+        n=8, min_tokens=12, max_df=100,
+    )
+
+
+@register(
+    "exact_substring_self_clean",
+    oracle="WITH " + _SELFREP_CORE_SQL + """,
+    tok_pos AS (
+        SELECT doc_id, u.i AS i, u.tok AS tok FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) + 1),
+                          i -> struct_pack(i := i - 1, tok := t[i]))) AS u
+            FROM toks
+        )
+    ),
+    surv AS (
+        SELECT tp.doc_id, tp.i, tp.tok
+        FROM tok_pos tp
+        WHERE NOT EXISTS (
+            SELECT 1 FROM per_isl b
+            WHERE b.doc_id = tp.doc_id AND tp.i >= b.s AND tp.i < b.e
+        )
+    ),
+    clean AS (
+        SELECT doc_id,
+               string_agg(tok, ' ' ORDER BY i) AS clean_text,
+               count(*) AS kept
+        FROM surv GROUP BY doc_id
+    )
+    SELECT f.doc_id,
+           coalesce(c.clean_text, '') AS clean_text,
+           CAST(len(string_split(f.body, ' ')) AS BIGINT) AS n_tokens,
+           CAST(coalesce(c.kept, 0) AS BIGINT) AS kept_tokens
+    FROM fab f LEFT JOIN clean c USING (doc_id)
+    """,
+    doc="The applied form of exact_substring_self_removal (functions/"
+    "dedup.py:self_span_clean): each fabricated document with its "
+    "intra-document repeats EXECUTED away — earliest copy of every "
+    "maximal ≥12-token self-repeat kept, later occurrences cut, text "
+    "reassembled via the span family's higher-order rebuild (tokens "
+    "never shuffle, only (id, islands) pairs). Composed with "
+    "exact_substring_clean this completes the full Lee et al. 2022 "
+    "ExactSubstr policy: one copy per cross-document family AND one "
+    "copy per in-document family. The oracle replays the self-match "
+    "chain plus the rebuild via an interval anti-join + ordered "
+    "string_agg.",
+    tags=("llm", "dedup", "bench"),
+)
+def exact_substring_self_clean(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        self_span_clean,
+    )
+
+    return self_span_clean(
+        _selfrep_fab(spark, sf_dir), "doc_id", "body",
+        n=8, min_tokens=12, max_df=100,
+    )
+
+
 @register(
     "span_dedup_removal",
     oracle="""
@@ -4714,13 +4934,19 @@ _CCNET_FAB_SQL = """
 def _ccnet_fab(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_fanout(spark, sf_dir, "documents")
     w = F.split("text", " ")
+    # F.concat (not concat_ws) throughout the line scaffolding: the
+    # oracle builds the body with ``||`` which NULL-propagates, while
+    # concat_ws silently SKIPS NULLs — a NULL source/lang would give a
+    # 3-line Spark body vs a NULL DuckDB body (ADVICE r14). The two
+    # content chunks stay concat_ws over split() output, whose elements
+    # are never NULL (and the oracle's array_to_string agrees there).
     return docs.where(F.size(w) >= 20).select(
         "doc_id",
-        F.concat_ws(
-            "\n",
-            F.concat(F.lit("banner "), F.col("source")),
-            F.concat_ws(" ", F.lit("notice"), F.col("source"), F.col("lang")),
-            F.concat_ws(" ", F.slice(w, 1, 10)),
+        F.concat(
+            F.lit("banner "), F.col("source"), F.lit("\n"),
+            F.lit("notice "), F.col("source"), F.lit(" "), F.col("lang"),
+            F.lit("\n"),
+            F.concat_ws(" ", F.slice(w, 1, 10)), F.lit("\n"),
             F.concat_ws(" ", F.slice(w, 11, 10)),
         ).alias("body"),
     )

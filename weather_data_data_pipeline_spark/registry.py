@@ -76,81 +76,30 @@ _loaded = False
 # PLAN/ORACLE changed this round and must (re-)earn a green row. Keep
 # tests/test_registry_order.py's ROUND_HEAD copy in sync.
 _ROUND_HEAD: tuple[str, ...] = (
-    # r14 head (44): the 5 rows whose 5-round budget expires THIS round
-    # (VERDICT r13 ask #1 — the r9-stamped leftovers of the r13 sweep),
-    # the 6 queries the ADVICE r13 #1 NULL-text guard re-planned, the 3
-    # NEW queries (CCNet pair, VERDICT r13 ask #6; contamination
-    # prescreen replan, ask #3), and the two NULL-audit waves (17
-    # document-side + 13 embeddings-side; every plan/oracle/UDF-changed
-    # set identified mechanically by scripts/plan_hashes.py analyzed-
-    # plan diffs against the r13 tree). Behind these 44, the LRU tail
-    # pulls ~6 of the r10 cohort; the leftovers are plan-stable and
-    # carry the 6-round budget (VERDICT r13 ask #2 amendment) to r16.
+    # r15 head (7): kept deliberately tiny. The strict freshness-budget
+    # amendment (ADVICE r14 #4: the 6-round plan-stable budget now
+    # requires stamp >= the r13 bootstrap, since the bootstrap hashes
+    # cannot attest pre-r13 plan stability) makes the whole 36-query
+    # r10 cohort due at r15 — but those are the OLDEST stamps, so the
+    # mechanical LRU tail pulls all 36 into the ~50-query window by
+    # itself (freshness.py's window check + the gate-window test verify
+    # this). The head carries only the genuinely new/changed rows plus
+    # the §2 staleness pins.
     #
-    # §2 staleness pins, due r14 (r9-stamped, reference-tagged — the
-    # automatic pin test in tests/test_registry_order.py now enforces
-    # this class, VERDICT r13 ask #4)
-    "weather_weekly_avg_temp",
-    "weather_avg_humidity_range",
-    # due r14: r9-stamped oracle rows
-    "train_holdout_split",
-    "truncation_loss_sweep",
-    "vocab_growth_curve",
-    # plan-changed r14 (ADVICE r13 #1: _len NULL guard in _span_toks +
-    # kept_tokens NULL guard in _rebuild_clean) — must re-earn green
-    "exact_substring_removal",
-    "exact_substring_clean",
-    "span_dedup_removal",
-    "span_dedup_clean_corpus",
-    "decontamination_clean_corpus",
-    "curation_pipeline_frozen_e2e",
-    # r14 NEW: CCNet-style line-level cross-corpus dedup (stats +
-    # applied clean), VERDICT r13 ask #6
+    # §2 staleness pins (r10-stamped, reference-tagged — enforced by
+    # test_reference_queries_pinned_before_staleness)
+    "recency_filter_last_hour",
+    "tumbling_window_daily",
+    "weekly_avg_incremental_merge",
+    # plan-changed r15 (ADVICE r14 #3: _ccnet_fab builds line
+    # scaffolding with NULL-propagating F.concat instead of concat_ws,
+    # matching the oracle's ||) — must re-earn green
     "ccnet_line_dedup",
     "ccnet_line_clean",
-    # r14 NEW: the contamination-family batch replan (VERDICT r13 ask
-    # #3 — exact broadcast prescreen; the Bloom twin is serving-tagged)
-    "corpus_contamination_prescreen",
-    # r14 NULL-audit wave (scripts/null_audit.py — ADVICE r13 #1
-    # generalized): plan-changed by the mean_token_length NULL-on-empty
-    # and doc_repetition_quality guards (hash diff), oracle-changed
-    # (string_split('','') quirk), or Pandas-UDF-body-changed (batch
-    # poisoning / NULL degrade) — all must re-earn green
-    "dedup_keep_best_quality",
-    "doc_quality_by_lang",
-    "doc_quality_deciles",
-    "doc_quality_filter",
-    "doc_repetition_quality",
-    "doc_sampling_weights",
-    "doc_token_stats",
-    "length_quality_curve",
-    "multimodal_decode_stats",
-    "packing_pipeline_e2e",
-    "quality_proxy_agreement",
-    "quality_rule_ablation",
-    "sampling_ess_by_source",
-    "url_domain_dedup_report",
-    "doc_char_entropy",
-    "doc_fingerprint",
-    "multimodal_frame_counts",
-    # r14 embeddings NULL-audit wave (second sweep — NULL/zero-norm
-    # vectors): plan-changed by the drop_invalid_vectors entry guards /
-    # NULL-safe cosine (mechanical analyzed-plan hash diff vs the r13
-    # tree), oracle-changed (PQ encode NULL filter; decontamination
-    # report exclusion), or kernel-body-changed (SemDeDup cell masks)
-    "ann_ivf_topk_seeded",
-    "ann_lsh_topk",
-    "ann_pq_topk_seeded",
-    "ann_pq_recall_seeded",
-    "contrastive_triplets",
-    "embedding_ann_recall_report",
-    "embedding_cosine_topk",
-    "embedding_near_dup",
-    "hybrid_rerank_topk",
-    "hybrid_search_rrf",
-    "semantic_decontamination",
-    "semantic_dedup_keep",
-    "semantic_dedup_keep_capped",
+    # r15 NEW: INTRA-document ExactSubstr — the one acknowledged hole
+    # in the dedup surface (VERDICT r14 ask #3)
+    "exact_substring_self_removal",
+    "exact_substring_self_clean",
 )
 
 
@@ -205,16 +154,27 @@ def _load_plan_hashes() -> dict[str, dict]:
 
 def freshness_budget(name: str) -> int | None:
     """Rounds this query's current green stamp stays fresh — 6 when the
-    plan hash is unchanged since the stamp (or since the r13 bootstrap),
-    5 otherwise; None for rows-only queries (mirror-maintained, no
-    deadline)."""
+    plan hash attests the plan is unchanged since the stamp, 5
+    otherwise; None for rows-only queries (mirror-maintained, no
+    deadline).
+
+    The extended budget requires BOTH ``since_round <= stamp`` and
+    ``stamp >= PLAN_HASH_BOOTSTRAP_ROUND`` (ADVICE r14): the bootstrap
+    hashes were computed on the r13 tree, so for a pre-r13 stamp they
+    cannot attest the plan was unchanged between the stamp and r13 —
+    those stamps keep the base 5-round budget and re-earn under the
+    strict invariant."""
     _ensure_loaded()
     if _REGISTRY[name].oracle is None:
         return None
     stamp = _load_ledger().get(name)
     meta = _load_plan_hashes().get(name)
-    if stamp is not None and meta is not None and meta["since_round"] <= max(
-        stamp, PLAN_HASH_BOOTSTRAP_ROUND
+    since = None if meta is None else meta.get("since_round")
+    if (
+        stamp is not None
+        and since is not None
+        and stamp >= PLAN_HASH_BOOTSTRAP_ROUND
+        and since <= stamp
     ):
         return FRESHNESS_BUDGET_STABLE
     return FRESHNESS_BUDGET
