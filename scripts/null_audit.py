@@ -14,6 +14,15 @@ its own oracle on the injected corpus via scripts/driver_mirror.py.
 First run (r14) found and fixed 9 latent divergences, including a
 Pandas-UDF batch-poisoning bug where one NULL document corrupted every
 fingerprint in its Arrow batch (float64 coercion, ulp 256 at 2^60).
+Wave 2 (r14) extended the corpus with a zero-norm and a NULL embedding
+vector (15 more fixes). Wave 3 (r15, VERDICT r14 ask #4) routes the
+SAME pathological documents through the multimodal codec paths: the
+four codec-backed queries derive payload validity from the document
+text state (NULL text → NULL content, empty text → truncated/torn
+container bytes), so corrupt payloads flow through the REAL
+decode/demux/hash pipelines, which must degrade per-row (NULL feature,
+partial demux, skipped signature) with the oracles mirroring the
+degrade semantics.
 
 Usage:
     python scripts/null_audit.py            # build dir + full mirror

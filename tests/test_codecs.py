@@ -129,3 +129,55 @@ def test_real_sample_frames_ppm_stream(spark):
     for r in out:
         _, _, px = codecs.decode_ppm(bytes(r["frame"]))
         assert np.array_equal(px, frames[r["frame_idx"]])
+
+
+def test_corrupt_payloads_degrade_not_throw(spark):
+    """r15 NULL-audit wave 3: RECOGNIZED-but-corrupt payloads (truncated
+    raster/chunks, torn container tail) degrade per row — NULL feature,
+    partial demux, skipped dHash — instead of killing the stage; an
+    UNRECOGNIZED format still raises (the missing-codec seam)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from weather_data_data_pipeline_spark.multimodal import codecs
+    from weather_data_data_pipeline_spark.multimodal.binary import (
+        MEDIA_SCHEMA,
+        decode_features,
+        image_dhash_signatures,
+        sample_frames,
+    )
+
+    px = np.zeros((8, 9, 3), dtype=np.uint8)
+    good_img = codecs.encode_ppm(px)
+    wav = codecs.encode_wav(np.zeros(16, dtype=np.int16), 8000)
+    rows = [
+        ("ok", good_img, "image", None),
+        ("torn_img", good_img[:40], "image", None),  # raster truncated
+        ("torn_wav", wav[:20], "audio", None),  # chunks cut
+        ("nul", None, "image", None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in decode_features(media).collect()}
+    assert feats["ok"]["feature"] is not None
+    assert feats["torn_img"]["feature"] is None
+    assert feats["torn_img"]["n_bytes"] == 40  # bytes counted, not decoded
+    assert feats["torn_wav"]["feature"] is None
+    assert feats["nul"]["feature"] is None and feats["nul"]["n_bytes"] is None
+
+    # dHash over images only (a WAV routed here is a deployment bug and
+    # still raises — the documented seam)
+    imgs = media.where(F.col("modality") == "image")
+    sigs = image_dhash_signatures(imgs).collect()
+    assert {r["media_id"] for r in sigs} == {"ok"}  # corrupt/null skipped
+
+    f0 = codecs.encode_ppm(np.full((4, 4, 3), 1, dtype=np.uint8))
+    f1 = codecs.encode_ppm(np.full((4, 4, 3), 2, dtype=np.uint8))
+    meta = {"mime": "video/x-ppm", "width": None, "height": None,
+            "duration_ms": 4000, "sample_rate": None}
+    vids = spark.createDataFrame(
+        [("v", f0 + f1 + b"TORNTAIL", "video", meta)], MEDIA_SCHEMA
+    )
+    frames = sample_frames(vids, every_ms=1000).collect()
+    # decode-until-error: the two complete frames survive the torn tail
+    assert sorted(r["frame_idx"] for r in frames) == [0, 1]
+    assert bytes(frames[0]["frame"]) == f0

@@ -37,6 +37,13 @@ ROUND_HEAD = (
     # r15 NEW: intra-document ExactSubstr (VERDICT r14 ask #3)
     "exact_substring_self_removal",
     "exact_substring_self_clean",
+    # plan-changed r15 (NULL-audit wave 3, VERDICT r14 ask #4: corrupt/
+    # truncated/NULL payloads ride the document text state through the
+    # real codec paths; oracles mirror the degrade semantics)
+    "multimodal_real_decode",
+    "video_frame_dedup",
+    "image_dhash_near_dup",
+    "audio_dedup_fingerprint",
 )
 
 

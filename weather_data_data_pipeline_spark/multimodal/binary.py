@@ -119,19 +119,30 @@ def decode_features(df: DataFrame, fake: bool = False) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         decode = _fake_decode if fake else _real_decode
+
+        def _row(c):
+            # NULL content degrades per-row (NULL feature/n_bytes), and a
+            # RECOGNIZED-but-corrupt payload (truncated raster, bad
+            # maxval — the codec raises ValueError) degrades to a NULL
+            # feature while keeping its byte count — at 100 TB every
+            # pathological value exists somewhere and one bad row must
+            # not poison the partition (r14/r15 NULL audits). An
+            # UNRECOGNIZED format still raises NotImplementedError: that
+            # is the documented PIL/ffmpeg seam (missing codec), a
+            # deployment gap, not a data defect.
+            if c is None:
+                return None
+            try:
+                return decode(bytes(c)).tolist()
+            except ValueError:
+                return None
+
         for pdf in batches:
-            # NULL content degrades per-row (NULL feature/n_bytes), never
-            # throws — at 100 TB every pathological value exists somewhere
-            # and one bytes(None) must not poison the partition (r14 NULL
-            # audit)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "modality": pdf["modality"],
-                    "feature": [
-                        None if c is None else decode(bytes(c)).tolist()
-                        for c in pdf["content"]
-                    ],
+                    "feature": [_row(c) for c in pdf["content"]],
                     # nullable Int32 (DECODED_SCHEMA's n_bytes is
                     # IntegerType): a plain list with a None would coerce
                     # to float64 at the Arrow boundary
@@ -225,7 +236,17 @@ def _real_sample_frames(
             "no video demuxer for this format (built-in: PPM-stream); "
             "wire ffmpeg here or pass fake=True for the plumbing stub"
         )
-    frames = list(codecs.iter_ppm_stream(content))
+    # Corrupt/truncated container: keep every COMPLETE frame demuxed
+    # before the bad offset (ffmpeg's decode-until-error posture) — a
+    # torn tail on one clip must not kill the partition (r15 NULL
+    # audit); an unrecognized container still raises above (the
+    # missing-codec seam, a deployment gap, not a data defect)
+    frames = []
+    try:
+        for f in codecs.iter_ppm_stream(content):
+            frames.append(f)
+    except ValueError:
+        pass
     if not frames:
         return []
     interval = max(duration_ms, 1) / len(frames)
@@ -331,15 +352,24 @@ def image_dhash_signatures(
                 if content is None:
                     continue
                 kind = codecs.sniff(bytes(content))
-                if kind == "ppm":
-                    _, _, px = codecs.decode_ppm(bytes(content))
-                elif kind == "bmp":
-                    _, _, px = codecs.decode_bmp(bytes(content))
-                else:
-                    raise NotImplementedError(
-                        f"dHash needs a decodable image, got {kind!r} — "
-                        "wire PIL here for JPEG/PNG corpora"
-                    )
+                try:
+                    if kind == "ppm":
+                        _, _, px = codecs.decode_ppm(bytes(content))
+                    elif kind == "bmp":
+                        _, _, px = codecs.decode_bmp(bytes(content))
+                    else:
+                        raise NotImplementedError(
+                            f"dHash needs a decodable image, got {kind!r} "
+                            "— wire PIL here for JPEG/PNG corpora"
+                        )
+                except ValueError:
+                    # recognized-but-corrupt image (truncated raster, bad
+                    # maxval/bpp): unhashable, skip the ROW — it can join
+                    # no dedup group (r15 NULL audit). The grid-size
+                    # check below stays strict: a VALID image of the
+                    # wrong size is a pipeline bug (resize first), not
+                    # data corruption.
+                    continue
                 if px.shape[0] != 8 or px.shape[1] != 9:
                     # strict: a production deployment resizes into the
                     # 9×8 grid FIRST (resize_images); hashing a crop of

@@ -1604,18 +1604,30 @@ def multimodal_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_real_decode",
     oracle="""
-    WITH g AS (
-      SELECT d.doc_id, x.x, y.y
+    WITH s AS (
+      SELECT d.doc_id,
+           CAST(SUM((d.doc_id * 31 + x.x * 3 + y.y * 7) % 256) AS BIGINT)
+               AS sum_r,
+           CAST(SUM((d.doc_id * 31 + x.x * 3 + y.y * 7 + 11) % 256)
+                AS BIGINT) AS sum_g,
+           CAST(SUM((d.doc_id * 31 + x.x * 3 + y.y * 7 + 22) % 256)
+                AS BIGINT) AS sum_b
       FROM documents d,
            generate_series(0, 7) x(x),
            generate_series(0, 7) y(y)
+      GROUP BY d.doc_id
     )
-    SELECT CAST(doc_id AS VARCHAR) AS media_id,
-           CAST(203 AS INTEGER) AS n_bytes,
-           CAST(SUM((doc_id * 31 + x * 3 + y * 7) % 256) AS BIGINT) AS sum_r,
-           CAST(SUM((doc_id * 31 + x * 3 + y * 7 + 11) % 256) AS BIGINT) AS sum_g,
-           CAST(SUM((doc_id * 31 + x * 3 + y * 7 + 22) % 256) AS BIGINT) AS sum_b
-    FROM g GROUP BY doc_id
+    SELECT CAST(d.doc_id AS VARCHAR) AS media_id,
+           CAST(CASE WHEN d.text IS NULL THEN NULL
+                     WHEN d.text = '' THEN 50
+                     ELSE 203 END AS INTEGER) AS n_bytes,
+           CASE WHEN d.text IS NULL OR d.text = '' THEN NULL
+                ELSE s.sum_r END AS sum_r,
+           CASE WHEN d.text IS NULL OR d.text = '' THEN NULL
+                ELSE s.sum_g END AS sum_g,
+           CASE WHEN d.text IS NULL OR d.text = '' THEN NULL
+                ELSE s.sum_b END AS sum_b
+    FROM documents d JOIN s USING (doc_id)
     """,
     doc="REAL codec under the gate (no stub): fabricate an 8×8 binary "
     "P6 PPM per document with a closed-form pixel pattern, decode the "
@@ -1624,7 +1636,13 @@ def multimodal_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-channel pixel SUMS from the feature means (integer-exact: "
     "mean × 64 × 255 rounds to the true sum, so no float-boundary "
     "risk). The oracle re-derives the sums by enumerating the same "
-    "pixel grid in SQL — bytes → parse → features verified end-to-end.",
+    "pixel grid in SQL — bytes → parse → features verified end-to-end. "
+    "Pathological payloads ride the document's text state (r15 NULL "
+    "audit wave 3): NULL text ships NULL content (NULL n_bytes/sums), "
+    "empty text ships a TRUNCATED 50-byte container (header intact, "
+    "raster torn — the codec's ValueError degrades to a NULL feature "
+    "while the byte count survives), so corrupt bytes flow through the "
+    "real decode without killing the stage.",
     tags=("llm", "multimodal", "bench"),
 )
 def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1633,7 +1651,7 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from weather_data_data_pipeline_spark.multimodal.binary import MEDIA_SCHEMA
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
 
     def make(batches):
         from weather_data_data_pipeline_spark.multimodal import codecs
@@ -1642,14 +1660,17 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yy, xx, cc = np.meshgrid(
                 np.arange(8), np.arange(8), np.arange(3), indexing="ij"
             )
-            content = [
-                codecs.encode_ppm(
+            content = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                if t is None:
+                    content.append(None)
+                    continue
+                blob = codecs.encode_ppm(
                     ((int(d) * 31 + xx * 3 + yy * 7 + cc * 11) % 256).astype(
                         np.uint8
                     )
                 )
-                for d in pdf["doc_id"]
-            ]
+                content.append(blob[:50] if t == "" else blob)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["doc_id"].astype(str),
@@ -3381,6 +3402,7 @@ def training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH pairs AS (
       SELECT doc_id, k.k AS frame_idx, (doc_id + k.k) % 7 AS p
       FROM documents, generate_series(0, 3) k(k)
+      WHERE text IS NOT NULL AND (text <> '' OR k.k < 2)
     ),
     g AS (
       SELECT p, count(*) AS n_copies,
@@ -3421,7 +3443,7 @@ def video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames,
     )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
 
     def make(batches):
         from weather_data_data_pipeline_spark.multimodal import codecs
@@ -3431,7 +3453,15 @@ def video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for pdf in batches:
             contents = []
-            for d in pdf["doc_id"]:
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                # r15 NULL-audit wave 3: NULL text ships a NULL container
+                # (no frames); empty text ships a TORN container — two
+                # complete frames then a corrupt tail, which the demuxer
+                # must keep (decode-until-error) without killing the
+                # stage. Both states mirror in the oracle's WHERE.
+                if t is None:
+                    contents.append(None)
+                    continue
                 frames = [
                     (
                         (((int(d) + k) % 7) * 13 + xx * 5 + yy * 11 + cc * 17)
@@ -3439,7 +3469,11 @@ def video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).astype(np.uint8)
                     for k in range(4)
                 ]
-                contents.append(codecs.encode_ppm_stream(frames))
+                blob = codecs.encode_ppm_stream(frames)
+                if t == "":
+                    two = codecs.encode_ppm_stream(frames[:2])
+                    blob = two + b"TORNTAIL"
+                contents.append(blob)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["doc_id"].astype(str),
@@ -3503,6 +3537,7 @@ def video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents d,
            generate_series(0, 8) x(x),
            generate_series(0, 7) y(y)
+      WHERE d.text IS NOT NULL AND d.text <> ''
     ),
     bits AS (
       SELECT a.doc_id, a.y * 8 + a.x AS bit_idx,
@@ -3560,7 +3595,7 @@ def image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_dhash_signatures,
     )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
 
     def make(batches):
         from weather_data_data_pipeline_spark.multimodal import codecs
@@ -3568,7 +3603,14 @@ def image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         yy, xx = np.meshgrid(np.arange(8), np.arange(9), indexing="ij")
         for pdf in batches:
             contents = []
-            for d in pdf["doc_id"]:
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                # r15 NULL-audit wave 3: NULL text ships NULL content and
+                # empty text a truncated raster — both unhashable, both
+                # must degrade to "no signature" (no pairs), mirrored by
+                # the oracle's WHERE
+                if t is None:
+                    contents.append(None)
+                    continue
                 d = int(d)
                 luma = ((d % 100) * 37 + xx * 23 + yy * 31) % 200
                 if (d // 100) % 2 == 1:
@@ -3580,7 +3622,8 @@ def image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 px = np.repeat(
                     luma.astype(np.uint8)[:, :, None], 3, axis=2
                 )
-                contents.append(codecs.encode_ppm(px))
+                blob = codecs.encode_ppm(px)
+                contents.append(blob[:40] if t == "" else blob)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["doc_id"].astype(str),
@@ -3604,12 +3647,14 @@ def image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # closed form, while the Spark side must recover them from the REAL
     # RIFF/WAVE bytes (encode → decode → featurize → group).
     oracle="""
-    WITH d AS (SELECT doc_id, doc_id % 9 AS p FROM documents),
+    WITH d AS (SELECT doc_id, doc_id % 9 AS p FROM documents
+               WHERE text IS NOT NULL AND text <> ''),
     w AS (
       SELECT ps.p, w.w,
              CAST(sum(abs(((ps.p * 31 + (w.w * 16 + i.i) * 13) % 2048) - 1024))
                   AS BIGINT) AS s
-      FROM (SELECT DISTINCT doc_id % 9 AS p FROM documents) ps,
+      FROM (SELECT DISTINCT doc_id % 9 AS p FROM documents
+            WHERE text IS NOT NULL AND text <> '') ps,
            generate_series(0, 3) w(w), generate_series(0, 15) i(i)
       GROUP BY ps.p, w.w
     ),
@@ -3646,7 +3691,7 @@ def audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
 
     def fingerprint(batches):
         from weather_data_data_pipeline_spark.multimodal import codecs
@@ -3663,8 +3708,28 @@ def audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             _rate, _ch, decoded = codecs.decode_wav(wav)
             a = np.abs(decoded[:, 0].astype(np.int64)).reshape(4, 16)
             fps[p] = a.sum(axis=1)
+        # r15 NULL-audit wave 3: a TORN RIFF (header intact, chunks cut)
+        # — the real decoder must fail with a clean ValueError and the
+        # clip degrades to "no fingerprint" (joins no dedup group)
+        torn = codecs.encode_wav(
+            (((0 * 31 + i * 13) % 2048) - 1024).astype(np.int16), 8000
+        )[:20]
         for pdf in batches:
-            d = pdf["doc_id"].to_numpy(dtype=np.int64)
+            mask = []
+            for t in pdf["text"]:
+                if t is None:
+                    mask.append(False)  # NULL clip: nothing to decode
+                elif t == "":
+                    try:
+                        codecs.decode_wav(torn)
+                        mask.append(True)  # unreachable: torn must fail
+                    except ValueError:
+                        mask.append(False)
+                else:
+                    mask.append(True)
+            d = pdf["doc_id"].to_numpy(dtype=np.int64)[
+                np.array(mask, dtype=bool)
+            ]
             s = fps[d % 9]
             yield pd.DataFrame(
                 {
