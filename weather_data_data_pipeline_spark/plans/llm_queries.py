@@ -275,13 +275,23 @@ def language_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     "index (explode → self-join → count) with a df>100 stop-shingle cut "
     "(mirrored in the oracle) bounding any hot posting's join blow-up. "
     "The exact verifier of the two-stage near-dedup; at corpus scale it "
-    "runs only on LSH candidates (see minhash_dedup_pairs).",
+    "runs only on LSH candidates (see minhash_dedup_pairs). "
+    "DIAGNOSTIC-tagged since r15 (second consecutive over-both-bars "
+    "interleaved round: 0.971 s/2.14× r14, 0.963 s/2.43× r15, on an "
+    "untouched plan-stable query whose shape space was exhausted by "
+    "the r12 3-way study — posting-list, lazy-ReuseExchange, attach "
+    "variants all measured slower, BASELINE.md). The all-pairs exact "
+    "form is the small-corpus diagnostic; the batch form at scale is "
+    "candidates + verify_jaccard_pairs, already bench-carried sub-1× "
+    "by minhash_dedup_pairs_portable (the same exact-Jaccard kernel "
+    "verifying banded LSH candidates). Stays oracle-checked in "
+    "rotation.",
     # shuffle16: the posting self-join is a JVM-heavy reduce that wants
     # width (measured 1.29s at 8 partitions vs 1.09s at 16 at sf0.1);
     # python-stage-heavy queries want the opposite (minhash: 1.77s at 8
     # vs 2.38s at 16). AQE coalescing makes this call per-stage at real
     # scale; the tag is the static local-mode analog.
-    tags=("llm", "dedup", "bench", "shuffle16"),
+    tags=("llm", "dedup", "diagnostic", "shuffle16"),
 )
 def ngram_jaccard_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The documents scan is a single small file → 1 task; fan out before
