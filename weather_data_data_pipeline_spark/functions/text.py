@@ -1315,6 +1315,24 @@ def line_boilerplate_clean(
     text stays NULL.
     """
     flagged = _boiler_line_positions(df, id_col, text_col, sep, max_docs)
+    return _drop_lines_rebuild(df, flagged, id_col, text_col, sep, out_col)
+
+
+def _drop_lines_rebuild(
+    df: DataFrame,
+    flagged: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str,
+    out_col: str,
+) -> DataFrame:
+    """Shared line-rebuild of the CCNet family: drop the flagged
+    (id, pos) line positions from each document's split array and
+    reassemble with ``sep`` — one groupBy(id) collecting positions, a
+    codegen'd higher-order filter, NULL text stays NULL. Used by the
+    batch :func:`line_boilerplate_clean` and the frozen-index serving
+    probe :func:`line_boilerplate_probe_clean`, so their removal
+    semantics cannot diverge."""
     drops = flagged.groupBy(id_col).agg(
         F.collect_list("pos").alias("_drop")
     )
@@ -1350,3 +1368,68 @@ def line_boilerplate_clean(
             .alias("kept_lines"),
         )
     )
+
+
+def build_line_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    max_docs: int = 8,
+) -> None:
+    """Persist the FROZEN CCNet boilerplate state for the serving shape
+    (the index/probe/sink trio every other dedup family has — MinHash,
+    winnow, MEM): one distinct-document-frequency pass over the
+    reference corpus's line hashes, keeping only the Zipf-head
+    boilerplate set (df > ``max_docs``) as ``<path>/boiler`` (h, df)
+    plus ``<path>/meta`` (sep, max_docs). The head is Zipf-bounded by
+    construction — a line must repeat across more than ``max_docs``
+    documents to enter — so the probe side can always broadcast it;
+    the reference corpus itself is never re-read after the build."""
+    lines = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), sep)).alias("_line"),
+    ).select("id", F.xxhash64("_line").alias("h"))
+    boiler = (
+        lines.groupBy("h")
+        .agg(F.count_distinct("id").cast("bigint").alias("df"))
+        .where(F.col("df") > max_docs)
+    )
+    boiler.write.mode("overwrite").parquet(f"{path}/boiler")
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(sep, max_docs)], "sep string, max_docs int"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def line_boilerplate_probe_clean(
+    spark,
+    path: str,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """The SERVING form of :func:`line_boilerplate_clean`: arriving
+    documents are scrubbed against a FROZEN :func:`build_line_index`
+    boilerplate set — every line whose hash is in the reference head is
+    dropped, survivors rejoin in order — returning (id, out_col,
+    n_lines, kept_lines). The CCNet gate at 100 TB: an arriving batch
+    pays its own line split + one broadcast semi-join against the
+    Zipf-bounded head + its own rebuild; no corpus-wide frequency pass,
+    no state growth (the state IS the index). A document's cleaned form
+    depends only on itself and the frozen head, so batch boundaries
+    cannot change a row and the stream equals the batch probe over the
+    union bit-for-bit (pinned in tests/test_line_dedup.py)."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    sep = meta["sep"]
+    boiler = spark.read.parquet(f"{path}/boiler").select("h")
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "_line"),
+    ).select(id_col, "pos", F.xxhash64("_line").alias("h"))
+    flagged = lines.join(F.broadcast(boiler), "h", "left_semi").select(
+        id_col, "pos"
+    )
+    return _drop_lines_rebuild(docs, flagged, id_col, text_col, sep, out_col)

@@ -5109,3 +5109,56 @@ def ccnet_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_boilerplate_clean(
         _ccnet_fab(spark, sf_dir), "doc_id", "body", sep="\n", max_docs=8
     )
+
+
+@register(
+    "ccnet_index_clean",
+    oracle=None,  # serving round-trip of the CCNet CLEANING form: the
+    # corpus-wide batch algorithm is oracle-replayed end-to-end as
+    # ccnet_line_clean; this query's own plan (freeze the reference
+    # head, probe the arriving side, rebuild) is pinned by
+    # planted-truth units that RUN the registered query plus a
+    # stream==batch bit-equality test (ccnet_clean_sink).
+    verified_by="tests/test_line_dedup.py",
+    doc="The SERVING form of CCNet line-level boilerplate cleaning "
+    "(functions/text.py:build_line_index / "
+    "line_boilerplate_probe_clean, streaming twin "
+    "streaming/incremental.py:ccnet_clean_sink — VERDICT r14 ask #8): "
+    "fabricated documents with doc_id % 3 <> 0 play the frozen "
+    "reference crawl (their Zipf-head boilerplate line hashes, df > 8 "
+    "over the REFERENCE, persisted by build_line_index), and every "
+    "doc_id % 3 = 0 document has its reference-boilerplate lines "
+    "dropped and the text reassembled — (doc_id, clean_text, n_lines, "
+    "kept_lines). The CCNet gate at 100 TB: an arriving batch pays "
+    "its own line split + one broadcast semi-join against the frozen "
+    "head + its own rebuild; no corpus-wide frequency pass per batch. "
+    "Completes the index/probe/sink trio for the CCNet family "
+    "(MinHash, winnow, MEM already have theirs). Rows-only: the "
+    "corpus-wide batch algorithm is hash-checked as ccnet_line_clean "
+    "(shared _drop_lines_rebuild), and this composition is pinned by "
+    "planted-truth + stream==batch units in tests/test_line_dedup.py.",
+    tags=("llm", "dedup", "serving"),
+)
+def ccnet_index_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from weather_data_data_pipeline_spark.functions.text import (
+        build_line_index,
+        line_boilerplate_probe_clean,
+    )
+
+    fab = _ccnet_fab(spark, sf_dir)
+    ref = fab.where(F.col("doc_id") % 3 != 0)
+    batch = fab.where(F.col("doc_id") % 3 == 0)
+    tmp = tempfile.mkdtemp(prefix="ccnet_clean_")
+    try:
+        build_line_index(
+            ref, tmp, "doc_id", "body", sep="\n", max_docs=8
+        )
+        out = line_boilerplate_probe_clean(
+            spark, tmp, batch, "doc_id", "body"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1542,3 +1542,61 @@ def mem_clean_sink(
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
     )
+
+
+def ccnet_clean_sink(
+    stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataStreamWriter:
+    """Streaming CCNet line-level boilerplate CLEANING against a FROZEN
+    :func:`~weather_data_data_pipeline_spark.functions.text.
+    build_line_index` head (VERDICT r14 ask #8) — the live twin of the
+    batch ``ccnet_line_clean`` for the serving shape where the
+    boilerplate frequency state is frozen from a reference crawl: every
+    arriving document has its reference-boilerplate lines dropped and
+    lands reassembled as (batch_id, id, clean_text, n_lines,
+    kept_lines). Completes the index/probe/sink trio for the CCNet
+    family (MinHash, winnow, and MEM already have theirs).
+
+    A document's cleaned form depends only on itself and the frozen
+    head, so batch boundaries cannot change a row and the stream equals
+    the batch :func:`~weather_data_data_pipeline_spark.functions.text.
+    line_boilerplate_probe_clean` over the union bit-for-bit (pinned in
+    tests/test_line_dedup.py). Replay-safe: rows land as a
+    ``batch_id=<id>`` partition under dynamic overwrite, so an
+    at-least-once re-delivery rewrites exactly its own partition. State
+    never grows with the stream — it IS the Zipf-bounded index head,
+    broadcast into every micro-batch."""
+    from weather_data_data_pipeline_spark.functions.text import (
+        line_boilerplate_probe_clean,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cleaned = line_boilerplate_probe_clean(
+            batch_df.sparkSession,
+            index_path,
+            batch_df,
+            id_col,
+            text_col,
+        )
+        cleaned.withColumn("batch_id", F.lit(int(batch_id))).select(
+            "batch_id",
+            id_col,
+            "clean_text",
+            "n_lines",
+            "kept_lines",
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id").parquet(out_path)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
