@@ -90,15 +90,24 @@ def might_contain(
     array shipped as a literal. True for every inserted key; true with
     probability ≈ (1 - e^(-kn/m))^k for foreign keys.
 
-    The word array ships as ONE ``F.expr("array(..L, ..)")`` string:
-    both ``F.array(*lits)`` and ``F.lit(list)`` cross py4j once per
-    element — measured 1.25 s of pure DRIVER time per plan build at
+    The word array ships as ONE ``from_json('<json>', 'array<bigint>')``
+    literal: both ``F.array(*lits)`` and ``F.lit(list)`` cross py4j once
+    per element — measured 1.25 s of pure DRIVER time per plan build at
     the default 2048 words (the whole "bloom query is 11× the oracle"
-    bench mystery), vs 2.7 ms for one string parse. Catalyst constant-
-    folds the parsed array(...) to a single Literal JVM-side, so the
-    per-row probe reads a folded constant either way."""
-    lit_words = F.expr(
-        "array(" + ",".join(f"{int(w)}L" for w in words) + ")"
+    bench mystery). The r4–r14 form parsed ONE ``F.expr("array(..L)")``
+    string instead, but that still hands Catalyst a CreateArray node
+    with num_bits/64 CHILD expressions — and the probe references the
+    array once per hash, so every analyzer/optimizer traversal walked
+    3 × 8192 children until constant folding collapsed them (measured
+    r15: 0.13 s plan-build + 0.09 s exec per probe site at 8192 words
+    vs 0.04 s + 0.06 s for this form). ``from_json`` keeps the words as
+    a single string-literal child — 2 nodes per reference — and
+    ConstantFolding evaluates it to the same array Literal before
+    codegen, so the per-row probe reads a folded constant either way,
+    now without the tree-walk tax."""
+    lit_words = F.from_json(
+        F.lit("[" + ",".join(str(int(w)) for w in words) + "]"),
+        "array<bigint>",
     )
     checks = []
     for pos in _bit_positions(key, num_bits, num_hashes):

@@ -27,7 +27,18 @@ from pyspark.sql import functions as F
 
 
 def _centroid_lit(vec: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in vec])
+    # ONE from_json string literal instead of F.array(*[F.lit(x) ...]):
+    # the per-element form costs dim py4j round trips at plan build AND
+    # hands Catalyst a dim-child CreateArray that every analyzer/
+    # optimizer traversal walks until constant folding (k centroids ×
+    # 64 dims ≈ 0.4 s of pure driver time per embedding_outlier_zscores
+    # build, measured r15). json.dumps emits shortest-round-trip float
+    # reprs, so the folded array<double> Literal is value-identical.
+    import json
+
+    return F.from_json(
+        F.lit(json.dumps([float(x) for x in vec])), "array<double>"
+    )
 
 
 def _sq_dist(vec: Column, cent: Column) -> Column:

@@ -38,7 +38,16 @@ from pyspark.sql import functions as F
 
 
 def _lit_array(vec: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in vec])
+    # ONE from_json string literal, not per-element F.lit: dim py4j
+    # round trips + a dim-child CreateArray per use otherwise (see
+    # clustering._centroid_lit — measured ~0.4 s/build on the k×d
+    # centroid twin). json float repr round-trips exactly; Catalyst
+    # constant-folds to the identical array<double> Literal.
+    import json
+
+    return F.from_json(
+        F.lit(json.dumps([float(x) for x in vec])), "array<double>"
+    )
 
 
 def _dot_lit(vec: Column, w: list[float]) -> Column:

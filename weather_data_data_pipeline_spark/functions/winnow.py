@@ -196,15 +196,31 @@ def winnow_overlap_pairs(
     bounded by max_postings × surviving postings, never quadratic in
     the corpus. |fp| in the denominator keeps counting ALL distinct
     hashes (capped ones included), so the fraction stays a property of
-    the documents, not of the cap."""
+    the documents, not of the cap.
+
+    Shape (r15): the distinct fingerprint table is materialized ONCE —
+    it feeds THREE consumers (the size denominators and both posting
+    join sides), and left lazy each re-ran the Generate+two-Window
+    fingerprint lineage (measured: 2 × ~0.8 s broadcast-side rebuilds
+    at sf0.1; 0.93× same-session after). The df cap is an aggregate +
+    broadcast anti-join, not a window count: the hot head is tiny by
+    construction and the aggregate's map-side combine never sorts the
+    full posting table (the jaccard_pairs hot-cut shape, measured 25%
+    faster there)."""
     fps = winnow_fingerprints(df, id_col, text_col, k, w)
-    hashes = fps.select(id_col, "h").dropDuplicates()
+    hashes = (
+        fps.select(id_col, "h").dropDuplicates().localCheckpoint(eager=True)
+    )
     sizes = hashes.groupBy(id_col).agg(
         F.count("*").cast("bigint").alias("n_fp")
     )
-    postings = hashes.withColumn(
-        "_df", F.count("*").over(Window.partitionBy("h"))
-    ).where(F.col("_df") <= max_postings)
+    hot = (
+        hashes.groupBy("h")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") > max_postings)
+        .select("h")
+    )
+    postings = hashes.join(F.broadcast(hot), "h", "left_anti")
     a = postings.select(F.col(id_col).alias("id_a"), "h")
     b = postings.select(F.col(id_col).alias("id_b"), "h")
     pairs = (
