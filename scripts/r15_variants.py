@@ -308,3 +308,126 @@ def snapshot_version_diff_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+_RHO_TOPK = 25  # matches plans/selection_queries.py
+
+
+def span_profile_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span_dedup_profile with (a) the hashed-shingle table materialized
+    once (freq + shared re-ran the explode lineage) and (b) n_spans
+    computed map-side from the distinct-shingle array instead of a
+    third pass + an extra left join."""
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        hashed_shingles,
+        shingle_array,
+    )
+
+    docs = load_fanout(spark, sf_dir, "documents")
+    spans = hashed_shingles(docs, "doc_id", "text", n=8).localCheckpoint(
+        eager=True
+    )
+    freq = spans.groupBy("h").agg(F.count("*").alias("df"))
+    shared = (
+        spans.join(freq.where(F.col("df") >= 2), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    base = docs.select(
+        "doc_id", F.size(shingle_array("text", 8)).alias("_ns")
+    )
+    return base.join(shared, "doc_id", "left").select(
+        "doc_id",
+        F.col("_ns").cast("bigint").alias("n_spans"),
+        F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+        F.round(
+            F.coalesce("n_shared", F.lit(0)).cast("double")
+            / F.greatest(F.col("_ns"), F.lit(1)),
+            4,
+        ).alias("shared_frac"),
+    )
+
+
+def rho_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rho_excess_loss_select with the exploded token/bigram frames
+    materialized once: toks fed three consumers (uni, total, ref pass)
+    and bi two (bg, proxy pass), each re-running the corpus explode."""
+    docs = load_fanout(spark, sf_dir, "documents")
+    arr = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    arrs = docs.select("doc_id", arr.alias("t"))
+    toks = arrs.select("doc_id", F.explode("t").alias("tok")).localCheckpoint(
+        eager=True
+    )
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    n = toks.agg(F.count("*").alias("total"))
+    bi = (
+        arrs.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 2),
+                    lambda i: F.struct(
+                        F.col("t")[i].alias("w1"), F.col("t")[i + 1].alias("w2")
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+        .localCheckpoint(eager=True)
+    )
+    bg = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    v = uni.agg(F.count("*").alias("vs"))
+
+    def _dec6(loss_col):
+        return F.round(loss_col, 6).cast("decimal(38,6)")
+
+    ref = (
+        toks.join(uni, "tok")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(_dec6(-F.log(F.col("c") / F.col("total"))))
+                .cast("double")
+                / F.count("*"),
+                4,
+            ).alias("ref_loss"),
+        )
+    )
+    proxy = (
+        bi.join(bg, ["w1", "w2"])
+        .join(uni.select(F.col("tok").alias("w1"), "c"), "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    _dec6(
+                        -F.log(
+                            (F.col("c2") + F.lit(1.0))
+                            / (F.col("c") + F.col("vs"))
+                        )
+                    )
+                )
+                .cast("double")
+                / F.count("*"),
+                4,
+            ).alias("proxy_loss"),
+        )
+    )
+    scored = ref.join(proxy, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "ref_loss",
+        F.coalesce("proxy_loss", "ref_loss").alias("proxy_loss"),
+        F.round(
+            F.coalesce("proxy_loss", "ref_loss") - F.col("ref_loss"), 4
+        ).alias("excess"),
+    )
+    w = Window.orderBy(F.desc("excess"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= _RHO_TOPK)
+    )

@@ -20,6 +20,7 @@ from weather_data_data_pipeline_spark.functions.dedup import (
     hashed_shingles,
     jaccard_pairs,
     minhash_dedup_pairs,
+    shingle_array,
     simhash_near_dup_pairs,
 )
 from weather_data_data_pipeline_spark.operators.ranking import global_running_sum
@@ -1993,29 +1994,34 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "quality", "bench"),
 )
 def span_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r15 shape: the hashed-shingle index is materialized ONCE (freq and
+    # the shared join both read it; left lazy each re-ran the corpus
+    # explode — the plan carried three copies of the Generate lineage,
+    # 0 reused), and n_spans comes map-side from the distinct-shingle
+    # ARRAY (size of the same array the index explodes — one Exchange
+    # and one left join removed; 0.94× same-session interleaved).
     docs = load_fanout(spark, sf_dir, "documents")
-    spans = hashed_shingles(docs, "doc_id", "text", n=8)
+    spans = hashed_shingles(docs, "doc_id", "text", n=8).localCheckpoint(
+        eager=True
+    )
     freq = spans.groupBy("h").agg(F.count("*").alias("df"))
     shared = (
         spans.join(freq.where(F.col("df") >= 2), "h")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared"))
     )
-    tot = spans.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
-    return (
-        docs.select("doc_id")
-        .join(tot, "doc_id", "left")
-        .join(shared, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
-            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
-            F.round(
-                F.coalesce("n_shared", F.lit(0)).cast("double")
-                / F.greatest(F.coalesce("n_spans", F.lit(0)), F.lit(1)),
-                4,
-            ).alias("shared_frac"),
-        )
+    base = docs.select(
+        "doc_id", F.size(shingle_array("text", 8)).alias("_ns")
+    )
+    return base.join(shared, "doc_id", "left").select(
+        "doc_id",
+        F.col("_ns").cast("bigint").alias("n_spans"),
+        F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+        F.round(
+            F.coalesce("n_shared", F.lit(0)).cast("double")
+            / F.greatest(F.col("_ns"), F.lit(1)),
+            4,
+        ).alias("shared_frac"),
     )
 
 
