@@ -431,3 +431,87 @@ def rho_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= _RHO_TOPK)
     )
+
+
+def _training_e2e(spark, sf_dir, ckpt_q=True, ckpt_e=True):
+    from weather_data_data_pipeline_spark.functions.dedup import (
+        connected_components as _cc,
+    )
+    from weather_data_data_pipeline_spark.functions.text import (
+        mean_token_length,
+        normalize_for_dedup,
+        portable_uniform,
+        punct_ratio,
+        stopword_ratio,
+    )
+    from weather_data_data_pipeline_spark.operators.ranking import grouped_topk
+
+    docs = load_fanout(spark, sf_dir, "documents")
+    t = F.col("text")
+    quality_pass = (
+        (F.length(t) >= 50)
+        & (F.length(t) <= 100_000)
+        & (stopword_ratio(t) >= 0.05)
+        & (punct_ratio(t) <= 0.2)
+        & (mean_token_length(t) >= 2)
+        & (mean_token_length(t) <= 12)
+    )
+    q = docs.where(quality_pass)
+    if ckpt_q:
+        q = q.localCheckpoint(eager=True)
+    exact_keep = (
+        q.groupBy(F.sha2(normalize_for_dedup("text"), 256).alias("_d"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    e = q.join(exact_keep, "doc_id", "left_semi")
+    if ckpt_e:
+        e = e.localCheckpoint(eager=True)
+    pairs = jaccard_pairs(e, "doc_id", "text", n=3, threshold=0.5)
+    labels = _cc(pairs)
+    nd = (
+        e.join(labels, "doc_id", "left")
+        .where(F.col("cluster_id").isNull() | (F.col("doc_id") == F.col("cluster_id")))
+        .select("doc_id", "source")
+    )
+    kept = grouped_topk(
+        nd.withColumn("_u", portable_uniform("doc_id")),
+        ["source"],
+        "_u",
+        20,
+        ascending=True,
+        tiebreak_cols=["doc_id"],
+    ).select("doc_id")
+
+    def marker(df, name):
+        return df.select("doc_id").withColumn(name, F.lit(True))
+
+    return (
+        docs.select("doc_id", "source")
+        .join(marker(q, "_q"), "doc_id", "left")
+        .join(marker(e, "_e"), "doc_id", "left")
+        .join(marker(nd, "_n"), "doc_id", "left")
+        .join(marker(kept, "_k"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.when(F.col("_q").isNull(), "quality")
+            .when(F.col("_e").isNull(), "exact_dup")
+            .when(F.col("_n").isNull(), "near_dup")
+            .when(F.col("_k").isNull(), "quota")
+            .otherwise("kept")
+            .alias("stage"),
+        )
+    )
+
+
+def training_e2e_noq(spark, sf_dir):
+    """training_pipeline_e2e without the q checkpoint (quality filter is
+    a cheap codegen'd predicate over the cached docs scan — recompute 3x
+    may beat one materialization job)."""
+    return _training_e2e(spark, sf_dir, ckpt_q=False, ckpt_e=True)
+
+
+def training_e2e_noqe(spark, sf_dir):
+    """...without either checkpoint."""
+    return _training_e2e(spark, sf_dir, ckpt_q=False, ckpt_e=False)

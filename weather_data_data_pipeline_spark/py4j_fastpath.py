@@ -40,7 +40,20 @@ def install() -> None:
         return
     _INSTALLED = True
 
+    import py4j.java_gateway as _jg
     from py4j.java_gateway import JavaClass, JavaMember, JavaPackage, JVMView
+
+    # java_import can change what a SHORT name resolves to on a view
+    # (pyspark.ml calls it lazily on first use) — drop that view's cache
+    # so the next lookup re-reflects. FQN lookups are unaffected but the
+    # whole cache is tiny; correctness over cleverness.
+    _orig_java_import = _jg.java_import
+
+    def _java_import(jvm_view, import_str):
+        jvm_view.__dict__.pop("_wg_attr_cache", None)
+        return _orig_java_import(jvm_view, import_str)
+
+    _jg.java_import = _java_import
 
     # -- JVMView: cache class/package resolution per view instance -----
     _view_getattr = JVMView.__getattr__
