@@ -44,6 +44,18 @@ ROUND_HEAD = (
     "video_frame_dedup",
     "image_dhash_near_dup",
     "audio_dedup_fingerprint",
+    # plan-changed r15 OPTIMIZATION round (OPTIMIZATION_r15.md) — all
+    # value-verified hash-equal at both scales in the r15 close mirrors;
+    # a changed plan still re-earns its driver stamp
+    "decontamination_clean_corpus",
+    "corpus_contamination_bloom",
+    "bloom_pruned_urgent_revenue",
+    "embedding_kmeans_assign",
+    "embedding_outlier_zscores",
+    "span_dedup_profile",
+    "winnowing_overlap_pairs",
+    "snapshot_read_as_of",
+    "snapshot_version_diff",
 )
 
 

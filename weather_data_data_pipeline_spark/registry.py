@@ -76,7 +76,14 @@ _loaded = False
 # PLAN/ORACLE changed this round and must (re-)earn a green row. Keep
 # tests/test_registry_order.py's ROUND_HEAD copy in sync.
 _ROUND_HEAD: tuple[str, ...] = (
-    # r15 head (7): kept deliberately tiny. The strict freshness-budget
+    # r15 head (20): 3 §2 pins + 8 build-phase new/changed rows + 9
+    # optimization-round plan-changed rows (window-checked: freshness.py
+    # reports every due query inside the gate window; the two r14-
+    # stamped plan-changed rows semantic_dedup_keep/_capped were left to
+    # their r19 deadlines so no due-r15 LRU row is evicted — both are
+    # value-verified at both scales in the r15 close mirrors and their
+    # plan_hashes since_round=15 correctly drops them to the 5-round
+    # budget). The strict freshness-budget
     # amendment (ADVICE r14 #4: the 6-round plan-stable budget now
     # requires stamp >= the r13 bootstrap, since the bootstrap hashes
     # cannot attest pre-r13 plan stability) makes the whole 36-query
@@ -107,6 +114,23 @@ _ROUND_HEAD: tuple[str, ...] = (
     "video_frame_dedup",
     "image_dhash_near_dup",
     "audio_dedup_fingerprint",
+    # plan-changed r15 OPTIMIZATION round (OPTIMIZATION_r15.md; every
+    # change value-verified hash-equal at sf0.01 AND sf0.1 in the close
+    # mirrors, but a changed plan must re-earn its driver stamp):
+    # - from_json single-node literals (bloom words / centroids)
+    "decontamination_clean_corpus",
+    "corpus_contamination_bloom",
+    "bloom_pruned_urgent_revenue",
+    "embedding_kmeans_assign",
+    "embedding_outlier_zscores",
+    # - materialize-once / map-side reshapes
+    "span_dedup_profile",
+    "winnowing_overlap_pairs",
+    # - versioned-layout write clustering (plan hash cannot see the
+    #   write side — the returned frame is a post-write checkpoint scan
+    #   — so these are pinned by hand)
+    "snapshot_read_as_of",
+    "snapshot_version_diff",
 )
 
 
