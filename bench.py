@@ -71,6 +71,34 @@ def run_query(spark, fn, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def anchor_sec(spark) -> float:
+    """Drift-calibration anchor (VERDICT r15 #1): a FIXED synthetic
+    workload — hash + local sort of 4M longs on 8 partitions — that is
+    independent of the engine's code, the scale factor, and (by pinning
+    8 partitions) largely of the core count. Emitted in the one-line
+    JSON next to warm_cache_sec so cross-session PERF comparisons can
+    separate code deltas from box-state drift (sessions on this machine
+    drift ±15-35%; BASELINE.md since r8). Methodology mirrors the
+    queries: warmups for JIT, then min of 3."""
+    from pyspark.sql import functions as F
+
+    def _run() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 4_000_000, 1, 8)
+            .select(F.xxhash64("id").alias("h"))
+            .sortWithinPartitions("h")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.perf_counter() - t0
+
+    for _ in range(2):
+        _run()
+    return round(min(_run() for _ in range(3)), 3)
+
+
 def shuffle_bytes_for_group(spark, group: str) -> int:
     """Total shuffle-write bytes of every job in a job group, from the
     AppStatusStore — the measured counterpart of the plan audit's
@@ -144,6 +172,7 @@ def main() -> None:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         aqe_on = True
     keep = persistent_ids(spark)  # the warmed tables stay cached
+    anchor = anchor_sec(spark)
     base_parts = spark.conf.get("spark.sql.shuffle.partitions")
     timings: dict[str, float] = {}
     shuffle_bytes: dict[str, int] = {}
@@ -188,6 +217,7 @@ def main() -> None:
     details = {
         "shuffle_bytes": shuffle_bytes,
         "warm_cache_sec": warm_sec,
+        "anchor_sec": anchor,
         "aqe": aqe_on,
         "sf": _sf_from_dir(SF_DIR),
         "total_sec": total,
@@ -204,31 +234,30 @@ def main() -> None:
         "w",
     ) as f:
         json.dump(details, f, indent=1, sort_keys=True)
-    line = json.dumps(
-        {
-            "metric": "bench_total_wall_seconds",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": _sf_from_dir(SF_DIR),
-        },
-        separators=(",", ":"),
-    )
-    shown = dict(timings)
-    while len(line) > 1900 and shown:  # stay inside the driver's tail
-        # drop the cheapest entries first — the expensive ones carry the
-        # signal; full per-query detail stays in scripts/bench_details.json
-        shown.pop(min(shown, key=shown.get))
-        line = json.dumps(
+    # warm_cache_sec + anchor_sec ride the one-line JSON (additions
+    # only, VERDICT r15 #1): a fixed synthetic anchor lets cross-session
+    # PERF comparisons deflate box drift by a code-independent constant.
+    def _line(q: dict[str, float]) -> str:
+        return json.dumps(
             {
                 "metric": "bench_total_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": shown,
+                "queries": q,
                 "sf": _sf_from_dir(SF_DIR),
+                "warm_cache_sec": warm_sec,
+                "anchor_sec": anchor,
             },
             separators=(",", ":"),
         )
+
+    shown = dict(timings)
+    line = _line(shown)
+    while len(line) > 1900 and shown:  # stay inside the driver's tail
+        # drop the cheapest entries first — the expensive ones carry the
+        # signal; full per-query detail stays in scripts/bench_details.json
+        shown.pop(min(shown, key=shown.get))
+        line = _line(shown)
     print(line)
     spark.stop()
 

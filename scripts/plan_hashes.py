@@ -28,6 +28,16 @@ Queries whose plan embeds genuinely run-varying content (random temp
 table names inside SQL text, literal timestamps) will simply never look
 stable — they conservatively keep the 5-round budget.
 
+SCOPE CAVEAT — checkpoint-truncated plans (ADVICE r15 #5): a query that
+eagerly localCheckpoints an intermediate (span_dedup_profile,
+winnowing_overlap_pairs, the _pair_overlap family, minhash pair
+queries) hashes a plan whose upstream lineage is a LogicalRDD stub, so
+the fingerprint does NOT attest the checkpointed helper's lineage —
+exactly the blindness the snapshot_* write side has (their plan is a
+post-write scan). Changes to those HELPERS must be hand-pinned into
+registry._ROUND_HEAD; the full-surface two-scale mirrors still
+value-check every query every round.
+
 (The physical-plan protocol this replaced had two measured leaks —
 CBO statistics from predecessors' eager actions, and a cached-table
 flap on ``embedding_drift_by_label`` — both gone under analyzed-plan

@@ -153,3 +153,100 @@ def test_registered_query_shape(spark):
     rows = df.collect()
     assert len(rows) == 500
     assert all(r["prob_pos"] is not None for r in rows)
+
+
+def test_score_expr_bitwise_matches_mllib_transform(spark):
+    """KNIFE-EDGE (VERDICT r15 #6): quality_classifier_score_expr must
+    replay model.transform BIT-FOR-BIT — raw margin, 6-dp prob_pos and
+    pred all byte-equal — on a corpus built to expose every drift
+    class: repeated tokens (tf > 1 → the c_i·w_i multiply, not c_i
+    additions), token orders that would drift a naive document-order
+    sum, NULL/empty/whitespace docs (margin == intercept), tokens of
+    every UTF-8 length % 4 (the HashingTF-vs-SQL-hash murmur tail
+    split), and mixed-case (tokenizer lowercasing)."""
+    import struct
+
+    from weather_data_data_pipeline_spark.functions.classifier import (
+        _strip_training_summary,
+        _vector_element,
+        quality_classifier_score_expr,
+    )
+
+    knife = [
+        (1000, "a a a b a", 1.0),
+        (1001, "b a a a a", 0.0),  # same bag, different order
+        (1002, None, 1.0),
+        (1003, "", 0.0),
+        (1004, "   ", 1.0),  # whitespace-only → zero tokens
+        (1005, "x xy xyz wxyz vwxyz the the the", 0.0),  # tail lengths
+        (1006, "ÜBER über Mixed MIXED mixed", 1.0),  # lowercase + utf8
+        (1007, " leading and trailing  spaces ", 0.0),
+    ]
+    docs = _corpus(spark).unionByName(
+        spark.createDataFrame(
+            knife, "doc_id long, text string, label double"
+        )
+    )
+    model = quality_classifier_fit(docs, "text", "label", strip=False)
+    # the transform side must score through a STRIPPED model: this test
+    # runs after test_scores_survive_observed_write has attached an
+    # observe to the shared session, so an unstripped model.transform
+    # would die with NotSerializableException — the very hazard the
+    # strip exists for (and proof the expr path, which never puts the
+    # model in a closure, doesn't need it)
+    stripped = _strip_training_summary(model)
+    old = quality_classifier_score(
+        stripped, docs, "doc_id", "text", keep_cols=("label",)
+    ).collect()
+    new = quality_classifier_score_expr(
+        model, docs, "doc_id", "text", keep_cols=("label",)
+    ).collect()
+    o = {r["doc_id"]: r for r in old}
+    n = {r["doc_id"]: r for r in new}
+    assert set(o) == set(n)
+    for k in o:
+        assert struct.pack("<d", o[k]["prob_pos"]) == struct.pack(
+            "<d", n[k]["prob_pos"]
+        ), (k, o[k], n[k])
+        assert o[k]["pred"] == n[k]["pred"] and o[k]["label"] == n[k]["label"]
+    # raw (unrounded) margin byte-parity against MLlib's rawPrediction
+    raw = stripped.transform(
+        docs.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+    ).select(
+        "doc_id", _vector_element(F.col("rawPrediction"), 1).alias("m")
+    )
+    import json
+
+    from pyspark.ml.functions import vector_to_array
+
+    lr = model.stages[-1]
+    warr = F.from_json(
+        F.lit(json.dumps([float(x) for x in lr.coefficients.toArray()])),
+        "array<double>",
+    )
+    feats = model.stages[1].transform(
+        model.stages[0].transform(
+            docs.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+        )
+    )
+    em = feats.select(
+        "doc_id",
+        (
+            F.aggregate(
+                F.zip_with(
+                    vector_to_array(F.col("_features")),
+                    warr,
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            + F.lit(float(lr.intercept))
+        ).alias("m"),
+    )
+    mm = {r["doc_id"]: r["m"] for r in raw.collect()}
+    ee = {r["doc_id"]: r["m"] for r in em.collect()}
+    for k in mm:
+        assert struct.pack("<d", mm[k]) == struct.pack("<d", ee[k]), (
+            k, mm[k], ee[k],
+        )

@@ -322,3 +322,52 @@ def test_read_as_of_prunes_newer_delta_partitions(spark, tmp_path):
     assert scan and any("v" in ln and "2" in ln for ln in scan), plan
     # and the pruned scan reads exactly the v<=2 rows
     assert sorted(r["v"] for r in df.collect()) == [1, 1, 2, 2]
+
+
+def test_cluster_versions_salted_writers_split_huge_delta(spark, tmp_path):
+    """VERDICT r15 #8 pathological-skew unit: one version owns ~all the
+    rows. writers_per_version=1 writes the huge delta as ONE file (a
+    straggler at scale); the deterministic salted path splits it across
+    ~W files while small deltas stay compact — and the read-back is
+    value-identical either way."""
+    import glob
+
+    from weather_data_data_pipeline_spark.sources.layout import (
+        cluster_versions,
+    )
+
+    rows = [(i, 1 if i < 400 else 2 + i % 2) for i in range(420)]
+    df = spark.createDataFrame(rows, "id INT, v INT").repartition(4)
+    # AQE's small-partition coalescing folds this KB-scale shuffle into
+    # one partition, hiding the salt (at scale a huge delta stays above
+    # the advisory size and keeps its W writers) — pin the mechanism
+    # with AQE off
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+    def files_per_version(path):
+        return {
+            vd.rsplit("=", 1)[1]: len(glob.glob(f"{vd}/*.parquet"))
+            for vd in glob.glob(f"{path}/v=*")
+        }
+
+    p1 = str(tmp_path / "w1")
+    cluster_versions(df, "v", 1).write.partitionBy("v").parquet(p1)
+    assert set(files_per_version(p1).values()) == {1}
+
+    p4 = str(tmp_path / "w4")
+    cluster_versions(df, "v", 4, salt_cols=("id",)).write.partitionBy(
+        "v"
+    ).parquet(p4)
+    per_v = files_per_version(p4)
+    assert 1 < per_v["1"] <= 4  # the huge delta got multiple writers
+    back = spark.read.parquet(p4)
+    assert sorted((r["id"], r["v"]) for r in back.collect()) == sorted(rows)
+
+    # rand() salts are retry-unsafe (SPARK-38388): the helper refuses
+    # the salted path without a deterministic key
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cluster_versions(df, "v", 4)
+    spark.conf.set("spark.sql.adaptive.enabled", aqe)

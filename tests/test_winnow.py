@@ -240,3 +240,45 @@ def test_winnow_probe_works_with_different_id_col_than_build(spark, tmp_path):
     got = {(r["item_id"], r["match_id"]) for r in rows}
     assert (1, 10) in got
     assert (10, 10) not in got
+
+
+def test_hot_set_guard_shuffle_fallback_matches_broadcast(spark, monkeypatch):
+    """VERDICT r15 #8 skew unit: past HOT_SET_BROADCAST_MAX_KEYS the
+    over-cap fingerprint set must NOT broadcast — force the fallback by
+    zeroing the ceiling and assert the shuffle anti-join computes the
+    identical pair set. Covers dedup._pair_overlap's shared guard too."""
+    from weather_data_data_pipeline_spark.functions import dedup, winnow
+
+    # boilerplate in ALL docs (over-cap → hot set non-empty, gets cut);
+    # `shared` only in docs 1-2 (under-cap → the surviving pair)
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    boiler = "one two three four five six seven eight"
+    docs = _mk(
+        spark,
+        [(i, f"filler{i} {shared} {boiler}") for i in (1, 2)]
+        + [(i, f"filler{i} {boiler}") for i in range(3, 7)],
+    )
+    base = sorted(
+        tuple(r) for r in winnow_overlap_pairs(
+            docs, k=K, w=W, min_shared=1, max_postings=3
+        ).collect()
+    )
+    jdocs = docs.withColumnRenamed("doc_id", "id")
+    jp = sorted(
+        tuple(r) for r in dedup.jaccard_pairs(
+            jdocs, "id", "text", n=2, threshold=0.05, max_df=3
+        ).collect()
+    )
+    monkeypatch.setattr(winnow, "HOT_SET_BROADCAST_MAX_KEYS", 0)
+    fallback = sorted(
+        tuple(r) for r in winnow_overlap_pairs(
+            docs, k=K, w=W, min_shared=1, max_postings=3
+        ).collect()
+    )
+    assert base == fallback and base
+    jp_fb = sorted(
+        tuple(r) for r in dedup.jaccard_pairs(
+            jdocs, "id", "text", n=2, threshold=0.05, max_df=3
+        ).collect()
+    )
+    assert jp == jp_fb and jp

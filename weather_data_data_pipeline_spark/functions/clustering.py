@@ -35,10 +35,17 @@ def _centroid_lit(vec: list[float]) -> Column:
     # build, measured r15). json.dumps emits shortest-round-trip float
     # reprs, so the folded array<double> Literal is value-identical.
     import json
+    import math
 
-    return F.from_json(
-        F.lit(json.dumps([float(x) for x in vec])), "array<double>"
-    )
+    vals = [float(x) for x in vec]
+    # fail LOUDLY at plan build on a non-finite component (ADVICE r15):
+    # json.dumps would emit NaN/Infinity tokens, which from_json in
+    # PERMISSIVE mode silently turns into a NULL ARRAY — every distance
+    # downstream would go NULL instead of erroring like the old
+    # per-element F.lit form did.
+    if not all(math.isfinite(v) for v in vals):
+        raise ValueError(f"non-finite centroid component in {vals!r}")
+    return F.from_json(F.lit(json.dumps(vals)), "array<double>")
 
 
 def _sq_dist(vec: Column, cent: Column) -> Column:

@@ -44,10 +44,15 @@ def _lit_array(vec: list[float]) -> Column:
     # centroid twin). json float repr round-trips exactly; Catalyst
     # constant-folds to the identical array<double> Literal.
     import json
+    import math
 
-    return F.from_json(
-        F.lit(json.dumps([float(x) for x in vec])), "array<double>"
-    )
+    vals = [float(x) for x in vec]
+    # loud plan-build failure on non-finite components (ADVICE r15):
+    # json NaN/Infinity tokens would silently NULL the whole parsed
+    # array in PERMISSIVE from_json — see clustering._centroid_lit
+    if not all(math.isfinite(v) for v in vals):
+        raise ValueError(f"non-finite component in literal array {vals!r}")
+    return F.from_json(F.lit(json.dumps(vals)), "array<double>")
 
 
 def _dot_lit(vec: Column, w: list[float]) -> Column:

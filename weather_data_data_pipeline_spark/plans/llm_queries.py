@@ -472,7 +472,22 @@ def minhash_dedup_pairs_portable_query(
         minhash_dedup_pairs_portable,
     )
 
-    docs = load_fanout(spark, sf_dir, "documents")
+    # r16 (VERDICT r15 #4): fan the corpus to the CLUSTER's parallelism,
+    # not the fixed 8-partition cache width — the md5×32 signature stage
+    # is map-side CPU, so its parallelism is the input partition count,
+    # and 8 partitions cap it at 8 cores no matter the cluster. A no-op
+    # at ≤8 cores and at real scale (thousands of scan splits); at
+    # local[32] the tiny round-robin shuffle buys 4× signature-stage
+    # width (same-session interleaved A/B: 0.796×, 2.162→1.720 s).
+    # NOT applied to the xxhash64 twin (minhash_dedup_pairs): its
+    # vectorized signature stage is too cheap to amortize the
+    # repartition (measured 1.138× SLOWER with it).
+    docs = load_fanout(
+        spark,
+        sf_dir,
+        "documents",
+        partitions=spark.sparkContext.defaultParallelism,
+    )
     return minhash_dedup_pairs_portable(
         docs, "doc_id", "text", n=3, threshold=0.5, num_perm=32, bands=16,
         max_bucket_size=32,
@@ -2000,6 +2015,15 @@ def span_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 0 reused), and n_spans comes map-side from the distinct-shingle
     # ARRAY (size of the same array the index explodes — one Exchange
     # and one left join removed; 0.94× same-session interleaved).
+    # PLAN-HASH SCOPE (ADVICE r15 #5): the eager localCheckpoint
+    # truncates the analyzed plan at a LogicalRDD, so this query's (and
+    # winnowing_overlap_pairs') plan-hash fingerprint does NOT attest
+    # the upstream hashed_shingles / winnow_fingerprints lineage — the
+    # same gate blindness registry hand-pins for the snapshot write
+    # side. A change to those helpers must be hand-pinned into
+    # _ROUND_HEAD (the full-surface mirrors still value-check it every
+    # round). Building this plan also launches the checkpoint job as a
+    # side effect; bench.py's release_transients reclaims the RDD.
     docs = load_fanout(spark, sf_dir, "documents")
     spans = hashed_shingles(docs, "doc_id", "text", n=8).localCheckpoint(
         eager=True

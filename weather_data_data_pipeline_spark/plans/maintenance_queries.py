@@ -21,6 +21,17 @@ from weather_data_data_pipeline_spark.registry import register
 from weather_data_data_pipeline_spark.sources.tables import load
 
 
+def _version_writers() -> int:
+    """Writers per version delta for the scratch versioned layouts —
+    env-parameterised (SPARK_GRAFT_VERSION_WRITERS, local default 1 →
+    one file per delta, the measured-best bench layout). Production
+    sizes this to delta_bytes / target_file_size; the salted >1 path is
+    exercised by tests/test_layout.py's pathological-skew unit."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_VERSION_WRITERS", "1"))
+
+
 @register(
     "merge_upsert_orders",
     oracle="""
@@ -694,7 +705,10 @@ def snapshot_read_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from weather_data_data_pipeline_spark.sources.layout import read_as_of
+    from weather_data_data_pipeline_spark.sources.layout import (
+        cluster_versions,
+        read_as_of,
+    )
 
     ev = load(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts", "event_id", "value"
@@ -704,16 +718,19 @@ def snapshot_read_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         # one partitioned write of all version deltas (a producer would
         # write_versioned per batch; the layout on disk is identical).
-        # repartition(v) clusters each version into ONE write task so the
-        # layout is one file per delta instead of input_partitions ×
+        # cluster_versions clusters each version into ONE write task so
+        # the layout is one file per delta instead of input_partitions ×
         # versions tiny ones (guide §6 small-files: the read-back side
         # was paying ~119 open+schema costs for ~7 versions of data —
-        # measured 0.70× same-session on the diff twin); at real scale
-        # the same clustering is what write_versioned's producer batches
-        # give naturally, with N files per huge delta via a salt
-        ev.withColumn("v", week).repartition("v").write.mode(
-            "overwrite"
-        ).partitionBy("v").parquet(f"{tmp}/events_versioned")
+        # measured 0.70× same-session on the diff twin); a huge delta
+        # passes writers_per_version > 1 with a deterministic salt
+        # (layout.cluster_versions, r16 — skew unit in test_layout.py)
+        cluster_versions(
+            ev.withColumn("v", week), "v", _version_writers(),
+            salt_cols=("event_id",),
+        ).write.mode("overwrite").partitionBy("v").parquet(
+            f"{tmp}/events_versioned"
+        )
         vmin = (
             ev.agg(F.min(week).alias("m")).collect()[0]["m"]
         )
@@ -812,7 +829,10 @@ def snapshot_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from weather_data_data_pipeline_spark.sources.layout import read_as_of
+    from weather_data_data_pipeline_spark.sources.layout import (
+        cluster_versions,
+        read_as_of,
+    )
 
     # NULL-keyed rows leave the diff on BOTH engines: a NULL key never
     # matches itself in either engine's equality join, so it would read
@@ -831,10 +851,14 @@ def snapshot_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         # one file per version delta (see snapshot_read_as_of: measured
         # 0.70× same-session vs the unclustered write whose read-back
-        # scanned ~119 tiny files)
-        ev.withColumn("v", week).repartition("v").write.mode(
-            "overwrite"
-        ).partitionBy("v").parquet(f"{tmp}/events_versioned")
+        # scanned ~119 tiny files); salted N-writer path for huge
+        # deltas via layout.cluster_versions (r16)
+        cluster_versions(
+            ev.withColumn("v", week), "v", _version_writers(),
+            salt_cols=("event_id",),
+        ).write.mode("overwrite").partitionBy("v").parquet(
+            f"{tmp}/events_versioned"
+        )
         vmin = int(ev.agg(F.min(week).alias("m")).collect()[0]["m"])
 
         def snap(cut: int) -> DataFrame:

@@ -651,7 +651,7 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_data_data_pipeline_spark.functions.classifier import (
         quality_classifier_fit,
-        quality_classifier_score,
+        quality_classifier_score_expr,
     )
     from weather_data_data_pipeline_spark.functions.text import md5_threshold
 
@@ -667,8 +667,13 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat(F.lit("qc-v1|"), F.col("doc_id").cast("string")))
         < F.lit(md5_threshold(0.7))
     )
-    model = quality_classifier_fit(train, "text", "label")
-    return quality_classifier_score(
+    # r16 (VERDICT r15 #6): scoring via literal-coefficient expressions
+    # — bit-identical to model.transform (knife-edge-pinned in
+    # tests/test_classifier.py), drops the MLlib ScalaUDF scoring pass
+    # AND the save/load round trip (strip=False: the model never enters
+    # a task closure on this path, so trainingSummary is harmless)
+    model = quality_classifier_fit(train, "text", "label", strip=False)
+    return quality_classifier_score_expr(
         model, docs, "doc_id", "text", keep_cols=("label",)
     )
 

@@ -27,6 +27,16 @@ reads are deliberately NOT cached (values can change); only
 
 Install is idempotent and process-local; call :func:`install` once
 (session.get_spark / apply_runtime_conf do) before heavy plan building.
+
+Import-order invariant (ADVICE r15): several pyspark modules early-bind
+``from py4j.java_gateway import java_import`` at THEIR import time, so
+patching ``py4j.java_gateway.java_import`` alone would miss call sites
+bound before :func:`install` ran. install() therefore ALSO rebinds any
+already-imported module's ``java_import`` attribute that still points at
+the original function — after that, cache invalidation is correct
+regardless of whether pyspark (or pyspark.streaming) was imported before
+or after this package. Modules imported later pick up the patched
+function from ``py4j.java_gateway`` directly.
 """
 
 from __future__ import annotations
@@ -38,7 +48,8 @@ def install() -> None:
     global _INSTALLED
     if _INSTALLED:
         return
-    _INSTALLED = True
+
+    import sys
 
     import py4j.java_gateway as _jg
     from py4j.java_gateway import JavaClass, JavaMember, JavaPackage, JVMView
@@ -54,6 +65,16 @@ def install() -> None:
         return _orig_java_import(jvm_view, import_str)
 
     _jg.java_import = _java_import
+    # Rebind EARLY-BOUND references (module docstring: pyspark's
+    # java_gateway / streaming.context do `from py4j... import
+    # java_import` at import time; if they loaded before install(),
+    # their calls would bypass the invalidation hook above).
+    for _mod in list(sys.modules.values()):
+        if _mod is not None and getattr(_mod, "java_import", None) is _orig_java_import:
+            try:
+                _mod.java_import = _java_import
+            except Exception:
+                pass
 
     # -- JVMView: cache class/package resolution per view instance -----
     _view_getattr = JVMView.__getattr__
@@ -66,7 +87,16 @@ def install() -> None:
         if hit is not None:
             return hit
         val = _view_getattr(self, name)
-        if isinstance(val, (JavaClass, JavaPackage)):
+        # A JavaPackage is only cached when it looks like a real package
+        # segment: py4j answers "JavaPackage" for ANY name it cannot
+        # resolve to a loaded class, so an FQN whose class is not on the
+        # classpath YET (e.g. before sc.addJar) must stay re-resolvable
+        # (ADVICE r15). Losing the cache for an uppercase-leading segment
+        # costs one reflection, never correctness.
+        if isinstance(val, JavaClass) or (
+            isinstance(val, JavaPackage)
+            and not name.rsplit(".", 1)[-1][:1].isupper()
+        ):
             cache[name] = val
         return val
 
@@ -83,7 +113,12 @@ def install() -> None:
         if hit is not None:
             return hit
         val = _pkg_getattr(self, name)
-        if isinstance(val, (JavaClass, JavaPackage)):
+        # same unloaded-class guard as the view cache: `pkg.SomeClass`
+        # resolving to a JavaPackage means the class is not loaded (yet)
+        # — do not freeze that answer
+        if isinstance(val, JavaClass) or (
+            isinstance(val, JavaPackage) and not name[:1].isupper()
+        ):
             cache[name] = val
         return val
 
@@ -108,3 +143,8 @@ def install() -> None:
         return val
 
     JavaClass.__getattr__ = _cached_cls_getattr
+
+    # Only now that every patch is applied (ADVICE r15): a mid-install
+    # failure above leaves the flag False so a retry re-runs the whole
+    # install instead of no-opping on a half-patched process.
+    _INSTALLED = True

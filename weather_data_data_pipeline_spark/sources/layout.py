@@ -196,6 +196,42 @@ def executed_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def cluster_versions(
+    df: DataFrame,
+    version_col: str = "v",
+    writers_per_version: int = 1,
+    salt_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Cluster rows so each version delta lands in a bounded number of
+    write tasks before a ``partitionBy(version_col)`` write (guide §6
+    small-files: unclustered, every input partition × every version
+    writes its own tiny file — the snapshot queries measured ~119 files
+    for ~7 versions and 0.70× after clustering).
+
+    ``writers_per_version=1`` (the local/bench default) is plain
+    ``repartition(version_col)`` — ONE file per delta. For a delta too
+    large for one writer (VERDICT r15 #8: one task per version is a
+    straggler at 100 TB), pass ``writers_per_version=W > 1`` with
+    ``salt_cols``: rows spread over W salted cells per version, so each
+    delta gets ~W writers/files. The salt is DETERMINISTIC —
+    ``pmod(xxhash64(salt_cols), W)`` — never ``rand()``: a rand-derived
+    repartition key re-draws on fetch-failure recompute and can
+    duplicate or lose rows under retry (SPARK-38388, guide §2.5).
+    """
+    if writers_per_version <= 1:
+        return df.repartition(version_col)
+    if not salt_cols:
+        raise ValueError(
+            "writers_per_version > 1 requires salt_cols (a deterministic "
+            "row key) — see SPARK-38388 for why rand() is not an option"
+        )
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in salt_cols]),
+        F.lit(int(writers_per_version)),
+    )
+    return df.repartition(F.col(version_col), salt)
+
+
 def write_versioned(
     df: DataFrame,
     path: str,
