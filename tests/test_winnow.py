@@ -242,12 +242,15 @@ def test_winnow_probe_works_with_different_id_col_than_build(spark, tmp_path):
     assert (10, 10) not in got
 
 
-def test_hot_set_guard_shuffle_fallback_matches_broadcast(spark, monkeypatch):
-    """VERDICT r15 #8 skew unit: past HOT_SET_BROADCAST_MAX_KEYS the
-    over-cap fingerprint set must NOT broadcast — force the fallback by
-    zeroing the ceiling and assert the shuffle anti-join computes the
-    identical pair set. Covers dedup._pair_overlap's shared guard too."""
-    from weather_data_data_pipeline_spark.functions import dedup, winnow
+def test_hot_set_guard_shuffle_fallback_matches_broadcast(spark):
+    """VERDICT r15 #8 skew unit: the over-cap ("hot") set's broadcast
+    is guarded — a STATIC broadcast hint is attached only under the
+    attested-small stats posture (AQE off); in the at-scale posture
+    (AQE on) the hint is absent and AQE's runtime stats decide, so an
+    adversarially huge hot set can never be force-broadcast. Pins (a)
+    hint presence/absence per posture in the analyzed plan and (b)
+    value equality of both paths, for winnow AND dedup._pair_overlap."""
+    from weather_data_data_pipeline_spark.functions import dedup
 
     # boilerplate in ALL docs (over-cap → hot set non-empty, gets cut);
     # `shared` only in docs 1-2 (under-cap → the surviving pair)
@@ -258,27 +261,36 @@ def test_hot_set_guard_shuffle_fallback_matches_broadcast(spark, monkeypatch):
         [(i, f"filler{i} {shared} {boiler}") for i in (1, 2)]
         + [(i, f"filler{i} {boiler}") for i in range(3, 7)],
     )
-    base = sorted(
-        tuple(r) for r in winnow_overlap_pairs(
-            docs, k=K, w=W, min_shared=1, max_postings=3
-        ).collect()
-    )
+    def analyzed(df) -> str:
+        return df._jdf.queryExecution().analyzed().toString()
+
     jdocs = docs.withColumnRenamed("doc_id", "id")
-    jp = sorted(
-        tuple(r) for r in dedup.jaccard_pairs(
-            jdocs, "id", "text", n=2, threshold=0.05, max_df=3
-        ).collect()
-    )
-    monkeypatch.setattr(winnow, "HOT_SET_BROADCAST_MAX_KEYS", 0)
-    fallback = sorted(
-        tuple(r) for r in winnow_overlap_pairs(
+    aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        # at-scale posture: AQE on → NO static hint, runtime stats guard
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        wdf = winnow_overlap_pairs(
             docs, k=K, w=W, min_shared=1, max_postings=3
-        ).collect()
-    )
-    assert base == fallback and base
-    jp_fb = sorted(
-        tuple(r) for r in dedup.jaccard_pairs(
+        )
+        jdf = dedup.jaccard_pairs(
             jdocs, "id", "text", n=2, threshold=0.05, max_df=3
-        ).collect()
-    )
-    assert jp == jp_fb and jp
+        )
+        assert "UnresolvedHint" not in analyzed(wdf)
+        assert "ResolvedHint" not in analyzed(wdf)
+        assert "ResolvedHint" not in analyzed(jdf)
+        base = sorted(tuple(r) for r in wdf.collect())
+        jp = sorted(tuple(r) for r in jdf.collect())
+        # attested-small posture: AQE off → static broadcast hint
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        wdf2 = winnow_overlap_pairs(
+            docs, k=K, w=W, min_shared=1, max_postings=3
+        )
+        jdf2 = dedup.jaccard_pairs(
+            jdocs, "id", "text", n=2, threshold=0.05, max_df=3
+        )
+        assert "ResolvedHint" in analyzed(wdf2)
+        assert "ResolvedHint" in analyzed(jdf2)
+        assert base == sorted(tuple(r) for r in wdf2.collect()) and base
+        assert jp == sorted(tuple(r) for r in jdf2.collect()) and jp
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe0)

@@ -274,8 +274,14 @@ def score_frozen_md5(
     (deterministic full-batch GD at dev time).
     """
     nb = len(weights)
-    warr = F.array(
-        *[F.lit(f"{w:.6f}").cast("decimal(10,6)") for w in weights]
+    # ONE from_json string literal, not len(weights) F.lit children
+    # (the r15/r16 device): Jackson parses each number token via exact
+    # BigDecimal into decimal(10,6) — value-identical to the
+    # per-element cast form for these ≤6-dp literals — and Catalyst
+    # folds it to the same array Literal before codegen.
+    warr = F.from_json(
+        F.lit("[" + ",".join(f"{w:.6f}" for w in weights) + "]"),
+        "array<decimal(10,6)>",
     )
     # SINGLE-SPACE split, not \\s+: the engine-wide tokenizer contract
     # (hashed_gram_buckets, gopher/ccnet, every oracle's string_split)

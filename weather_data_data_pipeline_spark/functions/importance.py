@@ -385,11 +385,16 @@ def dsir_score_frozen(
                 "contract requires scale <= 6"
             )
         micros[int(b)] = int(scaled)
-    r_arr = F.array(
-        *[
-            F.lit(micros.get(b, 0)).cast("long")
-            for b in range(num_buckets)
-        ]
+    # ONE from_json string literal, not num_buckets F.lit children (the
+    # r15/r16 device, see clustering._centroid_lit): the per-element
+    # form cost ~num_buckets×3 py4j round trips per build plus a
+    # num_buckets-child CreateArray in every Catalyst traversal; JSON
+    # integers parse to the identical bigint Literal.
+    import json as _json
+
+    r_arr = F.from_json(
+        F.lit(_json.dumps([micros.get(b, 0) for b in range(num_buckets)])),
+        "array<bigint>",
     )
     grams = hashed_gram_buckets(
         df, id_col, text_col, num_buckets, include_bigrams, carry=carry

@@ -1189,7 +1189,7 @@ def semantic_dedup(
     )
 
     df = _ensure_parallelism(df)
-    best = nearest_centroid(F.col(vec_col), centroids)
+    best = nearest_centroid(vec_col, centroids)
     # two consumers (scored per cluster + joined back below) RECOMPUTE
     # this narrow centroid-assignment projection — deliberately NOT
     # localCheckpointed (r8): the projection is a cheap codegen'd map
@@ -1292,7 +1292,7 @@ def semantic_dedup_fused(
     )
 
     df = _ensure_parallelism(df)
-    best = nearest_centroid(F.col(vec_col), centroids)
+    best = nearest_centroid(vec_col, centroids)
     assigned = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),

@@ -303,6 +303,50 @@ def ngram_jaccard_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ngram_jaccard_pairs_capped",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+           FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) _l(i)
+           WHERE len(t) >= 3),
+    -- tight stop-shingle cut (df > 32): the capped vocabulary IS the
+    -- feature space — index, cardinalities and intersections all use it
+    hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 32),
+    sh AS (SELECT * FROM sh0 ANTI JOIN hot USING (s)),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+    SELECT id_a, id_b, n_common,
+           round(CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common), 4) AS jaccard
+    FROM pair
+    JOIN cnt ca ON ca.doc_id = id_a
+    JOIN cnt cb ON cb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.05
+    """,
+    doc="BENCH-TAGGED df-capped ngram-Jaccard replan (VERDICT r15 #1 — "
+    "restores the bench row the r15 re-tag of ngram_jaccard_pairs "
+    "removed, as the r14 prescription asked): exact word-3-gram "
+    "Jaccard pairs over the df≤32 shingle vocabulary. The tight cap is "
+    "the at-scale posture — any posting's pair contribution is bounded "
+    "at 32²/2 (the same budget the LSH path's max_bucket_size=32 "
+    "uses), so pair traffic stays linear in surviving postings on ANY "
+    "corpus, where the diagnostic row's df≤100 budget is 10× looser. "
+    "Same measured plan shape as the diagnostic twin (checkpointed "
+    "8-byte-hash index, broadcast hot cut with the r16 size guard, "
+    "self-join — the surviving r12 3-way-study shape); only the cap "
+    "differs, mirrored exactly in the oracle (the capped vocabulary is "
+    "the feature space, not an approximation of the uncapped value).",
+    tags=("llm", "dedup", "bench", "shuffle16"),
+)
+def ngram_jaccard_pairs_capped_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_fanout(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.05, max_df=32)
+
+
+@register(
     "ngram_containment_pairs",
     oracle="""
     WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -1332,8 +1332,22 @@ def rho_excess_loss_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
     arrs = docs.select("doc_id", arr.alias("t"))
     toks = arrs.select("doc_id", F.explode("t").alias("tok"))
-    uni = toks.groupBy("tok").agg(F.count("*").alias("c"))
-    n = toks.agg(F.count("*").alias("total"))
+    # r16 (guide §2.4 fewer passes): total tokens and vocab size are
+    # integer identities OF uni — total = Σ uni.c, vs = |uni| — so both
+    # ride one single-partition window over the Zipf-small count table
+    # instead of two standalone scalar aggregates + crossJoins. The old
+    # `n` aggregate was a FULL second explode pass over the corpus (an
+    # entire scan removed at 100 TB); two broadcast-exchange jobs and
+    # their re-run of the token lineage disappear with it.
+    from pyspark.sql import Window as _W
+
+    w_all = _W.partitionBy()
+    uni = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .withColumn("total", F.sum("c").over(w_all))
+        .withColumn("vs", F.count("*").over(w_all))
+    )
     bi = arrs.where(F.size("t") >= 2).select(
         "doc_id",
         F.explode(
@@ -1346,14 +1360,12 @@ def rho_excess_loss_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2")
     bg = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    v = uni.agg(F.count("*").alias("vs"))
 
     def _dec6(loss_col):
         return F.round(loss_col, 6).cast("decimal(38,6)")
 
     ref = (
-        toks.join(uni, "tok")
-        .crossJoin(F.broadcast(n))
+        toks.join(uni.select("tok", "c", "total"), "tok")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_tokens"),
@@ -1367,8 +1379,7 @@ def rho_excess_loss_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     proxy = (
         bi.join(bg, ["w1", "w2"])
-        .join(uni.select(F.col("tok").alias("w1"), "c"), "w1")
-        .crossJoin(F.broadcast(v))
+        .join(uni.select(F.col("tok").alias("w1"), "c", "vs"), "w1")
         .groupBy("doc_id")
         .agg(
             F.round(
