@@ -17,9 +17,14 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
+    # local[8] (r16, VERDICT r15 #9 suite-wall cut): the box has ≥32
+    # cores and the suite is wall-bound on many small Spark jobs;
+    # shuffle_partitions stays 4 so every partition-count-sensitive
+    # assertion (and all determinism pins) sees the same layout as
+    # before — only idle-core task slots changed.
     spark = get_spark(
         app_name="engine-tests",
-        master="local[4]",
+        master="local[8]",
         shuffle_partitions=4,
         extra_conf={"spark.driver.memory": "4g"},
     )

@@ -21,41 +21,39 @@ WINDOW = 50
 # Mirror of registry._ROUND_HEAD — a deliberate copy so that editing the
 # head without thinking about the verification window fails a test.
 ROUND_HEAD = (
-    # r15 head = 3 §2 staleness pins + 2 plan-changed (ADVICE r14 #3
-    # NULL-propagating _ccnet_fab) + 2 NEW intra-doc ExactSubstr rows.
-    # The 36-query r10 cohort due under the strict budget amendment
-    # rides the LRU tail (oldest stamps sort first mechanically).
+    # r16 head (19) = 1 NEW row + 16 plan-changed rows (mechanical,
+    # scripts/plan_hashes.py --round 16) + 2 hand-pins for changes the
+    # analyzed-plan hash cannot see (checkpoint-truncated lineage).
+    # Includes the VERDICT r15 #3 semantic_dedup_keep/_capped re-stamp.
+    # No §2 staleness pins: the r15 pins are r15-stamped (age 1).
     #
-    # §2 pins (r10-stamped, reference-tagged — enforced by
-    # test_reference_queries_pinned_before_staleness below)
-    "recency_filter_last_hour",
-    "tumbling_window_daily",
-    "weekly_avg_incremental_merge",
-    # plan-changed r15 (NULL-propagating _ccnet_fab concat)
-    "ccnet_line_dedup",
-    "ccnet_line_clean",
-    # r15 NEW: intra-document ExactSubstr (VERDICT r14 ask #3)
-    "exact_substring_self_removal",
-    "exact_substring_self_clean",
-    # plan-changed r15 (NULL-audit wave 3, VERDICT r14 ask #4: corrupt/
-    # truncated/NULL payloads ride the document text state through the
-    # real codec paths; oracles mirror the degrade semantics)
-    "multimodal_real_decode",
-    "video_frame_dedup",
-    "image_dhash_near_dup",
-    "audio_dedup_fingerprint",
-    # plan-changed r15 OPTIMIZATION round (OPTIMIZATION_r15.md) — all
-    # value-verified hash-equal at both scales in the r15 close mirrors;
-    # a changed plan still re-earns its driver stamp
-    "decontamination_clean_corpus",
-    "corpus_contamination_bloom",
-    "bloom_pruned_urgent_revenue",
+    # r16 NEW: df-capped ngram-Jaccard bench row (VERDICT r15 #1)
+    "ngram_jaccard_pairs_capped",
+    # VERDICT r15 #3 re-stamp + nearest_centroid single-parse build
+    "semantic_dedup_keep",
+    "semantic_dedup_keep_capped",
     "embedding_kmeans_assign",
     "embedding_outlier_zscores",
-    "span_dedup_profile",
+    # zero-job hot-set broadcast guard (posture-dependent hint)
+    "ngram_jaccard_pairs",
+    "ngram_containment_pairs",
     "winnowing_overlap_pairs",
-    "snapshot_read_as_of",
-    "snapshot_version_diff",
+    # rho scalar stats via one window
+    "rho_excess_loss_select",
+    # from_json single-node frozen literals
+    "dsir_score_frozen",
+    "quality_classifier_frozen_scores",
+    "curation_pipeline_frozen_e2e",
+    # bm25 parsed-expr builders
+    "bm25_search_topk",
+    "hybrid_search_rrf",
+    "hybrid_rerank_topk",
+    # URL split-pipeline parsed-expr twins
+    "url_domain_dedup_report",
+    "domain_blocklist_rollup",
+    # hand-pins (plan-hash-blind changes)
+    "minhash_dedup_pairs_portable",
+    "semantic_decontamination",
 )
 
 

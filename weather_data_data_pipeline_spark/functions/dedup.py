@@ -1437,6 +1437,14 @@ def span_dedup_stats(
     )
 
 
+# r16 note on the three F.broadcast(hot) stop-gram cuts below
+# (maximal_match_pairs, build_mem_index, _self_cut_islands): they carry
+# the same rows/max_df-bounded hot head as _pair_overlap, which r16
+# switched to the posture-dependent winnow.hot_cut_side guard. These
+# three keep the static hint THIS round only because flipping them
+# re-fingerprints five exact-substring gate rows in a window already
+# full of due-at-r16 freshness cohort; adopt hot_cut_side here in r17
+# when the window clears (queued in OPTIMIZATION_r16.md).
 def maximal_match_pairs(
     df: DataFrame,
     id_col: str,

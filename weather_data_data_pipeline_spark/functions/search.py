@@ -77,57 +77,47 @@ def bm25_scores(
             df.select(F.col(id_col), F.lit(0.0).alias("score"))
             .where(F.lit(False))
         )
-    toks = F.split(F.col(text_col), " ")
+    # Parsed expr strings throughout (r16, guide §4 on the driver): the
+    # per-term Column chains cost ~1k py4j round trips per build across
+    # the hybrid family; each selectExpr/expr below is ONE parse of the
+    # identical expression tree. Single quotes in terms are escaped for
+    # the SQL literal.
+    def _q(t: str) -> str:
+        return t.replace("\\", "\\\\").replace("'", "\\'")
 
-    def _is_term(term: str):
-        # a one-arg factory, NOT a default-arg lambda: pyspark reads the
-        # lambda's arity to decide between (element) and (element, index)
-        # signatures, so a defaulted second parameter silently receives
-        # the INDEX column
-        return lambda x: x == F.lit(term)
-
-    proj = df.select(
-        F.col(id_col),
-        F.size(toks).alias("dl"),
+    proj = df.selectExpr(
+        f"`{id_col}`",
+        f"size(split(`{text_col}`, ' ')) AS dl",
         *[
-            F.size(F.filter(toks, _is_term(t))).alias(f"_tf{i}")
+            f"size(filter(split(`{text_col}`, ' '), x -> x = '{_q(t)}'))"
+            f" AS _tf{i}"
             for i, t in enumerate(terms)
         ],
     )
     stats = proj.agg(
-        F.count("*").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
+        F.expr("count(*) AS n_docs"),
+        F.expr("avg(dl) AS avgdl"),
         *[
-            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            F.expr(f"sum(CAST(_tf{i} > 0 AS BIGINT)) AS _df{i}")
             for i in range(len(terms))
         ],
     )
 
-    def term_score(i: int):
-        tf = F.col(f"_tf{i}").cast("double")
-        idf = F.log(
-            F.lit(1.0)
-            + (F.col("n_docs") - F.col(f"_df{i}") + 0.5)
-            / (F.col(f"_df{i}") + 0.5)
+    def term_score(i: int) -> str:
+        tf = f"CAST(_tf{i} AS DOUBLE)"
+        idf = f"ln(1.0D + (n_docs - _df{i} + 0.5D) / (_df{i} + 0.5D))"
+        tf_norm = (
+            f"(({tf} * {k1 + 1!r}D) / ({tf} + {k1!r}D * "
+            f"({1 - b!r}D + {b!r}D * dl / avgdl)))"
         )
-        tf_norm = (tf * (k1 + 1)) / (
-            tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
-        )
-        return F.when(F.col(f"_tf{i}") > 0, idf * tf_norm).otherwise(
-            F.lit(0.0)
-        )
+        return f"CASE WHEN _tf{i} > 0 THEN {idf} * {tf_norm} ELSE 0.0D END"
 
-    total = term_score(0)
-    for i in range(1, len(terms)):
-        total = total + term_score(i)
-    matched = reduce(
-        lambda a, b: a | b,
-        [F.col(f"_tf{i}") > 0 for i in range(len(terms))],
-    )
+    total = " + ".join(f"({term_score(i)})" for i in range(len(terms)))
+    matched = " OR ".join(f"(_tf{i} > 0)" for i in range(len(terms)))
     return (
         proj.crossJoin(F.broadcast(stats))
-        .where(matched)
-        .select(F.col(id_col), total.alias("score"))
+        .where(F.expr(matched))
+        .select(F.col(id_col), F.expr(f"{total} AS score"))
     )
 
 

@@ -76,61 +76,52 @@ _loaded = False
 # PLAN/ORACLE changed this round and must (re-)earn a green row. Keep
 # tests/test_registry_order.py's ROUND_HEAD copy in sync.
 _ROUND_HEAD: tuple[str, ...] = (
-    # r15 head (20): 3 §2 pins + 8 build-phase new/changed rows + 9
-    # optimization-round plan-changed rows (window-checked: freshness.py
-    # reports every due query inside the gate window; the two r14-
-    # stamped plan-changed rows semantic_dedup_keep/_capped were left to
-    # their r19 deadlines so no due-r15 LRU row is evicted — both are
-    # value-verified at both scales in the r15 close mirrors and their
-    # plan_hashes since_round=15 correctly drops them to the 5-round
-    # budget). The strict freshness-budget
-    # amendment (ADVICE r14 #4: the 6-round plan-stable budget now
-    # requires stamp >= the r13 bootstrap, since the bootstrap hashes
-    # cannot attest pre-r13 plan stability) makes the whole 36-query
-    # r10 cohort due at r15 — but those are the OLDEST stamps, so the
-    # mechanical LRU tail pulls all 36 into the ~50-query window by
-    # itself (freshness.py's window check + the gate-window test verify
-    # this). The head carries only the genuinely new/changed rows plus
-    # the §2 staleness pins.
+    # r16 head (19): 1 NEW row + 16 r16 OPTIMIZATION-round plan-changed
+    # rows + 2 hand-pins (OPTIMIZATION_r16.md; every
+    # change value-verified hash-equal at sf0.01 in same-day targeted
+    # mirrors AND at both scales in the close mirrors, but a changed
+    # plan must re-earn its driver stamp). Includes the VERDICT r15 #3
+    # re-stamp of semantic_dedup_keep/_capped — changed-plan rows are
+    # never again deferred past the gate.
     #
-    # §2 staleness pins (r10-stamped, reference-tagged — enforced by
-    # test_reference_queries_pinned_before_staleness)
-    "recency_filter_last_hour",
-    "tumbling_window_daily",
-    "weekly_avg_incremental_merge",
-    # plan-changed r15 (ADVICE r14 #3: _ccnet_fab builds line
-    # scaffolding with NULL-propagating F.concat instead of concat_ws,
-    # matching the oracle's ||) — must re-earn green
-    "ccnet_line_dedup",
-    "ccnet_line_clean",
-    # r15 NEW: INTRA-document ExactSubstr — the one acknowledged hole
-    # in the dedup surface (VERDICT r14 ask #3)
-    "exact_substring_self_removal",
-    "exact_substring_self_clean",
-    # plan-changed r15 (NULL-audit wave 3, VERDICT r14 ask #4: corrupt/
-    # truncated/NULL payloads ride the document text state through the
-    # real codec paths; oracles mirror the degrade semantics)
-    "multimodal_real_decode",
-    "video_frame_dedup",
-    "image_dhash_near_dup",
-    "audio_dedup_fingerprint",
-    # plan-changed r15 OPTIMIZATION round (OPTIMIZATION_r15.md; every
-    # change value-verified hash-equal at sf0.01 AND sf0.1 in the close
-    # mirrors, but a changed plan must re-earn its driver stamp):
-    # - from_json single-node literals (bloom words / centroids)
-    "decontamination_clean_corpus",
-    "corpus_contamination_bloom",
-    "bloom_pruned_urgent_revenue",
+    # (no §2 staleness pins this round: the r15 pins are r15-stamped,
+    # age 1 — the >3-round pin rule does not trigger)
+    # r16 NEW: the df-capped ngram-Jaccard bench row (VERDICT r15 #1)
+    "ngram_jaccard_pairs_capped",
+    # VERDICT r15 #3 re-stamp + r16 nearest_centroid single-parse build
+    "semantic_dedup_keep",
+    "semantic_dedup_keep_capped",
+    # nearest_centroid single-parse consumers (same folded literals,
+    # named_struct spelling — value-verified hash-equal)
     "embedding_kmeans_assign",
     "embedding_outlier_zscores",
-    # - materialize-once / map-side reshapes
-    "span_dedup_profile",
+    # zero-job hot-set broadcast guard (hint now posture-dependent —
+    # VERDICT-scoped to winnow + _pair_overlap; the span/mem static
+    # hints keep their r15 plans this round, see dedup.py r16 note)
+    "ngram_jaccard_pairs",
+    "ngram_containment_pairs",
     "winnowing_overlap_pairs",
-    # - versioned-layout write clustering (plan hash cannot see the
-    #   write side — the returned frame is a post-write checkpoint scan
-    #   — so these are pinned by hand)
-    "snapshot_read_as_of",
-    "snapshot_version_diff",
+    # scalar stats derived from uni via one window (VERDICT r15 #5)
+    "rho_excess_loss_select",
+    # from_json single-node literals (frozen DSIR micros / frozen
+    # classifier weights) — the r15 bloom/centroid device extended
+    "dsir_score_frozen",
+    "quality_classifier_frozen_scores",
+    "curation_pipeline_frozen_e2e",
+    # bm25 parsed-expr builders
+    "bm25_search_topk",
+    "hybrid_search_rrf",
+    "hybrid_rerank_topk",
+    # URL split-pipeline parsed-expr twins
+    "url_domain_dedup_report",
+    "domain_blocklist_rollup",
+    # HAND-PINS — changed code the analyzed-plan hash cannot see
+    # (checkpoint-truncated lineage / index write side; the
+    # plan_hashes.py scope caveat):
+    # - signature-stage fanout sits above the sigs localCheckpoint
+    "minhash_dedup_pairs_portable",
+    # - nearest_centroid change sits above the CC collect boundary
+    "semantic_decontamination",
 )
 
 
