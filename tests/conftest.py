@@ -21,12 +21,28 @@ def spark():
     # cores and the suite is wall-bound on many small Spark jobs;
     # shuffle_partitions stays 4 so every partition-count-sensitive
     # assertion (and all determinism pins) sees the same layout as
-    # before — only idle-core task slots changed.
+    # before — only idle-core task slots changed. Env-overridable for
+    # same-box A/Bs of the fixture width itself.
+    import os
+
+    cores = os.environ.get("SPARK_GRAFT_TEST_CORES", "8")
     spark = get_spark(
         app_name="engine-tests",
-        master="local[8]",
+        master=f"local[{cores}]",
         shuffle_partitions=4,
-        extra_conf={"spark.driver.memory": "4g"},
+        extra_conf={
+            "spark.driver.memory": "4g",
+            # AQE off for the suite (r16 wall cut): every sub-second
+            # assertion query otherwise pays AQE's stage-by-stage
+            # re-plan latency (measured 70-190 ms/query at sf0.1) for
+            # shuffles that are all tiny and skew-free here. Values are
+            # AQE-independent; AQE mechanics keep dedicated coverage in
+            # test_layout.py::test_aqe_splits_skewed_join_partitions
+            # (explicitly enables it) and the posture-dependent guard
+            # test in test_winnow.py. Driver/mirror correctness
+            # sessions are separate and keep their own defaults.
+            "spark.sql.adaptive.enabled": "false",
+        },
     )
     yield spark
     spark.stop()

@@ -91,8 +91,10 @@ def test_aqe_splits_skewed_join_partitions(spark):
     )
     right = spark.range(0, 2000).select(F.col("id").alias("k"), F.lit("x").alias("v"))
     old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
         spark.conf.set(
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
@@ -110,6 +112,7 @@ def test_aqe_splits_skewed_join_partitions(spark):
         plan = executed_plan(joined)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
         spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
         spark.conf.unset(
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"

@@ -126,7 +126,7 @@ def test_canon_spark_families():
     )
 
 
-def test_no_registered_query_surfaces_decimal(spark):
+def test_no_registered_query_surfaces_decimal(spark, monkeypatch):
     """The r9 surface-type lint (VERDICT r8 ask #2): DECIMAL is an
     internal exactness device only — no registered query (oracle-bearing
     OR rows-only) may surface a decimal-typed column, directly or nested.
@@ -137,9 +137,24 @@ def test_no_registered_query_surfaces_decimal(spark):
     bit-identical between engines, so pin → round → CAST AS DOUBLE last
     preserves the exactness contract. Plan-build only, no execution of
     the final action (some plans run bounded seed jobs during build)."""
+    from pyspark.sql import DataFrame
+
     from weather_data_data_pipeline_spark import registry
     from weather_data_data_pipeline_spark.oracle_types import (
         decimal_surfaced_cols,
+    )
+
+    # This is a SCHEMA lint: demote eager localCheckpoints to LAZY so
+    # plan building keeps its lineage truncation (an identity patch was
+    # measured worse — deep composed builders rely on the truncation to
+    # keep analysis cheap) while every index/signature materialization
+    # JOB is skipped — the lint never executes anything. Schema is
+    # identical either way.
+    _orig_ckpt = DataFrame.localCheckpoint
+    monkeypatch.setattr(
+        DataFrame,
+        "localCheckpoint",
+        lambda self, eager=True: _orig_ckpt(self, eager=False),
     )
 
     sf_dir = SF_DIR
